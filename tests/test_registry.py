@@ -1,0 +1,34 @@
+"""Every registered query runs at sf0.001 and matches its oracle.
+
+This is the self-hosted version of the driver's t2 gate — it must stay
+green for the full registry at all times.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_to_postgres_spark.queries import load_all
+
+from ._compare import assert_matches_oracle
+from .conftest import SF_SMOKE
+
+SPECS = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, duck):
+    spec = SPECS[name]
+    df = spec.builder(spark, SF_SMOKE)
+    if spec.oracle is None:
+        assert df.count() >= 0  # rows-only check: it runs
+    else:
+        assert_matches_oracle(df, duck, spec.oracle, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    out = e.entry(spark)
+    assert out.count() > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
