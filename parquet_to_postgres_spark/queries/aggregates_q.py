@@ -1,1 +1,243 @@
-"""Placeholder — queries added incrementally."""
+"""Aggregation queries (SURVEY.md §2B A1–A7).
+
+A1 is covered by the flagship ``pricing_summary`` (relational_q).  All
+exact statistics below are computed from exact decimal sums combined
+with plain double arithmetic, so Spark and DuckDB produce bit-identical
+results regardless of aggregation order (see queries/_util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import Catalog
+from . import register
+from ._util import dec, dsum, sql_dec, sql_dsum
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("A2",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: DISTINCT — partial dedup map-side, then shuffle on the row."""
+    t = Catalog(spark, sf_dir)
+    return t.orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A2",),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: multi count-distinct (Catalyst expands to partial aggregates)."""
+    t = Catalog(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("approx_distinct_users", oracle=None, tags=("A3",))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: HLL approximate count-distinct (rows-only: approximate).
+
+    At 100 TB this replaces exact count-distinct's full shuffle with a
+    constant-size sketch merged map-side.
+    """
+    t = Catalog(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "rollup_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A4",),
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ROLLUP — hierarchical subtotals + grand total in one pass."""
+    t = Catalog(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A4",),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: CUBE — all grouping-set combinations."""
+    t = Catalog(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "filtered_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN {sql_dec("l_extendedprice")} END) AS DOUBLE) AS discounted_sales,
+           COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+           COUNT(*) AS n_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A5",),
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: conditional aggregation — sum/count over predicate slices."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice")))
+        .cast("double")
+        .alias("discounted_sales"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "collect_nations",
+    oracle="""
+    SELECT r.r_name,
+           list_sort(list(DISTINCT n.n_name)) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("A6",),
+)
+def collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: array aggregation — collect_set + array_sort for determinism."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.region.join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "exact_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM({sql_dec("l_quantity")}) AS DOUBLE) AS sq,
+             CAST(SUM({sql_dec("l_quantity")} * {sql_dec("l_quantity")}) AS DOUBLE) AS sqq,
+             CAST(SUM({sql_dec("l_discount")}) AS DOUBLE) AS sd,
+             CAST(SUM({sql_dec("l_discount")} * {sql_dec("l_discount")}) AS DOUBLE) AS sdd,
+             CAST(SUM({sql_dec("l_quantity")} * {sql_dec("l_discount")}) AS DOUBLE) AS sqd
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_items,
+           sq / n AS mean_qty,
+           sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+           (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)) AS corr_qty_disc
+    FROM s
+    """,
+    tags=("A7",),
+)
+def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: exact mean/stddev/correlation from exact decimal sums.
+
+    Native ``stddev_samp``/``corr`` accumulate doubles in partition order
+    (nondeterministic last-ulp); computing the moments as exact decimal
+    sums and combining them with identical double arithmetic gives
+    bit-identical results in Spark and DuckDB.  Single shuffle, map-side
+    partial sums — same cost as the native versions at 100 TB.
+    """
+    t = Catalog(spark, sf_dir)
+    q, d = dec("l_quantity"), dec("l_discount")
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * d).cast("double").alias("sqd"),
+    )
+    n, sq, sqq, sd, sdd, sqd = (
+        F.col("n"),
+        F.col("sq"),
+        F.col("sqq"),
+        F.col("sd"),
+        F.col("sdd"),
+        F.col("sqd"),
+    )
+    return s.select(
+        "l_returnflag",
+        n.alias("n_items"),
+        (sq / n).alias("mean_qty"),
+        F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (n * sqd - sq * sd)
+            / F.sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+        ).alias("corr_qty_disc"),
+    )
+
+
+@register(
+    "median_quantity",
+    oracle="""
+    SELECT l_linestatus,
+           median(l_quantity) AS median_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("A7",),
+)
+def median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: exact median (both engines interpolate the middle pair)."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_linestatus").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register("approx_quantiles", oracle=None, tags=("A7", "A3"))
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 approx: percentile_approx sketch (rows-only: approximate).
+
+    The scale path for quantiles — a mergeable KLL-style sketch instead
+    of a full sort."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quartiles"
+        )
+    )

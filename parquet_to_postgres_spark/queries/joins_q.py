@@ -1,1 +1,308 @@
-"""Placeholder — queries added incrementally."""
+"""Join queries (SURVEY.md §2B J1–J8).
+
+The reference has no joins at all (single-table pipeline,
+``/root/reference/src/main.rs``); this module is the §2B join matrix with
+100 TB plan shapes: dimensions broadcast, fact-fact joins shuffle on
+keys, the non-equi range join is *binned* so it never degenerates into a
+broadcast-nested-loop over the full cross product, and the as-of join is
+a union-tag + window compose (one shuffle, no point lookups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import Catalog
+from . import register
+from ._util import dec, dsum, sql_dec, sql_dsum
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    tags=("J1",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join; Catalyst picks broadcast vs sort-merge (AQE)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderstatus") == "O")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM({sql_dec("o.o_totalprice")}), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("J2",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (left): customers with zero orders kept, COUNT/SUM null-aware."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal < 3000) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    tags=("J2",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (full): both sides restricted so both contribute unmatched rows."""
+    t = Catalog(spark, sf_dir)
+    c = t.customer.where(F.col("c_acctbal") < 3000)
+    o = t.orders.where(F.col("o_totalprice") > 250000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("J3",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left semi — customers with at least one urgent order."""
+    t = Catalog(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+    tags=("J3",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left anti — customers with no order above 300k."""
+    t = Catalog(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("J4",),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: explicit broadcast of dimension tables — zero shuffle for the
+    join itself at any scale (only the final agg shuffles)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(
+            broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("J5",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: cross join (dimension × dimension only — never facts)."""
+    t = Catalog(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON s.s_acctbal BETWEEN c.c_acctbal - 50 AND c.c_acctbal + 50
+    """,
+    tags=("J6",),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: non-equi band join, *binned* for scale.
+
+    Naive ``a BETWEEN b-50 AND b+50`` plans as broadcast-nested-loop —
+    O(n·m) at 100 TB.  Instead each supplier row is assigned to
+    ``floor(acctbal/50)`` and each customer row exploded into its three
+    neighbor bins, turning the band join into an equi-join on the bin key
+    (shuffle-hash-friendly) with a residual range filter.
+    """
+    t = Catalog(spark, sf_dir)
+    width = 50
+    s = t.supplier.withColumn(
+        "bin", F.floor(F.col("s_acctbal") / width).cast("long")
+    )
+    c = t.customer.withColumn(
+        "cbin", F.floor(F.col("c_acctbal") / width).cast("long")
+    ).withColumn("bin", F.explode(F.expr("array(cbin - 1, cbin, cbin + 1)")))
+    return (
+        s.join(c, "bin")
+        .where(
+            F.col("s_acctbal").between(
+                F.col("c_acctbal") - width, F.col("c_acctbal") + width
+            )
+        )
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("J7",),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — for each purchase, the latest same-user click at
+    or before it (DuckDB ``ASOF LEFT JOIN`` semantics: >= , latest match).
+
+    Spark has no as-of operator; this is the union-tag + window compose:
+    tag both streams, sort within user by (ts, side) so clicks at the
+    same timestamp precede purchases, then ``last(value, ignoreNulls)``
+    carries the most recent click forward.  One shuffle on user_id, no
+    per-row lookups — linear at 100 TB (skewed users would be salted).
+    """
+    t = Catalog(spark, sf_dir)
+    ev = t.events
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("is_left"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("click_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.last("r_value", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            "click_value",
+        )
+    )
+
+
+@register(
+    "join_star_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           {sql_dsum("l.l_extendedprice", "gross")},
+           CAST(SUM({sql_dec("l.l_extendedprice")} * (1 - {sql_dec("l.l_discount")})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r.r_name
+    """,
+    tags=("J8", "A1"),
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: TPC-H-style multi-way star join — revenue by region.
+
+    Plan shape at scale: lineitem⋈orders shuffles on orderkey (the two
+    facts), then customer joins on custkey (AQE may broadcast at small
+    SF), nation/region are explicit broadcasts.  Date filter pushes into
+    the orders scan.
+    """
+    t = Catalog(spark, sf_dir)
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        t.lineitem.join(
+            t.orders.where(
+                F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            dsum("l_extendedprice", "gross"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

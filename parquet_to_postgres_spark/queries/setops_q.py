@@ -1,1 +1,142 @@
-"""Placeholder — queries added incrementally."""
+"""Sort / limit / set-operation queries (SURVEY.md §2B S1–S4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import Catalog
+from . import register
+
+
+@register(
+    "global_sort_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders
+    WHERE o_totalprice > 300000
+    """,
+    tags=("S1", "W1"),
+)
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: global multi-key sort materialized as a rank (the hash-match
+    gate is order-insensitive, so the rank column carries the ordering).
+
+    Scale note: an unpartitioned window collapses to one task; the filter
+    first shrinks the input, and at 100 TB a global rank would be done by
+    range-repartition + per-partition rank + offset add.  The declared
+    query keeps the filter small enough that a single task is the right
+    plan anyway.
+    """
+    t = Catalog(spark, sf_dir)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t.orders.where(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("price_rank", F.row_number().over(w))
+    )
+
+
+@register(
+    "top_k_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("S2",),
+)
+def top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge, no global sort).  Tie-broken on the unique key so
+    the selected set is deterministic."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "union_all_distinct",
+    oracle="""
+    SELECT c_custkey, c_acctbal, 'lowbal' AS bucket
+    FROM customer WHERE c_acctbal < 5000
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'furniture' AS bucket
+    FROM customer WHERE c_mktsegment = 'FURNITURE'
+    """,
+    tags=("S3",),
+)
+def union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: UNION ALL of overlapping slices (dup rows preserved)."""
+    t = Catalog(spark, sf_dir)
+    low = (
+        t.customer.where(F.col("c_acctbal") < 5000)
+        .select("c_custkey", "c_acctbal")
+        .withColumn("bucket", F.lit("lowbal"))
+    )
+    furn = (
+        t.customer.where(F.col("c_mktsegment") == "FURNITURE")
+        .select("c_custkey", "c_acctbal")
+        .withColumn("bucket", F.lit("furniture"))
+    )
+    return low.unionByName(furn)
+
+
+@register(
+    "union_dedup",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 5000
+    UNION
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+    """,
+    tags=("S3",),
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: UNION (distinct) — dedup across the union."""
+    t = Catalog(spark, sf_dir)
+    a = t.customer.where(F.col("c_acctbal") < 5000).select("c_custkey", "c_nationkey")
+    b = t.customer.where(F.col("c_mktsegment") == "FURNITURE").select(
+        "c_custkey", "c_nationkey"
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "intersect_orders",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    tags=("S4",),
+)
+def intersect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: INTERSECT (distinct semantics)."""
+    t = Catalog(spark, sf_dir)
+    a = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = t.orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "except_all_orders",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+    tags=("S4",),
+)
+def except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: EXCEPT ALL (bag semantics — multiplicities subtract)."""
+    t = Catalog(spark, sf_dir)
+    a = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = t.orders.where(F.col("o_totalprice") > 250000).select("o_custkey")
+    return a.exceptAll(b)

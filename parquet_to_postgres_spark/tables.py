@@ -10,6 +10,7 @@ Catalyst a prunable, filter-pushable scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import TABLES
 
@@ -19,6 +20,16 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects.  Read nanos as raw int64 (legacy conf), then
+        # truncate to microseconds with *integer* division — epoch nanos
+        # (~1.7e18) exceed 2^53, so float division would corrupt the
+        # value.  Truncation (not rounding) matches DuckDB's ns→µs cast,
+        # keeping the oracle comparable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,111 @@
+"""ETL core (SURVEY.md §2B E1–E4): DDL mapping, null round-trips, sinks."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from parquet_to_postgres_spark.etl import (
+    ParquetSink,
+    etl,
+    flatten_for_jdbc,
+    pg_type,
+    read_source,
+    schema_to_pg_ddl,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_schema_to_pg_ddl_full_map():
+    schema = T.StructType(
+        [
+            T.StructField("b", T.BooleanType()),
+            T.StructField("i2", T.ShortType()),
+            T.StructField("i4", T.IntegerType()),
+            T.StructField("i8", T.LongType(), nullable=False),
+            T.StructField("f4", T.FloatType()),
+            T.StructField("f8", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("raw", T.BinaryType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("num", T.DecimalType(18, 4)),
+            T.StructField("arr", T.ArrayType(T.FloatType())),
+        ]
+    )
+    ddl = schema_to_pg_ddl("t", schema)
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS t (\n"
+        "  b BOOLEAN,\n"
+        "  i2 SMALLINT,\n"
+        "  i4 INTEGER,\n"
+        "  i8 BIGINT NOT NULL,\n"
+        "  f4 REAL,\n"
+        "  f8 DOUBLE PRECISION,\n"
+        "  s TEXT,\n"
+        "  raw BYTEA,\n"
+        "  d DATE,\n"
+        "  ts TIMESTAMP,\n"
+        "  num NUMERIC(18,4),\n"
+        "  arr JSONB\n"
+        ");"
+    )
+
+
+def test_pg_type_rejects_unmapped():
+    with pytest.raises(TypeError):
+        pg_type(T.NullType())
+
+
+def test_ddl_from_real_footer(spark):
+    """E2 on a real parquet footer — the reference's whole Flow A."""
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    ddl = schema_to_pg_ddl("orders", df.schema)
+    assert "o_orderkey BIGINT" in ddl
+    assert "o_orderdate TIMESTAMP" in ddl
+    assert "o_totalprice DOUBLE PRECISION" in ddl
+
+
+def test_flatten_nested_and_null_roundtrip(spark):
+    """NULLs survive the pipeline (the reference corrupts them,
+    /root/reference/src/main.rs:157 et al.) and nested cols become JSON."""
+    rows = [
+        Row(k=1, v=2.5, arr=[1, 2], name="a"),
+        Row(k=2, v=None, arr=None, name=None),
+    ]
+    df = spark.createDataFrame(rows)
+    flat = flatten_for_jdbc(df)
+    assert dict(flat.dtypes)["arr"] == "string"
+    got = {r["k"]: r for r in flat.collect()}
+    assert got[2]["v"] is None and got[2]["arr"] is None and got[2]["name"] is None
+    assert got[1]["arr"] == "[1,2]"
+
+
+def test_etl_parquet_sink_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as d:
+        ddl = etl(spark, f"{SF_SMOKE}/nation.parquet", ParquetSink(f"{d}/out"))
+        assert "CREATE TABLE IF NOT EXISTS" in ddl
+        back = spark.read.parquet(f"{d}/out")
+        src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        assert back.count() == src.count() == 25
+        assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_csv_json_sources_roundtrip(spark):
+    """E4: CSV and JSON sources with explicit schema round-trip nation."""
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        src.write.option("header", "true").csv(f"{d}/csv")
+        src.write.json(f"{d}/json")
+        csv_back = read_source(spark, f"{d}/csv", "csv", schema=src.schema)
+        json_back = read_source(spark, f"{d}/json", "json", schema=src.schema)
+        assert sorted(map(tuple, csv_back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+        assert sorted(map(tuple, json_back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
