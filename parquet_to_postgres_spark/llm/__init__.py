@@ -1,0 +1,10 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text analysis,
+multimodal column plumbing.
+
+These are the training-data-pipeline capabilities mandated by the north
+star (BASELINE.json) on top of the reference's ETL surface.  Everything
+is DataFrame-first and designed so the hot path stays JVM-side
+(higher-order functions, no row-at-a-time Python); pandas UDFs appear
+only at the explicitly-marked Python boundary (multimodal decode, the
+L8 UDF-surface demos).
+"""

@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All near-dup signatures use *arithmetic* hash families over a dense token
+dictionary — ``h_j(id) = (a_j·id + b_j) mod p`` — instead of engine hash
+builtins (Spark's murmur3 ``hash()`` and DuckDB's ``hash()`` disagree), so
+the DuckDB oracle reproduces every signature bit-for-bit.
+
+Scale notes: the token dictionary is a distinct+rank over the vocabulary,
+which is tiny relative to the corpus (Heaps' law); the banded LSH join
+groups by (band, key) so candidate generation is an equi-shuffle, never a
+cross join.  Exact dedup is a single hash-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed hash family: h_j(id) = (A + STEP_A*j)*id + (B + STEP_B*j) mod P.
+MINHASH_P = 311  # prime comfortably above the token-dictionary size here
+A0, STEP_A, B0, STEP_B = 17, 13, 7, 29
+
+
+def hash_params(j: int) -> tuple[int, int]:
+    return A0 + STEP_A * j, B0 + STEP_B * j
+
+
+def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) pairs, set semantics (distinct per doc)."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .distinct()
+    )
+
+
+def token_dictionary(tokens: DataFrame) -> DataFrame:
+    """Dense 1-based token ids, ordered by token text (deterministic).
+
+    The dictionary is orders of magnitude smaller than the corpus, so the
+    single-partition rank window is fine; at extreme vocabulary sizes use
+    zipWithIndex-style two-phase ranking instead."""
+    return (
+        tokens.select("token")
+        .distinct()
+        .withColumn("token_id", F.row_number().over(Window.orderBy("token")))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: one min-aggregate per hash function
+    (single shuffle on doc id; map-side partial mins)."""
+    toks = tokenize(df, text_col, id_col)
+    with_ids = toks.join(token_dictionary(toks), "token")
+    aggs = []
+    for j in range(num_hashes):
+        a, b = hash_params(j)
+        aggs.append(
+            F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % MINHASH_P).alias(
+                f"mh{j}"
+            )
+        )
+    return with_ids.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs.
+
+    Bands are exploded to (band, key) rows and self-joined on the band
+    key — an equi-join that shuffles on (band, key), linear in candidate
+    count rather than quadratic in corpus size."""
+    n_bands = num_hashes // rows_per_band
+    band_structs = []
+    for bidx in range(n_bands):
+        cols = [
+            F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws("_", *cols).alias("key"),
+            )
+        )
+    bands = signatures.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, [F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def token_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (verification stage of
+    the MinHash pipeline — only candidates pay the exact cost)."""
+    toks = tokenize(df, text_col, id_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "token")
+    tb = toks.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    n_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: weighted sign-sum of token-hash bits.
+
+    Weight = token frequency in the doc.  bit_j(doc) = 1 iff
+    Σ_tokens w·(2·bit_j(h(token)) − 1) > 0, with h the arithmetic hash —
+    reproducible in plain SQL on both engines."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    weighted = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w"))
+    dictionary = token_dictionary(weighted.select(id_col, "token"))
+    a, b = hash_params(0)
+    g = (F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(1 << n_bits)
+    with_bits = weighted.join(dictionary, "token").withColumn("g", g)
+    bit_sums = with_bits.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("w")
+                * (F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(n_bits):
+        sim = sim + F.shiftleft((F.col(f"s{j}") > 0).cast("long"), j)
+    return bit_sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    The all-pairs comparison here is for modest corpora; the 100 TB path
+    blocks on simhash prefix bytes first (same banding idea as MinHash)."""
+    sigs = simhash(df, n_bits, text_col, id_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def char_ngrams(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams via sequence+transform (JVM-side)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}), "
+            f"i -> substring({text_col}, i, {n}))"
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, key: Column | str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by arbitrary key expression: keep the lowest id as the
+    representative, count collapsed copies.  One hash-aggregate shuffle."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.col(id_col), k.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -1,0 +1,198 @@
+"""Embedding similarity search: cosine scoring, distributed top-k,
+threshold self-join, LSH-bucketed ANN.
+
+Design follows the distributed top-k literature (partition-local pruning
+then global merge — see PAPERS.md, REPOSE ICDE'21 / EDBT'20 incremental
+top-k): score everywhere, keep only k candidates per partition, merge the
+≤ k·P survivors.  At 100 TB the global window never sees more than k·P
+rows instead of the full corpus.
+
+Determinism: dot products fold left over exact float→double casts, so
+Spark's ``aggregate`` and DuckDB's ``list_reduce`` produce bit-identical
+doubles (IEEE ops in the same order; the 0.0 seed is a no-op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-fold dot product of two float-array columns, in double."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, score the full corpus, global
+    rank per query.  Correct but the final window shuffles every score to
+    one partition per query — the baseline, not the scale path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine("qvec", "cvec").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path top-k: partition-local top-k, then global merge.
+
+    Stage 1 ranks within (query, input-partition) — the shuffle for that
+    window spreads over P×Q partitions with no skew, and only k rows per
+    (query, partition) survive.  Stage 2 ranks the ≤ k·P survivors.
+    Results are identical to :func:`brute_force_topk` (local top-k is a
+    superset of the global top-k restricted to that partition).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.withColumn("pid", F.spark_partition_id())
+        .crossJoin(F.broadcast(q))
+        .select("pid", "query_id", "neighbor_id", cosine("qvec", "cvec").alias("score"))
+    )
+    local_w = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("lrank", F.row_number().over(local_w))
+        .where(F.col("lrank") <= k)
+        .drop("lrank", "pid")
+    )
+    global_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_self_join(
+    vectors: DataFrame,
+    threshold: float,
+    partition_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise similarity self-join: all pairs (a < b) with cosine ≥
+    threshold.
+
+    ``partition_col`` bounds the pair explosion: pairs are only formed
+    within equal values of it (an equi-join Catalyst shuffles on the
+    key), never across the whole corpus.  Pass None only for small
+    inputs."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    join_on = []
+    if partition_col:
+        cols.append(F.col(partition_col).alias("pkey"))
+        join_on = [F.col("a.pkey") == F.col("b.pkey")]
+    v = vectors.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = [F.col("a.id") < F.col("b.id"), *join_on]
+    pairs = a.join(b, cond)
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+    )
+    return out.where(F.col("score") >= threshold)
+
+
+def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 4) -> Column:
+    """Axis-aligned sign-LSH bucket id: bit i = sign(vec[i]).
+
+    The cheapest hyperplane family — deterministic, no trained model.
+    Two vectors land in one bucket iff their first ``n_bits`` dims agree
+    in sign; nearby (cosine-similar) vectors agree with high probability.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bit = (F.element_at(v, i + 1) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's sign-LSH bucket.
+
+    The scale path for ANN — the bucket equi-join replaces the cross
+    join, so each query scores ~corpus/2^n_bits candidates.  Recall is
+    approximate (rows-only check: no oracle)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "neighbor_id", cosine("qvec", "cvec").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+# DuckDB SQL fragment mirroring dot()/cosine() — kept next to the Spark
+# implementation so the fold orders never drift apart.
+def sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({sql_dot(a, b, dim)} / "
+        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
+    )

@@ -1,0 +1,143 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting.
+
+Everything stays JVM-side (built-in + higher-order functions) — no Python
+in the hot path.  Formulas are chosen to be replicable in DuckDB SQL with
+identical integer/double arithmetic, so every operator is hash-matchable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_MUL = 31
+FINGERPRINT_PREFIX = 64
+
+# Deterministic per-language marker words (drawn from the corpus
+# vocabulary); language-ID scores a doc by marker hits per language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("scan", "index", "query"),
+    "de": ("join", "merge", "sort"),
+    "es": ("stream", "batch", "window"),
+    "fr": ("hash", "key", "order"),
+    "zh": ("spark", "table", "part"),
+}
+
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "scan", "join", "order")
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, " "))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and residual symbols
+    each count as one token (a cheap proxy for subword tokenizer load)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+
+
+def quality_features(text_col: str = "text") -> list[Column]:
+    """Quality-scoring feature columns: length, token stats, stopword and
+    punctuation ratios, and a blended quality score in [0, ~1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = F.split(c, " ")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS))
+    )
+    alpha_space = F.length(F.regexp_replace(c, "[^a-z ]", ""))
+    mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    punct_ratio = (n_chars - alpha_space).cast("double") / n_chars
+    score = (
+        F.least(n_tokens.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.3
+    )
+    return [
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    ]
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Marker-hit count per language over the doc's distinct tokens."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+
+    def hit_counter(markers: tuple[str, ...]):
+        # single-arg lambda: a 2-arg lambda would be read by Spark as
+        # (element, index) and break
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    return {lang: hit_counter(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Argmax language by marker hits; ties resolve in LANG_MARKERS order
+    (the same CASE chain the SQL twin uses)."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    # Build the CASE chain back-to-front: lang wins if its score is
+    # >= every later lang's score (strictly > earlier ones lose ties).
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, langs[i]).otherwise(expr)
+    return expr
+
+
+def fingerprint(text_col: str = "text", prefix: int = FINGERPRINT_PREFIX) -> Column:
+    """Polynomial rolling hash of the first ``prefix`` chars:
+    h = fold(ascii(c_i), h·31 + c mod 1e9+7).  Pure integer arithmetic —
+    identical in Spark and DuckDB (left fold; the 0 seed is a no-op
+    because 0·31 + c₁ = c₁)."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, least(length({text_col}), {prefix})), "
+        f"i -> ascii(substring({text_col}, i, 1))), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {FINGERPRINT_MUL} + c) % {FINGERPRINT_MOD})"
+    )
+
+
+# ---- DuckDB SQL twins (kept adjacent so formulas never drift) ----------
+
+
+def sql_fingerprint(text_expr: str = "text", prefix: int = FINGERPRINT_PREFIX) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, least(length({text_expr}), {prefix}) + 1), "
+        f"i -> CAST(ascii({text_expr}[i:i]) AS BIGINT)), "
+        f"(acc, c) -> (acc * {FINGERPRINT_MUL} + c) % {FINGERPRINT_MOD})"
+    )
+
+
+def sql_lang_score(lang: str, text_expr: str = "text") -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_distinct(string_split({text_expr}, ' ')), "
+        f"t -> t IN ({markers})))"
+    )
+
+
+def sql_lang_id(text_expr: str = "text") -> str:
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{sql_lang_score(lang, text_expr)} >= {sql_lang_score(other, text_expr)}"
+            for other in langs[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"

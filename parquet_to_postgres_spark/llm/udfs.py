@@ -1,0 +1,71 @@
+"""L8 UDF surface: the three Python-boundary mechanisms, each on a
+function with an exact SQL twin (integer outputs — no float drift).
+
+- ``word_count_pudf``: vectorized pandas UDF (Arrow batches, the fast
+  Python path).
+- ``rolling_hash_udf``: row-at-a-time Python UDF (the slow path — kept
+  for API parity and documented as such).
+- ``vocab_stats_grouped``: pandas UDAF via ``groupBy().applyInPandas``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import FINGERPRINT_MOD, FINGERPRINT_MUL, FINGERPRINT_PREFIX
+
+
+@F.pandas_udf(T.IntegerType())
+def word_count_pudf(text: pd.Series) -> pd.Series:
+    """Whitespace token count, vectorized over Arrow batches."""
+    return text.str.split(" ").str.len().astype("int32")
+
+
+@F.udf(T.LongType())
+def rolling_hash_udf(text: str) -> int | None:
+    """Row-at-a-time Python UDF twin of text.fingerprint (same formula)."""
+    if text is None:
+        return None
+    h = 0
+    for ch in text[:FINGERPRINT_PREFIX]:
+        h = (h * FINGERPRINT_MUL + ord(ch)) % FINGERPRINT_MOD
+    return h
+
+
+GROUP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_chars", T.LongType()),
+        T.StructField("vocab_size", T.LongType()),
+    ]
+)
+
+
+def _vocab_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    vocab: set[str] = set()
+    for t in pdf["text"]:
+        vocab.update(t.split(" "))
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "total_chars": [int(pdf["n_chars"].sum())],
+            "vocab_size": [len(vocab)],
+        }
+    )
+
+
+def vocab_stats_grouped(documents: DataFrame) -> DataFrame:
+    """Per-language corpus stats via applyInPandas (pandas UDAF).
+
+    Integer outputs only — exact regardless of row order, so the oracle
+    can hash-match a Python aggregation."""
+    return (
+        documents.select("lang", "text", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(_vocab_stats, GROUP_STATS_SCHEMA)
+    )

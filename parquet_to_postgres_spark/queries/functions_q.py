@@ -50,9 +50,9 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 10, 9).alias("cust_id_str"),
         F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("cust_id_num"),
         F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
-        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias(
             "trimmed"
         ),
@@ -83,15 +83,15 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     return t.orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         # DATE values reach pandas as date objects in Spark but datetime64
         # in DuckDB — emit ISO strings so the value-hash is representation-
         # independent.
         F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias(
             "days_to_2002"
         ),
         (F.to_date("o_orderdate").cast("timestamp") + F.expr("INTERVAL 30 DAY")).alias(
@@ -126,7 +126,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec("p_retailprice"), 1).cast("double").alias("price_r1"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
-        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
         F.sqrt("p_retailprice").alias("price_sqrt"),
         F.pow(F.lit(2.0), F.col("p_size") % 10).alias("two_pow"),
         F.pmod(F.col("p_partkey"), F.lit(7)).alias("pmod7"),
@@ -158,20 +158,20 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     return t.embeddings.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.slice("embedding", 1, 4).alias("head4"),
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("vec_sum"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         F.array_sort(F.slice("embedding", 1, 4)).alias("head4_sorted"),
         F.size(
             F.array_distinct(
                 F.array(F.col("label") % 3, F.col("label") % 2, F.lit(0))
             )
-        ).alias("n_distinct_small"),
+        ).cast("long").alias("n_distinct_small"),
     )
 
 
@@ -204,7 +204,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.map_keys(m2).alias("mkeys"),
         F.map_values(m2).alias("mvals"),
-        F.size(m2).alias("msize"),
+        F.size(m2).cast("long").alias("msize"),
     )
 
 

@@ -1,1 +1,513 @@
-"""Placeholder — queries added incrementally."""
+"""LLM-data-pipeline queries (SURVEY.md §2B L1–L8 + training-data ops).
+
+Oracle SQL for the signature-based operators (MinHash, SimHash,
+fingerprint) is *generated from the same constants* as the Spark
+implementation (llm/dedup.py, llm/text.py) so the two can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..llm import multimodal as M
+from ..llm import similarity as S
+from ..llm import text as X
+from ..llm import udfs as U
+from ..tables import Catalog
+from . import register
+
+# ---------------------------------------------------------------- L1 ----
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT md5(text) AS dedup_key,
+           MIN(doc_id) AS representative,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("L1",),
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash — one hash-aggregate, the cheapest
+    100 TB dedup (md5 hex is identical across engines)."""
+    t = Catalog(spark, sf_dir)
+    return D.exact_dedup(t.documents, F.md5(F.col("text")))
+
+
+@register(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("L1", "T5"),
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: keep-first dedup per (user, type) — the batch twin of
+    streaming dropDuplicates-with-watermark."""
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------- L2 ----
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2, thresh: float = 0.8) -> str:
+    sig_cols = []
+    for j in range(num_hashes):
+        a, b = D.hash_params(j)
+        sig_cols.append(
+            f"MIN(({a} * token_id + {b}) % {D.MINHASH_P}) AS mh{j}"
+        )
+    n_bands = num_hashes // rows_per_band
+    band_selects = []
+    for bidx in range(n_bands):
+        keys = " || '_' || ".join(
+            f"CAST(mh{bidx * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, {keys} AS key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
+      FROM (SELECT DISTINCT token FROM toks)
+    ),
+    tid AS (SELECT t.doc_id, v.token_id FROM toks t JOIN vocab v USING (token)),
+    sigs AS (SELECT doc_id, {", ".join(sig_cols)} FROM tid GROUP BY doc_id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {thresh}
+    """
+
+
+@register("minhash_near_dup", oracle=_minhash_oracle(), tags=("L2",))
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash+LSH near-dedup — shingle→signature→band→bucket-join,
+    then exact Jaccard only on candidates (the verify stage).
+
+    At 100 TB: candidate generation is an equi-shuffle on (band, key);
+    only candidate pairs pay the exact-Jaccard token join."""
+    t = Catalog(spark, sf_dir)
+    sigs = D.minhash_signatures(t.documents)
+    pairs = D.minhash_band_pairs(sigs)
+    return D.token_jaccard(t.documents, pairs).where(F.col("jaccard") >= 0.8)
+
+
+def _simhash_oracle(n_bits: int = 16, max_hamming: int = 3) -> str:
+    a, b = D.hash_params(0)
+    bit_sums = ", ".join(
+        f"SUM(w * (((g >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(n_bits)
+    )
+    sim_expr = " + ".join(
+        f"(CAST(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END AS BIGINT) << {j})"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, token, COUNT(*) AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
+      FROM (SELECT DISTINCT token FROM w)
+    ),
+    g AS (
+      SELECT w.doc_id, w.w, ({a} * v.token_id + {b}) % {1 << n_bits} AS g
+      FROM w JOIN vocab v USING (token)
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM g GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("simhash_pairs", oracle=_simhash_oracle(), tags=("L2",))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash near-dedup — weighted sign-sum fingerprint, pairs
+    within hamming ≤ 3 (prefix-blocked at scale)."""
+    t = Catalog(spark, sf_dir)
+    return D.simhash_pairs(t.documents).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "ngram_jaccard_adjacent",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 1),
+                                          i -> text[i:i+2])) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard3
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("L2",),
+)
+def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: character-3-gram Jaccard on consecutive doc pairs (linear
+    pairing demonstrates the shingle metric without O(n²) pairs)."""
+    t = Catalog(spark, sf_dir)
+    g = t.documents.select("doc_id", D.char_ngrams("text", 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    return a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("ga", "gb")).cast("double")
+            / F.size(F.array_union("ga", "gb"))
+        ).alias("jaccard3"),
+    )
+
+
+# ------------------------------------------------------------- L3/L4 ----
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, neighbor_id, {S.sql_cosine("qvec", "cvec")} AS score
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("L3",),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: cosine top-k via the two-stage distributed plan (partition-
+    local top-k then global merge — identical results to brute force,
+    k·P rows through the final shuffle instead of the full corpus)."""
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings
+    out = S.two_stage_topk(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+@register(
+    "cosine_threshold_join",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.sql_cosine("a.embedding", "b.embedding")} AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {S.sql_cosine("a.embedding", "b.embedding")} >= 0.2
+    """,
+    tags=("L4",),
+)
+def cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: pairwise similarity join with threshold, blocked by label so
+    the pair space is per-group, not corpus²."""
+    t = Catalog(spark, sf_dir)
+    return S.cosine_self_join(t.embeddings, threshold=0.2, partition_col="label")
+
+
+@register("ann_lsh_topk", oracle=None, tags=("L3", "L4"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 approx: sign-LSH bucketed ANN top-k (rows-only: approximate
+    recall by construction — the scale path where the bucket equi-join
+    replaces the cross join)."""
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings
+    return S.ann_topk_lsh(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+
+
+# ---------------------------------------------------------------- L5 ----
+
+
+@register(
+    "term_frequency_top",
+    oracle="""
+    SELECT lang, token, cnt, rnk FROM (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+      FROM (
+        SELECT lang, token, COUNT(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, token
+      )
+    ) WHERE rnk <= 5
+    """,
+    tags=("L5",),
+)
+def term_frequency_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: term frequencies + top-5 terms per language."""
+    t = Catalog(spark, sf_dir)
+    tf = (
+        t.documents.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return tf.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= 5
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("L5",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: whitespace + BPE-ish token counting."""
+    t = Catalog(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        X.ws_token_count("text").cast("long").alias("n_ws_tokens"),
+        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ({", ".join(repr(s) for s in X.QUALITY_STOPWORDS)}))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+             + CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ({", ".join(repr(s) for s in X.QUALITY_STOPWORDS)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) * 0.3
+             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                / length(text)) * 0.3 AS quality_score
+    FROM documents
+    """,
+    tags=("L5", "L6"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: quality-scoring features (length/stopword/punct ratios)."""
+    t = Catalog(spark, sf_dir)
+    feats = X.quality_features("text")
+    feats[0] = feats[0].cast("long")  # n_chars_calc: match DuckDB BIGINT
+    feats[1] = F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    return t.documents.select("doc_id", *feats)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang, {X.sql_lang_id("text")} AS lang_pred
+    FROM documents
+    """,
+    tags=("L5", "L6"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token scoring (argmax with deterministic
+    tie-break; same CASE chain in both engines)."""
+    t = Catalog(spark, sf_dir)
+    return t.documents.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {X.sql_fingerprint("text")} AS fp
+    FROM documents
+    """,
+    tags=("L5",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the text prefix."""
+    t = Catalog(spark, sf_dir)
+    return t.documents.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------- L6 ----
+
+
+@register(
+    "lang_source_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr')
+    GROUP BY lang, source
+    """,
+    tags=("L6",),
+)
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: language/source filtering + per-group text stats (integer sums
+    are exact; the mean divides two exact values)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.documents.where(F.col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- L7 ----
+
+
+@register(
+    "doc_embedding_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS dim,
+           sqrt({S.sql_dot("e.embedding", "e.embedding")}) AS emb_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+    tags=("L7",),
+)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: multimodal columns — text metadata joined to its embedding
+    vector; vector math stays in higher-order functions."""
+    t = Catalog(spark, sf_dir)
+    return t.documents.join(
+        t.embeddings, F.col("vec_id") == F.col("doc_id")
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        S.norm("embedding").alias("emb_norm"),
+    )
+
+
+@register(
+    "multimodal_stub_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           ascii(text[1:1]) AS first_byte,
+           list_reduce(list_transform(range(1, length(text) + 1),
+                                      i -> CAST(ascii(text[i:i]) AS BIGINT)),
+                       (a, b) -> a + b) % 1000000007 AS byte_checksum
+    FROM documents
+    """,
+    tags=("L7",),
+)
+def multimodal_stub_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: binary-column plumbing — documents as opaque bytes through the
+    mapInPandas (stub) decoder.  The byte-derived metadata has an exact
+    SQL twin, so the Arrow-batch plumbing itself is hash-checked."""
+    t = Catalog(spark, sf_dir)
+    return M.decode_media(M.documents_as_media(t.documents))
+
+
+# ---------------------------------------------------------------- L8 ----
+
+
+@register(
+    "udf_pandas_wordcount",
+    oracle="SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents",
+    tags=("L8",),
+)
+def udf_pandas_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: vectorized pandas UDF (Arrow batches) with an exact SQL twin."""
+    t = Catalog(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", U.word_count_pudf("text").cast("long").alias("n_words")
+    )
+
+
+@register(
+    "udf_python_rowhash",
+    oracle=f"SELECT doc_id, {X.sql_fingerprint('text')} AS fp FROM documents",
+    tags=("L8",),
+)
+def udf_python_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: row-at-a-time Python UDF (the documented slow path) computing
+    the same rolling hash as the JVM-side fingerprint."""
+    t = Catalog(spark, sf_dir)
+    return t.documents.select("doc_id", U.rolling_hash_udf("text").alias("fp"))
+
+
+@register(
+    "udf_grouped_vocab",
+    oracle="""
+    SELECT d.lang,
+           COUNT(DISTINCT d.doc_id) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           (SELECT COUNT(DISTINCT t.token) FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ) t JOIN documents dd ON dd.doc_id = t.doc_id WHERE dd.lang = d.lang
+           ) AS vocab_size
+    FROM documents d GROUP BY d.lang
+    """,
+    tags=("L8",),
+)
+def udf_grouped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: pandas UDAF via applyInPandas — per-language corpus stats with
+    integer (order-independent) outputs."""
+    t = Catalog(spark, sf_dir)
+    return U.vocab_stats_grouped(t.documents)

@@ -34,7 +34,7 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.orders.where(F.col("o_totalprice") > 300000)
         .select("o_orderkey", "o_totalprice")
-        .withColumn("price_rank", F.row_number().over(w))
+        .withColumn("price_rank", F.row_number().over(w).cast("long"))
     )
 
 
