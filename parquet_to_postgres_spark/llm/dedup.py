@@ -17,7 +17,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Fixed hash family: h_j(id) = (A + STEP_A*j)*id + (B + STEP_B*j) mod P.
-MINHASH_P = 311  # prime comfortably above the token-dictionary size here
+# P must be MUCH larger than the vocabulary: with a small modulus the min
+# over a doc's ~25 token hashes concentrates near 0, band keys collide for
+# unrelated docs, and LSH degenerates to an all-pairs join.  With a large
+# prime two docs share a minhash only via the shared-argmin-token property
+# (collision prob = Jaccard), which is the entire point of MinHash.
+# Products stay < 2^31 (a,b < 256; token ids < ~10^6), so int arithmetic
+# is identical in Spark (ANSI int) and DuckDB (int64).
+MINHASH_P = 1_000_003
 A0, STEP_A, B0, STEP_B = 17, 13, 7, 29
 
 
@@ -46,6 +53,18 @@ def token_dictionary(tokens: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_aggs(num_hashes: int) -> list[Column]:
+    aggs = []
+    for j in range(num_hashes):
+        a, b = hash_params(j)
+        aggs.append(
+            F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % MINHASH_P).alias(
+                f"mh{j}"
+            )
+        )
+    return aggs
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 8,
@@ -56,15 +75,29 @@ def minhash_signatures(
     (single shuffle on doc id; map-side partial mins)."""
     toks = tokenize(df, text_col, id_col)
     with_ids = toks.join(token_dictionary(toks), "token")
-    aggs = []
-    for j in range(num_hashes):
-        a, b = hash_params(j)
-        aggs.append(
-            F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % MINHASH_P).alias(
-                f"mh{j}"
-            )
-        )
-    return with_ids.groupBy(id_col).agg(*aggs)
+    return with_ids.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
+
+
+def minhash_profiles(
+    df: DataFrame,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature *and* token-id set in ONE aggregation per doc.
+
+    The token-id set rides along as a sorted int array so the LSH verify
+    stage can compute exact Jaccard with a per-row ``array_intersect``
+    instead of re-tokenizing the corpus and shuffle-joining candidate
+    pairs against every (doc, token) row — the latter is quadratic in
+    duplicate-cluster size × tokens-per-doc and dominated the runtime."""
+    toks = tokenize(df, text_col, id_col)
+    with_ids = toks.join(token_dictionary(toks), "token")
+    return with_ids.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("token_id")).alias("tokset"),
+        F.count(F.lit(1)).alias("sz"),
+        *_minhash_aggs(num_hashes),
+    )
 
 
 def minhash_band_pairs(
@@ -101,30 +134,33 @@ def minhash_band_pairs(
     )
 
 
-def token_jaccard(
-    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs (verification stage of
-    the MinHash pipeline — only candidates pay the exact cost)."""
-    toks = tokenize(df, text_col, id_col)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    ta = toks.select(F.col(id_col).alias("id_a"), "token")
-    tb = toks.select(F.col(id_col).alias("id_b"), "token")
-    inter = (
-        pairs.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+def profile_jaccard(profiles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs, from the precomputed
+    token-id arrays in :func:`minhash_profiles`.
+
+    Per-pair cost is one ``array_intersect`` over two small int arrays —
+    no shuffle beyond the two equi-joins that attach the arrays.  At
+    100 TB the profiles side is hash-partitioned on doc id and the pair
+    list is the small side; only candidates pay the exact cost."""
+    pa = profiles.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("tokset").alias("ts_a"),
+        F.col("sz").alias("sz_a"),
     )
+    pb = profiles.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("tokset").alias("ts_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    n_inter = F.size(F.array_intersect("ts_a", "ts_b"))
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                n_inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - n_inter)
             ).alias("jaccard"),
         )
     )

@@ -45,13 +45,19 @@ def brute_force_topk(
     rank per query.  Correct but the final window shuffles every score to
     one partition per query — the baseline, not the scale path."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(vec_col).alias("qnrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col).alias("cnrm"),
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine("qvec", "cvec").alias("score"),
+        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -77,12 +83,25 @@ def two_stage_topk(
     Results are identical to :func:`brute_force_topk` (local top-k is a
     superset of the global top-k restricted to that partition).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(vec_col).alias("qnrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col).alias("cnrm"),
+    )
     scored = (
         c.withColumn("pid", F.spark_partition_id())
         .crossJoin(F.broadcast(q))
-        .select("pid", "query_id", "neighbor_id", cosine("qvec", "cvec").alias("score"))
+        .select(
+            "pid",
+            "query_id",
+            "neighbor_id",
+            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+        )
     )
     local_w = Window.partitionBy("query_id", "pid").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -114,8 +133,17 @@ def cosine_self_join(
     ``partition_col`` bounds the pair explosion: pairs are only formed
     within equal values of it (an equi-join Catalyst shuffles on the
     key), never across the whole corpus.  Pass None only for small
-    inputs."""
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    inputs.
+
+    Norms are computed once per VECTOR before the join (linear), not per
+    pair (quadratic) — per-pair cost drops to a single dot product.  The
+    division happens per pair, so the emitted doubles are identical to
+    the naive per-pair cosine (same IEEE ops on the same values)."""
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(vec_col).alias("nrm"),
+    ]
     join_on = []
     if partition_col:
         cols.append(F.col(partition_col).alias("pkey"))
@@ -127,7 +155,9 @@ def cosine_self_join(
     out = pairs.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+        (dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "score"
+        ),
     )
     return out.where(F.col("score") >= threshold)
 
@@ -163,15 +193,19 @@ def ann_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(vec_col).alias("cnrm"),
         sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(vec_col).alias("qnrm"),
         sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id", "neighbor_id", cosine("qvec", "cvec").alias("score")
+        "query_id",
+        "neighbor_id",
+        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

@@ -122,11 +122,16 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact Jaccard only on candidates (the verify stage).
 
     At 100 TB: candidate generation is an equi-shuffle on (band, key);
-    only candidate pairs pay the exact-Jaccard token join."""
+    only candidate pairs pay the exact-Jaccard array intersect."""
     t = Catalog(spark, sf_dir)
-    sigs = D.minhash_signatures(t.documents)
-    pairs = D.minhash_band_pairs(sigs)
-    return D.token_jaccard(t.documents, pairs).where(F.col("jaccard") >= 0.8)
+    # Persist + eager count: the profile subtree feeds banding AND both
+    # sides of the verify join, and those consumers launch concurrently
+    # (broadcast exchanges are eager) — lazy persist would race and
+    # recompute tokenize+dict+agg 3x.  (At 100 TB: checkpoint instead.)
+    profiles = D.minhash_profiles(t.documents).persist()
+    profiles.count()
+    pairs = D.minhash_band_pairs(profiles)
+    return D.profile_jaccard(profiles, pairs).where(F.col("jaccard") >= 0.8)
 
 
 def _simhash_oracle(n_bits: int = 16, max_hamming: int = 3) -> str:
