@@ -1,1 +1,146 @@
-"""Placeholder — queries added incrementally."""
+"""Structured Streaming queries (SURVEY.md §2B T1–T6).
+
+Each builder runs a real streaming query (readStream → availableNow →
+memory sink) to completion and returns the final table; the oracle is
+the equivalent batch SQL on the same finite input.  T4 (watermark
+late-drop) withholds the final open window by design → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import streaming as ST
+from . import register
+
+# ------------------------------------------------------------------ T1 ----
+
+
+@register(
+    "stream_tumbling_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS win_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("T1",),
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-day window agg, complete mode."""
+    return ST.run_stream_to_df(
+        ST.tumbling_window_counts(ST.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+# ------------------------------------------------------------------ T2 ----
+
+
+@register(
+    "stream_sliding_12h",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', ts)
+             + CASE WHEN date_part('hour', ts) >= 12
+                    THEN INTERVAL 12 HOURS ELSE INTERVAL 0 HOURS END AS bucket,
+             value
+      FROM events
+    ), w AS (
+      SELECT bucket AS win_start, value FROM b
+      UNION ALL
+      SELECT bucket - INTERVAL 12 HOURS AS win_start, value FROM b
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY win_start
+    """,
+    tags=("T2",),
+)
+def stream_sliding_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding 1-day/12-hour windows — every event in exactly two
+    buckets; the oracle expands the overlap explicitly."""
+    return ST.run_stream_to_df(
+        ST.sliding_window_counts(ST.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+# ------------------------------------------------------------------ T3 ----
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_last,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+    tags=("T3",),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 30-minute-gap session windows per user; oracle is the
+    gaps-and-islands batch equivalent (new session when the gap to the
+    previous event is >= the inactivity gap — session windows are
+    end-exclusive)."""
+    return ST.run_stream_to_df(
+        ST.session_windows(ST.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+# ------------------------------------------------------------------ T4 ----
+
+
+@register("stream_watermark_hourly", oracle=None, tags=("T4",))
+def stream_watermark_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermark + append mode — only watermark-closed hourly windows
+    emit (rows-only: the trailing open window is withheld by design)."""
+    return ST.run_stream_to_df(
+        ST.watermarked_late_drop(ST.events_stream(spark, sf_dir)), "append"
+    )
+
+
+# ------------------------------------------------------------------ T5 ----
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("T5",),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: streaming dropDuplicates with watermark-bounded state."""
+    return ST.run_stream_to_df(
+        ST.streaming_dedup_keys(ST.events_stream(spark, sf_dir)), "append"
+    )
+
+
+# ------------------------------------------------------------------ T6 ----
+
+
+@register(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("T6",),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: custom stateful operator (applyInPandasWithState) — running
+    per-user totals in exact integer cents."""
+    return ST.run_stream_to_df(
+        ST.stateful_user_totals(ST.events_stream(spark, sf_dir)), "update"
+    )

@@ -1,0 +1,215 @@
+"""Structured Streaming operators over the ``events`` table.
+
+Execution model: ``readStream`` over the events parquet with a
+``trigger(availableNow=True)`` one-shot run into a named memory sink —
+the bounded-input harness recommended by SURVEY.md §7 ("streaming tests
+without a long-running cluster").  Every transformation below is a
+standard streaming plan that would run unchanged against Kafka/files on
+a real cluster; only the source/sink bindings are test-local.
+
+100 TB notes:
+- The memory sink is the TEST harness.  Production binds
+  ``writeStream.format("parquet"|"kafka")`` with a durable
+  ``checkpointLocation``; the transformation DataFrames here are
+  sink-agnostic.
+- Watermarks bound state: windowed aggregations and dedup state are
+  dropped once the watermark passes, so state size tracks the
+  out-of-orderness bound, not the stream length.
+- ``applyInPandasWithState`` state is per-key and Arrow-batched; keys
+  are hash-partitioned so per-user state scales horizontally.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+_SINK_IDS = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded stream (schema from the batch
+    footer read — streaming file sources require an explicit schema).
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
+    mirror tables.load_table: read nanos as int64 (legacy conf) and
+    truncate to microseconds with integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long
+    raw = (
+        spark.readStream.schema(schema)
+        # file sources stream a DIRECTORY; the glob picks out events
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_df(result: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) and return
+    the final result via a memory sink."""
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+# ------------------------------------------------------------------ T1 ----
+
+
+def tumbling_window_counts(stream: DataFrame) -> DataFrame:
+    """T1: tumbling 1-day windows per event type.
+
+    Windows align to the epoch in session time (UTC here), so the batch
+    twin is ``date_trunc('day', ts)``.  Money sums use the exact-decimal
+    strategy (_util.py) for order-independent doubles."""
+    return (
+        stream.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ------------------------------------------------------------------ T2 ----
+
+
+def sliding_window_counts(stream: DataFrame) -> DataFrame:
+    """T2: sliding windows, 1-day length every 12 hours — each event
+    lands in exactly 2 windows (starts: floor_12h(ts) and that − 12h)."""
+    return (
+        stream.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("window.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+# ------------------------------------------------------------------ T3 ----
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T3: per-user session windows with a 30-minute inactivity gap.
+
+    ``session_window.end`` is last-event-time + gap, so last activity is
+    recovered by subtracting the gap — the batch twin is
+    gaps-and-islands SQL (lag + cumulative new-session flag)."""
+    return (
+        stream.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            (F.col("session_window.end") - F.expr(f"INTERVAL {gap}")).alias(
+                "sess_last"
+            ),
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------------------ T4 ----
+
+
+def watermarked_late_drop(stream: DataFrame) -> DataFrame:
+    """T4: watermark + append-mode hourly counts.  Late data beyond 1 h
+    is dropped and only watermark-closed windows are emitted — inherently
+    a weaker (rows-only) check: the final open window is withheld."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "n_events")
+    )
+
+
+# ------------------------------------------------------------------ T5 ----
+
+
+def streaming_dedup_keys(stream: DataFrame) -> DataFrame:
+    """T5: streaming dedup on (user_id, event_type).
+
+    Projecting to the key columns BEFORE dropDuplicates makes the output
+    deterministic (the set of distinct keys) regardless of which row of
+    a key arrives first; the watermark bounds dedup state at scale."""
+    return (
+        stream.withWatermark("ts", "1 day")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+# ------------------------------------------------------------------ T6 ----
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+_T6_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+
+def _user_totals_fn(key, pdfs, state: GroupState):
+    """Running per-user totals in explicit state (the custom-stateful-
+    operator surface).  Values are accumulated in integer cents so the
+    result is order-independent and exactly SQL-reproducible."""
+    if state.exists:
+        n, cents = state.get
+    else:
+        n, cents = 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """T6: applyInPandasWithState — running per-user event count and
+    value total (in exact cents)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_T6_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
