@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
         aggregates_q,
+        etl_q,
         functions_q,
         joins_q,
         llm_q,
