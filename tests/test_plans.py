@@ -1,0 +1,102 @@
+"""Physical-plan shape tests — the 100 TB design contracts.
+
+Correctness says a query returns the right rows; these tests pin HOW:
+filters reach the parquet scan, projections prune columns, dimension
+joins broadcast, global top-k never fully sorts, and hot paths stay in
+whole-stage codegen.  A regression here is a scale bug even when the
+sf0.01 answers still match.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from parquet_to_postgres_spark.queries import load_all
+
+from .conftest import SF_SMOKE
+
+SPECS = load_all()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def build(name: str, spark):
+    return SPECS[name].builder(spark, SF_SMOKE)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan(build("pricing_summary", spark))
+    # The shipdate predicate must reach the parquet reader...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # ...and the scan must read only the 7 needed columns.
+    assert "l_comment" not in p
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in p, f"scan reads unused column {unused}"
+    # Whole-stage codegen spans (the `*(n)` markers) appear in the final
+    # adaptive plan, which exists only after execution.
+    df = build("pricing_summary", spark)
+    df.collect()  # count() would plan a different tree; execute THIS one
+    p_final = plan(df, mode="simple")
+    assert "isFinalPlan=true" in p_final and "*(" in p_final
+
+
+def test_filter_predicates_pushdown(spark):
+    p = plan(build("filter_predicates", spark))
+    assert "PushedFilters: [" in p
+    assert "PushedFilters: []" not in p
+
+
+def test_dimension_joins_broadcast(spark):
+    # region/nation joins must broadcast, never shuffle both sides.
+    p = plan(build("join_broadcast_dims", spark))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    p = plan(build("join_star_revenue", spark))
+    assert p.count("BroadcastHashJoin") >= 2, (
+        "star-schema dimension tables must broadcast"
+    )
+
+
+def test_top_k_global_avoids_full_sort(spark):
+    p = plan(build("top_k_global", spark))
+    assert "TakeOrderedAndProject" in p, (
+        "orderBy+limit must plan TakeOrderedAndProject, not a global Sort"
+    )
+
+
+def test_no_python_in_jvm_hot_paths(spark):
+    # Python evaluation is opt-in (L8 UDF queries only); relational and
+    # text queries must stay JVM-side.
+    for name in ("pricing_summary", "text_quality", "token_counts", "join_inner"):
+        p = plan(build(name, spark))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} fell out of the JVM into Python"
+        )
+
+
+def test_projection_prunes_scan_schema(spark):
+    p = plan(build("token_counts", spark))
+    # documents has (doc_id, text, lang, source, n_chars); only two used.
+    assert "n_chars" not in p
+    assert "source" not in p
+
+
+def test_declared_queries_deterministic(spark):
+    """Representative double-run: same rows both times (canon compare)."""
+    import pandas as pd  # noqa: F401
+
+    from ._compare import canon
+
+    for name in ("pricing_summary", "minhash_near_dup", "cosine_topk", "collect_nations"):
+        a = canon(build(name, spark).toPandas())
+        b = canon(build(name, spark).toPandas())
+        assert a == b, f"{name} is nondeterministic across runs"
