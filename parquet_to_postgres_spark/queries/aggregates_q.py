@@ -241,3 +241,37 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quartiles"
         )
     )
+
+
+@register(
+    "salted_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("A1", "skew"),
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-stage aggregation over the hot-key events
+    table (few users, many events — exactly the shape that pins one
+    reducer at 100 TB).  Identical results to a plain GROUP BY; the
+    salt only reshapes the shuffle."""
+    from ..operators import salted_agg
+
+    t = Catalog(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ev = t.events.select("user_id", "event_id", cents.alias("cents"))
+    return salted_agg(
+        ev,
+        keys=["user_id"],
+        partials={
+            "pn": F.count(F.lit(1)),
+            "psum": F.sum("cents"),
+        },
+        finals={
+            "n_events": F.sum("pn"),
+            "sum_cents": F.sum("psum"),
+        },
+        salt_col=F.pmod(F.col("event_id"), F.lit(16)),
+    )

@@ -56,17 +56,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_stream_to_df(result: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) and return
-    the final result via a memory sink."""
-    name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    the final result via a memory sink.
+
+    Stateful streaming allocates one state-store directory per shuffle
+    partition per batch; for the bounded test harness 8 partitions cut
+    that fixed cost 4x vs the batch default.  (On a real cluster size
+    this to key cardinality / executor count, not to the batch value.)"""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = f"stream_sink_{next(_SINK_IDS)}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # ------------------------------------------------------------------ T1 ----
