@@ -1,0 +1,110 @@
+"""Null-semantics tests on tiny literal DataFrames.
+
+The reference corrupts NULLs silently (it reads Arrow slots without an
+is_null check — /root/reference/src/main.rs:157,162,167,172,177,182,187),
+so every operator family here gets an explicit null test: nulls must
+survive, group, join, and aggregate with SQL semantics, never turn into
+garbage values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_groupby_null_is_a_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3), ("b", None)],
+        "k string, v int",
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert out[None] == (2, 5)  # NULL key groups together
+    assert out["b"] == (1, None)  # sum of all-null slice is NULL
+    assert out["a"] == (1, 1)
+
+
+def test_count_ignores_nulls_countstar_does_not(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "v int")
+    row = df.agg(
+        F.count("v").alias("cv"), F.count(F.lit(1)).alias("cstar")
+    ).first()
+    assert row["cv"] == 2 and row["cstar"] == 3
+
+
+def test_join_null_keys_never_match(spark):
+    left = spark.createDataFrame([(1, "x"), (None, "y")], "k int, l string")
+    right = spark.createDataFrame([(1, "p"), (None, "q")], "k int, r string")
+    inner = left.join(right, "k").collect()
+    assert len(inner) == 1 and inner[0]["k"] == 1
+    # outer join keeps the null-key rows, unmatched
+    outer = left.join(right, "k", "full").collect()
+    assert len(outer) == 3
+
+
+def test_exact_dedup_null_text(spark):
+    from parquet_to_postgres_spark.llm.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["dedup_key"]: (r["representative"], r["n_copies"])
+        for r in exact_dedup(df, F.md5(F.col("text"))).collect()
+    }
+    # md5(NULL) is NULL; both null-text docs land in the NULL-key group.
+    assert out[None] == (3, 2)
+    assert len(out) == 2
+
+
+def test_salted_agg_null_key(spark):
+    from parquet_to_postgres_spark.operators import salted_agg
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), (7, 3, 30)],
+        "k int, id int, v int",
+    )
+    out = salted_agg(
+        df,
+        keys=["k"],
+        partials={"pn": F.count(F.lit(1)), "ps": F.sum("v")},
+        finals={"n": F.sum("pn"), "s": F.sum("ps")},
+        salt_col=F.pmod(F.col("id"), F.lit(4)),
+    )
+    rows = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
+    assert rows[None] == (2, 30) and rows[7] == (1, 30)
+
+
+def test_window_nulls_last_and_ignorenulls(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "a"), (1, 3, None), (1, 4, "b")],
+        "g int, o int, v string",
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    out = df.withColumn(
+        "last_seen", F.last("v", ignorenulls=True).over(w)
+    ).collect()
+    by_o = {r["o"]: r["last_seen"] for r in out}
+    assert by_o == {1: None, 2: "a", 3: "a", 4: "b"}
+
+
+def test_ddl_marks_nullability(spark):
+    from parquet_to_postgres_spark.etl import schema_to_pg_ddl
+
+    df = spark.createDataFrame([(1, "x")], "a long, b string").select(
+        F.col("a"), F.col("b")
+    )
+    # createDataFrame columns are nullable by default -> no NOT NULL
+    ddl = schema_to_pg_ddl("t", df.schema)
+    assert "NOT NULL" not in ddl
+    forced = df.schema
+    forced.fields[0].nullable = False
+    ddl2 = schema_to_pg_ddl("t", forced)
+    assert "a BIGINT NOT NULL" in ddl2
