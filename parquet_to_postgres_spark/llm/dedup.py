@@ -17,15 +17,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Fixed hash family: h_j(id) = (A + STEP_A*j)*id + (B + STEP_B*j) mod P.
-# P must be MUCH larger than the vocabulary: with a small modulus the min
-# over a doc's ~25 token hashes concentrates near 0, band keys collide for
-# unrelated docs, and LSH degenerates to an all-pairs join.  With a large
-# prime two docs share a minhash only via the shared-argmin-token property
-# (collision prob = Jaccard), which is the entire point of MinHash.
-# Products stay < 2^31 (a,b < 256; token ids < ~10^6), so int arithmetic
-# is identical in Spark (ANSI int) and DuckDB (int64).
+# Two pitfalls, both hit and fixed during development:
+# 1. P must be MUCH larger than the vocabulary — with a small modulus the
+#    min over a doc's token hashes concentrates near 0 and band keys
+#    collide for unrelated docs (LSH degenerates to an all-pairs join).
+# 2. A_j must be LARGER than P — otherwise A_j*id never wraps the
+#    modulus, h_j is order-preserving in id, every hash function picks
+#    the same argmin token, and the 8 "independent" signatures are one.
+# Products stay < 2^63 (A_j < 10^7, token ids < 10^6 → < 10^13), and all
+# arithmetic is done in int64 on both engines (explicit long casts on the
+# Spark side; DuckDB ints are 64-bit natively).
 MINHASH_P = 1_000_003
-A0, STEP_A, B0, STEP_B = 17, 13, 7, 29
+A0, STEP_A, B0, STEP_B = 1_103_245, 999_983, 12_289, 271_829
 
 
 def hash_params(j: int) -> tuple[int, int]:
@@ -58,7 +61,10 @@ def _minhash_aggs(num_hashes: int) -> list[Column]:
     for j in range(num_hashes):
         a, b = hash_params(j)
         aggs.append(
-            F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % MINHASH_P).alias(
+            F.min(
+                (F.lit(a).cast("long") * F.col("token_id").cast("long") + F.lit(b))
+                % MINHASH_P
+            ).alias(
                 f"mh{j}"
             )
         )
@@ -183,7 +189,9 @@ def simhash(
     weighted = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w"))
     dictionary = token_dictionary(weighted.select(id_col, "token"))
     a, b = hash_params(0)
-    g = (F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(1 << n_bits)
+    g = (F.lit(a).cast("long") * F.col("token_id").cast("long") + F.lit(b)) % F.lit(
+        1 << n_bits
+    )
     with_bits = weighted.join(dictionary, "token").withColumn("g", g)
     bit_sums = with_bits.groupBy(id_col).agg(
         *[

@@ -42,3 +42,27 @@ def salted_agg(
         *[c.alias(n) for n, c in partials.items()]
     )
     return stage1.groupBy(*keys).agg(*[c.alias(n) for n, c in finals.items()])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its join key.
+
+    Two tables bucketed on the same key with the same bucket count
+    sort-merge-join WITHOUT a shuffle exchange on either side — the
+    pre-partitioning is reused across every downstream join/aggregation
+    on that key.  This is the 100 TB answer to repeated fact⋈fact joins
+    (e.g. lineitem⋈orders on orderkey): pay the shuffle once at write
+    time, never at read time."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

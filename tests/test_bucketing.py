@@ -1,0 +1,57 @@
+"""Bucketed co-located join: pay the shuffle at write time, never again.
+
+The 100 TB pattern for repeated fact⋈fact joins — both sides bucketed on
+the join key with equal bucket counts sort-merge-join with NO shuffle
+exchange on either side.  The plan assertion is the point: results being
+equal is necessary, the missing Exchange is what saves the cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.operators import write_bucketed
+
+from ._compare import canon
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", "o_orderkey", buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        buckets=8,
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    joined = ob.hint("merge").join(lb, "o_orderkey").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="simple")
+    p = buf.getvalue()
+    assert "SortMergeJoin" in p
+    # the ONLY exchange allowed is the final aggregation's, never the join's
+    join_part = p[: p.index("SortMergeJoin")]
+    assert "Exchange hashpartitioning(o_orderkey" not in p, (
+        "bucketed join still shuffles on the join key"
+    )
+    del join_part
+
+    # and it returns exactly what the plain join returns
+    plain = (
+        orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert canon(joined.toPandas()) == canon(plain.toPandas())

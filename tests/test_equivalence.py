@@ -1,0 +1,116 @@
+"""Algebraic equivalence tests on seeded random data.
+
+Each scale-path operator must return EXACTLY what its naive counterpart
+returns — the optimization reshapes the plan, never the answer:
+two-stage top-k ≡ brute force, salted agg ≡ plain groupBy, MinHash
+signatures are a pure function of the token SET.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ._compare import canon
+
+
+def _random_vectors(spark, n, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_two_stage_topk_equals_brute_force(spark):
+    from parquet_to_postgres_spark.llm.similarity import (
+        brute_force_topk,
+        two_stage_topk,
+    )
+
+    vecs = _random_vectors(spark, 200)
+    queries = vecs.where(F.col("vec_id") < 4)
+    corpus = vecs.where(F.col("vec_id") >= 4).repartition(8)  # force >1 partition
+    a = canon(brute_force_topk(corpus, queries, k=7).toPandas())
+    b = canon(two_stage_topk(corpus, queries, k=7).toPandas())
+    assert a == b
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from parquet_to_postgres_spark.operators import salted_agg
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 5), i, rng.randint(-100, 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, id int, v int")
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    salted = salted_agg(
+        df,
+        keys=["k"],
+        partials={
+            "pn": F.count(F.lit(1)),
+            "ps": F.sum("v"),
+            "plo": F.min("v"),
+            "phi": F.max("v"),
+        },
+        finals={
+            "n": F.sum("pn"),
+            "s": F.sum("ps"),
+            "lo": F.min("plo"),
+            "hi": F.max("phi"),
+        },
+        salt_col=F.pmod(F.col("id"), F.lit(8)),
+    )
+    assert canon(plain.toPandas()) == canon(salted.toPandas())
+
+
+def test_minhash_signature_is_set_function(spark):
+    """Signatures depend only on the token SET — word order and repeats
+    must not matter (set semantics of the shingle stage)."""
+    from parquet_to_postgres_spark.llm.dedup import minhash_profiles
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma gamma beta alpha alpha"),
+            (3, "alpha beta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_profiles(df).toPandas().set_index("doc_id")
+    sig = lambda i: tuple(out.loc[i][f"mh{j}"] for j in range(8))  # noqa: E731
+    assert sig(1) == sig(2), "order/multiplicity changed the signature"
+    assert sig(1) != sig(3), "different token sets must (generically) differ"
+    assert list(out.loc[1]["tokset"]) == list(out.loc[2]["tokset"])
+
+
+def test_cosine_self_join_matches_naive_crossjoin(spark):
+    from parquet_to_postgres_spark.llm.similarity import cosine, cosine_self_join
+
+    vecs = _random_vectors(spark, 60).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    fast = cosine_self_join(vecs, threshold=0.1, partition_col="label")
+    a = vecs.select("vec_id", "embedding", "label")
+    naive = (
+        a.alias("a")
+        .join(
+            a.alias("b"),
+            [
+                F.col("a.label") == F.col("b.label"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
+        )
+        .where(F.col("score") >= 0.1)
+    )
+    assert canon(fast.toPandas()) == canon(naive.toPandas())
