@@ -55,6 +55,9 @@ def main() -> int:
             t0 = time.perf_counter()
             materialize(specs[name].builder(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+        # queries that persist intermediates (e.g. minhash profiles) must
+        # not leak cache into later measurements
+        spark.catalog.clearCache()
         per_query[name] = round(statistics.median(samples), 3)
 
     total = round(sum(per_query.values()), 3)
