@@ -20,6 +20,15 @@ from .conftest import SF_SMOKE
 
 
 def test_bucketed_join_has_no_shuffle(spark):
+    import shutil
+
+    # a fresh session's metastore does not know about warehouse dirs left
+    # by a previous test process — clear both metadata and location
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{tbl}"
+        shutil.rmtree(loc, ignore_errors=True)
+
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
     write_bucketed(orders, "orders_b", "o_orderkey", buckets=8)
