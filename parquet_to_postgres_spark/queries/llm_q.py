@@ -516,3 +516,90 @@ def udf_grouped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (order-independent) outputs."""
     t = Catalog(spark, sf_dir)
     return U.vocab_stats_grouped(t.documents)
+
+
+# ------------------------------------------------- training-data ops ----
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE (doc_id * 2654435761 % 4294967296) % 100 < 10
+    GROUP BY lang
+    """,
+    tags=("L6", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via Knuth multiplicative hashing of the
+    stable doc id — NOT an RNG sample.  Reproducible across runs, engines
+    and cluster sizes (same rows every time), which is what a training-
+    data pipeline needs for auditable splits; df.sample() is none of
+    those.  Per-language counts verify the strata."""
+    t = Catalog(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    return (
+        t.documents.where(bucket < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@register(
+    "training_data_prep",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, source, text, n_chars
+      FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(text, ' ')) >= 10
+        AND CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+              / length(text) < 0.3
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM deduped GROUP BY source
+    """,
+    tags=("L1", "L5", "L6", "pipeline"),
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: language filter → quality
+    gate (min tokens, max punctuation ratio) → exact dedup keeping the
+    lowest doc_id → per-source corpus stats.
+
+    One linear pass plus one dedup shuffle plus one agg shuffle — the
+    shape that survives 100 TB: every predicate is scan-level, dedup
+    shuffles only the filtered survivors, stats are map-side partial.
+    """
+    t = Catalog(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    ).cast("double") / F.length("text")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        t.documents.where(F.col("lang") == "en")
+        .where(n_tokens >= 10)
+        .where(punct_ratio < 0.3)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
