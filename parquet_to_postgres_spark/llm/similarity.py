@@ -215,6 +215,98 @@ def ann_topk_lsh(
     )
 
 
+CENTROID_SCALE = 1_000_000
+
+
+def label_centroids(
+    vectors: DataFrame,
+    by: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group dimension-wise centroid, exactly (one row per (group,
+    pos)).  The IVF coarse-quantizer building block.
+
+    Determinism: dimension sums accumulate FIXED-POINT int64 (value·10^6
+    rounded), which is order-independent, then one double division at the
+    end — so Spark and DuckDB agree bit-for-bit, unlike a double `avg`
+    whose partition-order drift breaks hash gates."""
+    ex = vectors.select(by, F.posexplode(vec_col).alias("pos0", "val"))
+    return (
+        ex.groupBy(by, (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double") * CENTROID_SCALE).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / (F.lit(float(CENTROID_SCALE)) * F.count(F.lit(1)))
+            ).alias("centroid_val")
+        )
+    )
+
+
+def _centroid_arrays(vectors: DataFrame, by: str = "label") -> DataFrame:
+    """(group, centroid array<double>) — pos-ordered, from label_centroids."""
+    return (
+        label_centroids(vectors, by)
+        .groupBy(by)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by: str = "label",
+) -> DataFrame:
+    """Approximate top-k, IVF-style: assign every vector to its nearest
+    coarse centroid (broadcast — centroids are tiny by construction),
+    probe only the query's cell.
+
+    This is the other scale path next to sign-LSH (:func:`ann_topk_lsh`):
+    the cell equi-join replaces the cross join, each query scores
+    ~corpus/n_cells candidates.  Approximate recall → rows-only check."""
+    cents = _centroid_arrays(corpus, by).select(
+        F.col(by).alias("cell"), "centroid"
+    )
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        ).crossJoin(F.broadcast(cents))
+        w = Window.partitionBy(id_alias).orderBy(
+            (dot(vec_alias, "centroid") / norm("centroid")).desc(), "cell"
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") == 1)
+            .select(id_alias, vec_alias, "cell")
+        )
+
+    c = assign(corpus, "neighbor_id", "cvec").withColumn("cnrm", norm("cvec"))
+    q = assign(queries, "query_id", "qvec").withColumn("qnrm", norm("qvec"))
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 # DuckDB SQL fragment mirroring dot()/cosine() — kept next to the Spark
 # implementation so the fold orders never drift apart.
 def sql_dot(a: str, b: str, dim: int = 64) -> str:

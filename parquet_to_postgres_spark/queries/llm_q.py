@@ -603,3 +603,40 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "label_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(1, 65)) AS pos,
+             unnest(list_transform(range(1, 65),
+                                   i -> CAST(embedding[i] AS DOUBLE))) AS val
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(CAST(round(val * {S.CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+             / ({S.CENTROID_SCALE}.0 * COUNT(*)) AS centroid_val
+    FROM ex GROUP BY label, pos
+    """,
+    tags=("L3", "F4"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer centroids per label, dimension-wise, with
+    order-independent fixed-point sums (exactly hash-checkable, unlike a
+    double avg)."""
+    t = Catalog(spark, sf_dir)
+    return S.label_centroids(t.embeddings)
+
+
+@register("ann_ivf_topk", oracle=None, tags=("L3", "L4"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 approx: IVF-bucketed ANN top-k — nearest-centroid cell
+    assignment (broadcast quantizer), probe only the query's cell
+    (rows-only: approximate recall by construction)."""
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings
+    return S.ann_topk_ivf(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
