@@ -144,3 +144,30 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_df(
         ST.stateful_user_totals(ST.events_stream(spark, sf_dir)), "update"
     )
+
+
+# ----------------------------------------------------- stream-stream ----
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.ts AS p_ts,
+           c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    tags=("T2", "J6"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click attribution); on a
+    finite availableNow input it emits exactly the batch join."""
+    return ST.run_stream_to_df(
+        ST.stream_stream_click_attribution(ST.events_stream(spark, sf_dir)),
+        "append",
+    )

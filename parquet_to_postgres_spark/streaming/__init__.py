@@ -13,6 +13,7 @@ from .ops import (
     session_windows,
     sliding_window_counts,
     stateful_user_totals,
+    stream_stream_click_attribution,
     streaming_dedup_keys,
     tumbling_window_counts,
     watermarked_late_drop,
@@ -24,6 +25,7 @@ __all__ = [
     "session_windows",
     "sliding_window_counts",
     "stateful_user_totals",
+    "stream_stream_click_attribution",
     "streaming_dedup_keys",
     "tumbling_window_counts",
     "watermarked_late_drop",

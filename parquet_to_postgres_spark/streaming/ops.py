@@ -224,3 +224,47 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- stream-stream ----
+
+
+def stream_stream_click_attribution(stream: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every purchase matched to the same
+    user's clicks in the preceding hour (click-attribution shape).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — that pair is what lets Spark age out join state at scale
+    (state holds only the watermark-deep tail of each stream, not the
+    whole history)."""
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
