@@ -275,3 +275,82 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_col=F.pmod(F.col("event_id"), F.lit(16)),
     )
+
+
+@register(
+    "pivot_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN {sql_dec("o_totalprice")} END) AS DOUBLE) AS urgent_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A5", "A4"),
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priorities become columns (explicit value list — at scale
+    an implicit pivot pays an extra distinct pass to discover values).
+    The oracle is the equivalent conditional aggregation."""
+    t = Catalog(spark, sf_dir)
+    piv = (
+        t.orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.col("1-URGENT_n").alias("urgent"),
+        F.col("2-HIGH_n").alias("high"),
+        F.col("3-MEDIUM_n").alias("medium"),
+        F.col("1-URGENT_total").alias("urgent_total"),
+    )
+
+
+@register(
+    "daily_counts_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    tags=("F2", "timeseries"),
+)
+def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a generated date spine (sequence + explode)
+    left-joined to daily counts, missing days zero-filled — the
+    hypertable-rollup shape.  The spine generates from ONE aggregated
+    row, so at 100 TB it costs one min/max pass plus a broadcast join."""
+    t = Catalog(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        t.events.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
