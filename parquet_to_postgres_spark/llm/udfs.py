@@ -20,8 +20,11 @@ from .text import FINGERPRINT_MOD, FINGERPRINT_MUL, FINGERPRINT_PREFIX
 
 @F.pandas_udf(T.IntegerType())
 def word_count_pudf(text: pd.Series) -> pd.Series:
-    """Whitespace token count, vectorized over Arrow batches."""
-    return text.str.split(" ").str.len().astype("int32")
+    """Whitespace token count, vectorized over Arrow batches.
+
+    Nullable Int32: on NULL text ``.str.len()`` yields NaN, which must
+    map to NULL (as the SQL twin does), not raise in ``astype``."""
+    return text.str.split(" ").str.len().astype("Int32")
 
 
 @F.udf(T.LongType())

@@ -127,7 +127,7 @@ def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_nations",
     oracle="""
     SELECT r.r_name,
-           list_sort(list(DISTINCT n.n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
            COUNT(*) AS n_nations
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
@@ -135,13 +135,17 @@ def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A6",),
 )
 def collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: array aggregation — collect_set + array_sort for determinism."""
+    """A6: array aggregation — collect_set + array_sort for determinism.
+
+    The sorted array is serialized to a comma-joined string on both
+    engine sides: the correctness gate hashes cell values and cannot
+    digest collection cells, and a canonical string is equally exact."""
     t = Catalog(spark, sf_dir)
     return (
         t.region.join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
@@ -303,11 +307,14 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("double").alias("total"),
         )
     )
+    # coalesce(n, 0): pivot yields NULL for a (status, priority) combo
+    # absent from the data while COUNT(CASE ...) yields 0; the sum column
+    # stays NULL-on-empty in both engines.
     return piv.select(
         "o_orderstatus",
-        F.col("1-URGENT_n").alias("urgent"),
-        F.col("2-HIGH_n").alias("high"),
-        F.col("3-MEDIUM_n").alias("medium"),
+        F.coalesce(F.col("1-URGENT_n"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("2-HIGH_n"), F.lit(0)).alias("high"),
+        F.coalesce(F.col("3-MEDIUM_n"), F.lit(0)).alias("medium"),
         F.col("1-URGENT_total").alias("urgent_total"),
     )
 

@@ -139,11 +139,12 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           embedding[1:4] AS head4,
+           CAST(list_reduce(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+                            (a, b) -> a + b) AS DOUBLE) AS head4_sum,
            CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                             (a, b) -> a + b) AS DOUBLE) AS vec_sum,
            len(list_filter(embedding, x -> x > 0)) AS n_positive,
-           list_sort(embedding[1:4]) AS head4_sorted,
+           CAST(list_sort(embedding[1:4])[1] AS DOUBLE) AS head4_min,
            len(list_distinct([label % 3, label % 2, 0])) AS n_distinct_small
     FROM embeddings
     """,
@@ -154,19 +155,28 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``aggregate`` starts from 0.0 and folds left; DuckDB ``list_reduce``
     starts from the first element — IEEE ``0.0 + x == x``, so the folds
-    agree bit-for-bit."""
+    agree bit-for-bit.  Collection intermediates (slice, array_sort) are
+    reduced to scalar outputs (sum / min) because the correctness gate
+    hashes cell values and cannot digest array cells; float→double casts
+    are exact, so the scalars remain bit-checkable."""
     t = Catalog(spark, sf_dir)
     return t.embeddings.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.aggregate(
+            F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head4_sum"),
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("vec_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
-        F.array_sort(F.slice("embedding", 1, 4)).alias("head4_sorted"),
+        F.element_at(F.array_sort(F.slice("embedding", 1, 4)), 1)
+        .cast("double")
+        .alias("head4_min"),
         F.size(
             F.array_distinct(
                 F.array(F.col("label") % 3, F.col("label") % 2, F.lit(0))
@@ -180,8 +190,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            map {'type': event_type}['type'][1] AS type_back,
-           map_keys(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS mkeys,
-           map_values(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS mvals,
+           array_to_string(map_keys(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mkeys,
+           array_to_string(map_values(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mvals,
            cardinality(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS msize
     FROM events
     """,
@@ -189,7 +199,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: map family derived from events (maps built with literal key
-    order so key/value arrays align across engines)."""
+    order so key/value arrays align across engines).  Key/value arrays
+    are serialized to comma-joined strings — the correctness gate cannot
+    hash collection cells, and literal key order keeps the string
+    canonical."""
     t = Catalog(spark, sf_dir)
     m2 = F.create_map(
         F.lit("type"),
@@ -202,8 +215,8 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.create_map(F.lit("type"), F.col("event_type")), "type").alias(
             "type_back"
         ),
-        F.map_keys(m2).alias("mkeys"),
-        F.map_values(m2).alias("mvals"),
+        F.concat_ws(",", F.map_keys(m2)).alias("mkeys"),
+        F.concat_ws(",", F.map_values(m2)).alias("mvals"),
         F.size(m2).cast("long").alias("msize"),
     )
 

@@ -207,8 +207,10 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.ts AS click_ts,
            c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     tags=("J7",),
 )
@@ -221,6 +223,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     same timestamp precede purchases, then ``last(value, ignoreNulls)``
     carries the most recent click forward.  One shuffle on user_id, no
     per-row lookups — linear at 100 TB (skewed users would be salted).
+
+    Tie discipline: two clicks at the identical (user, ts) would make
+    both this compose AND DuckDB ASOF pick an arbitrary peer, so clicks
+    are pre-reduced to one row per (user_id, ts) keeping the value of
+    the highest event_id (``max_by`` / ``arg_max`` — deterministic
+    because event_id is unique) on BOTH engine sides.
     """
     t = Catalog(spark, sf_dir)
     ev = t.events
@@ -232,13 +240,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("r_ts"),
         F.lit(None).cast("double").alias("r_value"),
     )
-    right = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(0).alias("is_left"),
-        F.col("ts").alias("r_ts"),
-        F.col("value").alias("r_value"),
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(0).alias("is_left"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
     )
     w = (
         Window.partitionBy("user_id")

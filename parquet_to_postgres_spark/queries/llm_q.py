@@ -527,7 +527,7 @@ def udf_grouped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, COUNT(*) AS n_sampled,
            CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM documents
-    WHERE (doc_id * 2654435761 % 4294967296) % 100 < 10
+    WHERE ((doc_id % 2147483648) * 2654435761 % 4294967296) % 100 < 10
     GROUP BY lang
     """,
     tags=("L6", "sampling"),
@@ -537,9 +537,16 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable doc id — NOT an RNG sample.  Reproducible across runs, engines
     and cluster sizes (same rows every time), which is what a training-
     data pipeline needs for auditable splits; df.sample() is none of
-    those.  Per-language counts verify the strata."""
+    those.  Per-language counts verify the strata.
+
+    doc_id is reduced mod 2^31 BEFORE the multiply: 2^31·2654435761 <
+    2^63, so the product never wraps int64 — a raw doc_id above ~3.5e9
+    would silently wrap in Spark (non-ANSI) while DuckDB errors, breaking
+    cross-engine reproducibility exactly where a 100 TB corpus lives."""
     t = Catalog(spark, sf_dir)
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    bucket = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % 100
     return (
         t.documents.where(bucket < 10)
         .groupBy("lang")

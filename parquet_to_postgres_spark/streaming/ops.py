@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -207,7 +208,13 @@ def _user_totals_fn(key, pdfs, state: GroupState):
         n, cents = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # Half-away-from-zero, matching SQL round() (the batch twin and
+        # oracle); pandas .round() is half-to-even and would diverge on
+        # exact .5 ties if value ever carried more than 2 decimals.
+        v = pdf["value"].to_numpy()
+        cents += int(
+            (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64").sum()
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
