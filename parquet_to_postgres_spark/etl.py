@@ -103,23 +103,29 @@ class JdbcSink:
     batchsize: int = 10_000
     options: dict[str, str] = field(default_factory=dict)
 
-    def write(self, df: DataFrame) -> None:
+    def jdbc_options(self) -> dict[str, str]:
+        """The full option map handed to the JDBC writer — factored out so
+        the configuration is unit-testable without a live database."""
+        opts = {
+            "url": self.url,
+            "dbtable": self.table,
+            "batchsize": str(self.batchsize),
+            "numPartitions": str(self.num_partitions),
+            "isolationLevel": "READ_COMMITTED",
+        }
+        opts.update(self.options)
+        return opts
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Nested columns → JSON, then range-partition on the first column
+        so every connection gets an evenly sized, internally sorted slice —
+        bounded batch memory at any scale."""
         df = flatten_for_jdbc(df)
-        # Range-partition on the first column so every connection gets an
-        # evenly sized, internally sorted slice — bounded batch memory at
-        # any scale.
-        first = df.columns[0]
-        df = df.repartitionByRange(self.num_partitions, first)
-        writer = (
-            df.write.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", self.table)
-            .option("batchsize", str(self.batchsize))
-            .option("numPartitions", str(self.num_partitions))
-            .option("isolationLevel", "READ_COMMITTED")
-            .mode(self.mode)
-        )
-        for k, v in self.options.items():
+        return df.repartitionByRange(self.num_partitions, df.columns[0])
+
+    def write(self, df: DataFrame) -> None:
+        writer = self.prepare(df).write.format("jdbc").mode(self.mode)
+        for k, v in self.jdbc_options().items():
             writer = writer.option(k, v)
         writer.save()
 

@@ -13,7 +13,7 @@ cross join.  Exact dedup is a single hash-aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Fixed hash family: h_j(id) = (A + STEP_A*j)*id + (B + STEP_B*j) mod P.
@@ -46,14 +46,18 @@ def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 def token_dictionary(tokens: DataFrame) -> DataFrame:
     """Dense 1-based token ids, ordered by token text (deterministic).
 
-    The dictionary is orders of magnitude smaller than the corpus, so the
-    single-partition rank window is fine; at extreme vocabulary sizes use
-    zipWithIndex-style two-phase ranking instead."""
-    return (
-        tokens.select("token")
-        .distinct()
-        .withColumn("token_id", F.row_number().over(Window.orderBy("token")))
-    )
+    Ranking is the two-phase :func:`~..operators.distributed_rank`
+    (range-repartition → per-partition rank → broadcast offsets), NOT a
+    single-partition global window: under Heaps' law a 100 TB corpus has
+    a vocabulary of billions of tokens, and funneling it through one
+    ranking task would be the pipeline's scale ceiling.  Ids are
+    identical to ``row_number() OVER (ORDER BY token)`` — token text is
+    a total order — so the generated oracle SQL is unchanged."""
+    from ..operators import distributed_rank
+
+    return distributed_rank(
+        tokens.select("token").distinct(), [F.col("token")], rank_col="token_id"
+    ).withColumn("token_id", F.col("token_id").cast("int"))
 
 
 def _minhash_aggs(num_hashes: int) -> list[Column]:
@@ -215,20 +219,49 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """Near-dup pairs by SimHash hamming distance, bit-band blocked.
 
-    The all-pairs comparison here is for modest corpora; the 100 TB path
-    blocks on simhash prefix bytes first (same banding idea as MinHash)."""
+    The signature is split into ``max_hamming + 1`` disjoint bit bands;
+    by pigeonhole, any pair within ``max_hamming`` differing bits agrees
+    EXACTLY on at least one band, so banding is recall-lossless.
+    Candidate generation is therefore an equi-join on (band, band-bits)
+    — the same shuffle shape as MinHash LSH, linear in candidates — and
+    exact hamming is computed only within blocks, never all-pairs
+    (an O(n²) non-equi self-join would be catastrophic at 100 TB)."""
     sigs = simhash(df, n_bits, text_col, id_col)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    n_bands = max_hamming + 1
+    band_bits = n_bits // n_bands
+    bands = []
+    for bidx in range(n_bands):
+        lo = bidx * band_bits
+        # last band absorbs the remainder bits so all n_bits are covered
+        width = band_bits if bidx < n_bands - 1 else n_bits - lo
+        key = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << width) - 1))
+        bands.append(F.struct(F.lit(bidx).alias("band"), key.alias("key")))
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sh"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        a.join(
+            b,
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        # a pair can match on several bands; hamming is functionally
+        # dependent on the pair, so distinct dedups the candidates
+        .distinct()
     )
 
 

@@ -11,7 +11,7 @@ scan→type-map→sink only); this is part of the §2B scale mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -42,6 +42,64 @@ def salted_agg(
         *[c.alias(n) for n, c in partials.items()]
     )
     return stage1.groupBy(*keys).agg(*[c.alias(n) for n, c in finals.items()])
+
+
+def distributed_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY <order>)`` without the
+    single-partition window (the zipWithIndex pattern, DataFrame-native).
+
+    Three declarative steps, all parallel:
+
+    1. range-repartition on the sort keys — partition i holds a
+       contiguous key range strictly below partition i+1's;
+    2. rank *within* each range partition (``partitionBy(pid)`` window —
+       parallel, no global exchange);
+    3. add each partition's cumulative row-count offset (one row per
+       partition — the only single-partition step is a window over
+       ``num_partitions`` rows, constant at any data scale — broadcast
+       back).
+
+    The result is identical to the global window for any total ``order``
+    (ties must be broken by a unique key, as with any row_number), and
+    identical regardless of where the range sampler places partition
+    boundaries: local_rank + offset telescopes to the global rank.
+    AQE may coalesce adjacent range partitions; adjacency preserves the
+    range ordering, so correctness survives runtime re-planning.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__local", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )
 
 
 def write_bucketed(

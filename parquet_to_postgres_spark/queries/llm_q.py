@@ -124,12 +124,14 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: candidate generation is an equi-shuffle on (band, key);
     only candidate pairs pay the exact-Jaccard array intersect."""
     t = Catalog(spark, sf_dir)
-    # Persist + eager count: the profile subtree feeds banding AND both
+    # Eager localCheckpoint: the profile subtree feeds banding AND both
     # sides of the verify join, and those consumers launch concurrently
-    # (broadcast exchanges are eager) — lazy persist would race and
-    # recompute tokenize+dict+agg 3x.  (At 100 TB: checkpoint instead.)
-    profiles = D.minhash_profiles(t.documents).persist()
-    profiles.count()
+    # (broadcast exchanges are eager) — an unmaterialized subtree would
+    # race and recompute tokenize+dict+agg 3x.  localCheckpoint both
+    # materializes eagerly and truncates lineage.  (On a real cluster,
+    # point setCheckpointDir at durable storage and use .checkpoint() —
+    # localCheckpoint blocks die with an executor.)
+    profiles = D.minhash_profiles(t.documents).localCheckpoint(eager=True)
     pairs = D.minhash_band_pairs(profiles)
     return D.profile_jaccard(profiles, pairs).where(F.col("jaccard") >= 0.8)
 

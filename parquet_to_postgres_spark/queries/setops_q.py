@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import Catalog
@@ -23,19 +23,23 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: global multi-key sort materialized as a rank (the hash-match
     gate is order-insensitive, so the rank column carries the ordering).
 
-    Scale note: an unpartitioned window collapses to one task; the filter
-    first shrinks the input, and at 100 TB a global rank would be done by
-    range-repartition + per-partition rank + offset add.  The declared
-    query keeps the filter small enough that a single task is the right
-    plan anyway.
+    The rank is computed by :func:`~..operators.distributed_rank`
+    (range-repartition → per-partition rank → broadcast offset add) —
+    no stage funnels the relation through one task, so the same plan
+    holds when the filter survivors are billions of rows at 100 TB.
     """
+    from ..operators import distributed_rank
+
     t = Catalog(spark, sf_dir)
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        t.orders.where(F.col("o_totalprice") > 300000)
-        .select("o_orderkey", "o_totalprice")
-        .withColumn("price_rank", F.row_number().over(w).cast("long"))
+    filtered = t.orders.where(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_totalprice"
     )
+    ranked = distributed_rank(
+        filtered,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        rank_col="price_rank",
+    )
+    return ranked.withColumn("price_rank", F.col("price_rank").cast("long"))
 
 
 @register(

@@ -6,9 +6,11 @@ import tempfile
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_to_postgres_spark.etl import (
+    JdbcSink,
     ParquetSink,
     etl,
     flatten_for_jdbc,
@@ -93,6 +95,37 @@ def test_etl_parquet_sink_roundtrip(spark):
         src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
         assert back.count() == src.count() == 25
         assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_jdbc_sink_writer_config(spark):
+    """E3: the JDBC writer's option plumbing and pre-write shaping —
+    everything short of the network call (no Postgres in the sandbox).
+
+    Mirrors /root/reference/src/main.rs:120-151: num_partitions is the
+    semaphore (connection cap), batchsize the 1000-row record batches."""
+    sink = JdbcSink(
+        url="jdbc:postgresql://db:5432/x",
+        table="events_out",
+        num_partitions=4,
+        batchsize=2500,
+        options={"reWriteBatchedInserts": "true"},
+    )
+    opts = sink.jdbc_options()
+    assert opts["url"] == "jdbc:postgresql://db:5432/x"
+    assert opts["dbtable"] == "events_out"
+    assert opts["batchsize"] == "2500"
+    assert opts["numPartitions"] == "4"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["reWriteBatchedInserts"] == "true"
+    assert sink.mode == "append"
+
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").limit(200)
+    nested = df.withColumn("tags", F.array(F.col("o_orderstatus")))
+    prepared = sink.prepare(nested)
+    # nested column serialized for the relational sink...
+    assert dict(prepared.dtypes)["tags"] == "string"
+    # ...and the pre-shuffle matches the connection cap exactly.
+    assert prepared.rdd.getNumPartitions() == 4
 
 
 def test_csv_json_sources_roundtrip(spark):

@@ -90,6 +90,36 @@ def test_projection_prunes_scan_schema(spark):
     assert "source" not in p
 
 
+def test_global_rank_is_range_partitioned(spark):
+    # distributed_rank contract: the relation is range-repartitioned and
+    # the rank window is per-partition — never a global one-task window.
+    p = plan(build("global_sort_rank", spark))
+    assert "rangepartitioning" in p.lower(), "rank must range-repartition"
+    assert "windowspecdefinition(__pid" in p, (
+        "rank window must be partitioned by __pid, not a global window"
+    )
+
+
+def test_token_dictionary_has_no_global_window(spark):
+    # The vocabulary rank must use the same two-phase plan (at 100 TB the
+    # vocabulary is billions of tokens — one ranking task is a ceiling).
+    from parquet_to_postgres_spark.llm import dedup as D
+    from parquet_to_postgres_spark.tables import Catalog
+
+    t = Catalog(spark, SF_SMOKE)
+    p = plan(D.token_dictionary(D.tokenize(t.documents)))
+    assert "rangepartitioning" in p.lower()
+    assert "windowspecdefinition(__pid" in p
+
+
+def test_simhash_pairs_blocked_not_allpairs(spark):
+    # Candidate generation must be the (band, key) equi-join, never a
+    # cartesian / broadcast-nested-loop all-pairs comparison.
+    p = plan(build("simhash_pairs", spark))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_declared_queries_deterministic(spark):
     """Representative double-run: same rows both times (canon compare)."""
     import pandas as pd  # noqa: F401
