@@ -72,3 +72,48 @@ def vocab_stats_grouped(documents: DataFrame) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(_vocab_stats, GROUP_STATS_SCHEMA)
     )
+
+
+UDF_SURFACE_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_chars", T.LongType()),
+        T.StructField("vocab_size", T.LongType()),
+        T.StructField("total_words", T.LongType()),
+        T.StructField("min_fp", T.LongType()),
+    ]
+)
+
+
+def _surface_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    vocab: set[str] = set()
+    for t in pdf["text"]:
+        vocab.update(t.split(" "))
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "total_chars": [int(pdf["n_chars"].sum())],
+            "vocab_size": [len(vocab)],
+            "total_words": [int(pdf["n_words"].sum())],
+            "min_fp": [int(pdf["fp"].min())],
+        }
+    )
+
+
+def udf_surface_stats(documents: DataFrame) -> DataFrame:
+    """All three Python-boundary mechanisms in ONE plan: the pandas UDF
+    and the row UDF compute per-row columns, then applyInPandas (pandas
+    UDAF) aggregates them per language.  Integer outputs only — exact
+    regardless of row/partition order."""
+    enriched = documents.select(
+        "lang",
+        "text",
+        "n_chars",
+        word_count_pudf("text").alias("n_words"),
+        rolling_hash_udf("text").alias("fp"),
+    )
+    return enriched.groupBy("lang").applyInPandas(
+        _surface_stats, UDF_SURFACE_SCHEMA
+    )

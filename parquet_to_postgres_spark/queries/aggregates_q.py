@@ -17,109 +17,77 @@ from ._util import dec, dsum, sql_dec, sql_dsum
 
 
 @register(
-    "distinct_rows",
-    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
-    tags=("A2",),
-)
-def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: DISTINCT — partial dedup map-side, then shuffle on the row."""
-    t = Catalog(spark, sf_dir)
-    return t.orders.select("o_orderstatus", "o_orderpriority").distinct()
-
-
-@register(
-    "count_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(DISTINCT o_orderpriority) AS n_priorities,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderstatus
-    """,
-    tags=("A2",),
-)
-def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: multi count-distinct (Catalyst expands to partial aggregates)."""
-    t = Catalog(spark, sf_dir)
-    return t.orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-@register("approx_distinct_users", oracle=None, tags=("A3",))
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: HLL approximate count-distinct (rows-only: approximate).
-
-    At 100 TB this replaces exact count-distinct's full shuffle with a
-    constant-size sketch merged map-side.
-    """
-    t = Catalog(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register(
-    "rollup_orders",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           {sql_dsum("o_totalprice", "total")}
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-    tags=("A4",),
-)
-def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: ROLLUP — hierarchical subtotals + grand total in one pass."""
-    t = Catalog(spark, sf_dir)
-    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
-    )
-
-
-@register(
     "cube_orders",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
            {sql_dsum("o_totalprice", "total")}
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    tags=("A4",),
+    tags=("A4", "A2"),
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: CUBE — all grouping-set combinations."""
+    """A4+A2: CUBE (all grouping-set combinations — ROLLUP is the subset
+    of these sets that forms the hierarchy) with a count-distinct per
+    grouping set (Catalyst expands it to a two-phase partial aggregate)."""
     t = Catalog(spark, sf_dir)
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice", "total"),
     )
 
 
 @register(
-    "filtered_agg",
-    oracle=f"""
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_discount > 0.05 THEN {sql_dec("l_extendedprice")} END) AS DOUBLE) AS discounted_sales,
-           COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
-           COUNT(*) AS n_total
-    FROM lineitem GROUP BY l_returnflag
+    "approx_sketches",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           true AS hll_ok,
+           true AS p50_ok
+    FROM events GROUP BY event_type
     """,
-    tags=("A5",),
+    tags=("A3", "A7"),
 )
-def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: conditional aggregation — sum/count over predicate slices."""
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + approx-A7: HLL count-distinct and KLL-ish quantile sketches,
+    verified through deterministic error-bound assertions.
+
+    The sketch values themselves cannot hash-match a DuckDB twin (the
+    engines' sketches differ), but both sketches ARE deterministic for a
+    given input — so the query outputs the exact statistics (verifiable
+    cell-for-cell) plus booleans asserting the sketch landed within its
+    error bound: hll_ok (rsd 2% sketch within 10% of exact) and p50_ok
+    (approx median between the exact quartiles).  The oracle states the
+    bounds hold; a sketch regression flips a cell and fails the gate.
+
+    At 100 TB the sketches replace exact count-distinct's full shuffle
+    with constant-size map-side-merged state — that is the point of A3.
+    """
     t = Catalog(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice")))
-        .cast("double")
-        .alias("discounted_sales"),
-        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
-        F.count(F.lit(1)).alias("n_total"),
+    agg = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("hll_ok"),
+        (
+            (F.col("p50_approx") >= F.col("p25"))
+            & (F.col("p50_approx") <= F.col("p75"))
+        ).alias("p50_ok"),
     )
 
 
@@ -161,25 +129,32 @@ def collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM({sql_dec("l_quantity")} * {sql_dec("l_quantity")}) AS DOUBLE) AS sqq,
              CAST(SUM({sql_dec("l_discount")}) AS DOUBLE) AS sd,
              CAST(SUM({sql_dec("l_discount")} * {sql_dec("l_discount")}) AS DOUBLE) AS sdd,
-             CAST(SUM({sql_dec("l_quantity")} * {sql_dec("l_discount")}) AS DOUBLE) AS sqd
+             CAST(SUM({sql_dec("l_quantity")} * {sql_dec("l_discount")}) AS DOUBLE) AS sqd,
+             median(l_quantity) AS med,
+             min(l_quantity) AS mn,
+             max(l_quantity) AS mx
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            n AS n_items,
            sq / n AS mean_qty,
            sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
-           (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)) AS corr_qty_disc
+           (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)) AS corr_qty_disc,
+           med AS median_qty,
+           mn AS min_qty,
+           mx AS max_qty
     FROM s
     """,
     tags=("A7",),
 )
 def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: exact mean/stddev/correlation from exact decimal sums.
+    """A7: exact mean/stddev/correlation/median/min/max per group.
 
     Native ``stddev_samp``/``corr`` accumulate doubles in partition order
     (nondeterministic last-ulp); computing the moments as exact decimal
     sums and combining them with identical double arithmetic gives
-    bit-identical results in Spark and DuckDB.  Single shuffle, map-side
+    bit-identical results in Spark and DuckDB.  Median is exact (both
+    engines interpolate the middle pair).  Single shuffle, map-side
     partial sums — same cost as the native versions at 100 TB.
     """
     t = Catalog(spark, sf_dir)
@@ -191,6 +166,9 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d).cast("double").alias("sd"),
         F.sum(d * d).cast("double").alias("sdd"),
         F.sum(q * d).cast("double").alias("sqd"),
+        F.median("l_quantity").alias("med"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
     )
     n, sq, sqq, sd, sdd, sqd = (
         F.col("n"),
@@ -209,41 +187,9 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sqd - sq * sd)
             / F.sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
         ).alias("corr_qty_disc"),
-    )
-
-
-@register(
-    "median_quantity",
-    oracle="""
-    SELECT l_linestatus,
-           median(l_quantity) AS median_qty,
-           min(l_quantity) AS min_qty,
-           max(l_quantity) AS max_qty
-    FROM lineitem GROUP BY l_linestatus
-    """,
-    tags=("A7",),
-)
-def median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: exact median (both engines interpolate the middle pair)."""
-    t = Catalog(spark, sf_dir)
-    return t.lineitem.groupBy("l_linestatus").agg(
-        F.median("l_quantity").alias("median_qty"),
-        F.min("l_quantity").alias("min_qty"),
-        F.max("l_quantity").alias("max_qty"),
-    )
-
-
-@register("approx_quantiles", oracle=None, tags=("A7", "A3"))
-def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 approx: percentile_approx sketch (rows-only: approximate).
-
-    The scale path for quantiles — a mergeable KLL-style sketch instead
-    of a full sort."""
-    t = Catalog(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quartiles"
-        )
+        F.col("med").alias("median_qty"),
+        F.col("mn").alias("min_qty"),
+        F.col("mx").alias("max_qty"),
     )
 
 

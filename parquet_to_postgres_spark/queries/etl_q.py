@@ -35,68 +35,69 @@ def _scratch(name: str) -> str:
 
 
 @register(
-    "csv_source_agg",
+    "multi_source_agg",
     oracle=f"""
-    SELECT o_orderstatus,
-           COUNT(*) AS n_orders,
-           {sql_dsum("o_totalprice", "total_price")}
+    SELECT 'csv' AS src, o_orderstatus AS grp,
+           COUNT(*) AS n_rows,
+           {sql_dsum("o_totalprice", "total")}
     FROM orders GROUP BY o_orderstatus
-    """,
-    tags=("E4",),
-)
-def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: parquet → CSV → read_source(schema) → aggregate.
-
-    Doubles survive because Spark writes round-trippable decimal text;
-    the explicit read schema replaces inference (a full extra data pass
-    at 100 TB)."""
-    t = Catalog(spark, sf_dir)
-    path = _scratch("e4/orders_csv")
-    src = t.orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    src.write.mode("overwrite").option("header", "true").csv(path)
-    back = read_source(
-        spark,
-        path,
-        fmt="csv",
-        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
-    )
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("total_price"),
-    )
-
-
-@register(
-    "json_source_agg",
-    oracle=f"""
-    SELECT c_mktsegment,
-           COUNT(*) AS n_custs,
-           {sql_dsum("c_acctbal", "total_bal")}
+    UNION ALL
+    SELECT 'json' AS src, c_mktsegment AS grp,
+           COUNT(*) AS n_rows,
+           {sql_dsum("c_acctbal", "total")}
     FROM customer GROUP BY c_mktsegment
     """,
     tags=("E4",),
 )
-def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: parquet → JSON lines → read_source(schema) → aggregate."""
+def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: both non-parquet sources in one declared query — orders goes
+    parquet → CSV → read_source(schema) and customer goes parquet → JSON
+    lines → read_source(schema); each is aggregated and the tagged
+    results unioned.  The oracle aggregates the ORIGINAL parquet, so any
+    corruption in either format round-trip (type collapse, precision
+    loss, null mangling) breaks the hash-match.
+
+    Doubles survive because Spark writes round-trippable decimal text;
+    the explicit read schemas replace inference (a full extra data pass
+    at 100 TB)."""
     t = Catalog(spark, sf_dir)
-    path = _scratch("e4/customer_json")
+    csv_path = _scratch("e4/orders_csv")
+    t.orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").option("header", "true").csv(csv_path)
+    csv_back = read_source(
+        spark,
+        csv_path,
+        fmt="csv",
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    json_path = _scratch("e4/customer_json")
     t.customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").write.mode(
         "overwrite"
-    ).json(path)
-    back = read_source(
+    ).json(json_path)
+    json_back = read_source(
         spark,
-        path,
+        json_path,
         fmt="json",
         schema="c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string",
     )
-    return back.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_custs"),
+    csv_agg = csv_back.groupBy(
+        F.col("o_orderstatus").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+    ).select(F.lit("csv").alias("src"), "grp", "n_rows", "total")
+    json_agg = json_back.groupBy(
+        F.col("c_mktsegment").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
         .cast("double")
-        .alias("total_bal"),
-    )
+        .alias("total"),
+    ).select(F.lit("json").alias("src"), "grp", "n_rows", "total")
+    return csv_agg.unionByName(json_agg)
 
 
 # --------------------------------------------------------------- E1–E3 ----

@@ -1,7 +1,9 @@
 """Scalar function library queries (SURVEY.md §2B F1–F7).
 
-One declared query per function family, each exercising the family's
-core functions with a DuckDB twin.  Dialect edges handled here:
+``scalar_functions`` carries the per-row families F1/F2/F3/F7 in one
+declared query (the driver's correctness gate observes at most 50
+queries, so same-grain families share one); F4/F5/F6 keep their own
+queries.  Dialect edges handled here:
 
 - ``floor``/``ceil`` return BIGINT in Spark but DOUBLE in DuckDB → cast.
 - ``round`` on raw doubles can straddle ties differently → round on the
@@ -23,49 +25,21 @@ from ._util import dec
 
 
 @register(
-    "string_functions",
-    oracle="""
-    SELECT c_custkey,
-           lower(c_name) AS lname,
-           upper(c_mktsegment) AS useg,
-           substring(c_name, 10, 9) AS cust_id_str,
-           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_id_num,
-           regexp_replace(c_name, '^Customer#0*', '') AS short_id,
-           length(c_name) AS name_len,
-           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
-           instr(c_name, '#') AS hash_pos,
-           trim(concat(' ', c_mktsegment, ' ')) AS trimmed,
-           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
-    FROM customer
-    """,
-    tags=("F1",),
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: string family over customer (1-based substring in both)."""
-    t = Catalog(spark, sf_dir)
-    return t.customer.select(
-        "c_custkey",
-        F.lower("c_name").alias("lname"),
-        F.upper("c_mktsegment").alias("useg"),
-        F.substring("c_name", 10, 9).alias("cust_id_str"),
-        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("cust_id_num"),
-        F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
-        F.length("c_name").cast("long").alias("name_len"),
-        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
-        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
-        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias(
-            "trimmed"
-        ),
-        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
-            "seg_nation"
-        ),
-    )
-
-
-@register(
-    "datetime_functions",
+    "scalar_functions",
     oracle="""
     SELECT o_orderkey,
+           -- F1: string family
+           lower(o_orderpriority) AS lprio,
+           upper(o_orderstatus) AS ustat,
+           substring(o_orderpriority, 3, 20) AS prio_name,
+           CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS BIGINT) AS prio_num,
+           regexp_replace(o_orderpriority, '^[0-9]-', '') AS prio_short,
+           length(o_orderpriority) AS prio_len,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+           instr(o_orderpriority, '-') AS dash_pos,
+           trim(concat(' ', o_orderstatus, ' ')) AS trimmed,
+           concat_ws('-', o_orderstatus, o_orderpriority) AS stat_prio,
+           -- F2: date/time family
            year(o_orderdate) AS order_year,
            month(o_orderdate) AS order_month,
            day(o_orderdate) AS order_day,
@@ -73,64 +47,82 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+           -- F3: math family
+           CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           abs(o_custkey - 500) AS cust_dev,
+           sqrt(o_totalprice) AS price_sqrt,
+           pow(2.0, o_orderkey % 10) AS two_pow,
+           ((o_orderkey % 7) + 7) % 7 AS pmod7,
+           CAST(sign(o_custkey - 500) AS DOUBLE) AS cust_sign,
+           -- F7: cast/conversion family
+           CAST(trunc(o_totalprice) AS INTEGER) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(o_custkey AS DOUBLE) AS cust_dbl,
+           CAST(o_totalprice > 150000 AS INTEGER) AS big_flag
     FROM orders
     """,
-    tags=("F2",),
+    tags=("F1", "F2", "F3", "F7"),
 )
-def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: date/time family over orders."""
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3+F7: the scalar function families in one declared query
+    over orders (single scan, one stage, pure whole-stage codegen).
+
+    Dialect edges handled: 1-based substring in both engines; DATE values
+    emitted as ISO strings (pandas date vs datetime64 representation);
+    floor/ceil cast to BIGINT (DuckDB returns DOUBLE); round applied on
+    the exact DECIMAL view; pow kept to powers of two and sqrt (IEEE-
+    exact in both); Spark's double→int cast truncates toward zero while
+    DuckDB's rounds, so the oracle spells trunc() explicitly."""
     t = Catalog(spark, sf_dir)
     return t.orders.select(
         "o_orderkey",
+        # F1: strings
+        F.lower("o_orderpriority").alias("lprio"),
+        F.upper("o_orderstatus").alias("ustat"),
+        F.substring("o_orderpriority", 3, 20).alias("prio_name"),
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1)
+        .cast("bigint")
+        .alias("prio_num"),
+        F.regexp_replace("o_orderpriority", r"^[0-9]-", "").alias("prio_short"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+        F.instr(F.col("o_orderpriority"), "-").cast("long").alias("dash_pos"),
+        F.trim(F.concat(F.lit(" "), F.col("o_orderstatus"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("stat_prio"),
+        # F2: date/time
         F.year("o_orderdate").cast("long").alias("order_year"),
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        # DATE values reach pandas as date objects in Spark but datetime64
-        # in DuckDB — emit ISO strings so the value-hash is representation-
-        # independent.
         F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias(
-            "days_to_2002"
-        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
         (F.to_date("o_orderdate").cast("timestamp") + F.expr("INTERVAL 30 DAY")).alias(
             "due_ts"
         ),
         F.unix_timestamp("o_orderdate").alias("epoch_sec"),
-    )
-
-
-@register(
-    "math_functions",
-    oracle="""
-    SELECT p_partkey,
-           CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
-           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-           abs(p_size - 25) AS size_dev,
-           sqrt(p_retailprice) AS price_sqrt,
-           pow(2.0, p_size % 10) AS two_pow,
-           ((p_partkey % 7) + 7) % 7 AS pmod7,
-           CAST(sign(p_size - 25) AS DOUBLE) AS size_sign
-    FROM part
-    """,
-    tags=("F3",),
-)
-def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: math family over part (sqrt is IEEE-exact; pow kept to powers
-    of two; round applied on the exact decimal view)."""
-    t = Catalog(spark, sf_dir)
-    return t.part.select(
-        "p_partkey",
-        F.round(dec("p_retailprice"), 1).cast("double").alias("price_r1"),
-        F.floor("p_retailprice").alias("price_floor"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
-        F.sqrt("p_retailprice").alias("price_sqrt"),
-        F.pow(F.lit(2.0), F.col("p_size") % 10).alias("two_pow"),
-        F.pmod(F.col("p_partkey"), F.lit(7)).alias("pmod7"),
-        F.signum(F.col("p_size") - 25).cast("double").alias("size_sign"),
+        # F3: math
+        F.round(dec("o_totalprice"), 1).cast("double").alias("price_r1"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.abs(F.col("o_custkey") - 500).cast("long").alias("cust_dev"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.pow(F.lit(2.0), F.col("o_orderkey") % 10).alias("two_pow"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("pmod7"),
+        F.signum(F.col("o_custkey") - 500).cast("double").alias("cust_sign"),
+        # F7: casts
+        F.col("o_totalprice").cast("int").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big_flag"),
     )
 
 
@@ -244,31 +236,3 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cast_functions",
-    oracle="""
-    SELECT l_orderkey,
-           CAST(l_quantity AS INTEGER) AS qty_int,
-           CAST(l_orderkey AS VARCHAR) AS key_str,
-           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_back,
-           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
-           CAST(l_linenumber AS DOUBLE) AS line_dbl,
-           CAST(l_quantity > 25 AS INTEGER) AS bulk_flag
-    FROM lineitem
-    """,
-    tags=("F7",),
-)
-def cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7: cast/conversion family across numeric/string/temporal/bool."""
-    t = Catalog(spark, sf_dir)
-    return t.lineitem.select(
-        "l_orderkey",
-        F.col("l_quantity").cast("int").alias("qty_int"),
-        F.col("l_orderkey").cast("string").alias("key_str"),
-        F.col("l_orderkey").cast("string").cast("bigint").alias("key_back"),
-        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
-            "ship_date"
-        ),
-        F.col("l_linenumber").cast("double").alias("line_dbl"),
-        (F.col("l_quantity") > 25).cast("int").alias("bulk_flag"),
-    )

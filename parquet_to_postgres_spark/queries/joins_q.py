@@ -20,51 +20,6 @@ from ._util import dec, dsum, sql_dec, sql_dsum
 
 
 @register(
-    "join_inner",
-    oracle="""
-    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderstatus = 'O'
-    """,
-    tags=("J1",),
-)
-def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: inner equi-join; Catalyst picks broadcast vs sort-merge (AQE)."""
-    t = Catalog(spark, sf_dir)
-    return (
-        t.orders.where(F.col("o_orderstatus") == "O")
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
-        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-    )
-
-
-@register(
-    "join_left_outer",
-    oracle=f"""
-    SELECT c.c_custkey,
-           COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM({sql_dec("o.o_totalprice")}), 0) AS DOUBLE) AS total_spent
-    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-    GROUP BY c.c_custkey
-    """,
-    tags=("J2",),
-)
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 (left): customers with zero orders kept, COUNT/SUM null-aware."""
-    t = Catalog(spark, sf_dir)
-    return (
-        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
-            .cast("double")
-            .alias("total_spent"),
-        )
-    )
-
-
-@register(
     "join_full_outer",
     oracle="""
     SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
@@ -75,7 +30,10 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J2",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 (full): both sides restricted so both contribute unmatched rows."""
+    """J2: FULL OUTER with both sides restricted so both contribute
+    unmatched rows — the output exhibits left-outer rows (customer, no
+    order), right-outer rows (order, no customer) and matches, covering
+    the left/right/full family in one declared query."""
     t = Catalog(spark, sf_dir)
     c = t.customer.where(F.col("c_acctbal") < 3000)
     o = t.orders.where(F.col("o_totalprice") > 250000)
@@ -85,41 +43,37 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT c_custkey, c_acctbal, 'has_urgent' AS tag FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
-    """,
-    tags=("J3",),
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: left semi — customers with at least one urgent order."""
-    t = Catalog(spark, sf_dir)
-    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
-    return t.customer.join(
-        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_acctbal FROM customer c
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'no_big' AS tag FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 300000)
     """,
     tags=("J3",),
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: left anti — customers with no order above 300k."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi (customers with ≥1 urgent order) and left-anti
+    (customers with no order above 300k), tagged and unioned — both
+    existential join shapes in one declared query, each planned as a
+    semi/anti hash join (never a full join + filter)."""
     t = Catalog(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
     big = t.orders.where(F.col("o_totalprice") > 300000)
-    return t.customer.join(
-        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_acctbal")
+    semi = (
+        t.customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal", F.lit("has_urgent").alias("tag"))
+    )
+    anti = (
+        t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal", F.lit("no_big").alias("tag"))
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -288,10 +242,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
     GROUP BY r.r_name
     """,
-    tags=("J8", "A1"),
+    tags=("J8", "J1", "A1"),
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8: TPC-H-style multi-way star join — revenue by region.
+    """J8 (and J1 — every edge is an inner equi-join): TPC-H-style
+    multi-way star join — revenue by region.
 
     Plan shape at scale: lineitem⋈orders shuffles on orderkey (the two
     facts), then customer joins on custkey (AQE may broadcast at small

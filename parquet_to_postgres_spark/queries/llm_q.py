@@ -38,30 +38,6 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(t.documents, F.md5(F.col("text")))
 
 
-@register(
-    "dedup_first_event",
-    oracle="""
-    SELECT user_id, event_type, event_id, ts, value
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-    tags=("L1", "T5"),
-)
-def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: keep-first dedup per (user, type) — the batch twin of
-    streaming dropDuplicates-with-watermark."""
-    t = Catalog(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        t.events.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
-    )
-
-
 # ---------------------------------------------------------------- L2 ----
 
 
@@ -263,15 +239,55 @@ def cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_self_join(t.embeddings, threshold=0.2, partition_col="label")
 
 
-@register("ann_lsh_topk", oracle=None, tags=("L3", "L4"))
+def _sql_sign_bucket(vec: str, n_bits: int = 4) -> str:
+    """DuckDB twin of similarity.sign_lsh_bucket (bit i = sign(vec[i]))."""
+    return " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}] > 0 THEN 1 ELSE 0 END) * {1 << i}"
+        for i in range(n_bits)
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec,
+             {_sql_sign_bucket("embedding")} AS bucket
+      FROM embeddings WHERE vec_id >= 5
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec,
+             {_sql_sign_bucket("embedding")} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {S.sql_cosine("qvec", "cvec")} AS score
+      FROM c JOIN q USING (bucket)
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("L3", "L4"),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 approx: sign-LSH bucketed ANN top-k (rows-only: approximate
-    recall by construction — the scale path where the bucket equi-join
-    replaces the cross join)."""
+    """L3 approx: sign-LSH bucketed ANN top-k — the scale path where the
+    bucket equi-join replaces the cross join (~corpus/2^bits candidates
+    per query).
+
+    'Approximate' is with respect to the TRUE neighbors; the algorithm
+    itself is deterministic (fixed axis-sign hyperplanes), so the oracle
+    replays the whole pipeline — bucket assignment, bucket join, cosine,
+    rank — in SQL and the gate checks it exactly."""
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
-    return S.ann_topk_lsh(
+    out = S.ann_topk_lsh(
         emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
     )
 
 
@@ -308,31 +324,12 @@ def term_frequency_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "token_counts",
-    oracle="""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
-    FROM documents
-    """,
-    tags=("L5",),
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: whitespace + BPE-ish token counting."""
-    t = Catalog(spark, sf_dir)
-    return t.documents.select(
-        "doc_id",
-        X.ws_token_count("text").cast("long").alias("n_ws_tokens"),
-        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
-    )
-
-
-@register(
-    "text_quality",
+    "text_metrics",
     oracle=f"""
-    SELECT doc_id,
-           length(text) AS n_chars_calc,
+    SELECT doc_id, lang,
            len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           length(text) AS n_chars_calc,
            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
              / len(string_split(text, ' ')) AS mean_token_len,
            CAST(len(list_filter(string_split(text, ' '),
@@ -345,79 +342,36 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   t -> t IN ({", ".join(repr(s) for s in X.QUALITY_STOPWORDS)}))) AS DOUBLE)
                / len(string_split(text, ' ')) * 0.3
              + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
-                / length(text)) * 0.3 AS quality_score
+                / length(text)) * 0.3 AS quality_score,
+           {X.sql_lang_id("text")} AS lang_pred,
+           {X.sql_fingerprint("text")} AS fp
     FROM documents
     """,
     tags=("L5", "L6"),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: quality-scoring features (length/stopword/punct ratios)."""
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+L6 per-doc text analysis in one scan: whitespace + BPE-ish
+    token counts, quality features (length / mean-token-length /
+    stopword / punctuation ratios, blended quality score), marker-based
+    language-ID (argmax with deterministic tie-break; same CASE chain in
+    both engines) and the rolling-hash fingerprint.
+
+    Everything is JVM-side builtins and higher-order functions — one
+    linear pass, no Python, the per-document feature-extraction shape a
+    100 TB training pipeline runs first."""
     t = Catalog(spark, sf_dir)
     feats = X.quality_features("text")
     feats[0] = feats[0].cast("long")  # n_chars_calc: match DuckDB BIGINT
     feats[1] = F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
-    return t.documents.select("doc_id", *feats)
-
-
-@register(
-    "lang_id_heuristic",
-    oracle=f"""
-    SELECT doc_id, lang, {X.sql_lang_id("text")} AS lang_pred
-    FROM documents
-    """,
-    tags=("L5", "L6"),
-)
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID by marker-token scoring (argmax with deterministic
-    tie-break; same CASE chain in both engines)."""
-    t = Catalog(spark, sf_dir)
-    return t.documents.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
-
-
-@register(
-    "doc_fingerprint",
-    oracle=f"""
-    SELECT doc_id, {X.sql_fingerprint("text")} AS fp
-    FROM documents
-    """,
-    tags=("L5",),
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash fingerprint of the text prefix."""
-    t = Catalog(spark, sf_dir)
-    return t.documents.select("doc_id", X.fingerprint("text").alias("fp"))
-
-
-# ---------------------------------------------------------------- L6 ----
-
-
-@register(
-    "lang_source_stats",
-    oracle="""
-    SELECT lang, source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           MAX(n_chars) AS max_chars
-    FROM documents
-    WHERE lang IN ('en', 'fr')
-    GROUP BY lang, source
-    """,
-    tags=("L6",),
-)
-def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: language/source filtering + per-group text stats (integer sums
-    are exact; the mean divides two exact values)."""
-    t = Catalog(spark, sf_dir)
-    return (
-        t.documents.where(F.col("lang").isin("en", "fr"))
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
-            F.max("n_chars").alias("max_chars"),
-        )
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        feats[1],
+        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        feats[0],
+        *feats[2:],
+        X.lang_id("text").alias("lang_pred"),
+        X.fingerprint("text").alias("fp"),
     )
 
 
@@ -475,49 +429,30 @@ def multimodal_stub_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "udf_pandas_wordcount",
-    oracle="SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents",
-    tags=("L8",),
-)
-def udf_pandas_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8: vectorized pandas UDF (Arrow batches) with an exact SQL twin."""
-    t = Catalog(spark, sf_dir)
-    return t.documents.select(
-        "doc_id", U.word_count_pudf("text").cast("long").alias("n_words")
-    )
-
-
-@register(
-    "udf_python_rowhash",
-    oracle=f"SELECT doc_id, {X.sql_fingerprint('text')} AS fp FROM documents",
-    tags=("L8",),
-)
-def udf_python_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8: row-at-a-time Python UDF (the documented slow path) computing
-    the same rolling hash as the JVM-side fingerprint."""
-    t = Catalog(spark, sf_dir)
-    return t.documents.select("doc_id", U.rolling_hash_udf("text").alias("fp"))
-
-
-@register(
-    "udf_grouped_vocab",
-    oracle="""
+    "udf_surface",
+    oracle=f"""
     SELECT d.lang,
-           COUNT(DISTINCT d.doc_id) AS n_docs,
+           COUNT(*) AS n_docs,
            CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
            (SELECT COUNT(DISTINCT t.token) FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
             ) t JOIN documents dd ON dd.doc_id = t.doc_id WHERE dd.lang = d.lang
-           ) AS vocab_size
+           ) AS vocab_size,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_words,
+           MIN({X.sql_fingerprint("d.text")}) AS min_fp
     FROM documents d GROUP BY d.lang
     """,
     tags=("L8",),
 )
-def udf_grouped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8: pandas UDAF via applyInPandas — per-language corpus stats with
-    integer (order-independent) outputs."""
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: the full Python-boundary surface in one declared query — a
+    vectorized pandas UDF (Arrow batches; word count) and a row-at-a-time
+    Python UDF (the documented slow path; rolling hash) feed per-row
+    columns into an applyInPandas pandas UDAF (per-language corpus
+    stats).  Every output is an integer, so the Python aggregation is
+    exactly SQL-reproducible regardless of row/partition order."""
     t = Catalog(spark, sf_dir)
-    return U.vocab_stats_grouped(t.documents)
+    return U.udf_surface_stats(t.documents)
 
 
 # ------------------------------------------------- training-data ops ----
@@ -639,13 +574,82 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(t.embeddings)
 
 
-@register("ann_ivf_topk", oracle=None, tags=("L3", "L4"))
+def _sql_cent_dot(vec: str, cent: str, dim: int = 64) -> str:
+    """dot(vector, centroid-array) in DuckDB (centroid already DOUBLE)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {cent}[i]), (x, y) -> x + y)"
+    )
+
+
+def _ivf_oracle(k: int = 10) -> str:
+    assign = """
+    SELECT {id} AS {id_out}, v.embedding AS {vec_out}, cell FROM (
+      SELECT v.vec_id, v.embedding, ct.cell,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY ({cdot} / sqrt({ccdot})) DESC, ct.cell) AS crank
+      FROM ({src}) v CROSS JOIN cents ct
+    ) v WHERE crank = 1
+    """
+    cdot = _sql_cent_dot("v.embedding", "ct.centroid")
+    ccdot = _sql_cent_dot("ct.centroid", "ct.centroid")
+    cassign = assign.format(
+        id="v.vec_id", id_out="neighbor_id", vec_out="cvec",
+        src="SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
+        cdot=cdot, ccdot=ccdot,
+    )
+    qassign = assign.format(
+        id="v.vec_id", id_out="query_id", vec_out="qvec",
+        src="SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
+        cdot=cdot, ccdot=ccdot,
+    )
+    return f"""
+    WITH cents0 AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(round(val * {S.CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+               / ({S.CENTROID_SCALE}.0 * COUNT(*)) AS centroid_val
+      FROM (
+        SELECT label,
+               unnest(range(1, 65)) AS pos,
+               unnest(list_transform(range(1, 65),
+                                     i -> CAST(embedding[i] AS DOUBLE))) AS val
+        FROM embeddings WHERE vec_id >= 5
+      ) GROUP BY cell, pos
+    ),
+    cents AS (
+      SELECT cell, list(centroid_val ORDER BY pos) AS centroid
+      FROM cents0 GROUP BY cell
+    ),
+    cassign AS ({cassign}),
+    qassign AS ({qassign}),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {S.sql_cosine("q.qvec", "c.cvec")} AS score
+      FROM cassign c JOIN qassign q USING (cell)
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle(), tags=("L3", "L4"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 approx: IVF-bucketed ANN top-k — nearest-centroid cell
-    assignment (broadcast quantizer), probe only the query's cell
-    (rows-only: approximate recall by construction)."""
+    assignment (broadcast coarse quantizer), probe only the query's cell.
+
+    Deterministic end-to-end (fixed-point centroid sums, total-order tie
+    breaks), so the oracle replays the full pipeline — quantizer build,
+    cell assignment, cell join, cosine, rank — in SQL and the gate
+    checks it exactly; 'approximate' refers only to recall vs the true
+    neighbors."""
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
-    return S.ann_topk_ivf(
+    out = S.ann_topk_ivf(
         emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
     )

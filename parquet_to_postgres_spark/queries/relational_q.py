@@ -72,37 +72,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "projection_compute",
+    "select_filter_case",
     oracle=f"""
     SELECT
-      l_orderkey,
-      l_linenumber,
-      CAST({sql_dec("l_extendedprice")} * (1 - {sql_dec("l_discount")}) AS DOUBLE) AS net_price,
-      l_quantity AS qty,
-      l_returnflag || '/' || l_linestatus AS flag_status
-    FROM lineitem
-    """,
-    tags=("P1",),
-)
-def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: projection, aliasing, computed columns (arith + string concat)."""
-    t = Catalog(spark, sf_dir)
-    one = F.lit(1).cast("decimal(12,2)")
-    return t.lineitem.select(
-        "l_orderkey",
-        "l_linenumber",
-        (dec("l_extendedprice") * (one - dec("l_discount")))
-        .cast("double")
-        .alias("net_price"),
-        F.col("l_quantity").alias("qty"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
-    )
-
-
-@register(
-    "filter_predicates",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+      o_orderkey,
+      CAST({sql_dec("o_totalprice")} * 0.95 AS DOUBLE) AS net_price,
+      o_totalprice AS gross,
+      o_orderstatus || '/' || o_orderpriority AS status_priority,
+      CASE WHEN o_totalprice > 250000 THEN 'big'
+           WHEN o_totalprice > 100000 THEN 'mid'
+           ELSE 'small' END AS size_class,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_resolved,
+      CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
     FROM orders
     WHERE o_totalprice BETWEEN 50000 AND 150000
       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -110,51 +91,42 @@ def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderpriority LIKE '%-%'
       AND o_custkey IS NOT NULL
     """,
-    tags=("P2",),
+    tags=("P1", "P2", "P3"),
 )
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: comparison, BETWEEN, IN, LIKE, null-test, boolean combinators.
-
-    All five predicates compile to data-source filters (PushedFilters) —
-    at scale the scan skips row groups via parquet min/max stats.
-    """
+def select_filter_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3 in one declared query: projection/aliasing/computed
+    columns, the predicate family (comparison, BETWEEN, IN, LIKE,
+    null-test, boolean combinators — all compile to scan-level
+    PushedFilters, so at 100 TB row groups are skipped via parquet
+    min/max stats), and the conditional family (when/otherwise,
+    coalesce, nullif)."""
     t = Catalog(spark, sf_dir)
-    return t.orders.where(
-        F.col("o_totalprice").between(50000, 150000)
-        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        & (F.col("o_orderstatus") != "F")
-        & F.col("o_orderpriority").like("%-%")
-        & F.col("o_custkey").isNotNull()
-    ).select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
-
-
-@register(
-    "conditional_case",
-    oracle="""
-    SELECT
-      o_orderkey,
-      CASE WHEN o_totalprice > 250000 THEN 'big'
-           WHEN o_totalprice > 100000 THEN 'mid'
-           ELSE 'small' END AS size_class,
-      COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_resolved,
-      CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
-    FROM orders
-    """,
-    tags=("P3",),
-)
-def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: when/otherwise, coalesce, nullif conditional expressions."""
-    t = Catalog(spark, sf_dir)
-    return t.orders.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") > 250000, "big")
-        .when(F.col("o_totalprice") > 100000, "mid")
-        .otherwise("small")
-        .alias("size_class"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
-            "status_resolved"
-        ),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
-        .otherwise(0)
-        .alias("is_urgent"),
+    return (
+        t.orders.where(
+            F.col("o_totalprice").between(50000, 150000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "F")
+            & F.col("o_orderpriority").like("%-%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            (dec("o_totalprice") * F.lit("0.95").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("net_price"),
+            F.col("o_totalprice").alias("gross"),
+            F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias(
+                "status_priority"
+            ),
+            F.when(F.col("o_totalprice") > 250000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("size_class"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+            ).alias("status_resolved"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_urgent"),
+        )
     )

@@ -67,80 +67,62 @@ def top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "union_all_distinct",
+    "set_operations",
     oracle="""
-    SELECT c_custkey, c_acctbal, 'lowbal' AS bucket
-    FROM customer WHERE c_acctbal < 5000
+    SELECT 'union_all' AS op, (
+      SELECT COUNT(*) FROM (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 5000
+        UNION ALL
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+      )) AS n_rows
     UNION ALL
-    SELECT c_custkey, c_acctbal, 'furniture' AS bucket
-    FROM customer WHERE c_mktsegment = 'FURNITURE'
+    SELECT 'union_distinct' AS op, (
+      SELECT COUNT(*) FROM (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 5000
+        UNION
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+      )) AS n_rows
+    UNION ALL
+    SELECT 'intersect' AS op, (
+      SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      )) AS n_rows
+    UNION ALL
+    SELECT 'except_all' AS op, (
+      SELECT COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+      )) AS n_rows
     """,
-    tags=("S3",),
+    tags=("S3", "S4", "A2"),
 )
-def union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: UNION ALL of overlapping slices (dup rows preserved)."""
-    t = Catalog(spark, sf_dir)
-    low = (
-        t.customer.where(F.col("c_acctbal") < 5000)
-        .select("c_custkey", "c_acctbal")
-        .withColumn("bucket", F.lit("lowbal"))
-    )
-    furn = (
-        t.customer.where(F.col("c_mktsegment") == "FURNITURE")
-        .select("c_custkey", "c_acctbal")
-        .withColumn("bucket", F.lit("furniture"))
-    )
-    return low.unionByName(furn)
-
-
-@register(
-    "union_dedup",
-    oracle="""
-    SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 5000
-    UNION
-    SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
-    """,
-    tags=("S3",),
-)
-def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: UNION (distinct) — dedup across the union."""
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4: UNION ALL (bag), UNION (distinct), INTERSECT (distinct
+    semantics) and EXCEPT ALL (multiplicities subtract), each branch
+    reduced to its cardinality and tagged — all four set operators
+    exercised for real in one declared query (the counts pin their
+    bag/set semantics: overlapping slices make every pair differ)."""
     t = Catalog(spark, sf_dir)
     a = t.customer.where(F.col("c_acctbal") < 5000).select("c_custkey", "c_nationkey")
     b = t.customer.where(F.col("c_mktsegment") == "FURNITURE").select(
         "c_custkey", "c_nationkey"
     )
-    return a.unionByName(b).distinct()
+    oa = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ob = t.orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    oc = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    od = t.orders.where(F.col("o_totalprice") > 250000).select("o_custkey")
 
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(op).alias("op"), "n_rows"
+        )
 
-@register(
-    "intersect_orders",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
-    """,
-    tags=("S4",),
-)
-def intersect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: INTERSECT (distinct semantics)."""
-    t = Catalog(spark, sf_dir)
-    a = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    b = t.orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
-    return a.intersect(b)
-
-
-@register(
-    "except_all_orders",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT ALL
-    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
-    """,
-    tags=("S4",),
-)
-def except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: EXCEPT ALL (bag semantics — multiplicities subtract)."""
-    t = Catalog(spark, sf_dir)
-    a = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    b = t.orders.where(F.col("o_totalprice") > 250000).select("o_custkey")
-    return a.exceptAll(b)
+    return (
+        tagged("union_all", a.unionByName(b))
+        .unionByName(tagged("union_distinct", a.unionByName(b).distinct()))
+        .unionByName(tagged("intersect", oa.intersect(ob)))
+        .unionByName(tagged("except_all", oc.exceptAll(od)))
+    )

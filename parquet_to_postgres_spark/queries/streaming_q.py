@@ -102,10 +102,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ T4 ----
 
 
-@register("stream_watermark_hourly", oracle=None, tags=("T4",))
+@register(
+    "stream_watermark_hourly",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT win_start, n_events FROM w, m
+    WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+    """,
+    tags=("T4",),
+)
 def stream_watermark_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: watermark + append mode — only watermark-closed hourly windows
-    emit (rows-only: the trailing open window is withheld by design)."""
+    emit.
+
+    The oracle is exact: the bounded input is one availableNow batch, so
+    the final watermark is max(ts) − 1 hour and append mode emits exactly
+    the windows whose END is ≤ that watermark (the trailing open windows
+    are withheld — that withholding is the behavior under test)."""
     return ST.run_stream_to_df(
         ST.watermarked_late_drop(ST.events_stream(spark, sf_dir)), "append"
     )

@@ -18,68 +18,17 @@ from ._util import dec
 
 
 @register(
-    "window_ranking",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           ROW_NUMBER() OVER w AS rn,
-           RANK() OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           NTILE(4) OVER w AS quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-    tags=("W1",),
-)
-def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: ranking family over orders per customer."""
-    t = Catalog(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return t.orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
-
-
-@register(
-    "window_analytic",
+    "window_rank_analytic",
     oracle="""
     SELECT event_id, user_id, ts, value,
+           ROW_NUMBER() OVER w AS rn,
+           NTILE(4) OVER w AS quartile,
+           RANK() OVER d AS day_rnk,
+           DENSE_RANK() OVER d AS day_drnk,
            LAG(value) OVER w AS prev_value,
            LEAD(value) OVER w AS next_value,
            FIRST_VALUE(event_type) OVER w AS first_type,
-           LAG(ts) OVER w AS prev_ts
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    tags=("W2",),
-)
-def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: lag/lead/first_value over each user's event timeline."""
-    t = Catalog(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return t.events.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-        F.first("event_type").over(w).alias("first_type"),
-        F.lag("ts").over(w).alias("prev_ts"),
-    )
-
-
-@register(
-    "window_frames",
-    oracle="""
-    SELECT event_id, user_id, ts,
+           LAG(ts) OVER w AS prev_ts,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
@@ -90,19 +39,40 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           d AS (PARTITION BY user_id ORDER BY date_trunc('day', ts))
     """,
-    tags=("W3",),
+    tags=("W1", "W2", "W3"),
 )
-def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: running total + 3-row moving average with explicit frames."""
+def window_rank_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2+W3 over each user's event timeline: the ranking family
+    (row_number/ntile on the unique (ts, event_id) order; rank and
+    dense_rank on the day-truncated order, where real ties make them
+    diverge — both deterministic, rank depends only on key values), the
+    analytic family (lag/lead/first_value), and explicit frame specs
+    (running total + 3-row moving average on exact decimal sums).
+
+    All windows share the user_id partition key, so the whole query is
+    ONE shuffle regardless of how many window functions stack on top —
+    the shape that matters at 100 TB."""
     t = Catalog(spark, sf_dir)
-    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    last3 = ordered.rowsBetween(-2, Window.currentRow)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = Window.partitionBy("user_id").orderBy(F.date_trunc("day", "ts"))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
     return t.events.select(
         "event_id",
         "user_id",
         "ts",
+        "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(d).cast("long").alias("day_rnk"),
+        F.dense_rank().over(d).cast("long").alias("day_drnk"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
         F.sum(dec("value")).over(running).cast("double").alias("running_total"),
         (
             F.sum(dec("value")).over(last3).cast("double")

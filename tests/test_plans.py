@@ -47,7 +47,7 @@ def test_pricing_summary_pushdown_and_pruning(spark):
 
 
 def test_filter_predicates_pushdown(spark):
-    p = plan(build("filter_predicates", spark))
+    p = plan(build("select_filter_case", spark))
     assert "PushedFilters: [" in p
     assert "PushedFilters: []" not in p
 
@@ -76,7 +76,7 @@ def test_top_k_global_avoids_full_sort(spark):
 def test_no_python_in_jvm_hot_paths(spark):
     # Python evaluation is opt-in (L8 UDF queries only); relational and
     # text queries must stay JVM-side.
-    for name in ("pricing_summary", "text_quality", "token_counts", "join_inner"):
+    for name in ("pricing_summary", "text_metrics", "scalar_functions", "join_star_revenue"):
         p = plan(build(name, spark))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
             f"{name} fell out of the JVM into Python"
@@ -84,7 +84,7 @@ def test_no_python_in_jvm_hot_paths(spark):
 
 
 def test_projection_prunes_scan_schema(spark):
-    p = plan(build("token_counts", spark))
+    p = plan(build("term_frequency_top", spark))
     # documents has (doc_id, text, lang, source, n_chars); only two used.
     assert "n_chars" not in p
     assert "source" not in p
