@@ -1,14 +1,19 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-All near-dup signatures use *arithmetic* hash families over a dense token
-dictionary — ``h_j(id) = (a_j·id + b_j) mod p`` — instead of engine hash
-builtins (Spark's murmur3 ``hash()`` and DuckDB's ``hash()`` disagree), so
-the DuckDB oracle reproduces every signature bit-for-bit.
+All near-dup signatures hash the unit (shingle / word) DIRECTLY and
+dictionary-free: ``md5(token)`` truncated to a 60-bit integer, then an
+arithmetic family ``h_j(v) = (a_j·v + b_j) mod p`` on top.  md5 is
+bit-identical across engines, so the DuckDB oracle reproduces every
+signature — unlike Spark's murmur3 ``hash()`` vs DuckDB's ``hash()``,
+which disagree.  Hashing directly (no distinct+rank token dictionary)
+matters at 100 TB: under Heaps' law the vocabulary grows into the
+billions, and ANY global id-assignment step — even a two-phase ranked
+one — is an extra shuffle+join per signature job.  The md5 path needs
+zero shuffles before the per-doc aggregate.
 
-Scale notes: the token dictionary is a distinct+rank over the vocabulary,
-which is tiny relative to the corpus (Heaps' law); the banded LSH join
-groups by (band, key) so candidate generation is an equi-shuffle, never a
-cross join.  Exact dedup is a single hash-aggregate.
+Scale notes: the banded LSH join groups by (band, key) so candidate
+generation is an equi-shuffle, never a cross join.  Exact dedup is a
+single hash-aggregate.
 """
 
 from __future__ import annotations
@@ -16,23 +21,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Fixed hash family: h_j(id) = (A + STEP_A*j)*id + (B + STEP_B*j) mod P.
-# Two pitfalls, both hit and fixed during development:
-# 1. P must be MUCH larger than the vocabulary — with a small modulus the
-#    min over a doc's token hashes concentrates near 0 and band keys
-#    collide for unrelated docs (LSH degenerates to an all-pairs join).
-# 2. A_j must be LARGER than P — otherwise A_j*id never wraps the
-#    modulus, h_j is order-preserving in id, every hash function picks
-#    the same argmin token, and the 8 "independent" signatures are one.
-# Products stay < 2^63 (A_j < 10^7, token ids < 10^6 → < 10^13), and all
-# arithmetic is done in int64 on both engines (explicit long casts on the
-# Spark side; DuckDB ints are 64-bit natively).
-MINHASH_P = 1_000_003
-A0, STEP_A, B0, STEP_B = 1_103_245, 999_983, 12_289, 271_829
+# Affine family over 60-bit md5-derived unit ids:
+#   h_j(v) = ((A + STEP_A*j) * (v mod P) + (B + STEP_B*j)) mod P
+# (≡ (A_j·v + B_j) mod P by modular arithmetic — the pre-reduction keeps
+# every product under 2^63: A_j < 9.2e9 for j ≤ 127 and v mod P < ~1e9,
+# so A_j·(v mod P) ≤ 9.2e18 < int64 max.  Both engines do this in int64.)
+# Two historical pitfalls, both hit and fixed during development, kept
+# documented because they constrain the constants:
+# 1. P must be MUCH larger than the distinct-unit count per doc family —
+#    with a small modulus the min over a doc's hashes concentrates near 0
+#    and band keys collide for unrelated docs (LSH → all-pairs).
+# 2. With ordered inputs the multiplier must wrap the modulus (A_j > P),
+#    else h_j is order-preserving and all hash functions pick the same
+#    argmin.  md5 pre-mixing makes this moot, but A_j > P is kept anyway.
+MINHASH_P = 1_000_000_007
+A0, STEP_A, B0, STEP_B = 1_200_000_011, 62_500_003, 12_289, 271_829
 
 
 def hash_params(j: int) -> tuple[int, int]:
     return A0 + STEP_A * j, B0 + STEP_B * j
+
+
+# 60-bit id: 15 hex digits of md5.  Positive, < 2^60, identical in both
+# engines (Spark: conv(hex,16,10); DuckDB: ('0x'||hex)::BIGINT).
+UNIT_ID_SQL = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def unit_id(token_col: str = "token") -> Column:
+    """Deterministic 60-bit integer id of a token string (md5-derived)."""
+    return F.conv(F.substring(F.md5(F.col(token_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
 
 
 def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,6 +64,11 @@ def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 
 def token_dictionary(tokens: DataFrame) -> DataFrame:
     """Dense 1-based token ids, ordered by token text (deterministic).
+
+    NOT on the signature path anymore — MinHash/SimHash hash tokens
+    directly via :func:`unit_id` (no global id-assignment step at all).
+    Kept for workloads that genuinely need DENSE ids (embedding row
+    indices, matrix factorization inputs).
 
     Ranking is the two-phase :func:`~..operators.distributed_rank`
     (range-repartition → per-partition rank → broadcast offsets), NOT a
@@ -61,62 +85,92 @@ def token_dictionary(tokens: DataFrame) -> DataFrame:
 
 
 def _minhash_aggs(num_hashes: int) -> list[Column]:
+    # All mins read the pre-reduced ``vmod`` column (token_id mod P,
+    # projected once) so the modulo isn't re-evaluated per hash function.
     aggs = []
     for j in range(num_hashes):
         a, b = hash_params(j)
         aggs.append(
             F.min(
-                (F.lit(a).cast("long") * F.col("token_id").cast("long") + F.lit(b))
-                % MINHASH_P
-            ).alias(
-                f"mh{j}"
-            )
+                (F.lit(a).cast("long") * F.col("vmod") + F.lit(b)) % MINHASH_P
+            ).alias(f"mh{j}")
         )
     return aggs
 
 
+def _units(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int | None
+) -> DataFrame:
+    """The (id, token) set a signature is computed over: char shingles
+    when ``shingle_n`` is given, whitespace word tokens otherwise."""
+    if shingle_n is not None:
+        return shingles(df, shingle_n, text_col, id_col)
+    return tokenize(df, text_col, id_col)
+
+
+def _with_unit_ids(toks: DataFrame, id_col: str) -> DataFrame:
+    return toks.select(
+        id_col, unit_id("token").alias("token_id")
+    ).withColumn("vmod", F.col("token_id") % MINHASH_P)
+
+
 def minhash_signatures(
     df: DataFrame,
-    num_hashes: int = 8,
+    num_hashes: int = 128,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: one min-aggregate per hash function
-    (single shuffle on doc id; map-side partial mins)."""
-    toks = tokenize(df, text_col, id_col)
-    with_ids = toks.join(token_dictionary(toks), "token")
+    """Per-doc MinHash signature: one min-aggregate per hash function.
+
+    Dictionary-free: tokens hash directly via md5, so the WHOLE job is
+    explode → one shuffle (the per-doc aggregate) — no vocabulary
+    distinct, no rank, no dictionary join."""
+    with_ids = _with_unit_ids(_units(df, text_col, id_col, shingle_n), id_col)
     return with_ids.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_profiles(
     df: DataFrame,
-    num_hashes: int = 8,
+    num_hashes: int = 128,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Signature *and* token-id set in ONE aggregation per doc.
 
-    The token-id set rides along as a sorted int array so the LSH verify
-    stage can compute exact Jaccard with a per-row ``array_intersect``
-    instead of re-tokenizing the corpus and shuffle-joining candidate
-    pairs against every (doc, token) row — the latter is quadratic in
-    duplicate-cluster size × tokens-per-doc and dominated the runtime."""
-    toks = tokenize(df, text_col, id_col)
-    with_ids = toks.join(token_dictionary(toks), "token")
-    return with_ids.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("token_id")).alias("tokset"),
-        F.count(F.lit(1)).alias("sz"),
-        *_minhash_aggs(num_hashes),
+    The token-id set rides along as a sorted long array so the LSH
+    verify stage can compute exact Jaccard with a per-row
+    ``array_intersect`` instead of re-tokenizing the corpus and
+    shuffle-joining candidate pairs against every (doc, token) row — the
+    latter is quadratic in duplicate-cluster size × tokens-per-doc and
+    dominated the runtime.  ``tokset`` holds the FULL 60-bit ids (not
+    the mod-P reduction), so set equality ≡ token-string equality up to
+    md5 truncation and the Jaccard is exact."""
+    with_ids = _with_unit_ids(_units(df, text_col, id_col, shingle_n), id_col)
+    return (
+        with_ids.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_set("token_id")).alias("tokset"),
+            *_minhash_aggs(num_hashes),
+        )
+        .withColumn("sz", F.size("tokset").cast("long"))
     )
 
 
 def minhash_band_pairs(
     signatures: DataFrame,
-    num_hashes: int = 8,
-    rows_per_band: int = 2,
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become candidate pairs.
+
+    Default 128 hashes in 16 bands of 8 rows — collision threshold
+    (1/16)^(1/8) ≈ 0.71 with a steep s-curve: ~95% recall at Jaccard
+    0.8 while pairs at the corpus-typical 0.2–0.35 collide at ~0.1%.
+    (Fewer/shorter bands admit quadratically many mid-similarity
+    candidates; 8-row bands are what keep the verify stage linear.)
 
     Bands are exploded to (band, key) rows and self-joined on the band
     key — an equi-join that shuffles on (band, key), linear in candidate
@@ -178,25 +232,26 @@ def profile_jaccard(profiles: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def simhash(
     df: DataFrame,
-    n_bits: int = 16,
+    n_bits: int = 48,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash fingerprint: weighted sign-sum of token-hash bits.
 
     Weight = token frequency in the doc.  bit_j(doc) = 1 iff
-    Σ_tokens w·(2·bit_j(h(token)) − 1) > 0, with h the arithmetic hash —
-    reproducible in plain SQL on both engines."""
+    Σ_tokens w·(2·bit_j(h(token)) − 1) > 0, with h the low ``n_bits``
+    of the md5-derived unit id — dictionary-free and reproducible in
+    plain SQL on both engines.  48 bits (not 16): banding for
+    hamming ≤ 3 needs 4 agreeing-band buckets, and 12-bit band keys
+    (4096 buckets) keep bucket occupancy — and therefore candidate
+    pairs — low; 4-bit keys would put ~1/16 of the corpus in every
+    bucket and regress toward all-pairs."""
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
     weighted = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w"))
-    dictionary = token_dictionary(weighted.select(id_col, "token"))
-    a, b = hash_params(0)
-    g = (F.lit(a).cast("long") * F.col("token_id").cast("long") + F.lit(b)) % F.lit(
-        1 << n_bits
-    )
-    with_bits = weighted.join(dictionary, "token").withColumn("g", g)
+    g = unit_id("token") % F.lit(1 << n_bits)
+    with_bits = weighted.withColumn("g", g)
     bit_sums = with_bits.groupBy(id_col).agg(
         *[
             F.sum(
@@ -215,7 +270,7 @@ def simhash(
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
-    n_bits: int = 16,
+    n_bits: int = 48,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -265,14 +320,38 @@ def simhash_pairs(
     )
 
 
-def char_ngrams(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams via sequence+transform (JVM-side)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
+def char_ngrams(text_col: str, n: int = 3) -> Column:
+    """Distinct character n-grams via sequence+transform (JVM-side).
+
+    Guarded for texts shorter than ``n``: Spark's ``sequence(1, 0)`` is a
+    DESCENDING sequence ``[1, 0]``, not empty, so without the guard a
+    short doc would produce garbage shingles (DuckDB's ``range(1, 0)``
+    is empty — the engines would diverge)."""
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n}))"
+    )
     return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {n - 1}), "
-            f"i -> substring({text_col}, i, {n}))"
+        F.when(F.length(F.col(text_col)) >= n, grams).otherwise(
+            F.array().cast("array<string>")
         )
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) pairs where the unit is a distinct character n-gram.
+
+    Character shingles (Broder's original MinHash unit) are the right
+    granularity for near-dup detection on natural-language corpora: the
+    shingle space is combinatorially larger than the word vocabulary, so
+    unrelated documents share few shingles even when they share most of
+    their WORDS.  (On this synthetic corpus the word vocabulary is 31
+    tokens and every doc uses ~27 of them — word-level Jaccard is ~0.77
+    between ALL pairs and word-level LSH degenerates to all-pairs.)"""
+    return df.select(
+        id_col, F.explode(char_ngrams(text_col, n)).alias("token")
     )
 
 

@@ -41,12 +41,17 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- L2 ----
 
 
-def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2, thresh: float = 0.8) -> str:
+def _minhash_oracle(
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    thresh: float = 0.8,
+    shingle_n: int = 5,
+) -> str:
     sig_cols = []
     for j in range(num_hashes):
         a, b = D.hash_params(j)
         sig_cols.append(
-            f"MIN(({a} * token_id + {b}) % {D.MINHASH_P}) AS mh{j}"
+            f"MIN(({a} * vmod + {b}) % {D.MINHASH_P}) AS mh{j}"
         )
     n_bands = num_hashes // rows_per_band
     band_selects = []
@@ -61,13 +66,16 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2, thresh: float =
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      SELECT DISTINCT doc_id,
+             unnest([substr(text, i, {shingle_n})
+                     for i in range(1, len(text) - {shingle_n - 2})]) AS token
+      FROM documents
     ),
-    vocab AS (
-      SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
-      FROM (SELECT DISTINCT token FROM toks)
+    tid AS (
+      SELECT doc_id,
+             {D.UNIT_ID_SQL.format(col="token")} % {D.MINHASH_P} AS vmod
+      FROM toks
     ),
-    tid AS (SELECT t.doc_id, v.token_id FROM toks t JOIN vocab v USING (token)),
     sigs AS (SELECT doc_id, {", ".join(sig_cols)} FROM tid GROUP BY doc_id),
     bands AS ({bands_sql}),
     cand AS (
@@ -94,8 +102,17 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2, thresh: float =
 
 @register("minhash_near_dup", oracle=_minhash_oracle(), tags=("L2",))
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash+LSH near-dedup — shingle→signature→band→bucket-join,
-    then exact Jaccard only on candidates (the verify stage).
+    """L2: MinHash+LSH near-dedup — char-5-gram shingle→signature→band→
+    bucket-join, then exact Jaccard only on candidates (the verify stage).
+
+    Unit is the character shingle, not the word token: the shingle space
+    is combinatorially large, so unrelated docs rarely collide (word
+    tokens degenerate on narrow vocabularies — see llm/dedup.shingles).
+    Banding is the textbook 128 permutations in 16 bands of 8 rows —
+    ~95% recall at Jaccard 0.8, ~0.1% collision rate for the
+    corpus-typical 0.2–0.35 pairs, so candidates stay ~linear in the
+    true-near-dup count.  Signatures are dictionary-free (md5 unit ids):
+    the whole profile job is one shuffle.
 
     At 100 TB: candidate generation is an equi-shuffle on (band, key);
     only candidate pairs pay the exact-Jaccard array intersect."""
@@ -103,17 +120,18 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Eager localCheckpoint: the profile subtree feeds banding AND both
     # sides of the verify join, and those consumers launch concurrently
     # (broadcast exchanges are eager) — an unmaterialized subtree would
-    # race and recompute tokenize+dict+agg 3x.  localCheckpoint both
+    # race and recompute shingle+dict+agg 3x.  localCheckpoint both
     # materializes eagerly and truncates lineage.  (On a real cluster,
     # point setCheckpointDir at durable storage and use .checkpoint() —
     # localCheckpoint blocks die with an executor.)
-    profiles = D.minhash_profiles(t.documents).localCheckpoint(eager=True)
+    profiles = D.minhash_profiles(t.documents, shingle_n=5).localCheckpoint(
+        eager=True
+    )
     pairs = D.minhash_band_pairs(profiles)
     return D.profile_jaccard(profiles, pairs).where(F.col("jaccard") >= 0.8)
 
 
-def _simhash_oracle(n_bits: int = 16, max_hamming: int = 3) -> str:
-    a, b = D.hash_params(0)
+def _simhash_oracle(n_bits: int = 48, max_hamming: int = 3) -> str:
     bit_sums = ", ".join(
         f"SUM(w * (((g >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(n_bits)
     )
@@ -127,13 +145,10 @@ def _simhash_oracle(n_bits: int = 16, max_hamming: int = 3) -> str:
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
       GROUP BY doc_id, token
     ),
-    vocab AS (
-      SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
-      FROM (SELECT DISTINCT token FROM w)
-    ),
     g AS (
-      SELECT w.doc_id, w.w, ({a} * v.token_id + {b}) % {1 << n_bits} AS g
-      FROM w JOIN vocab v USING (token)
+      SELECT doc_id, w,
+             {D.UNIT_ID_SQL.format(col="token")} % {1 << n_bits} AS g
+      FROM w
     ),
     bits AS (SELECT doc_id, {bit_sums} FROM g GROUP BY doc_id),
     sig AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
@@ -146,8 +161,11 @@ def _simhash_oracle(n_bits: int = 16, max_hamming: int = 3) -> str:
 
 @register("simhash_pairs", oracle=_simhash_oracle(), tags=("L2",))
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: SimHash near-dedup — weighted sign-sum fingerprint, pairs
-    within hamming ≤ 3 (prefix-blocked at scale)."""
+    """L2: SimHash near-dedup — 48-bit weighted sign-sum fingerprint
+    (dictionary-free md5 token hashing), pairs within hamming ≤ 3.
+    Pairing is bit-band blocked (4 bands × 12 bits, recall-lossless by
+    pigeonhole); 12-bit band keys keep bucket occupancy low so the
+    candidate join stays linear."""
     t = Catalog(spark, sf_dir)
     return D.simhash_pairs(t.documents).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")

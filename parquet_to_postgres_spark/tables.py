@@ -9,6 +9,8 @@ Catalyst a prunable, filter-pushable scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -16,10 +18,41 @@ from . import TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# A fact table smaller than this is dimension-sized: it will broadcast
+# in joins and finishes any aggregate in one task anyway — a spreading
+# shuffle would be pure overhead.
+_SPREAD_MIN_BYTES = 256 << 10
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Split compensation for under-partitioned scans.
+
+    The test fixtures are ONE parquet file with ONE row group per table,
+    so Spark's split planning yields a single input partition and every
+    downstream map stage runs on one core — regardless of cluster size.
+    A production 100 TB table is thousands of files/row groups and never
+    hits this; the repartition below is the local-scale analogue of the
+    split planning a real table layout provides, and it no-ops whenever
+    the scan already carries at least cluster parallelism.  Fact tables
+    only (see _SPREAD_MIN_BYTES): spreading a broadcast-sized dimension
+    is wasted shuffle.  Catalyst pushes filters and column pruning
+    through Repartition, so scan-level pushdown is unaffected."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size < _SPREAD_MIN_BYTES:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
         # reader rejects.  Read nanos as raw int64 (legacy conf), then
@@ -28,9 +61,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # value.  Truncation (not rounding) matches DuckDB's ns→µs cast,
         # keeping the oracle comparable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _spread(spark, df, path)
+    return _spread(spark, spark.read.parquet(path), path)
 
 
 class Catalog:
