@@ -132,13 +132,26 @@ class JdbcSink:
 
 @dataclass
 class ParquetSink:
-    """Default test sink: same pipeline, Parquet out (no DB needed)."""
+    """Default test sink: same pipeline, Parquet out (no DB needed).
+
+    ``partition_by`` writes a hive-layout table (``col=value/`` dirs).
+    That layout is the 100 TB read-side contract: a filter on a
+    partition column prunes whole directories at *planning* time, so a
+    one-day query over a years-long events table scans one directory
+    instead of the full table.  Choose low-cardinality, always-filtered
+    columns (date, source, language) — high-cardinality partitioning
+    makes millions of tiny files and kills the driver's split planning.
+    """
 
     path: str
     mode: str = "overwrite"
+    partition_by: tuple[str, ...] = ()
 
     def write(self, df: DataFrame) -> None:
-        df.write.mode(self.mode).parquet(self.path)
+        writer = df.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
 
 
 def read_source(

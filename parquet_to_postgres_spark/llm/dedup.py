@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import spread
+
 # Affine family over 60-bit md5-derived unit ids:
 #   h_j(v) = ((A + STEP_A*j) * (v mod P) + (B + STEP_B*j)) mod P
 # (≡ (A_j·v + B_j) mod P by modular arithmetic — the pre-reduction keeps
@@ -102,7 +104,14 @@ def _units(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int | None
 ) -> DataFrame:
     """The (id, token) set a signature is computed over: char shingles
-    when ``shingle_n`` is given, whitespace word tokens otherwise."""
+    when ``shingle_n`` is given, whitespace word tokens otherwise.
+
+    The input is :func:`~..tables.spread` first: shingle explosion plus
+    128 hash-mins per doc is compute-bound, so an under-partitioned scan
+    (the one-row-group test fixtures) would pin the whole signature job
+    on one core.  No-ops when the scan already has cluster parallelism
+    (any real multi-file table)."""
+    df = spread(df)
     if shingle_n is not None:
         return shingles(df, shingle_n, text_col, id_col)
     return tokenize(df, text_col, id_col)
@@ -246,7 +255,7 @@ def simhash(
     (4096 buckets) keep bucket occupancy — and therefore candidate
     pairs — low; 4-bit keys would put ~1/16 of the corpus in every
     bucket and regress toward all-pairs."""
-    toks = df.select(
+    toks = spread(df).select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
     weighted = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w"))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import spread
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Left-fold dot product of two float-array columns, in double."""
@@ -139,6 +141,9 @@ def cosine_self_join(
     pair (quadratic) — per-pair cost drops to a single dot product.  The
     division happens per pair, so the emitted doubles are identical to
     the naive per-pair cosine (same IEEE ops on the same values)."""
+    # Pair formation is compute-bound (a dot product per pair): spread an
+    # under-partitioned scan so the join work uses the whole cluster.
+    vectors = spread(vectors)
     cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -15,7 +15,7 @@ from ..llm import multimodal as M
 from ..llm import similarity as S
 from ..llm import text as X
 from ..llm import udfs as U
-from ..tables import Catalog
+from ..tables import Catalog, spread
 from . import register
 
 # ---------------------------------------------------------------- L1 ----
@@ -192,7 +192,9 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: character-3-gram Jaccard on consecutive doc pairs (linear
     pairing demonstrates the shingle metric without O(n²) pairs)."""
     t = Catalog(spark, sf_dir)
-    g = t.documents.select("doc_id", D.char_ngrams("text", 3).alias("grams"))
+    g = spread(t.documents).select(
+        "doc_id", D.char_ngrams("text", 3).alias("grams")
+    )
     a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     return a.join(b, F.col("id_b") == F.col("id_a") + 1).select(

@@ -9,8 +9,6 @@ Catalyst a prunable, filter-pushable scan.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,32 +16,28 @@ from . import TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# A fact table smaller than this is dimension-sized: it will broadcast
-# in joins and finishes any aggregate in one task anyway — a spreading
-# shuffle would be pure overhead.
-_SPREAD_MIN_BYTES = 256 << 10
 
-
-def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """Split compensation for under-partitioned scans.
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Split compensation for under-partitioned scans feeding
+    COMPUTE-BOUND stages — opt-in per operator, never automatic.
 
     The test fixtures are ONE parquet file with ONE row group per table,
-    so Spark's split planning yields a single input partition and every
-    downstream map stage runs on one core — regardless of cluster size.
-    A production 100 TB table is thousands of files/row groups and never
-    hits this; the repartition below is the local-scale analogue of the
-    split planning a real table layout provides, and it no-ops whenever
-    the scan already carries at least cluster parallelism.  Fact tables
-    only (see _SPREAD_MIN_BYTES): spreading a broadcast-sized dimension
-    is wasted shuffle.  Catalyst pushes filters and column pruning
-    through Repartition, so scan-level pushdown is unaffected."""
-    try:
-        size = os.path.getsize(path)
-    except OSError:
-        return df
-    if size < _SPREAD_MIN_BYTES:
-        return df
-    target = spark.sparkContext.defaultParallelism
+    so Spark's split planning yields a single input partition and any
+    heavy per-row map stage (shingling, signature aggregation, Arrow
+    decode) runs on one core regardless of cluster size.  A production
+    100 TB table is thousands of files/row groups and never hits this;
+    the repartition below is the local-scale analogue of the split
+    planning a real layout provides, and it no-ops whenever the scan
+    already carries at least cluster parallelism.
+
+    Deliberately NOT applied in :func:`load_table`: for scan-bound
+    queries (aggregate-after-filter, TakeOrdered top-k, set ops) a
+    blanket repartition is a full extra shuffle of the fact table — and
+    for Python-UDF stages it multiplies worker startup — which measured
+    1.5–19× slower across the registry.  Only operators whose per-row
+    compute dominates the scan call this."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -63,8 +57,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _spread(spark, df, path)
-    return _spread(spark, spark.read.parquet(path), path)
+        return df
+    return spark.read.parquet(path)
 
 
 class Catalog:

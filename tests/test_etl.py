@@ -128,6 +128,48 @@ def test_jdbc_sink_writer_config(spark):
     assert prepared.rdd.getNumPartitions() == 4
 
 
+def test_partitioned_parquet_sink_prunes(spark):
+    """Hive-layout sink: partition dirs exist and a partition-column
+    filter prunes to one directory at planning time (the 100 TB
+    read-side contract — PartitionFilters, not data filters)."""
+    import os
+
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        etl(
+            spark,
+            f"{SF_SMOKE}/orders.parquet",
+            ParquetSink(f"{d}/out", partition_by=("o_orderstatus",)),
+        )
+        dirs = {e for e in os.listdir(f"{d}/out") if e.startswith("o_orderstatus=")}
+        assert dirs == {
+            f"o_orderstatus={r[0]}"
+            for r in src.select("o_orderstatus").distinct().collect()
+        }
+        back = spark.read.parquet(f"{d}/out")
+        picked = back.where(F.col("o_orderstatus") == "F")
+        # planning-time pruning: the predicate lands in PartitionFilters
+        # (directory-level skip), not PushedFilters (row-group level)
+        plan = picked._jdf.queryExecution().executedPlan().toString()
+        part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "o_orderstatus" in part_filters and "= F" in part_filters
+        assert picked.count() == src.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_orc_source_roundtrip(spark):
+    """E4: ORC through the same generalized reader/ETL path."""
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        src.write.orc(f"{d}/orc")
+        back = read_source(spark, f"{d}/orc", "orc")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+        ddl = etl(spark, f"{d}/orc", ParquetSink(f"{d}/out"), source_format="orc")
+        assert "CREATE TABLE IF NOT EXISTS" in ddl
+        assert spark.read.parquet(f"{d}/out").count() == 25
+
+
 def test_csv_json_sources_roundtrip(spark):
     """E4: CSV and JSON sources with explicit schema round-trip nation."""
     src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
