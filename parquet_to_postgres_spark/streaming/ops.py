@@ -233,6 +233,62 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- stream-static ----
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table.
+
+    The static side is broadcast — no streaming state at all is kept for
+    this join (unlike stream-stream), and the stream side never
+    shuffles.  At 100 TB of stream this is the standard pattern for
+    attaching slowly-changing dimensions (customer, nation, model
+    metadata): the dim is re-read per micro-batch, so updates to it are
+    picked up on the next trigger without restarting the query."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+# ------------------------------------------------------- batch bridge ----
+
+
+def foreach_batch_writer(sink) -> "callable":
+    """Bridge a streaming query to any BATCH sink (``JdbcSink`` /
+    ``ParquetSink`` from :mod:`..etl`) via ``foreachBatch``.
+
+    This is how the reference's Postgres load (main.rs:120-151) runs
+    CONTINUOUSLY: each micro-batch goes through the same prepare/write
+    path as the batch ETL, so type mapping, nested-column JSON
+    serialization, and connection capping are shared, not re-implemented.
+    Idempotence at scale: key the write on ``batch_id`` (e.g. overwrite a
+    ``batch_id=`` partition, or stage + MERGE) so retried batches don't
+    double-insert — exactly-once end-to-end needs a transactional or
+    idempotent sink."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write(batch_df)
+
+    return _write
+
+
+def run_stream_to_sink(result: DataFrame, sink, checkpoint_dir: str) -> None:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    batch sink via foreachBatch, with a durable checkpoint."""
+    q = (
+        result.writeStream.foreachBatch(foreach_batch_writer(sink))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------------- stream-stream ----
 
 

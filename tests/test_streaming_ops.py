@@ -1,0 +1,61 @@
+"""Stream-static enrichment and the foreachBatch batch-sink bridge."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.etl import ParquetSink
+from parquet_to_postgres_spark.streaming import ops
+from parquet_to_postgres_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_enrich_with_dim_matches_batch_join(spark):
+    """Stream-static broadcast enrichment == the same join run in batch
+    (stateless: no watermark required, no streaming state)."""
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = ops.events_stream(spark, SF_SMOKE).select("event_id", "user_id")
+    enriched = ops.enrich_with_dim(stream, dim, on="user_id")
+    got = ops.run_stream_to_df(enriched, "append")
+
+    batch = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id"
+    ).join(dim, "user_id", "left")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # every event kept (left join), segments attached where the dim matches
+    assert got.count() == load_table(spark, SF_SMOKE, "events").count()
+    assert got.where(F.col("segment").isNotNull()).count() > 0
+
+
+def test_foreach_batch_parquet_sink_roundtrip(spark):
+    """foreachBatch bridges a stream into the batch ETL sink: the
+    written parquet equals the batch-filtered input. Sink mode must be
+    append — each micro-batch is one sink.write call."""
+    stream = ops.events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "purchase"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ops.run_stream_to_sink(
+            stream, ParquetSink(f"{d}/out", mode="append"), f"{d}/ckpt"
+        )
+        back = spark.read.parquet(f"{d}/out")
+        batch = load_table(spark, SF_SMOKE, "events").where(
+            F.col("event_type") == "purchase"
+        )
+        assert back.count() == batch.count()
+        assert sorted(back.columns) == sorted(batch.columns)
+        assert (
+            back.agg(F.sum(F.col("value").cast("decimal(12,2)"))).collect()[0][0]
+            == batch.agg(F.sum(F.col("value").cast("decimal(12,2)"))).collect()[0][0]
+        )
