@@ -89,6 +89,85 @@ def test_minhash_signature_is_set_function(spark):
     assert list(out.loc[1]["tokset"]) == list(out.loc[2]["tokset"])
 
 
+def _random_docs(spark, n, seed=23):
+    """Docs over a small word pool, with planted near-duplicates."""
+    rng = random.Random(seed)
+    pool = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(n):
+        words = rng.choices(pool, k=rng.randint(8, 20))
+        rows.append((i, " ".join(words)))
+        if i % 7 == 0:  # planted near-dup: one word appended
+            rows.append((i + 10_000, " ".join(words + [rng.choice(pool)])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_distributed_rank_equals_global_window(spark):
+    """The zipWithIndex-style two-phase rank must equal the
+    single-partition global window for any total order."""
+    from pyspark.sql import Window
+
+    from parquet_to_postgres_spark.operators import distributed_rank
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 50)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+    order = [F.col("v").desc(), F.col("id")]
+    fast = distributed_rank(df, order, rank_col="rnk", num_partitions=8)
+    naive = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert canon(fast.toPandas()) == canon(naive.toPandas())
+
+
+def test_simhash_pairs_blocked_equals_allpairs(spark):
+    """Bit-band blocked pairing must be recall-LOSSLESS vs the naive
+    all-pairs hamming filter (pigeonhole: hamming ≤ 3 over 4 bands
+    forces one exactly-equal band)."""
+    from parquet_to_postgres_spark.llm import dedup as D
+
+    docs = _random_docs(spark, 60)
+    fast = D.simhash_pairs(docs, max_hamming=3)
+    sig = D.simhash(docs)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    naive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    got, want = canon(fast.toPandas()), canon(naive.toPandas())
+    assert len(want) > 0, "fixture produced no close pairs — weak test"
+    assert got == want
+
+
+def test_minhash_band_pairs_equal_bruteforce_band_sharing(spark):
+    """LSH banding emits exactly the pairs sharing ≥ 1 band key."""
+    from parquet_to_postgres_spark.llm import dedup as D
+
+    docs = _random_docs(spark, 40, seed=31)
+    profiles = D.minhash_profiles(docs, num_hashes=16)
+    pairs = D.minhash_band_pairs(profiles, num_hashes=16, rows_per_band=4)
+    pdf = profiles.toPandas().set_index("doc_id")
+
+    # brute force: bands must match at the same band INDEX
+    def shares(i, j):
+        return any(
+            tuple(pdf.loc[i][f"mh{b * 4 + r}"] for r in range(4))
+            == tuple(pdf.loc[j][f"mh{b * 4 + r}"] for r in range(4))
+            for b in range(4)
+        )
+
+    ids = sorted(pdf.index)
+    want = sorted(
+        (i, j) for i in ids for j in ids if i < j and shares(i, j)
+    )
+    got = sorted(map(tuple, pairs.select("id_a", "id_b").collect()))
+    assert len(want) > 0, "fixture produced no banded pairs — weak test"
+    assert got == want
+
+
 def test_cosine_self_join_matches_naive_crossjoin(spark):
     from parquet_to_postgres_spark.llm.similarity import cosine, cosine_self_join
 
