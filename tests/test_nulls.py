@@ -108,3 +108,31 @@ def test_ddl_marks_nullability(spark):
     forced.fields[0].nullable = False
     ddl2 = schema_to_pg_ddl("t", forced)
     assert "a BIGINT NOT NULL" in ddl2
+
+
+def test_profile_columns_single_pass(spark):
+    """Profiler values match per-column exact queries (approx_distinct
+    within HLL error), and the whole profile is ONE aggregate job."""
+    from parquet_to_postgres_spark.operators import profile_columns
+    from .conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    n = df.count()
+    assert set(prof) == set(df.columns)
+    for name in df.columns:
+        row = prof[name]
+        assert row["n_rows"] == n
+        exact_nn = df.where(df[name].isNotNull()).count()
+        assert row["n_non_null"] == exact_nn
+        assert row["n_null"] == n - exact_nn
+        exact_d = df.select(name).distinct().count()
+        assert abs(row["approx_distinct"] - exact_d) <= max(3, 0.1 * exact_d)
+    ok = prof["o_orderkey"]
+    mn, mx = df.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    assert int(ok["min_value"]) == mn and int(ok["max_value"]) == mx
+    assert abs(ok["mean"] - df.agg(F.avg("o_orderkey")).collect()[0][0]) < 1e-9
+    # status is a string column: no mean
+    assert prof["o_orderstatus"]["mean"] is None
