@@ -154,6 +154,77 @@ class ParquetSink:
         writer.parquet(self.path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into files of
+    ~``target_file_bytes`` each; returns the file count written.
+
+    Streaming sinks and frequent incremental loads accumulate thousands
+    of tiny files; at 100 TB that breaks split planning (per-file open
+    cost dominates) and floods the driver with file metadata.  File
+    count is sized from the table's actual on-disk bytes; an optional
+    ``sort_within_by`` clusters rows inside each file so min/max
+    row-group statistics become selective (zone-map pruning) for reads
+    filtered on those columns."""
+    import math
+
+    df = spark.read.parquet(path)
+    # on-disk size via the Hadoop file index — no data scan
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        st.getLen()
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = df.repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*[F.col(c) for c in sort_within_by])
+    df.write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return len([f for f in out.inputFiles() if f.endswith(".parquet")])
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Keep-latest merge: rows from ``updates`` replace target rows with
+    the same key iff their ``version_col`` is newer; unmatched rows pass
+    through; ties prefer the update.
+
+    This is the CDC-apply / SCD-type-1 shape, expressed as one
+    union + one per-key reduction (max_by over every column at once) —
+    a single shuffle on the merge key, no join.  At scale, pair it with
+    a partitioned target (ParquetSink.partition_by) and rewrite only the
+    partitions the updates touch (read with a partition filter, merge,
+    overwrite those directories)."""
+    if target.columns != updates.columns:
+        raise ValueError(
+            f"schema mismatch: {target.columns} vs {updates.columns}"
+        )
+    payload = [c for c in target.columns if c not in keys]
+    # is_update breaks version ties in favor of the incoming row
+    tagged = target.withColumn("__upd", F.lit(0)).unionByName(
+        updates.withColumn("__upd", F.lit(1))
+    )
+    struct_cols = [version_col, "__upd", *[c for c in payload if c != version_col]]
+    picked = tagged.groupBy(*keys).agg(
+        F.max(F.struct(*struct_cols)).alias("__w")
+    )
+    return picked.select(
+        *keys, *[F.col(f"__w.{c}").alias(c) for c in payload]
+    ).select(*target.columns)
+
+
 def read_source(
     spark: SparkSession,
     path: str,

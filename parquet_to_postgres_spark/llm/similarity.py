@@ -312,6 +312,41 @@ def ann_topk_ivf(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame, vec_col: str = "embedding", q_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x| / 127,
+    element = round(x / scale) — 4× smaller storage/shuffle than float32.
+
+    At 100 TB of embeddings the vector column IS the table; int8 cuts
+    scan and shuffle bytes 4× while keeping cosine rank order nearly
+    intact (≤ ~0.4% per-element error).  The standard recipe: quantized
+    columns for the coarse/candidate stages (ANN bucketing, threshold
+    pre-filter), full-precision re-score only for the final
+    candidates — mirroring the IVF/LSH two-stage pattern above.
+    All JVM-side (transform / aggregate); a zero vector keeps scale 0
+    and quantizes to zeros."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (mx / F.lit(127.0)).alias("q_scale")
+    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / (mx / F.lit(127.0))).cast(
+                "tinyint"
+            ),
+        )
+    )
+    return vectors.withColumn("q_scale", scale).withColumn(q_col, q)
+
+
+def dequantize(q_col: str = "qvec", scale_col: str = "q_scale") -> Column:
+    """Reconstruct an approximate float vector from int8 + scale."""
+    return F.transform(
+        F.col(q_col), lambda x: (x.cast("double") * F.col(scale_col)).cast("float")
+    )
+
+
 # DuckDB SQL fragment mirroring dot()/cosine() — kept next to the Spark
 # implementation so the fold orders never drift apart.
 def sql_dot(a: str, b: str, dim: int = 64) -> str:

@@ -193,3 +193,45 @@ def test_cosine_self_join_matches_naive_crossjoin(spark):
         .where(F.col("score") >= 0.1)
     )
     assert canon(fast.toPandas()) == canon(naive.toPandas())
+
+
+def test_int8_quantization_bounds_and_cosine(spark):
+    """Quantize->dequantize error <= scale/2 per element; cosine on the
+    reconstructed vectors stays within 2% of full precision; int8 range
+    respected; zero vectors stay zero."""
+    from parquet_to_postgres_spark.llm.similarity import (
+        cosine,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    vecs = _random_vectors(spark, 50).union(
+        spark.createDataFrame(
+            [(999, [0.0] * 16)], "vec_id long, embedding array<float>"
+        )
+    )
+    q = quantize_embeddings(vecs)
+    rows = q.withColumn("deq", dequantize()).collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        tol = (r["q_scale"] or 0.0) / 2 + 1e-9
+        for orig, rec in zip(r["embedding"], r["deq"]):
+            assert abs(orig - rec) <= tol
+    zero = next(r for r in rows if r["vec_id"] == 999)
+    assert zero["q_scale"] == 0.0 and all(x == 0 for x in zero["qvec"])
+
+    pairs = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("full"),
+            cosine(
+                dequantize("a.qvec", "a.q_scale"),
+                dequantize("b.qvec", "b.q_scale"),
+            ).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(pairs) > 30
+    for r in pairs:
+        assert abs(r["full"] - r["approx"]) < 0.02

@@ -184,3 +184,58 @@ def test_csv_json_sources_roundtrip(spark):
         assert sorted(map(tuple, json_back.collect())) == sorted(
             map(tuple, src.collect())
         )
+
+
+def test_compact_parquet_reduces_file_count(spark):
+    """Many tiny files -> few right-sized files, identical data."""
+    from parquet_to_postgres_spark.etl import compact_parquet
+
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        src.repartition(40).write.parquet(f"{d}/tiny")
+        assert len(spark.read.parquet(f"{d}/tiny").inputFiles()) == 40
+        n = compact_parquet(
+            spark,
+            f"{d}/tiny",
+            f"{d}/compact",
+            target_file_bytes=10 << 20,
+            sort_within_by=["o_orderkey"],
+        )
+        assert n < 40
+        back = spark.read.parquet(f"{d}/compact")
+        assert back.count() == src.count()
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
+
+def test_merge_upsert_keep_latest(spark):
+    from pyspark.sql import Row
+
+    from parquet_to_postgres_spark.etl import merge_upsert
+
+    target = spark.createDataFrame(
+        [
+            Row(k=1, v="old", ver=1),
+            Row(k=2, v="keep", ver=5),
+            Row(k=3, v="old3", ver=2),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, v="new", ver=2),     # newer -> replaces
+            Row(k=2, v="stale", ver=3),   # older -> ignored
+            Row(k=3, v="tie", ver=2),     # tie -> update wins
+            Row(k=4, v="insert", ver=1),  # new key -> inserted
+        ]
+    )
+    got = {
+        r["k"]: (r["v"], r["ver"])
+        for r in merge_upsert(target, updates, keys=["k"], version_col="ver").collect()
+    }
+    assert got == {
+        1: ("new", 2),
+        2: ("keep", 5),
+        3: ("tie", 2),
+        4: ("insert", 1),
+    }
