@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the deterministic kernels.
+
+Each Spark expression that feeds a signature/oracle is checked against a
+plain-Python reference on generated inputs — the cross-engine analogue
+of the DuckDB twin, with shrinking.  Example counts are small: every
+example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# printable ASCII minus the delimiters the operators treat specially
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=0,
+    max_size=40,
+)
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_ngrams(s: str, n: int) -> list[str]:
+    if len(s) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(s) - n + 1):
+        g = s[i : i + n]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@PROP
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(2, 5))
+def test_char_ngrams_matches_python(spark, texts, n):
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.dedup import char_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select("doc_id", char_ngrams("text", n).alias("g")).collect()
+    }
+    assert got == {i: _py_ngrams(t, n) for i, t in enumerate(texts)}
+
+
+@PROP
+@given(st.lists(TEXT.filter(lambda s: s != ""), min_size=1, max_size=8, unique=True))
+def test_unit_id_matches_python_md5(spark, tokens):
+    from parquet_to_postgres_spark.llm.dedup import unit_id
+
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    got = {r["token"]: r["uid"] for r in df.select("token", unit_id().alias("uid")).collect()}
+    want = {
+        t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in tokens
+    }
+    assert got == want
+
+
+def _py_fingerprint(s: str, prefix: int = 64) -> int:
+    h = 0
+    for c in s[:prefix]:
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    return h
+
+
+@PROP
+@given(st.lists(TEXT.filter(lambda s: s != ""), min_size=1, max_size=8))
+def test_fingerprint_matches_python(spark, texts):
+    from parquet_to_postgres_spark.llm.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint().alias("fp")).collect()
+    }
+    assert got == {i: _py_fingerprint(t) for i, t in enumerate(texts)}
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_merge_upsert_matches_dict_reference(spark, base, upd):
+    """merge_upsert == the obvious dict fold (insert each target row,
+    then each update iff version >= current)."""
+    from parquet_to_postgres_spark.etl import merge_upsert
+
+    # one row per key on each side (dedup keep-max-version, like a real
+    # snapshot + a compacted changelog); payload breaks exact ties
+    def snapshot(rows):
+        best = {}
+        for k, ver, v in rows:
+            if k not in best or (ver, v) > (best[k][0], best[k][1]):
+                best[k] = (ver, v)
+        return best
+
+    t, u = snapshot(base), snapshot(upd)
+    want = dict(t)
+    for k, (ver, v) in u.items():
+        if k not in want or ver >= want[k][0]:
+            want[k] = (ver, v)
+
+    target = spark.createDataFrame(
+        [(k, ver, v) for k, (ver, v) in t.items()], "k long, ver long, v long"
+    )
+    updates = spark.createDataFrame(
+        [(k, ver, v) for k, (ver, v) in u.items()], "k long, ver long, v long"
+    )
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in merge_upsert(target, updates, keys=["k"], version_col="ver").collect()
+    }
+    assert got == want
