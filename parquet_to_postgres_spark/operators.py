@@ -102,6 +102,55 @@ def distributed_rank(
     )
 
 
+def z_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``len(cols)`` non-negative integer
+    columns, ``bits`` bits each — bit i of column j lands at position
+    ``i·ncols + j`` of the result.
+
+    Inputs must already be non-negative ints that fit in ``bits`` bits
+    (rank/scale continuous or signed columns first — e.g. ``ntile`` or a
+    min-max shift).  The interleave is a fixed chain of shift/mask adds:
+    pure JVM expressions, whole-stage-codegen friendly."""
+    n = len(cols)
+    assert n * bits <= 63, "z-value must fit a signed 64-bit integer"
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z
+
+
+def cluster_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cluster rows by the Z-order curve over ``cols`` so parquet
+    row-group min/max statistics become selective on EVERY listed column
+    at once.
+
+    A single-column sort gives perfect skipping on that column and none
+    on the others; the Z-curve trades a little per-column locality for
+    locality on all of them — the standard layout for fact tables
+    filtered on several independent dimensions (date × customer ×
+    region).  Rows land range-partitioned and sorted by z, so a
+    downstream ``.write.parquet`` emits files whose per-column zone maps
+    are tight; readers prune row groups via ordinary min/max stats with
+    no engine support needed."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with_z = df.withColumn("__z", z_value(cols, bits))
+    return (
+        with_z.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def profile_columns(df: DataFrame) -> DataFrame:
     """Single-pass column profiler: one row per column with row/null
     counts, approximate distinct count, min/max (as strings), and mean

@@ -64,3 +64,58 @@ def test_bucketed_join_has_no_shuffle(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert canon(joined.toPandas()) == canon(plain.toPandas())
+
+
+def test_z_value_matches_python_reference(spark):
+    import random
+
+    from parquet_to_postgres_spark.operators import z_value
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [r["z"] for r in df.select(z_value(["x", "y"]).alias("z")).collect()]
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(x, y) for x, y in rows]
+
+
+def test_cluster_zorder_tightens_zone_maps(spark):
+    """Z-clustered files must have tighter per-file min/max ranges on
+    BOTH dimensions than the unclustered layout (that is the point:
+    multi-column row-group skipping)."""
+    import random
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import cluster_zorder
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(1 << 12), rng.randrange(1 << 12)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def mean_file_span(path, col):
+        d = spark.read.parquet(path)
+        spans = (
+            d.groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in spans) / len(spans)
+
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(8).write.parquet(f"{d}/plain")
+        cluster_zorder(df, ["x", "y"], bits=12, num_partitions=8).write.parquet(
+            f"{d}/z"
+        )
+        assert spark.read.parquet(f"{d}/z").count() == len(rows)
+        for col in ("x", "y"):
+            assert mean_file_span(f"{d}/z", col) < 0.8 * mean_file_span(
+                f"{d}/plain", col
+            )
