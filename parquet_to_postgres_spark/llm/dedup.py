@@ -364,6 +364,98 @@ def shingles(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    ``(node, component)`` where component = min node id in the component.
+
+    Min-label propagation, fully declarative: each round every node
+    takes the min of its own label and its neighbors' labels; stop when
+    a round changes nothing.  Rounds needed = graph diameter — for
+    dedup graphs (LSH candidate pairs) components are duplicate
+    clusters: shallow and tiny, so 2–3 rounds in practice.  Each round
+    is one equi-join + one aggregate (both shuffle on node id and can
+    reuse the same partitioning); ``localCheckpoint`` truncates the
+    per-iteration lineage so the plan doesn't grow unboundedly.
+
+    At 100 TB: this is the textbook Kiveris et al. setting — if
+    components can be DEEP (general graphs, not dedup clusters), swap
+    the propagation loop for alternating large-star/small-star, which
+    converges in O(log n) rounds with the same join-aggregate shape.
+    The driver-side loop holds only per-round change COUNTS, never data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        proposed = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                F.col("component").alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = proposed.where(F.col("component") != F.col("prev")).count()
+        labels = proposed.drop("prev")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    shingle_n: int | None = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash+LSH pairs → connected components →
+    keep ONE representative (min id) per duplicate cluster.
+
+    Returns the deduplicated corpus (all original columns) — the actual
+    "dedup the training set" API, not just the pairwise report.  Docs
+    in no near-dup pair pass through without joining the component
+    computation at all (left-anti style via a left join on the kept /
+    dropped mapping, which is tiny relative to the corpus)."""
+    profiles = minhash_profiles(
+        df, num_hashes, text_col, id_col, shingle_n
+    ).localCheckpoint(eager=True)
+    pairs = minhash_band_pairs(profiles, num_hashes, rows_per_band, id_col)
+    dup_pairs = profile_jaccard(profiles, pairs).where(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(dup_pairs)
+    # drop every clustered doc that is not its component's min id
+    drops = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def exact_dedup(
     df: DataFrame, key: Column | str, id_col: str = "doc_id"
 ) -> DataFrame:

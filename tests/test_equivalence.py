@@ -235,3 +235,68 @@ def test_int8_quantization_bounds_and_cosine(spark):
     assert len(pairs) > 30
     for r in pairs:
         assert abs(r["full"] - r["approx"]) < 0.02
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation == a plain-Python union-find on random graphs
+    (including chains, which need several propagation rounds)."""
+    from parquet_to_postgres_spark.llm.dedup import connected_components
+
+    rng = random.Random(17)
+    nodes = list(range(60))
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        )
+        if a != b
+    ] + [(i, i + 1) for i in range(50, 58)]  # planted 9-node chain
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {n for e in edges for n in e}
+    want = {}
+    for n in touched:
+        want.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in want.values() for n in members}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").distinct()
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_near_dedup_corpus_keeps_one_per_cluster(spark):
+    """Planted near-dups collapse to their min-id representative;
+    unrelated docs survive."""
+    from parquet_to_postgres_spark.llm.dedup import near_dedup_corpus
+
+    rng = random.Random(41)
+    # distinctive long random texts; duplicates get a tiny suffix edit
+    def mktext():
+        return " ".join(
+            "".join(rng.choices("abcdefghijklmnop", k=8)) for _ in range(30)
+        )
+
+    rows = []
+    for i in range(10):
+        t = mktext()
+        rows.append((i, t))
+        if i < 3:  # plant two near-copies of docs 0..2 -> 3-doc clusters
+            rows.append((100 + i, t + " x"))
+            rows.append((200 + i, t + " y"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in near_dedup_corpus(df, threshold=0.8).collect()
+    )
+    assert kept == list(range(10))  # reps 0..2 kept, 100/200-series dropped
