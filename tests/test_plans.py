@@ -146,3 +146,29 @@ def test_declared_queries_deterministic(spark):
         a = canon(build(name, spark).toPandas())
         b = canon(build(name, spark).toPandas())
         assert a == b, f"{name} is nondeterministic across runs"
+
+
+def test_spread_noop_when_parallel_enough(spark):
+    """spread() must be a no-op (same DataFrame object) when the scan
+    already carries cluster parallelism — on a real multi-split table it
+    never fires."""
+    from parquet_to_postgres_spark.tables import spread
+
+    df = spark.range(1000).repartition(64)
+    assert spread(df) is df
+    small = spark.range(1000).coalesce(1)
+    assert spread(small).rdd.getNumPartitions() >= 8
+
+
+def test_filter_pushdown_survives_spread(spark):
+    """Catalyst pushes scan filters below the spread repartition — the
+    Exchange must not fence off PushedFilters."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.tables import load_table, spread
+
+    df = spread(load_table(spark, SF_SMOKE, "documents")).where(
+        F.col("lang") == "en"
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
