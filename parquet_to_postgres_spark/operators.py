@@ -198,6 +198,48 @@ def profile_columns(df: DataFrame) -> DataFrame:
     )
 
 
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo, hi, n)``.
+
+    If bounds are not supplied they are taken in a first cheap min/max
+    pass (columnar scan of one column; at 100 TB prefer passing known
+    bounds or reading them from :func:`profile_columns`).  The count
+    pass is a single map-side-combined aggregate over ``bins`` keys —
+    the shuffle moves at most ``bins × partitions`` partial rows, never
+    the data.  NULLs are excluded; the top edge is inclusive so the max
+    value lands in the last bin."""
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(v).alias("lo"), F.max(v).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate single-value column: one bin
+    width = (hi - lo) / bins
+    bin_idx = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        df.where(v.isNotNull() & (v >= lo) & (v <= hi))
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -136,3 +136,31 @@ def test_profile_columns_single_pass(spark):
     assert abs(ok["mean"] - df.agg(F.avg("o_orderkey")).collect()[0][0]) < 1e-9
     # status is a string column: no mean
     assert prof["o_orderstatus"]["mean"] is None
+
+
+def test_equi_width_histogram(spark):
+    """Bin counts == a Python reference; nulls excluded; max value lands
+    in the last bin; total preserved."""
+    import random
+
+    from parquet_to_postgres_spark.operators import equi_width_histogram
+
+    rng = random.Random(29)
+    vals = [round(rng.uniform(0, 100), 3) for _ in range(5000)] + [100.0]
+    rows = [(v,) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {
+        r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"])
+        for r in equi_width_histogram(df, "v", bins=10, lo=0.0, hi=100.0).collect()
+    }
+    want = [0] * 10
+    for v in vals:
+        want[min(int(v // 10), 9)] += 1
+    assert {b: n for b, (_, _, n) in got.items()} == {
+        b: n for b, n in enumerate(want) if n
+    }
+    assert sum(n for _, _, n in got.values()) == len(vals)
+    assert got[9][0] == 90.0 and got[9][1] == 100.0
+    # auto-bounds path agrees on totals
+    auto = equi_width_histogram(df, "v", bins=10)
+    assert sum(r["n"] for r in auto.collect()) == len(vals)
