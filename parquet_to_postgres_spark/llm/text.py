@@ -112,6 +112,65 @@ def fingerprint(text_col: str = "text", prefix: int = FINGERPRINT_PREFIX) -> Col
     )
 
 
+def tf_idf(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+):
+    """Per-(doc, term) TF-IDF: ``tf·(ln((N+1)/(df+1)) + 1)`` (smoothed
+    idf, sklearn-style), with tf = term count / doc length.
+
+    Shuffle budget: one explode→(doc, term) aggregate; doc lengths via a
+    window over the SAME key (no extra exchange); document frequency is
+    an aggregate down to one row per TERM (vocabulary-sized — tiny
+    relative to the corpus) joined back by term; the corpus doc count N
+    is a broadcast one-row cross join, never a driver-side action in
+    the plan.  With ``top_k``, keeps the k highest-scoring terms per doc
+    (rank window reuses the doc partitioning)."""
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    term_counts = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("n_term")
+    )
+    doc_w = Window.partitionBy(id_col)
+    with_tf = term_counts.withColumn(
+        "tf", F.col("n_term") / F.sum("n_term").over(doc_w)
+    )
+    docfreq = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        with_tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term")
+        )
+        scored = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top_k)
+            .drop("rnk")
+        )
+    return scored
+
+
 # ---- DuckDB SQL twins (kept adjacent so formulas never drift) ----------
 
 

@@ -134,3 +134,51 @@ def test_merge_upsert_matches_dict_reference(spark, base, upd):
         for r in merge_upsert(target, updates, keys=["k"], version_col="ver").collect()
     }
     assert got == want
+
+
+def test_tf_idf_matches_python_reference(spark):
+    """TF-IDF scores == a plain-Python computation (smoothed idf),
+    within float tolerance; top_k keeps the k best per doc."""
+    import math
+
+    from parquet_to_postgres_spark.llm.text import tf_idf
+
+    corpus = {
+        1: "a b b c",
+        2: "a a d",
+        3: "c c c e b",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    n = len(corpus)
+    docfreq = {}
+    for text in corpus.values():
+        for t in set(text.split()):
+            docfreq[t] = docfreq.get(t, 0) + 1
+    want = {}
+    for d, text in corpus.items():
+        toks = text.split()
+        for t in set(toks):
+            tf = toks.count(t) / len(toks)
+            want[(d, t)] = tf * (math.log((n + 1) / (docfreq[t] + 1)) + 1)
+
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tf_idf(df).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+    top1 = {
+        r["doc_id"]: r["term"] for r in tf_idf(df, top_k=1).collect()
+    }
+    ref_top1 = {}
+    for d in corpus:
+        best = max(
+            ((t, s) for (dd, t), s in want.items() if dd == d),
+            key=lambda kv: (kv[1], [chr(255 - ord(c)) for c in kv[0]]),
+        )
+        ref_top1[d] = best[0]
+    assert top1 == ref_top1
