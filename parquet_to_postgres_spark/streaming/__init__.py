@@ -8,8 +8,11 @@ late-drop demo) can be hash-checked against a DuckDB batch oracle.
 """
 
 from .ops import (
+    enrich_with_dim,
     events_stream,
+    foreach_batch_writer,
     run_stream_to_df,
+    run_stream_to_sink,
     session_windows,
     sliding_window_counts,
     stateful_user_totals,
@@ -20,8 +23,11 @@ from .ops import (
 )
 
 __all__ = [
+    "enrich_with_dim",
     "events_stream",
+    "foreach_batch_writer",
     "run_stream_to_df",
+    "run_stream_to_sink",
     "session_windows",
     "sliding_window_counts",
     "stateful_user_totals",
