@@ -239,3 +239,45 @@ def test_merge_upsert_keep_latest(spark):
         3: ("tie", 2),
         4: ("insert", 1),
     }
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark):
+    """The partitioned sink's layout composes with runtime join pruning:
+    a filtered dimension join against the hive-partitioned fact must
+    plan a dynamicpruning subquery on the partition column — at scale,
+    only the matching partition directories are scanned even though the
+    matching keys are unknown until runtime."""
+    conf = {
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10.0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            etl(
+                spark,
+                f"{SF_SMOKE}/orders.parquet",
+                ParquetSink(f"{d}/fact", partition_by=("o_orderstatus",)),
+            )
+            spark.createDataFrame(
+                [("F", "final"), ("O", "open"), ("P", "pending")],
+                "o_orderstatus string, label string",
+            ).write.parquet(f"{d}/dim")
+            fact = spark.read.parquet(f"{d}/fact")
+            dim = spark.read.parquet(f"{d}/dim").where(F.col("label") == "final")
+            joined = fact.join(dim, "o_orderstatus")
+            p = joined._jdf.queryExecution().executedPlan().toString()
+            assert "dynamicpruning" in p.lower()
+            src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+            assert (
+                joined.count()
+                == src.where(F.col("o_orderstatus") == "F").count()
+            )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
