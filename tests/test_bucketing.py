@@ -164,3 +164,70 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filter evidence: a selective dim filter injects a
+    bloom_filter_agg on the build side and a might_contain probe on the
+    fact scan side - shuffle-avoiding row pruning BEFORE the join, the
+    10-100x saver for selective fact-dim joins at 100 TB."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test-scale override: the default 10GB application-side floor
+        # assumes production scans; the plan SHAPE is what's pinned here
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p and "might_contain" in p
+        # pruning must not change the answer
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        assert j.count() == plain > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The production large-state backend (RocksDB provider) must return
+    exactly what the default in-memory/HDFS provider returns for the
+    stateful dedup - state that spills beyond executor heap at 100 TB
+    is a config swap, not a semantics change."""
+    from parquet_to_postgres_spark.streaming import ops
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    base = ops.run_stream_to_df(
+        ops.streaming_dedup_keys(ops.events_stream(spark, SF_SMOKE)), "append"
+    )
+    want = sorted(map(tuple, base.collect()))
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = ops.run_stream_to_df(
+            ops.streaming_dedup_keys(ops.events_stream(spark, SF_SMOKE)),
+            "append",
+        )
+        assert sorted(map(tuple, got.collect())) == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
