@@ -112,6 +112,37 @@ def fingerprint(text_col: str = "text", prefix: int = FINGERPRINT_PREFIX) -> Col
     )
 
 
+def pack_by_budget(
+    df,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+):
+    """Assign documents to token-budget packs (the context-window packing
+    shape of sequence-training pipelines): deterministic packing in
+    ``order_col`` order via the token-stream offset.
+
+    pack_id = floor((cumsum_inclusive − n_tokens) / budget) — a doc goes
+    in the pack its STARTING offset falls in.  Invariant: a pack minus
+    its LAST doc always fits the budget, i.e. packs overflow by less
+    than one document (the downstream consumer truncates or spills that
+    tail doc — the standard offset-packing contract).  What matters at
+    scale is that the whole assignment is ONE
+    :func:`~..operators.distributed_cumsum` (no single-partition window)
+    plus a projection, and is bit-reproducible across cluster sizes."""
+    from ..operators import distributed_cumsum
+
+    with_csum = distributed_cumsum(
+        df, [F.col(order_col)], token_col, out_col="__csum"
+    )
+    return with_csum.withColumn(
+        "pack_id",
+        F.floor((F.col("__csum") - F.col(token_col)) / F.lit(budget)).cast(
+            "long"
+        ),
+    ).drop("__csum")
+
+
 def tf_idf(
     df,
     text_col: str = "text",

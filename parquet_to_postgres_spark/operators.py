@@ -198,6 +198,58 @@ def profile_columns(df: DataFrame) -> DataFrame:
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over a total ``order`` without
+    a single-partition window — the prefix-sum generalization of
+    :func:`distributed_rank` (which is this with value ≡ 1).
+
+    range-repartition on the order keys → per-partition running sum
+    (parallel windows) → add each partition's cumulative total (one row
+    per partition, broadcast back).  INCLUSIVE semantics: row's own
+    value is counted, matching ``sum() OVER (ORDER BY …)`` with the
+    default frame."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__local",
+        F.sum(value_col).over(
+            Window.partitionBy("__pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def equi_width_histogram(
     df: DataFrame,
     value_col: str,

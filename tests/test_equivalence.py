@@ -300,3 +300,52 @@ def test_near_dedup_corpus_keeps_one_per_cluster(spark):
         r["doc_id"] for r in near_dedup_corpus(df, threshold=0.8).collect()
     )
     assert kept == list(range(10))  # reps 0..2 kept, 100/200-series dropped
+
+
+def test_distributed_cumsum_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    from parquet_to_postgres_spark.operators import distributed_cumsum
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(1, 500)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+    fast = distributed_cumsum(df, [F.col("id")], "v", num_partitions=8)
+    naive = df.withColumn(
+        "cumsum",
+        F.sum("v").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert canon(fast.toPandas()) == canon(naive.toPandas())
+
+
+def test_pack_by_budget_properties(spark):
+    """Invariant: a pack minus its last doc fits the budget (overflow is
+    bounded by one document); packing is contiguous in doc order; all
+    docs assigned; assignment matches a Python offset-fold."""
+    from parquet_to_postgres_spark.llm.text import pack_by_budget
+
+    rng = random.Random(37)
+    rows = [(i, rng.randint(50, 900)) for i in range(500)]
+    rows[100] = (100, 5000)  # oversized doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_by_budget(df, budget=2048).collect()
+    assert len(packed) == 500
+    # exact agreement with the offset-fold reference
+    off, want = 0, {}
+    for i, n in rows:
+        want[i] = off // 2048
+        off += n
+    assert {r["doc_id"]: r["pack_id"] for r in packed} == want
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, docs in by_pack.items():
+        docs.sort(key=lambda d: d["doc_id"])
+        total_wo_last = sum(d["n_tokens"] for d in docs[:-1])
+        assert total_wo_last <= 2048, (pid, total_wo_last)
+    # contiguity: doc order never interleaves packs
+    in_order = sorted(packed, key=lambda r: r["doc_id"])
+    pack_seq = [r["pack_id"] for r in in_order]
+    assert pack_seq == sorted(pack_seq)
