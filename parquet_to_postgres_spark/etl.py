@@ -225,6 +225,58 @@ def merge_upsert(
     ).select(*target.columns)
 
 
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a batch of timestamped
+    updates to a versioned history table; every change becomes a new
+    ``[valid_from, valid_to)`` interval, ``valid_to IS NULL`` = current.
+
+    ``history`` columns: keys + payload + valid_from + valid_to.
+    ``updates`` columns: keys + payload + ``ts_col``.
+
+    Plan shape (the point at scale): one key-partitioned window over the
+    UPDATES (chains same-key updates: each row's valid_to = next row's
+    ts), one aggregate of updates down to one min-ts row per key, one
+    key equi-join against history to close the affected open rows.
+    History rows never pass through a window; the already-closed tail —
+    the bulk of a years-old dimension — is untouched pass-through, so
+    pair this with a partitioned/bucketed history table and only the
+    open slice pays the join."""
+    from pyspark.sql import Window
+
+    payload = [
+        c for c in updates.columns if c not in keys and c != ts_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    new_versions = updates.select(
+        *keys,
+        *payload,
+        F.col(ts_col).alias(valid_from),
+        F.lead(ts_col).over(w).alias(valid_to),
+    )
+    first_update = updates.groupBy(*keys).agg(
+        F.min(ts_col).alias("__close_ts")
+    )
+    open_rows = history.where(F.col(valid_to).isNull())
+    closed_rows = history.where(F.col(valid_to).isNotNull())
+    newly_closed = (
+        open_rows.join(first_update, keys, "left")
+        .withColumn(
+            valid_to, F.coalesce(F.col("__close_ts"), F.col(valid_to))
+        )
+        .drop("__close_ts")
+    )
+    return closed_rows.unionByName(newly_closed).unionByName(
+        new_versions.select(*history.columns)
+    )
+
+
 def read_source(
     spark: SparkSession,
     path: str,

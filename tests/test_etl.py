@@ -281,3 +281,50 @@ def test_dynamic_partition_pruning_on_hive_layout(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_apply_versions_history(spark):
+    """Type-2 semantics: open rows close at the key's first update ts,
+    same-batch updates chain into adjacent intervals, untouched keys and
+    already-closed rows pass through; exactly one open row per key."""
+    from parquet_to_postgres_spark.etl import scd2_apply
+
+    history = spark.createDataFrame(
+        [
+            # k=1: one closed + one open version
+            (1, "v0", 0, 10),
+            (1, "v1", 10, None),
+            # k=2: open, untouched by this batch
+            (2, "w0", 5, None),
+        ],
+        "k long, val string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [(1, "v2", 20), (1, "v3", 30), (3, "x0", 7)],
+        "k long, val string, ts long",
+    )
+    out = scd2_apply(history, updates, keys=["k"], ts_col="ts")
+    rows = {
+        (r["k"], r["val"]): (r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "v0"): (0, 10),
+        (1, "v1"): (10, 20),   # closed by first update
+        (1, "v2"): (20, 30),   # chained within the batch
+        (1, "v3"): (30, None),
+        (2, "w0"): (5, None),  # untouched
+        (3, "x0"): (7, None),  # brand-new key
+    }
+    open_per_key = {}
+    for (k, _), (_, vt) in rows.items():
+        if vt is None:
+            open_per_key[k] = open_per_key.get(k, 0) + 1
+    assert all(n == 1 for n in open_per_key.values())
+    # intervals per key are non-overlapping and contiguous once sorted
+    for k in (1,):
+        iv = sorted(
+            (vf, vt) for (kk, _), (vf, vt) in rows.items() if kk == k
+        )
+        for (f1, t1), (f2, _) in zip(iv, iv[1:]):
+            assert t1 == f2
