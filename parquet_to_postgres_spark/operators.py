@@ -198,6 +198,43 @@ def profile_columns(df: DataFrame) -> DataFrame:
     )
 
 
+def collect_sequences(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    payload: list[str],
+    max_len: int | None = None,
+) -> DataFrame:
+    """Per-key ordered event sequences: ``(key, seq)`` where ``seq`` is
+    the key's rows as an array of structs sorted by ``order_col`` —
+    the sequence-construction shape of behavioral / session training
+    data.
+
+    ONE aggregation shuffle: rows are collected unordered (map-side
+    combined) and sorted per key AFTER collection with ``array_sort``
+    on the leading ``order_col`` struct field — cheaper than a
+    sort-within-partitions pre-pass and deterministic as long as
+    ``(order_col, payload...)`` tuples are unique per key (array_sort
+    compares struct fields left to right).  ``max_len`` keeps the LAST
+    n events (the recency window) via slice from the end; cap it so a
+    hot key's sequence bounds executor memory — an unbounded
+    collect_list on a 100 TB stream is the one genuine OOM hazard in
+    this family."""
+    struct_cols = F.struct(F.col(order_col), *[F.col(c) for c in payload])
+    agg = df.groupBy(key).agg(
+        F.array_sort(F.collect_list(struct_cols)).alias("seq")
+    )
+    if max_len is not None:
+        agg = agg.withColumn(
+            "seq",
+            F.when(
+                F.size("seq") > max_len,
+                F.slice("seq", -max_len, max_len),
+            ).otherwise(F.col("seq")),
+        )
+    return agg
+
+
 def distributed_cumsum(
     df: DataFrame,
     order: list[Column],

@@ -349,3 +349,31 @@ def test_pack_by_budget_properties(spark):
     in_order = sorted(packed, key=lambda r: r["doc_id"])
     pack_seq = [r["pack_id"] for r in in_order]
     assert pack_seq == sorted(pack_seq)
+
+
+def test_collect_sequences_ordered_and_capped(spark):
+    """Sequences are exactly the per-key rows in order; max_len keeps
+    the LAST (most recent) events."""
+    from parquet_to_postgres_spark.operators import collect_sequences
+
+    rng = random.Random(43)
+    rows = [
+        (u, t, f"e{u}_{t}")
+        for u in range(20)
+        for t in rng.sample(range(1000), rng.randint(1, 30))
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, ev string")
+    got = {
+        r["user"]: [(s["ts"], s["ev"]) for s in r["seq"]]
+        for r in collect_sequences(df, "user", "ts", ["ev"]).collect()
+    }
+    want = {}
+    for u, t, e in sorted(rows, key=lambda r: (r[0], r[1])):
+        want.setdefault(u, []).append((t, e))
+    assert got == want
+
+    capped = {
+        r["user"]: [(s["ts"], s["ev"]) for s in r["seq"]]
+        for r in collect_sequences(df, "user", "ts", ["ev"], max_len=5).collect()
+    }
+    assert capped == {u: seq[-5:] for u, seq in want.items()}
