@@ -1,0 +1,143 @@
+"""Declarative data-quality validation: expectation checks as plans.
+
+A pipeline gate, not a report: ``validate`` turns a rule list into the
+minimum number of Spark jobs — every row-local rule (not-null, range,
+set membership, regex) folds into ONE aggregate pass over the table;
+uniqueness is one groupBy; referential integrity is one anti-join per
+foreign key (broadcast when the dimension is small).  Output is one row
+per rule: ``(rule, n_violations, passed)``.
+
+The reference silently corrupts bad data (NULL slots read without
+checks, /root/reference/src/main.rs:157); this module is the opposite
+contract — violations are counted and surfaced before the write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named expectation.  ``predicate`` marks VIOLATING rows (row-local
+    rules fold into one aggregate); ``kind`` selects the plan shape."""
+
+    name: str
+    kind: str  # "rowwise" | "unique" | "foreign_key"
+    predicate: Column | None = None
+    cols: tuple[str, ...] = ()
+    dim: DataFrame | None = None
+    dim_cols: tuple[str, ...] = ()
+
+
+def not_null(*cols: str) -> list[Rule]:
+    return [
+        Rule(f"not_null({c})", "rowwise", F.col(c).isNull()) for c in cols
+    ]
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(
+        f"in_range({col},{lo},{hi})",
+        "rowwise",
+        F.col(col).isNotNull() & ~F.col(col).between(lo, hi),
+    )
+
+
+def in_set(col: str, values: tuple) -> Rule:
+    return Rule(
+        f"in_set({col})",
+        "rowwise",
+        F.col(col).isNotNull() & ~F.col(col).isin(*values),
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches({col})",
+        "rowwise",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(f"unique({','.join(cols)})", "unique", cols=cols)
+
+
+def foreign_key(cols: tuple[str, ...], dim: DataFrame, dim_cols: tuple[str, ...]) -> Rule:
+    return Rule(
+        f"foreign_key({','.join(cols)})",
+        "foreign_key",
+        cols=cols,
+        dim=dim,
+        dim_cols=dim_cols,
+    )
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Run every rule; returns ``(rule, n_violations, passed)``.
+
+    Row-local rules cost ONE shared aggregate pass regardless of rule
+    count; each unique/foreign-key rule adds its own (necessary)
+    shuffle.  Nothing is collected driver-side — the result is itself a
+    (tiny) DataFrame, so the gate composes into a pipeline
+    (``.where(~passed)`` → fail / quarantine)."""
+    spark = df.sparkSession
+    results: list[DataFrame] = []
+
+    rowwise = [r for r in rules if r.kind == "rowwise"]
+    if rowwise:
+        aggs = [
+            F.count(F.when(r.predicate, 1)).alias(str(i))
+            for i, r in enumerate(rowwise)
+        ]
+        wide = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{r.name.replace(chr(39), '')}', `{i}`"
+            for i, r in enumerate(rowwise)
+        )
+        results.append(
+            wide.selectExpr(
+                f"stack({len(rowwise)}, {stack}) as (rule, n_violations)"
+            )
+        )
+
+    for r in rules:
+        if r.kind == "unique":
+            dupes = (
+                df.groupBy(*r.cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias(
+                        "n_violations"
+                    )
+                )
+                .select(F.lit(r.name).alias("rule"), "n_violations")
+            )
+            results.append(dupes)
+        elif r.kind == "foreign_key":
+            dim = r.dim.select(
+                *[F.col(d).alias(c) for c, d in zip(r.cols, r.dim_cols)]
+            ).distinct()
+            # SQL FK semantics: a row with any NULL key column is not a
+            # violation — only fully-keyed rows must resolve in the dim
+            all_keyed = F.lit(True)
+            for c in r.cols:
+                all_keyed = all_keyed & F.col(c).isNotNull()
+            orphans = (
+                df.select(*r.cols)
+                .where(all_keyed)
+                .join(F.broadcast(dim), list(r.cols), "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+                .select(F.lit(r.name).alias("rule"), "n_violations")
+            )
+            results.append(orphans)
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)
