@@ -198,6 +198,82 @@ def profile_columns(df: DataFrame) -> DataFrame:
     )
 
 
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep a row iff the Knuth
+    multiplicative hash of its stable id lands under ``fraction`` —
+    NOT an RNG sample.  The same rows are selected on every run, every
+    engine, and every cluster size, which is what auditable training
+    splits need; ``df.sample()`` is none of those.
+
+    ``salt`` decorrelates successive samples (validation vs test split)
+    over the same ids.  The id is reduced mod 2^31 before the multiply
+    so the product never wraps int64 (a raw 64-bit id would silently
+    wrap in non-ANSI Spark while other engines error)."""
+    bucket = (
+        (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    return df.where(bucket < F.lit(int(fraction * 4294967296)))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep fractions (the
+    training-mix recipe — e.g. downsample web text, keep all code).
+    Same hash as :func:`hash_sample`, threshold chosen per stratum via a
+    literal CASE chain — scan-level predicate, no join, no shuffle."""
+    bucket = (
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    threshold = F.lit(int(default_fraction * 4294967296))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * 4294967296))
+        ).otherwise(threshold)
+    return df.where(bucket < threshold)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): assign each row a
+    ``session_id`` that increments whenever the key is silent longer
+    than ``gap_seconds`` — the batch twin of streaming
+    ``session_window``.
+
+    Two stacked windows over the SAME key partitioning (lag to flag
+    session starts, running sum to number them) — one shuffle total,
+    parallel across keys; no global window anywhere.  ``session_id`` is
+    deterministic: (key, ordinal of the session within the key)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col))
+    gap = (
+        F.col(ts_col).cast("long")
+        - F.lag(F.col(ts_col).cast("long")).over(w)
+    )
+    is_new = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+
+
 def collect_sequences(
     df: DataFrame,
     key: str,

@@ -377,3 +377,58 @@ def test_collect_sequences_ordered_and_capped(spark):
         for r in collect_sequences(df, "user", "ts", ["ev"], max_len=5).collect()
     }
     assert capped == {u: seq[-5:] for u, seq in want.items()}
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from parquet_to_postgres_spark.operators import hash_sample, hash_sample_by
+
+    df = spark.range(100_000).withColumn(
+        "stratum", (F.col("id") % 3).cast("int")
+    )
+    a = sorted(r["id"] for r in hash_sample(df, "id", 0.1).collect())
+    b = sorted(r["id"] for r in hash_sample(df, "id", 0.1).collect())
+    assert a == b and abs(len(a) - 10_000) < 600
+    # salt decorrelates: overlap of two 10% samples ~ 1%, not 10%
+    c = set(r["id"] for r in hash_sample(df, "id", 0.1, salt=7).collect())
+    assert len(set(a) & c) < 3_000
+    # nested fractions: the 5% sample is a subset of the 10% sample
+    d = set(r["id"] for r in hash_sample(df, "id", 0.05).collect())
+    assert d <= set(a)
+
+    strat = hash_sample_by(
+        df, "id", "stratum", {0: 0.2, 1: 0.02}, default_fraction=0.0
+    )
+    by = {
+        r["stratum"]: r["n"]
+        for r in strat.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(by.get(0, 0) - 6_667) < 700
+    assert abs(by.get(1, 0) - 667) < 250
+    assert 2 not in by  # default 0.0 drops the unlisted stratum
+
+
+def test_sessionize_matches_python_fold(spark):
+    from parquet_to_postgres_spark.operators import sessionize
+
+    rng = random.Random(51)
+    rows = []
+    for u in range(15):
+        t = 0
+        for _ in range(rng.randint(2, 40)):
+            t += rng.choice([10, 100, 2000])  # gaps straddle the threshold
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user long, ts long")
+    got = {
+        (r["user"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "user", "ts", gap_seconds=1000).collect()
+    }
+    want = {}
+    by_user = {}
+    for u, t in sorted(rows):
+        prev = by_user.get(u)
+        sid = 1 if prev is None else (
+            want[(u, prev)] + (1 if t - prev > 1000 else 0)
+        )
+        want[(u, t)] = sid
+        by_user[u] = t
+    assert got == want
