@@ -32,3 +32,16 @@ def test_entry_smoke(spark):
     out = e.entry(spark)
     assert out.count() > 0
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+def test_driver_order_registry_consistency():
+    """The driver observes at most 50 queries in DRIVER_ORDER order —
+    the order list and the registry must agree exactly (a typo here
+    silently drops a query from the correctness gate)."""
+    from parquet_to_postgres_spark.queries import DRIVER_ORDER
+
+    assert len(DRIVER_ORDER) == 50
+    assert len(set(DRIVER_ORDER)) == 50
+    assert set(DRIVER_ORDER) == set(SPECS)
+    # every query has an oracle (zero rows-only in the declared set)
+    assert all(SPECS[n].oracle is not None for n in DRIVER_ORDER)
