@@ -160,6 +160,7 @@ def compact_parquet(
     out_path: str,
     target_file_bytes: int = 128 << 20,
     sort_within_by: list[str] | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Small-files compaction: rewrite a parquet table into files of
     ~``target_file_bytes`` each; returns the file count written.
@@ -167,26 +168,42 @@ def compact_parquet(
     Streaming sinks and frequent incremental loads accumulate thousands
     of tiny files; at 100 TB that breaks split planning (per-file open
     cost dominates) and floods the driver with file metadata.  File
-    count is sized from the table's actual on-disk bytes; an optional
-    ``sort_within_by`` clusters rows inside each file so min/max
-    row-group statistics become selective (zone-map pruning) for reads
-    filtered on those columns."""
+    count is sized from the table's actual on-disk bytes via a
+    RECURSIVE listing (hive-partitioned layouts nest files under
+    ``col=value/`` dirs); an optional ``sort_within_by`` clusters rows
+    inside each file so min/max row-group statistics become selective
+    (zone-map pruning) for reads filtered on those columns.
+
+    ``partition_by`` preserves (or introduces) a hive partition layout
+    on the rewrite — pass the table's partition columns when compacting
+    a partitioned table, otherwise the layout is flattened.  The
+    repartition then clusters on the partition columns so each output
+    task writes whole partitions instead of a file per (task,
+    partition) pair."""
     import math
 
     df = spark.read.parquet(path)
-    # on-disk size via the Hadoop file index — no data scan
+    # on-disk size via the Hadoop file index — no data scan.  listFiles
+    # is recursive: partitioned tables keep files in nested directories.
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = sum(
-        st.getLen()
-        for st in fs.listStatus(jpath)
-        if st.getPath().getName().endswith(".parquet")
-    )
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = df.repartition(n_files)
+    if partition_by:
+        df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        df = df.repartition(n_files)
     if sort_within_by:
         df = df.sortWithinPartitions(*[F.col(c) for c in sort_within_by])
-    df.write.mode("overwrite").parquet(out_path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
     out = spark.read.parquet(out_path)
     return len([f for f in out.inputFiles() if f.endswith(".parquet")])
 

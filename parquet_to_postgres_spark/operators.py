@@ -257,14 +257,17 @@ def sessionize(
     Two stacked windows over the SAME key partitioning (lag to flag
     session starts, running sum to number them) — one shuffle total,
     parallel across keys; no global window anywhere.  ``session_id`` is
-    deterministic: (key, ordinal of the session within the key)."""
+    deterministic: (key, ordinal of the session within the key).
+
+    Gaps are measured in MICROSECONDS (``unix_micros``), not truncated
+    whole seconds: ts 1.9s and 3.1s are a 1.2s gap, not 2s — matching
+    the streaming ``session_window`` twin at sub-second resolution."""
     w = Window.partitionBy(key).orderBy(F.col(ts_col))
-    gap = (
-        F.col(ts_col).cast("long")
-        - F.lag(F.col(ts_col).cast("long")).over(w)
-    )
+    # cast covers both real timestamps and epoch-seconds integer columns
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     is_new = F.when(
-        gap.isNull() | (gap > gap_seconds), F.lit(1)
+        gap.isNull() | (gap > int(gap_seconds * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",
@@ -378,12 +381,17 @@ def equi_width_histogram(
     pass is a single map-side-combined aggregate over ``bins`` keys —
     the shuffle moves at most ``bins × partitions`` partial rows, never
     the data.  NULLs are excluded; the top edge is inclusive so the max
-    value lands in the last bin."""
+    value lands in the last bin.  An empty (or all-NULL) input with no
+    explicit bounds returns an empty histogram rather than crashing."""
     v = F.col(value_col).cast("double")
     if lo is None or hi is None:
         row = df.agg(
             F.min(v).alias("lo"), F.max(v).alias("hi")
         ).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            return df.sparkSession.createDataFrame(
+                [], "bin int, bin_lo double, bin_hi double, n long"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:

@@ -84,8 +84,14 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     count; each unique/foreign-key rule adds its own (necessary)
     shuffle.  Nothing is collected driver-side — the result is itself a
     (tiny) DataFrame, so the gate composes into a pipeline
-    (``.where(~passed)`` → fail / quarantine)."""
+    (``.where(~passed)`` → fail / quarantine).  An empty rule list (a
+    real case for config-generated gates) returns an empty result frame
+    rather than crashing."""
     spark = df.sparkSession
+    if not rules:
+        return spark.createDataFrame(
+            [], "rule string, n_violations long, passed boolean"
+        )
     results: list[DataFrame] = []
 
     rowwise = [r for r in rules if r.kind == "rowwise"]

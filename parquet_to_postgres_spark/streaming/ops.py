@@ -268,7 +268,18 @@ def foreach_batch_writer(sink) -> "callable":
     Idempotence at scale: key the write on ``batch_id`` (e.g. overwrite a
     ``batch_id=`` partition, or stage + MERGE) so retried batches don't
     double-insert — exactly-once end-to-end needs a transactional or
-    idempotent sink."""
+    idempotent sink.
+
+    Overwrite-mode sinks are REJECTED: availableNow can split the input
+    into several micro-batches (maxFilesPerTrigger), and each foreachBatch
+    call would silently overwrite the previous one, keeping only the last
+    batch.  Use an append-mode sink, or partition the write by batch_id."""
+    if getattr(sink, "mode", None) == "overwrite":
+        raise ValueError(
+            "foreachBatch sink must not use mode='overwrite': a multi-batch "
+            "stream would keep only the LAST micro-batch. Use mode='append' "
+            "(or key the write on batch_id)."
+        )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         sink.write(batch_df)

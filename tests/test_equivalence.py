@@ -432,3 +432,23 @@ def test_sessionize_matches_python_fold(spark):
         want[(u, t)] = sid
         by_user[u] = t
     assert got == want
+
+
+def test_sessionize_subsecond_gaps(spark):
+    """Gaps are measured at microsecond resolution: 1.9s -> 3.1s is a
+    1.2s gap (one session at gap=1.5s), not a truncated 2s split."""
+    from datetime import datetime, timezone
+
+    from parquet_to_postgres_spark.operators import sessionize
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(1, ts(1.9)), (1, ts(3.1)), (1, ts(5.0))]
+    df = spark.createDataFrame(rows, "user long, ts timestamp")
+    got = sorted(
+        (r["ts"], r["session_id"])
+        for r in sessionize(df, "user", "ts", gap_seconds=1.5).collect()
+    )
+    # 1.9 -> 3.1 gap = 1.2s  (same session);  3.1 -> 5.0 gap = 1.9s (new)
+    assert [sid for _, sid in got] == [1, 1, 2]

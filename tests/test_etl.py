@@ -328,3 +328,31 @@ def test_scd2_apply_versions_history(spark):
         )
         for (f1, t1), (f2, _) in zip(iv, iv[1:]):
             assert t1 == f2
+
+
+def test_compact_parquet_partitioned_layout(spark):
+    """Recursive listing sizes a hive-partitioned table correctly and
+    partition_by preserves the layout on rewrite (a non-recursive
+    listing saw 0 bytes and collapsed the table to one flat file)."""
+    from parquet_to_postgres_spark.etl import ParquetSink, compact_parquet
+
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        ParquetSink(f"{d}/part", partition_by=("o_orderstatus",)).write(
+            src.repartition(8)
+        )
+        n = compact_parquet(
+            spark,
+            f"{d}/part",
+            f"{d}/compact",
+            target_file_bytes=64 << 10,
+            partition_by=("o_orderstatus",),
+        )
+        assert n > 1  # recursive listing saw real bytes, not 0 -> 1 file
+        back = spark.read.parquet(f"{d}/compact")
+        # hive layout preserved: partition dirs exist and data is intact
+        assert any("o_orderstatus=" in f for f in back.inputFiles())
+        assert back.count() == src.count()
+        assert sorted(
+            map(tuple, back.select(*sorted(back.columns)).collect())
+        ) == sorted(map(tuple, src.select(*sorted(back.columns)).collect()))

@@ -164,3 +164,16 @@ def test_equi_width_histogram(spark):
     # auto-bounds path agrees on totals
     auto = equi_width_histogram(df, "v", bins=10)
     assert sum(r["n"] for r in auto.collect()) == len(vals)
+
+
+def test_equi_width_histogram_empty_and_all_null(spark):
+    """Auto-bounds on empty / all-NULL input returns an empty histogram
+    (not a float(None) crash)."""
+    from parquet_to_postgres_spark.operators import equi_width_histogram
+
+    empty = spark.createDataFrame([], "v double")
+    out = equi_width_histogram(empty, "v", bins=5)
+    assert out.columns == ["bin", "bin_lo", "bin_hi", "n"]
+    assert out.count() == 0
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    assert equi_width_histogram(all_null, "v", bins=5).count() == 0

@@ -88,3 +88,12 @@ def test_validate_rowwise_rules_share_one_pass(spark):
     res = validate(df, rules)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 4  # partial+final, one agg pair (+generate)
+
+
+def test_validate_empty_rules_returns_empty_frame(spark):
+    """Config-driven gates may generate zero rules; that's an empty
+    result, not an IndexError."""
+    df = _dirty(spark)
+    out = validate(df, [])
+    assert out.columns == ["rule", "n_violations", "passed"]
+    assert out.count() == 0

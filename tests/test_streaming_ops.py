@@ -59,3 +59,12 @@ def test_foreach_batch_parquet_sink_roundtrip(spark):
             back.agg(F.sum(F.col("value").cast("decimal(12,2)"))).collect()[0][0]
             == batch.agg(F.sum(F.col("value").cast("decimal(12,2)"))).collect()[0][0]
         )
+
+
+def test_foreach_batch_rejects_overwrite_sink(spark):
+    """An overwrite-mode sink under foreachBatch would keep only the
+    last micro-batch — rejected loudly instead of losing data."""
+    import pytest
+
+    with pytest.raises(ValueError, match="overwrite"):
+        ops.foreach_batch_writer(ParquetSink("/tmp/nope", mode="overwrite"))
