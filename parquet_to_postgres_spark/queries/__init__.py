@@ -54,8 +54,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "select_filter_case",
     "scalar_functions",
     "array_functions",
-    "map_functions",
-    "json_functions",
+    "semi_structured_functions",
     "daily_counts_gapfill",
     "exact_stats",
     "cube_orders",
@@ -65,8 +64,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "approx_sketches",
     "join_full_outer",
     "join_semi_anti",
-    "join_broadcast_dims",
-    "join_cross",
+    "join_dims_grid",
     "join_range_binned",
     "join_asof",
     "join_star_revenue",
@@ -75,30 +73,32 @@ DRIVER_ORDER: tuple[str, ...] = (
     "global_sort_rank",
     "top_k_global",
     "set_operations",
+    "sessionize_events",
+    "pack_token_budget",
+    "scd2_history",
     "multi_source_agg",
     "etl_roundtrip_agg",
+    "etl_jdbc_roundtrip",
     "dedup_exact_text",
     "text_metrics",
     "term_frequency_top",
+    "tf_idf_top",
     "stratified_sample",
     "training_data_prep",
-    "doc_embedding_join",
-    "label_centroids",
+    "embedding_profile",
     "cosine_topk",
     "cosine_threshold_join",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_topk",
     "udf_surface",
-    "ngram_jaccard_adjacent",
-    "simhash_pairs",
-    "stream_tumbling_daily",
-    "stream_sliding_12h",
+    "textsim_pairs",
+    "stream_windowed_aggs",
     "stream_session_windows",
     "stream_watermark_hourly",
     "stream_dedup_keys",
     "stream_user_totals",
     "stream_stream_join",
     "minhash_near_dup",
+    "near_dedup_corpus",
     "multimodal_stub_decode",
 )
 

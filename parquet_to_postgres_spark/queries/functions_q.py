@@ -178,23 +178,29 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "map_functions",
+    "semi_structured_functions",
     oracle="""
     SELECT event_id,
            map {'type': event_type}['type'][1] AS type_back,
            array_to_string(map_keys(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mkeys,
            array_to_string(map_values(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mvals,
-           cardinality(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS msize
+           cardinality(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS msize,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.k') AS k_str,
+           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS packed
     FROM events
     """,
-    tags=("F5",),
+    tags=("F5", "F6"),
 )
-def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: map family derived from events (maps built with literal key
-    order so key/value arrays align across engines).  Key/value arrays
-    are serialized to comma-joined strings — the correctness gate cannot
-    hash collection cells, and literal key order keeps the string
-    canonical."""
+def semi_structured_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6: the semi-structured families (map + JSON) in one declared
+    query over a single events scan.
+
+    Maps are built with literal key order so key/value arrays align
+    across engines, and serialized to comma-joined strings — the
+    correctness gate cannot hash collection cells, and literal key order
+    keeps the string canonical.  JSON stays a string column and is
+    parsed on demand (at scale this avoids a schema-inference pass)."""
     t = Catalog(spark, sf_dir)
     m2 = F.create_map(
         F.lit("type"),
@@ -204,32 +210,14 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.events.select(
         "event_id",
+        # F5: map family
         F.element_at(F.create_map(F.lit("type"), F.col("event_type")), "type").alias(
             "type_back"
         ),
         F.concat_ws(",", F.map_keys(m2)).alias("mkeys"),
         F.concat_ws(",", F.map_values(m2)).alias("mvals"),
         F.size(m2).cast("long").alias("msize"),
-    )
-
-
-@register(
-    "json_functions",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           json_extract_string(props, '$.k') AS k_str,
-           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS packed
-    FROM events
-    """,
-    tags=("F6",),
-)
-def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: JSON family over events.props (JSON stays a string column and
-    is parsed on demand — at scale this avoids a schema-inference pass)."""
-    t = Catalog(spark, sf_dir)
-    return t.events.select(
-        "event_id",
+        # F6: JSON family
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
         F.get_json_object("props", "$.k").alias("k_str"),
         F.to_json(F.struct("event_id", "event_type")).alias("packed"),

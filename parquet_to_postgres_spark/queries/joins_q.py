@@ -77,42 +77,43 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_broadcast_dims",
+    "join_dims_grid",
     oracle="""
-    SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_customers
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY n.n_name, r.r_name
-    """,
-    tags=("J4",),
-)
-def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: explicit broadcast of dimension tables — zero shuffle for the
-    join itself at any scale (only the final agg shuffles)."""
-    t = Catalog(spark, sf_dir)
-    return (
-        t.customer.join(
-            broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
-        )
-        .join(broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@register(
-    "join_cross",
-    oracle="""
-    SELECT r.r_name, n.n_name
+    SELECT r.r_name AS region, n.n_name AS nation, cnt.n_customers
     FROM region r CROSS JOIN nation n
+    LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ) cnt ON cnt.c_nationkey = n.n_nationkey
+         AND n.n_regionkey = r.r_regionkey
     """,
-    tags=("J5",),
+    tags=("J4", "J5"),
 )
-def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: cross join (dimension × dimension only — never facts)."""
+def join_dims_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J5: full dimension grid (cross join — dimension × dimension
+    only, never facts) with broadcast-joined fact counts.
+
+    The fact table aggregates FIRST (per nation key — one map-side-
+    combined shuffle), then the tiny result broadcasts onto the
+    region×nation grid: zero shuffle for either join at any scale.
+    Grid cells whose nation does not belong to the row's region keep a
+    NULL count — the cross join is observable, not just an input to an
+    inner join."""
     t = Catalog(spark, sf_dir)
-    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+    counts = t.customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    grid = t.region.crossJoin(broadcast(t.nation))
+    return grid.join(
+        broadcast(counts),
+        (F.col("c_nationkey") == F.col("n_nationkey"))
+        & (F.col("n_regionkey") == F.col("r_regionkey")),
+        "left",
+    ).select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "n_customers",
+    )
 
 
 @register(

@@ -159,52 +159,61 @@ def _simhash_oracle(n_bits: int = 48, max_hamming: int = 3) -> str:
     """
 
 
-@register("simhash_pairs", oracle=_simhash_oracle(), tags=("L2",))
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: SimHash near-dedup — 48-bit weighted sign-sum fingerprint
-    (dictionary-free md5 token hashing), pairs within hamming ≤ 3.
-    Pairing is bit-band blocked (4 bands × 12 bits, recall-lossless by
-    pigeonhole); 12-bit band keys keep bucket occupancy low so the
-    candidate join stays linear."""
-    t = Catalog(spark, sf_dir)
-    return D.simhash_pairs(t.documents).select(
-        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-    )
-
-
 @register(
-    "ngram_jaccard_adjacent",
-    oracle="""
-    WITH g AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, length(text) - 1),
-                                          i -> text[i:i+2])) AS grams
-      FROM documents
+    "textsim_pairs",
+    oracle=f"""
+    SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+    FROM ({_simhash_oracle()})
+    UNION ALL
+    SELECT 'ngram3' AS method, id_a, id_b, jaccard3 AS score FROM (
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, length(text) - 1),
+                                            i -> text[i:i+2])) AS grams
+        FROM documents
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard3
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard3
-    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
     """,
     tags=("L2",),
 )
-def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: character-3-gram Jaccard on consecutive doc pairs (linear
-    pairing demonstrates the shingle metric without O(n²) pairs)."""
+def textsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (SimHash + n-gram Jaccard): two text-similarity pair families,
+    method-tagged in one declared query.
+
+    ``simhash``: 48-bit weighted sign-sum fingerprint (dictionary-free
+    md5 token hashing), pairs within hamming ≤ 3; pairing is bit-band
+    blocked (4 bands × 12 bits, recall-lossless by pigeonhole), so the
+    candidate join stays linear — never all-pairs.  score = hamming.
+
+    ``ngram3``: character-3-gram Jaccard on consecutive doc pairs
+    (linear pairing demonstrates the shingle metric without O(n²)
+    pairs).  score = Jaccard."""
     t = Catalog(spark, sf_dir)
+    sim = D.simhash_pairs(t.documents).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
     g = spread(t.documents).select(
         "doc_id", D.char_ngrams("text", 3).alias("grams")
     )
     a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    return a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+    ngram = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        F.lit("ngram3").alias("method"),
         "id_a",
         "id_b",
         (
             F.size(F.array_intersect("ga", "gb")).cast("double")
             / F.size(F.array_union("ga", "gb"))
-        ).alias("jaccard3"),
+        ).alias("score"),
     )
+    return sim.unionByName(ngram)
 
 
 # ------------------------------------------------------------- L3/L4 ----
@@ -267,9 +276,10 @@ def _sql_sign_bucket(vec: str, n_bits: int = 4) -> str:
     )
 
 
-@register(
-    "ann_lsh_topk",
-    oracle=f"""
+def _lsh_oracle(k: int = 10) -> str:
+    """DuckDB replay of the sign-LSH ANN pipeline (bucket assignment,
+    bucket join, cosine, rank)."""
+    return f"""
     WITH c AS (
       SELECT vec_id AS neighbor_id, embedding AS cvec,
              {_sql_sign_bucket("embedding")} AS bucket
@@ -288,27 +298,8 @@ def _sql_sign_bucket(vec: str, n_bits: int = 4) -> str:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id) AS rnk
       FROM scored
-    ) WHERE rnk <= 10
-    """,
-    tags=("L3", "L4"),
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 approx: sign-LSH bucketed ANN top-k — the scale path where the
-    bucket equi-join replaces the cross join (~corpus/2^bits candidates
-    per query).
-
-    'Approximate' is with respect to the TRUE neighbors; the algorithm
-    itself is deterministic (fixed axis-sign hyperplanes), so the oracle
-    replays the whole pipeline — bucket assignment, bucket join, cosine,
-    rank — in SQL and the gate checks it exactly."""
-    t = Catalog(spark, sf_dir)
-    emb = t.embeddings
-    out = S.ann_topk_lsh(
-        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
-    )
-    return out.select(
-        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
-    )
+    ) WHERE rnk <= {k}
+    """
 
 
 # ---------------------------------------------------------------- L5 ----
@@ -399,29 +390,70 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_embedding_join",
+    "embedding_profile",
     oracle=f"""
-    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+    SELECT 'doc' AS facet, d.doc_id, d.lang, d.n_chars, e.label,
            len(e.embedding) AS dim,
-           sqrt({S.sql_dot("e.embedding", "e.embedding")}) AS emb_norm
+           sqrt({S.sql_dot("e.embedding", "e.embedding")}) AS emb_norm,
+           CAST(NULL AS BIGINT) AS pos,
+           CAST(NULL AS DOUBLE) AS centroid_val
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    UNION ALL
+    SELECT 'centroid' AS facet,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT) AS n_chars,
+           label,
+           CAST(NULL AS BIGINT) AS dim,
+           CAST(NULL AS DOUBLE) AS emb_norm,
+           pos,
+           CAST(SUM(CAST(round(val * {S.CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+             / ({S.CENTROID_SCALE}.0 * COUNT(*)) AS centroid_val
+    FROM (
+      SELECT label, unnest(range(1, 65)) AS pos,
+             unnest(list_transform(range(1, 65),
+                                   i -> CAST(embedding[i] AS DOUBLE))) AS val
+      FROM embeddings
+    ) ex
+    GROUP BY label, pos
     """,
-    tags=("L7",),
+    tags=("L7", "L3", "F4"),
 )
-def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7: multimodal columns — text metadata joined to its embedding
-    vector; vector math stays in higher-order functions."""
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7+L3: the embedding-column profile, facet-tagged in one declared
+    query.
+
+    ``doc`` facet: text metadata joined to its embedding vector (the
+    multimodal-column join; vector math stays in higher-order
+    functions).  ``centroid`` facet: per-label dimension-wise centroids
+    (the IVF coarse-quantizer building block) with order-independent
+    fixed-point sums — exactly hash-checkable, unlike a double avg."""
     t = Catalog(spark, sf_dir)
-    return t.documents.join(
+    doc = t.documents.join(
         t.embeddings, F.col("vec_id") == F.col("doc_id")
     ).select(
+        F.lit("doc").alias("facet"),
         "doc_id",
         "lang",
         "n_chars",
         "label",
         F.size("embedding").cast("long").alias("dim"),
         S.norm("embedding").alias("emb_norm"),
+        F.lit(None).cast("long").alias("pos"),
+        F.lit(None).cast("double").alias("centroid_val"),
     )
+    cent = S.label_centroids(t.embeddings).select(
+        F.lit("centroid").alias("facet"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_chars"),
+        "label",
+        F.lit(None).cast("long").alias("dim"),
+        F.lit(None).cast("double").alias("emb_norm"),
+        "pos",
+        "centroid_val",
+    )
+    return doc.unionByName(cent)
 
 
 @register(
@@ -569,31 +601,6 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "label_centroids",
-    oracle=f"""
-    WITH ex AS (
-      SELECT label,
-             unnest(range(1, 65)) AS pos,
-             unnest(list_transform(range(1, 65),
-                                   i -> CAST(embedding[i] AS DOUBLE))) AS val
-      FROM embeddings
-    )
-    SELECT label, pos,
-           CAST(SUM(CAST(round(val * {S.CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
-             / ({S.CENTROID_SCALE}.0 * COUNT(*)) AS centroid_val
-    FROM ex GROUP BY label, pos
-    """,
-    tags=("L3", "F4"),
-)
-def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer centroids per label, dimension-wise, with
-    order-independent fixed-point sums (exactly hash-checkable, unlike a
-    double avg)."""
-    t = Catalog(spark, sf_dir)
-    return S.label_centroids(t.embeddings)
-
-
 def _sql_cent_dot(vec: str, cent: str, dim: int = 64) -> str:
     """dot(vector, centroid-array) in DuckDB (centroid already DOUBLE)."""
     return (
@@ -655,21 +662,48 @@ def _ivf_oracle(k: int = 10) -> str:
     """
 
 
-@register("ann_ivf_topk", oracle=_ivf_oracle(), tags=("L3", "L4"))
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 approx: IVF-bucketed ANN top-k — nearest-centroid cell
-    assignment (broadcast coarse quantizer), probe only the query's cell.
+@register(
+    "ann_topk",
+    oracle=f"""
+    SELECT 'lsh' AS method, query_id, neighbor_id, score, rnk
+    FROM ({_lsh_oracle()})
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id, score, rnk
+    FROM ({_ivf_oracle()})
+    """,
+    tags=("L3", "L4"),
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 approx: both ANN index families, method-tagged in one
+    declared query.
 
-    Deterministic end-to-end (fixed-point centroid sums, total-order tie
-    breaks), so the oracle replays the full pipeline — quantizer build,
-    cell assignment, cell join, cosine, rank — in SQL and the gate
-    checks it exactly; 'approximate' refers only to recall vs the true
-    neighbors."""
+    ``lsh``: sign-LSH bucketed top-k — the bucket equi-join replaces the
+    cross join (~corpus/2^bits candidates per query).  ``ivf``:
+    IVF-bucketed top-k — nearest-centroid cell assignment (broadcast
+    coarse quantizer), probe only the query's cell.
+
+    'Approximate' is with respect to the TRUE neighbors; both algorithms
+    are deterministic end-to-end (fixed hyperplanes; fixed-point
+    centroid sums, total-order tie breaks), so the oracle replays both
+    full pipelines — bucket/cell assignment, candidate join, cosine,
+    rank — in SQL and the gate checks them exactly.  Measured recall vs
+    brute force is pinned in tests/test_ann_recall.py."""
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
-    out = S.ann_topk_ivf(
-        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    lsh = S.ann_topk_lsh(corpus, queries, k=10).select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("long").alias("rnk"),
     )
-    return out.select(
-        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rnk")
+    ivf = S.ann_topk_ivf(corpus, queries, k=10).select(
+        F.lit("ivf").alias("method"),
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("long").alias("rnk"),
     )
+    return lsh.unionByName(ivf)

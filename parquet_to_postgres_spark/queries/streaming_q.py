@@ -9,6 +9,7 @@ late-drop) withholds the final open window by design → rows-only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import streaming as ST
 from . import register
@@ -17,51 +18,58 @@ from . import register
 
 
 @register(
-    "stream_tumbling_daily",
+    "stream_windowed_aggs",
     oracle="""
-    SELECT date_trunc('day', ts) AS win_start, event_type,
+    SELECT 'tumbling' AS facet, date_trunc('day', ts) AS win_start,
+           event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    tags=("T1",),
-)
-def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: tumbling 1-day window agg, complete mode."""
-    return ST.run_stream_to_df(
-        ST.tumbling_window_counts(ST.events_stream(spark, sf_dir)), "complete"
-    )
-
-
-# ------------------------------------------------------------------ T2 ----
-
-
-@register(
-    "stream_sliding_12h",
-    oracle="""
-    WITH b AS (
-      SELECT date_trunc('day', ts)
-             + CASE WHEN date_part('hour', ts) >= 12
-                    THEN INTERVAL 12 HOURS ELSE INTERVAL 0 HOURS END AS bucket,
-             value
-      FROM events
-    ), w AS (
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS facet, win_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (
+      WITH b AS (
+        SELECT date_trunc('day', ts)
+               + CASE WHEN date_part('hour', ts) >= 12
+                      THEN INTERVAL 12 HOURS ELSE INTERVAL 0 HOURS END AS bucket,
+               value
+        FROM events
+      )
       SELECT bucket AS win_start, value FROM b
       UNION ALL
       SELECT bucket - INTERVAL 12 HOURS AS win_start, value FROM b
-    )
-    SELECT win_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM w GROUP BY win_start
+    ) w GROUP BY win_start
     """,
-    tags=("T2",),
+    tags=("T1", "T2"),
 )
-def stream_sliding_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2: sliding 1-day/12-hour windows — every event in exactly two
-    buckets; the oracle expands the overlap explicitly."""
-    return ST.run_stream_to_df(
-        ST.sliding_window_counts(ST.events_stream(spark, sf_dir)), "complete"
+def stream_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2: tumbling 1-day and sliding 1-day/12-hour window aggs over
+    the same stream, facet-tagged in one declared query (two real
+    streaming runs, complete mode).  Every event lands in exactly one
+    tumbling window and exactly two sliding windows; the oracle expands
+    the sliding overlap explicitly."""
+    tumbling = ST.run_stream_to_df(
+        ST.tumbling_window_counts(ST.events_stream(spark, sf_dir)), "complete"
+    ).select(
+        F.lit("tumbling").alias("facet"),
+        "win_start",
+        "event_type",
+        "n_events",
+        "total_value",
     )
+    sliding = ST.run_stream_to_df(
+        ST.sliding_window_counts(ST.events_stream(spark, sf_dir)), "complete"
+    ).select(
+        F.lit("sliding").alias("facet"),
+        "win_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "total_value",
+    )
+    return tumbling.unionByName(sliding)
 
 
 # ------------------------------------------------------------------ T3 ----

@@ -54,7 +54,7 @@ def test_filter_predicates_pushdown(spark):
 
 def test_dimension_joins_broadcast(spark):
     # region/nation joins must broadcast, never shuffle both sides.
-    p = plan(build("join_broadcast_dims", spark))
+    p = plan(build("join_dims_grid", spark))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
@@ -131,7 +131,7 @@ def test_minhash_profiles_single_logical_shuffle(spark):
 def test_simhash_pairs_blocked_not_allpairs(spark):
     # Candidate generation must be the (band, key) equi-join, never a
     # cartesian / broadcast-nested-loop all-pairs comparison.
-    p = plan(build("simhash_pairs", spark))
+    p = plan(build("textsim_pairs", spark))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
