@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..etl import ParquetSink, etl, read_source, schema_to_pg_ddl
+from ..etl import JdbcSink, ParquetSink, etl, read_source, schema_to_pg_ddl
 from ..tables import Catalog
 from . import register
 from ._util import sql_dsum
@@ -127,4 +127,75 @@ def etl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+# ------------------------------------------------------------------ E3 ----
+
+# Embedded Derby ships on Spark's own classpath (it backs the Hive
+# metastore), so the JDBC write path executes against a real database
+# with zero extra dependencies.  ``memory:`` keeps it off disk.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db: str) -> str:
+    return f"jdbc:derby:memory:{db};create=true"
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str) -> DataFrame:
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+
+
+@register(
+    "etl_jdbc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           {sql_dsum("o_totalprice", "total")},
+           MIN('["' || o_orderstatus || '","' || o_orderpriority || '"]') AS min_tags
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("E3", "E2"),
+)
+def etl_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: the reference's ONE real output path (``main.rs:120-151``)
+    executed against a live database — orders (plus a synthesized nested
+    column) goes through :class:`JdbcSink` into embedded Derby, is read
+    back over JDBC, and aggregated; the oracle aggregates the ORIGINAL
+    parquet, so DDL mapping, nested→JSON flattening, batched inserts and
+    type round-trips are all on the hash-checked path.
+
+    The sink exercises its real knobs: ``mode="overwrite"`` (drop +
+    recreate), ``batchsize`` (rows per executeBatch), ``num_partitions``
+    (concurrent connections — the reference's 10-permit semaphore), and
+    ``flatten_for_jdbc`` (the array column lands as its JSON string —
+    the reference simply errors on nested input, main.rs:205-208)."""
+    t = Catalog(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    sink = JdbcSink(
+        url=derby_url("etlrt"),
+        table="orders_rt",
+        mode="overwrite",
+        num_partitions=4,
+        batchsize=2000,
+        options={"driver": DERBY_DRIVER},
+    )
+    sink.write(src)
+    back = read_jdbc(spark, derby_url("etlrt"), "orders_rt")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("tags").alias("min_tags"),
     )

@@ -356,3 +356,99 @@ def test_compact_parquet_partitioned_layout(spark):
         assert sorted(
             map(tuple, back.select(*sorted(back.columns)).collect())
         ) == sorted(map(tuple, src.select(*sorted(back.columns)).collect()))
+
+
+# ---- executed JDBC path (embedded Derby — on Spark's own classpath) ----
+
+
+def test_jdbc_sink_executes_full_etl_roundtrip(spark):
+    """JdbcSink.write actually executes: the whole etl() pipeline lands
+    nation in an embedded-Derby table and every row/value survives the
+    read-back (not a config assertion — a live .format('jdbc').save())."""
+    from parquet_to_postgres_spark.queries.etl_q import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+    )
+
+    url = derby_url("t_etl_nation")
+    sink = JdbcSink(
+        url=url,
+        table="nation_rt",
+        mode="overwrite",
+        num_partitions=3,
+        batchsize=7,
+        options={"driver": DERBY_DRIVER},
+    )
+    ddl = etl(spark, f"{SF_SMOKE}/nation.parquet", sink)
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS nation_rt")
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    back = read_jdbc(spark, url, "nation_rt")
+    cols = sorted(src.columns)
+    assert sorted(back.columns) == cols
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, src.select(*cols).collect())
+    )
+
+
+def test_jdbc_sink_write_modes(spark):
+    """append accumulates, overwrite resets — both executed on Derby."""
+    from parquet_to_postgres_spark.queries.etl_q import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+    )
+
+    url = derby_url("t_etl_modes")
+    df = spark.range(10).withColumnRenamed("id", "k")
+
+    def sink(mode):
+        return JdbcSink(
+            url=url,
+            table="modes_rt",
+            mode=mode,
+            num_partitions=2,
+            batchsize=4,
+            options={"driver": DERBY_DRIVER},
+        )
+
+    sink("overwrite").write(df)
+    assert read_jdbc(spark, url, "modes_rt").count() == 10
+    sink("append").write(df)
+    assert read_jdbc(spark, url, "modes_rt").count() == 20
+    sink("overwrite").write(df)
+    assert read_jdbc(spark, url, "modes_rt").count() == 10
+
+
+def test_jdbc_sink_flattens_nested_to_json(spark):
+    """Array/struct/map columns land as their to_json strings (the
+    reference errors on nested input, main.rs:205-208) — executed, and
+    value-checked after the Derby round-trip."""
+    from parquet_to_postgres_spark.queries.etl_q import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+    )
+
+    url = derby_url("t_etl_nested")
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"a": 1}, ("x", 9)), (2, [3], {"b": 2}, ("y", 8))],
+        "id long, arr array<int>, m map<string,int>, st struct<s:string,n:int>",
+    )
+    JdbcSink(
+        url=url,
+        table="nested_rt",
+        mode="overwrite",
+        num_partitions=1,
+        batchsize=10,
+        options={"driver": DERBY_DRIVER},
+    ).write(df)
+    back = read_jdbc(spark, url, "nested_rt")
+    got = {r["id"]: (r["arr"], r["m"], r["st"]) for r in back.collect()}
+    want = {
+        r["id"]: (r["arr"], r["m"], r["st"])
+        for r in flatten_for_jdbc(df).collect()
+    }
+    assert got == want
+    assert got[1][0] == "[1,2]" and got[1][1] == '{"a":1}'
+    assert got[1][2] == '{"s":"x","n":9}'
