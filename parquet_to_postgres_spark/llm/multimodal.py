@@ -1,11 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The real decode step (image/audio/video) needs codec libraries that are
-not in this environment, so decoding is STUBBED — `fake_decode_meta`
-derives deterministic pseudo-metadata from the bytes.  Everything Spark-
-side is real and tested: the schema contract, the Arrow batch boundary
-(``mapInPandas``), partition behavior, and batch shapes.  Swapping the
-stub for PIL/ffmpeg is a one-function change.
+Two decode tiers:
+
+- ``decode_media`` / ``fake_decode_meta`` — a deterministic byte-stat
+  STUB with an exact SQL twin, so the Arrow plumbing itself is
+  hash-checked by the driver gate.
+- ``decode_media_real`` — REAL decoders for the dependency-free
+  formats: uncompressed BMP, binary PPM, PCM WAV (header parse + numpy
+  pixel/sample stats; no codec libraries needed).  Compressed formats
+  (JPEG/PNG/MP4) still need PIL/ffmpeg — swapping them in is a
+  one-function change behind the same schema.
+
+Everything Spark-side is real and tested: the schema contract, the
+Arrow batch boundary (``mapInPandas``), partition behavior, and batch
+shapes.
 
 At 100 TB the binary column dominates I/O: the iterator-of-batches shape
 below never materializes a partition of blobs in memory, and metadata-
@@ -216,9 +224,182 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
     )
 
 
-def real_decode_image(content: bytes) -> dict:
-    """Placeholder for a real image decode (no codec libs here)."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this environment; "
-        "swap fake_decode_meta's body for the real decoder"
+# ---- real decoders: dependency-free formats (numpy-only) ---------------
+#
+# The container has no codec libraries, but the uncompressed container
+# formats need none: BMP (BI_RGB), binary PPM (P6), and PCM WAV are
+# header + raw samples.  These are REAL decoders — wrong magic, truncated
+# payloads, or compressed variants raise — so the mapInPandas plumbing
+# carries genuine decoded metadata end-to-end, and swapping in
+# PIL/ffmpeg for the compressed formats stays a one-function change.
+
+
+def decode_bmp(b: bytes) -> dict:
+    """Decode an uncompressed (BI_RGB) 8/24/32-bit BMP: header fields +
+    mean pixel value over the real pixel array (padding stripped)."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    n_rows = abs(height)
+    row_bytes = width * (bpp // 8)
+    stride = (bpp * width + 31) // 32 * 4  # rows pad to 4-byte boundaries
+    pixels = np.frombuffer(
+        b, dtype=np.uint8, count=stride * n_rows, offset=data_offset
+    ).reshape(n_rows, stride)[:, :row_bytes]
+    return {
+        "fmt": "bmp",
+        "width": width,
+        "height": n_rows,
+        "channels": bpp // 8,
+        "sample_rate": None,
+        "n_values": int(pixels.size),
+        "mean_value": float(pixels.mean(dtype=np.float64)),
+    }
+
+
+def decode_ppm(b: bytes) -> dict:
+    """Decode a binary PPM (P6): parse the whitespace/comment header,
+    then mean over the raw RGB samples."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(b):
+            raise ValueError("truncated PPM header")
+        c = b[i : i + 1]
+        if c == b"#":
+            i = b.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            fields.append(int(b[i:j]))
+            i = j
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    i += 1  # single whitespace byte after maxval, then raw samples
+    samples = np.frombuffer(b, dtype=np.uint8, count=width * height * 3, offset=i)
+    return {
+        "fmt": "ppm",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "sample_rate": None,
+        "n_values": int(samples.size),
+        "mean_value": float(samples.mean(dtype=np.float64)),
+    }
+
+
+def decode_wav(b: bytes) -> dict:
+    """Decode a PCM WAV: walk the RIFF chunk list to fmt/data, then mean
+    ABSOLUTE amplitude over the real samples (8-bit unsigned or 16-bit
+    signed PCM)."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt_chunk[0:2], "little")
+    channels = int.from_bytes(fmt_chunk[2:4], "little")
+    sample_rate = int.from_bytes(fmt_chunk[4:8], "little")
+    bits = int.from_bytes(fmt_chunk[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"non-PCM or {bits}-bit WAV unsupported")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        mean = float(np.abs(samples.astype(np.int32)).mean(dtype=np.float64))
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8)
+        mean = float(samples.mean(dtype=np.float64))
+    return {
+        "fmt": "wav",
+        "width": None,
+        "height": None,
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_values": int(samples.size) // max(channels, 1) * channels,
+        "mean_value": mean,
+    }
+
+
+_MAGIC_DECODERS = (
+    (b"BM", decode_bmp),
+    (b"P6", decode_ppm),
+    (b"RIFF", decode_wav),
+)
+
+
+def decode_media_bytes(b: bytes) -> dict:
+    """Dispatch one payload to its real decoder by magic bytes."""
+    for magic, dec in _MAGIC_DECODERS:
+        if b[: len(magic)] == magic:
+            return dec(b)
+    raise ValueError(f"unrecognized media payload (head={b[:4]!r})")
+
+
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("mean_value", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """Real decode over Arrow batches: BMP/PPM/WAV payloads → typed
+    metadata + pixel/sample statistics, same iterator-of-batches shape
+    as the stub (a partition of blobs is never materialized at once).
+    A real decoder is inherently per-row Python — the numpy work inside
+    each decode is the vectorized part."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(REAL_DECODED_SCHEMA.fieldNames())
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                meta = (
+                    {k: None for k in cols[1:]}
+                    if b is None
+                    else decode_media_bytes(bytes(b))
+                )
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        _decode, REAL_DECODED_SCHEMA
     )

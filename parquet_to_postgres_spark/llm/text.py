@@ -179,6 +179,7 @@ def tf_idf(
         .select(
             id_col,
             "term",
+            "n_term",
             "tf",
             "df",
             (

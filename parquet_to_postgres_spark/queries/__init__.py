@@ -112,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
         functions_q,
         joins_q,
         llm_q,
+        pipeline_q,
         relational_q,
         setops_q,
         streaming_q,

@@ -35,12 +35,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     blanket repartition is a full extra shuffle of the fact table — and
     for Python-UDF stages it multiplies worker startup — which measured
     1.5–19× slower across the registry.  Only operators whose per-row
-    compute dominates the scan call this."""
+    compute dominates the scan call this.
+
+    The under-split probe is ``inputFiles()`` — analysis-only, so
+    building the operator never converts the plan to an RDD (the old
+    ``df.rdd.getNumPartitions()`` probe forced a full logical→RDD
+    conversion per call, surprise work on very wide plans).  File count
+    lower-bounds the scan's split count, so a many-file production
+    table (≥ target files) is guaranteed untouched; a non-scan input
+    (no file lineage — already shuffled, so it carries its shuffle's
+    parallelism) is left as-is."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    files = df.inputFiles()
+    if files and len(files) < target:
+        return df.repartition(target)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

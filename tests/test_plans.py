@@ -149,15 +149,19 @@ def test_declared_queries_deterministic(spark):
 
 
 def test_spread_noop_when_parallel_enough(spark):
-    """spread() must be a no-op (same DataFrame object) when the scan
-    already carries cluster parallelism — on a real multi-split table it
-    never fires."""
-    from parquet_to_postgres_spark.tables import spread
+    """spread() must be a no-op (same DataFrame object) when the input
+    already carries parallelism — a shuffled relation (no file lineage)
+    or a many-file table never fires; only an under-split file scan (the
+    single-file fixtures) repartitions.  The probe is analysis-only:
+    building the operator must not convert the plan to an RDD."""
+    from parquet_to_postgres_spark.tables import load_table, spread
 
     df = spark.range(1000).repartition(64)
     assert spread(df) is df
-    small = spark.range(1000).coalesce(1)
-    assert spread(small).rdd.getNumPartitions() >= 8
+    shuffled = spark.range(1000).coalesce(1)
+    assert spread(shuffled) is shuffled  # no file lineage -> untouched
+    onefile = load_table(spark, SF_SMOKE, "documents")
+    assert spread(onefile).rdd.getNumPartitions() >= 8
 
 
 def test_filter_pushdown_survives_spread(spark):

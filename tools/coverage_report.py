@@ -37,10 +37,14 @@ def main() -> int:
 
     print("# COVERAGE — SURVEY.md §2B capability matrix → implemented queries")
     print()
-    print(f"{len(specs)} declared queries; "
-          f"{sum(1 for s in specs.values() if s.oracle)} with exact DuckDB "
-          "oracle hash-match, the rest rows-only (approximate/streaming-"
-          "late-data by design).  Regenerate: "
+    n_oracle = sum(1 for s in specs.values() if s.oracle)
+    if n_oracle == len(specs):
+        detail = (f"all {len(specs)} with exact DuckDB oracle hash-match "
+                  "(zero rows-only fallbacks)")
+    else:
+        detail = (f"{n_oracle} with exact DuckDB oracle hash-match, the rest "
+                  "rows-only")
+    print(f"{len(specs)} declared queries; {detail}.  Regenerate: "
           "`python tools/coverage_report.py > COVERAGE.md`.")
     for prefix, title in GROUPS:
         print(f"\n## {title}\n")
