@@ -182,30 +182,57 @@ def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 4) -> Column:
     return bucket
 
 
+def lsh_probe_masks(n_bits: int, n_probes: int) -> list[int]:
+    """Deterministic multi-probe sequence: the exact bucket, then every
+    Hamming-1 flip (bit order), then Hamming-2 flips — truncated to
+    ``n_probes``.  Shared with the SQL oracle twin."""
+    masks = [0] + [1 << i for i in range(n_bits)]
+    for i in range(n_bits):
+        for j in range(i + 1, n_bits):
+            masks.append((1 << i) | (1 << j))
+    return masks[:n_probes]
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_bits: int = 4,
+    n_probes: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-LSH bucket.
+    """Approximate top-k: probe the query's sign-LSH bucket plus its
+    ``n_probes − 1`` nearest neighbor buckets (multi-probe: Hamming-1,
+    then Hamming-2 flips of the bucket id — the standard recall knob).
 
     The scale path for ANN — the bucket equi-join replaces the cross
-    join, so each query scores ~corpus/2^n_bits candidates.  Recall is
-    approximate (rows-only check: no oracle)."""
+    join, so each query scores ~corpus·n_probes/2^n_bits candidates.
+    A (query, neighbor) pair matches at most once: the neighbor has one
+    bucket and the probed buckets are distinct.  Deterministic
+    end-to-end; recall vs TRUE neighbors is measured in
+    tests/test_ann_recall.py."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(vec_col).alias("cnrm"),
         sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm(vec_col).alias("qnrm"),
-        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    masks = F.array(*[F.lit(m) for m in lsh_probe_masks(n_bits, n_probes)])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(vec_col).alias("qnrm"),
+            sign_lsh_bucket(vec_col, n_bits).alias("__base"),
+            F.explode(masks).alias("__mask"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            F.col("__base").bitwiseXOR(F.col("__mask")).alias("bucket"),
+        )
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
@@ -269,22 +296,29 @@ def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by: str = "label",
 ) -> DataFrame:
-    """Approximate top-k, IVF-style: assign every vector to its nearest
-    coarse centroid (broadcast — centroids are tiny by construction),
-    probe only the query's cell.
+    """Approximate top-k, IVF-style: assign every corpus vector to its
+    nearest coarse centroid (broadcast — centroids are tiny by
+    construction); each query probes its ``n_probes`` nearest cells
+    (the standard IVF recall knob).
 
     This is the other scale path next to sign-LSH (:func:`ann_topk_lsh`):
     the cell equi-join replaces the cross join, each query scores
-    ~corpus/n_cells candidates.  Approximate recall → rows-only check."""
+    ~corpus·n_probes/n_cells candidates.  A (query, neighbor) pair
+    matches at most once — the neighbor lives in exactly one cell.
+    Deterministic end-to-end; recall vs TRUE neighbors is measured in
+    tests/test_ann_recall.py."""
     cents = _centroid_arrays(corpus, by).select(
         F.col(by).alias("cell"), "centroid"
     )
 
-    def assign(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def assign(
+        df: DataFrame, id_alias: str, vec_alias: str, probes: int
+    ) -> DataFrame:
         scored = df.select(
             F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
         ).crossJoin(F.broadcast(cents))
@@ -293,12 +327,14 @@ def ann_topk_ivf(
         )
         return (
             scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") == 1)
+            .where(F.col("crank") <= probes)
             .select(id_alias, vec_alias, "cell")
         )
 
-    c = assign(corpus, "neighbor_id", "cvec").withColumn("cnrm", norm("cvec"))
-    q = assign(queries, "query_id", "qvec").withColumn("qnrm", norm("qvec"))
+    c = assign(corpus, "neighbor_id", "cvec", 1).withColumn("cnrm", norm("cvec"))
+    q = assign(queries, "query_id", "qvec", n_probes).withColumn(
+        "qnrm", norm("qvec")
+    )
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",

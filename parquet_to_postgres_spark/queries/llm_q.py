@@ -276,9 +276,11 @@ def _sql_sign_bucket(vec: str, n_bits: int = 4) -> str:
     )
 
 
-def _lsh_oracle(k: int = 10) -> str:
-    """DuckDB replay of the sign-LSH ANN pipeline (bucket assignment,
-    bucket join, cosine, rank)."""
+def _lsh_oracle(k: int = 10, n_bits: int = 4, n_probes: int = 5) -> str:
+    """DuckDB replay of the multi-probe sign-LSH ANN pipeline (bucket
+    assignment, probe-mask expansion, bucket join, cosine, rank) —
+    probe masks shared with the Spark builder via S.lsh_probe_masks."""
+    masks = ", ".join(str(m) for m in S.lsh_probe_masks(n_bits, n_probes))
     return f"""
     WITH c AS (
       SELECT vec_id AS neighbor_id, embedding AS cvec,
@@ -286,9 +288,12 @@ def _lsh_oracle(k: int = 10) -> str:
       FROM embeddings WHERE vec_id >= 5
     ),
     q AS (
-      SELECT vec_id AS query_id, embedding AS qvec,
-             {_sql_sign_bucket("embedding")} AS bucket
-      FROM embeddings WHERE vec_id < 5
+      SELECT vec_id AS query_id, qvec, xor(base, mask) AS bucket FROM (
+        SELECT vec_id, embedding AS qvec,
+               {_sql_sign_bucket("embedding")} AS base,
+               unnest([{masks}]) AS mask
+        FROM embeddings WHERE vec_id < 5
+      )
     ),
     scored AS (
       SELECT query_id, neighbor_id, {S.sql_cosine("qvec", "cvec")} AS score
@@ -609,26 +614,26 @@ def _sql_cent_dot(vec: str, cent: str, dim: int = 64) -> str:
     )
 
 
-def _ivf_oracle(k: int = 10) -> str:
+def _ivf_oracle(k: int = 10, n_probes: int = 2) -> str:
     assign = """
     SELECT {id} AS {id_out}, v.embedding AS {vec_out}, cell FROM (
       SELECT v.vec_id, v.embedding, ct.cell,
              ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                 ORDER BY ({cdot} / sqrt({ccdot})) DESC, ct.cell) AS crank
       FROM ({src}) v CROSS JOIN cents ct
-    ) v WHERE crank = 1
+    ) v WHERE crank <= {probes}
     """
     cdot = _sql_cent_dot("v.embedding", "ct.centroid")
     ccdot = _sql_cent_dot("ct.centroid", "ct.centroid")
     cassign = assign.format(
         id="v.vec_id", id_out="neighbor_id", vec_out="cvec",
         src="SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5",
-        cdot=cdot, ccdot=ccdot,
+        cdot=cdot, ccdot=ccdot, probes=1,
     )
     qassign = assign.format(
         id="v.vec_id", id_out="query_id", vec_out="qvec",
         src="SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5",
-        cdot=cdot, ccdot=ccdot,
+        cdot=cdot, ccdot=ccdot, probes=n_probes,
     )
     return f"""
     WITH cents0 AS (

@@ -75,3 +75,116 @@ def test_feature_null_payload_yields_null(spark):
     rows = M.extract_features(_media(spark)).collect()
     by_id = {r["media_id"]: r["histogram"] for r in rows}
     assert by_id[3] is None
+
+
+# ---- real decoders (BMP / PPM / WAV — dependency-free formats) ---------
+
+
+def _make_bmp(width=4, height=3, bpp=24):
+    """Hand-assemble an uncompressed BI_RGB BMP with a known pixel mean."""
+    import numpy as np
+
+    row_bytes = width * (bpp // 8)
+    stride = (bpp * width + 31) // 32 * 4
+    rng = np.arange(height * row_bytes, dtype=np.uint8).reshape(
+        height, row_bytes
+    )
+    rows = b"".join(
+        r.tobytes() + b"\x00" * (stride - row_bytes) for r in rng
+    )
+    data_offset = 54
+    header = (
+        b"BM"
+        + (data_offset + len(rows)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + data_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    return header + rows, float(rng.mean(dtype=np.float64))
+
+
+def _make_ppm(width=5, height=2):
+    import numpy as np
+
+    samples = np.arange(width * height * 3, dtype=np.uint8)
+    head = f"P6\n# comment\n{width} {height}\n255\n".encode()
+    return head + samples.tobytes(), float(samples.mean(dtype=np.float64))
+
+
+def _make_wav(n=100, rate=8000, channels=1):
+    import numpy as np
+
+    samples = (np.arange(n, dtype=np.int16) - n // 2).astype("<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    riff = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    import numpy as _np
+
+    mean = float(_np.abs(samples.astype(_np.int32)).mean(dtype=_np.float64))
+    return riff, mean
+
+
+def test_decode_bytes_bmp_ppm_wav_headers_and_stats():
+    bmp, bmp_mean = _make_bmp(width=4, height=3)
+    got = M.decode_media_bytes(bmp)
+    assert (got["fmt"], got["width"], got["height"], got["channels"]) == (
+        "bmp", 4, 3, 3,
+    )
+    assert got["n_values"] == 4 * 3 * 3
+    assert got["mean_value"] == bmp_mean  # padding bytes must be excluded
+
+    ppm, ppm_mean = _make_ppm(width=5, height=2)
+    got = M.decode_media_bytes(ppm)
+    assert (got["fmt"], got["width"], got["height"]) == ("ppm", 5, 2)
+    assert got["mean_value"] == ppm_mean
+
+    wav, wav_mean = _make_wav(n=100, rate=8000)
+    got = M.decode_media_bytes(wav)
+    assert (got["fmt"], got["sample_rate"], got["channels"]) == ("wav", 8000, 1)
+    assert got["mean_value"] == wav_mean
+
+
+def test_decode_bytes_rejects_garbage_and_compressed():
+    import pytest
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        M.decode_media_bytes(b"\x89PNG\r\n\x1a\n garbage")
+    bmp, _ = _make_bmp()
+    rle = bmp[:30] + (1).to_bytes(4, "little") + bmp[34:]  # BI_RLE8
+    with pytest.raises(ValueError, match="compressed"):
+        M.decode_media_bytes(rle)
+
+
+def test_decode_media_real_through_spark(spark):
+    """The real decoders run through the same mapInPandas plumbing: a
+    mixed-format media table decodes to correct per-row metadata."""
+    bmp, bmp_mean = _make_bmp(width=4, height=3)
+    ppm, ppm_mean = _make_ppm(width=5, height=2)
+    wav, wav_mean = _make_wav(n=100, rate=8000)
+    media = spark.createDataFrame(
+        [(1, bmp, "image/bmp", None, None),
+         (2, ppm, "image/x-portable-pixmap", None, None),
+         (3, wav, "audio/wav", None, None)],
+        M.MEDIA_SCHEMA,
+    ).repartition(2)
+    out = {r["media_id"]: r for r in M.decode_media_real(media).collect()}
+    assert out[1]["fmt"] == "bmp" and out[1]["mean_value"] == bmp_mean
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
+    assert out[2]["fmt"] == "ppm" and out[2]["mean_value"] == ppm_mean
+    assert out[3]["fmt"] == "wav" and out[3]["sample_rate"] == 8000
+    assert out[3]["mean_value"] == wav_mean
