@@ -176,3 +176,31 @@ def test_filter_pushdown_survives_spread(spark):
     )
     p = plan(df)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+
+
+def test_sessionize_single_keyed_shuffle(spark):
+    # sessionize contract: ONE shuffle total — both stacked windows ride
+    # the same hashpartitioning(user_id) Exchange, and the per-session
+    # aggregate reuses it too (its grouping keys are a superset of the
+    # partitioning key), so the whole query is scan → one Exchange →
+    # windows → partial+final agg.
+    p = plan(build("sessionize_events", spark), mode="simple")
+    assert "windowspecdefinition(user_id" in p
+    assert p.count("Exchange") == 1, p
+
+
+def test_pack_token_budget_is_distributed_cumsum(spark):
+    # pack_by_budget must ride distributed_cumsum: range-repartition +
+    # per-partition (__pid) windows — never a single-task global window.
+    p = plan(build("pack_token_budget", spark))
+    assert "rangepartitioning" in p.lower()
+    assert "windowspecdefinition(__pid" in p
+
+
+def test_tf_idf_windows_are_doc_partitioned(spark):
+    # doc-length and rank windows reuse the (doc_id, term) aggregate's
+    # partitioning key; the corpus-count side must broadcast.
+    p = plan(build("tf_idf_top", spark))
+    assert "windowspecdefinition(doc_id" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
