@@ -184,6 +184,27 @@ def minhash_band_pairs(
     Bands are exploded to (band, key) rows and self-joined on the band
     key — an equi-join that shuffles on (band, key), linear in candidate
     count rather than quadratic in corpus size."""
+    bands = band_keys(signatures, num_hashes, rows_per_band, id_col).select(
+        F.col(id_col).alias("id"), "band", "key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, [F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def band_keys(
+    signatures: DataFrame,
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) LSH band keys from a signature frame — the ONE
+    derivation shared by pair generation (:func:`minhash_band_pairs`),
+    the corpus band store, and streaming dedup, so keys can never drift
+    between the batch and streaming paths."""
     n_bands = num_hashes // rows_per_band
     band_structs = []
     for bidx in range(n_bands):
@@ -196,15 +217,114 @@ def minhash_band_pairs(
                 F.concat_ws("_", *cols).alias("key"),
             )
         )
-    bands = signatures.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
+    return signatures.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = 5,
+) -> DataFrame:
+    """Per-ROW MinHash signature via higher-order functions — ZERO
+    shuffles: shingle set, md5 unit ids, and all ``num_hashes`` mins are
+    computed inside one projection over the scan (whole-stage codegen),
+    with no explode and no aggregate.
+
+    Values are IDENTICAL to :func:`minhash_signatures` (same unit ids,
+    same affine family — equivalence-tested); the difference is purely
+    physical.  This is the signature path for STREAMING input, where a
+    pre-join aggregation would demand watermark state: a stateless
+    projection composes with any stream.  For batch it trades the
+    explode→aggregate's map-side combine for straight-line per-row
+    compute — same asymptotics, no exchange at all.  A doc shorter than
+    the shingle width gets NULL signature columns (its unit set is
+    empty; the aggregate path simply emits no row)."""
+    if shingle_n is not None:
+        units = char_ngrams(text_col, shingle_n)
+    else:
+        units = F.array_distinct(F.split(F.col(text_col), " "))
+    vmods = F.transform(
+        units,
+        lambda u: F.conv(F.substring(F.md5(u), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+    # closure factory: PySpark reads a defaulted lambda's arity as the
+    # HOF's argument count, so the constants must be captured, not
+    # defaulted
+    def affine(a: int, b: int):
+        return lambda v: (F.lit(a).cast("long") * v + F.lit(b)) % MINHASH_P
+
+    sig_cols = []
+    for j in range(num_hashes):
+        a, b = hash_params(j)
+        sig_cols.append(
+            F.array_min(F.transform(F.col("__vmods"), affine(a, b))).alias(
+                f"mh{j}"
+            )
+        )
+    return df.withColumn("__vmods", vmods).select(id_col, *sig_cols)
+
+
+def corpus_band_store(
+    corpus: DataFrame,
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = 5,
+) -> DataFrame:
+    """Distinct (band, key) set of a historical corpus — the join target
+    for deduping NEW data against everything already ingested.
+
+    At 100 TB this store is materialized once (and appended per ingest
+    batch), written bucketed on (band, key)
+    (:func:`~..operators.write_bucketed`) so every subsequent dedup
+    semi-join is shuffle-free on the store side; its size is
+    n_docs × n_bands rows of small strings — a fraction of the corpus."""
+    sigs = minhash_signatures(corpus, num_hashes, text_col, id_col, shingle_n)
     return (
-        a.join(b, [F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key"), F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        band_keys(sigs, num_hashes, rows_per_band, id_col)
+        .select("band", "key")
         .distinct()
     )
+
+
+def near_dedup_against_store(
+    batch: DataFrame,
+    band_store: DataFrame,
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = 5,
+) -> DataFrame:
+    """Drop every batch doc that shares ANY LSH band key with the
+    historical corpus; pass the rest through with all columns.
+
+    This is the incremental-ingest dedup shape (new crawl batch vs
+    everything already in the training set).  Signatures come from the
+    ZERO-shuffle row-wise path, so the whole operation is: projection →
+    band explode → (band, key) semi-join → distinct matched ids →
+    anti-join.  Candidate-level filtering (no exact-Jaccard verify):
+    with 8-row bands a collision implies high similarity with
+    overwhelming probability, and at ingest time a false DROP of a
+    borderline near-duplicate is the cheap error direction.  Callers
+    needing verified drops join the survivors of a
+    :func:`minhash_band_pairs`-style candidate check instead."""
+    sigs = minhash_signatures_rowwise(
+        batch, num_hashes, text_col, id_col, shingle_n
+    )
+    bands = band_keys(sigs, num_hashes, rows_per_band, id_col)
+    matched = (
+        bands.join(band_store, ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(matched, id_col, "left_anti")
 
 
 def profile_jaccard(profiles: DataFrame, pairs: DataFrame) -> DataFrame:

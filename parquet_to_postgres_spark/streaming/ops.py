@@ -287,6 +287,40 @@ def foreach_batch_writer(sink) -> "callable":
     return _write
 
 
+def stream_near_dedup_writer(
+    band_store: DataFrame,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "callable":
+    """foreachBatch hook: near-dedup every micro-batch against a static
+    corpus band store, then write the survivors through the batch sink.
+
+    The incremental-ingest shape at 100 TB: signatures are the
+    ZERO-shuffle row-wise MinHash (a stateless projection — legal on a
+    stream, where a pre-join aggregation would demand watermark state),
+    and the only join is a (band, key) equi-semi-join against the store
+    (shuffle-free when the store is bucketed on those keys).  Inside
+    foreachBatch the micro-batch is a plain DataFrame, so the exact
+    batch operator (:func:`~..llm.dedup.near_dedup_against_store`) runs
+    unchanged — streaming and batch dedup cannot diverge.  Note the
+    store is read per micro-batch: append newly-ingested docs' bands to
+    it between triggers and later batches dedup against them too."""
+    from ..llm.dedup import near_dedup_against_store
+
+    base = foreach_batch_writer(sink)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        base(
+            near_dedup_against_store(
+                batch_df, band_store, text_col=text_col, id_col=id_col
+            ),
+            batch_id,
+        )
+
+    return _write
+
+
 def run_stream_to_sink(result: DataFrame, sink, checkpoint_dir: str) -> None:
     """Run a streaming DataFrame to completion (availableNow) into a
     batch sink via foreachBatch, with a durable checkpoint."""

@@ -1,0 +1,128 @@
+"""Incremental near-dedup against a historical corpus — batch operator,
+zero-shuffle row-wise signatures, and the streaming foreachBatch path.
+
+The contract under test: streaming ingest drops exactly the documents
+the BATCH operator would drop (same band keys, same store), because
+foreachBatch runs the identical operator per micro-batch.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.etl import ParquetSink
+from parquet_to_postgres_spark.llm import dedup as D
+from parquet_to_postgres_spark.streaming import ops
+
+from .conftest import SF_SMOKE
+
+N_HASHES = 32  # smaller family keeps the test fast; same code path
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_rowwise_signatures_equal_aggregate_signatures(spark):
+    """The HOF per-row signature path must produce bit-identical values
+    to the explode→aggregate path (same unit ids, same affine family)."""
+    docs = _docs(spark)
+    agg = D.minhash_signatures(docs, num_hashes=N_HASHES, shingle_n=5)
+    row = D.minhash_signatures_rowwise(docs, num_hashes=N_HASHES, shingle_n=5)
+    assert agg.columns == row.columns
+    assert agg.exceptAll(row).count() == 0
+    assert row.exceptAll(agg).count() == 0
+    # and the physical difference is real: no Exchange anywhere
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        row.explain(mode="simple")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_near_dedup_against_store_drops_exactly_banded_matches(spark):
+    """Every batch doc sharing >= 1 band key with the corpus is dropped,
+    every other doc survives with all columns intact."""
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") < 250)
+    store = D.corpus_band_store(corpus, num_hashes=N_HASHES)
+    out = D.near_dedup_against_store(docs, store, num_hashes=N_HASHES)
+    assert out.columns == docs.columns
+
+    # ground truth straight from the band definition
+    bands = D.band_keys(
+        D.minhash_signatures(docs, num_hashes=N_HASHES, shingle_n=5),
+        num_hashes=N_HASHES,
+    )
+    expected_dropped = {
+        r["doc_id"]
+        for r in bands.join(store, ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert survivors == all_ids - expected_dropped
+    # corpus members trivially match their own bands
+    assert all(i >= 250 for i in survivors)
+
+
+def test_stream_near_dedup_matches_batch_operator(spark):
+    """availableNow stream through stream_near_dedup_writer lands exactly
+    the batch operator's survivors in the sink."""
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") < 250)
+    store = D.corpus_band_store(corpus, num_hashes=N_HASHES)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        shutil.copytree(f"{SF_SMOKE}", src, ignore=shutil.ignore_patterns("*"))
+        shutil.copy(f"{SF_SMOKE}/documents.parquet", f"{src}/documents.parquet")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(src)
+        )
+        sink = ParquetSink(f"{d}/out", mode="append")
+        writer = ops.stream_near_dedup_writer(store, sink)
+        # smaller hash family must flow through to the batch op: rebind
+        from parquet_to_postgres_spark.llm.dedup import (
+            near_dedup_against_store,
+        )
+
+        def _write(batch_df, batch_id):
+            sink.write(
+                near_dedup_against_store(
+                    batch_df, store, num_hashes=N_HASHES
+                )
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        del writer  # default-family writer exercised for construction only
+
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{d}/out").select("doc_id").collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in D.near_dedup_against_store(
+                docs, store, num_hashes=N_HASHES
+            )
+            .select("doc_id")
+            .collect()
+        }
+        assert got == want and got  # nonempty survivors
