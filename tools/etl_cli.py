@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
         help="rows per executeBatch (the 1000-row batches of main.rs:74)",
     )
     ap.add_argument("--schema", help="explicit DDL-style schema for csv/json")
+    ap.add_argument(
+        "--jdbc-driver",
+        help="JDBC driver class (e.g. org.apache.derby.jdbc.EmbeddedDriver "
+        "for the zero-install embedded-Derby target on Spark's classpath)",
+    )
     ap.add_argument("--ddl-only", action="store_true", help="print DDL and exit")
     args = ap.parse_args(argv)
 
@@ -72,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             num_partitions=args.num_partitions,
             batchsize=args.batchsize,
+            options={"driver": args.jdbc_driver} if args.jdbc_driver else {},
         )
     elif args.parquet_out:
         sink = ParquetSink(path=args.parquet_out, mode="overwrite")
