@@ -243,6 +243,53 @@ def hash_sample_by(
     return df.where(bucket < threshold)
 
 
+def sample_to_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Downsample strata to hit target mixture proportions — the
+    dataset-mixing step of a training pipeline ("50% web, 25% code,
+    25% reference"), deterministic and downsample-only.
+
+    ``weights`` are target SHARES (normalized internally); sizes are
+    row counts, or sums of ``size_col`` (e.g. token counts) when given.
+    The largest total consistent with the weights without upsampling is
+    ``min_k(n_k / w_k)``; each stratum keeps ``total·w_k / n_k`` of its
+    rows via :func:`hash_sample_by`, so the selection is reproducible
+    across runs, engines, and cluster sizes (an auditable mix, unlike
+    ``df.sample``).  Strata not in ``weights`` are dropped.
+
+    The only driver-side data is one row per STRATUM (the size
+    aggregate) — bounded by the number of sources/domains, never by
+    corpus size; the sampling itself is a scan-level predicate with no
+    join and no shuffle."""
+    total_w = float(sum(weights.values()))
+    shares = {k: w / total_w for k, w in weights.items()}
+    size_expr = (
+        F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
+    )
+    sizes = {
+        r["k"]: float(r["n"])
+        for r in df.where(F.col(strata_col).isin(*weights))
+        .groupBy(F.col(strata_col).alias("k"))
+        .agg(size_expr.alias("n"))
+        .collect()
+    }
+    present = {k: s for k, s in shares.items() if sizes.get(k)}
+    if not present:
+        return df.where(F.lit(False))
+    total = min(sizes[k] / s for k, s in present.items())
+    fractions = {
+        k: min(1.0, total * s / sizes[k]) for k, s in present.items()
+    }
+    return hash_sample_by(
+        df, id_col, strata_col, fractions, default_fraction=0.0
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -13,6 +13,7 @@ import random
 from pyspark.sql import functions as F
 
 from ._compare import canon
+from .conftest import SF_SMOKE
 
 
 def _random_vectors(spark, n, dim=16, seed=7):
@@ -452,3 +453,62 @@ def test_sessionize_subsecond_gaps(spark):
     )
     # 1.9 -> 3.1 gap = 1.2s  (same session);  3.1 -> 5.0 gap = 1.9s (new)
     assert [sid for _, sid in got] == [1, 1, 2]
+
+
+def test_sample_to_mixture_hits_target_proportions(spark):
+    """Deterministic mixture sampling: achieved shares track the target
+    weights (within hash-sampling tolerance), no stratum is upsampled,
+    unlisted strata are dropped, and reruns select identical rows."""
+    from parquet_to_postgres_spark.operators import sample_to_mixture
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    weights = {"en": 0.5, "de": 0.25, "es": 0.25}
+    out = sample_to_mixture(docs, "doc_id", "lang", weights)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) <= set(weights)  # fr/zh dropped
+    total = sum(got.values())
+    for lang, w in weights.items():
+        share = got.get(lang, 0) / total
+        assert abs(share - w / sum(weights.values())) < 0.12, (lang, got)
+    # no upsampling: each stratum is a subset of the original
+    orig = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(got[k] <= orig[k] for k in got)
+    # deterministic: identical id selection across runs
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_to_mixture(docs, "doc_id", "lang", weights)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_sample_to_mixture_token_weighted_and_empty(spark):
+    """size_col switches the mixture to token-weighted shares; an
+    all-absent weight set returns an empty frame, not a crash."""
+    from parquet_to_postgres_spark.llm.text import ws_token_count
+    from parquet_to_postgres_spark.operators import sample_to_mixture
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "n_tokens", ws_token_count("text").cast("long")
+    )
+    out = sample_to_mixture(
+        docs, "doc_id", "lang", {"en": 0.7, "de": 0.3}, size_col="n_tokens"
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("n"))
+        .collect()
+    }
+    total = sum(got.values())
+    assert abs(got["en"] / total - 0.7) < 0.12, got
+    empty = sample_to_mixture(docs, "doc_id", "lang", {"xx": 1.0})
+    assert empty.count() == 0
