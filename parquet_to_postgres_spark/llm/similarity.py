@@ -398,3 +398,120 @@ def sql_cosine(a: str, b: str, dim: int = 64) -> str:
         f"({sql_dot(a, b, dim)} / "
         f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
     )
+
+
+def sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance of two array columns, left-fold in double."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    max_iterations: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Lloyd's k-means, fully declarative — the iterative-algorithm
+    shape on Spark: per round ONE broadcast-join assignment pass and ONE
+    fixed-point mean aggregation, a driver-side scalar for convergence,
+    ``localCheckpoint`` to stop per-iteration lineage growth.
+
+    Returns ``(assignments(id, cell, dist), centroids(cell, centroid),
+    n_iterations)``.
+
+    - **Init is deterministic**: by default the per-``label`` fixed-point
+      centroids (:func:`label_centroids` — k = distinct labels); pass
+      ``init`` as a ``(cell, centroid array<double>)`` frame to seed
+      differently.  No RNG anywhere, so runs are bit-reproducible.
+    - **Assignment** broadcasts the (tiny, k×dim) centroid set and takes
+      the min-distance cell with total-order tie breaks (dist, cell) —
+      the corpus never shuffles for assignment.
+    - **Update** is the one shuffle per round: posexplode → per
+      (cell, pos) fixed-point int64 sums (order-independent — the same
+      determinism contract as :func:`label_centroids`) → arrays.  An
+      emptied cluster keeps its previous centroid instead of vanishing.
+    - **Convergence** compares successive centroids element-wise; only
+      that single max-shift scalar ever reaches the driver.
+
+    At 100 TB: per-round cost = one scan + one (cell, pos)-grain
+    aggregate (k·dim partial rows per partition — map-side combined);
+    rounds are the only serial dimension.  This is exactly why k-means
+    suits Spark and why each round must stay one stage + one shuffle.
+    """
+    cents = (
+        init
+        if init is not None
+        else _centroid_arrays(vectors, "label").select(
+            F.col("label").cast("int").alias("cell"), "centroid"
+        )
+    ).localCheckpoint(eager=True)
+
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    assigned = None
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "id", "vec", "cell", sq_dist("vec", "centroid").alias("dist")
+        )
+        w = Window.partitionBy("id").orderBy("dist", "cell")
+        assigned = (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .drop("r")
+        )
+        ex = assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+        new0 = ex.groupBy("cell", "pos").agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double") * CENTROID_SCALE).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / (F.lit(float(CENTROID_SCALE)) * F.count(F.lit(1)))
+            ).alias("cv")
+        )
+        new = new0.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+        # emptied clusters keep their previous centroid
+        merged = (
+            cents.select("cell", F.col("centroid").alias("old"))
+            .join(new, "cell", "left")
+            .select("cell", F.coalesce("centroid", "old").alias("centroid"),
+                    "old")
+            .localCheckpoint(eager=True)
+        )
+        shift = merged.select(
+            F.max(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("centroid"),
+                        F.col("old"),
+                        lambda a, b: F.abs(a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        cents = merged.drop("old")
+        if shift is not None and shift < tol:
+            break
+    out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
+    return out, cents, iterations

@@ -512,3 +512,59 @@ def test_sample_to_mixture_token_weighted_and_empty(spark):
     assert abs(got["en"] / total - 0.7) < 0.12, got
     empty = sample_to_mixture(docs, "doc_id", "lang", {"xx": 1.0})
     assert empty.count() == 0
+
+
+def test_kmeans_lloyd_converges_and_is_deterministic(spark):
+    """Lloyd's k-means: assignments are nearest-centroid (locally
+    optimal), the converged state is a fixed point, and two runs are
+    bit-identical (no RNG anywhere)."""
+    from parquet_to_postgres_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assigned, cents, n_iter = S.kmeans_lloyd(emb, max_iterations=15)
+    assert 1 <= n_iter <= 15
+    k = cents.count()
+    assert k == emb.select("label").distinct().count()  # seeded per label
+    # every vector assigned exactly once
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+    # fixed point: one more iteration from the converged centroids moves
+    # nothing (shift below tol on the first round)
+    _, cents2, n2 = S.kmeans_lloyd(emb, max_iterations=1, init=cents)
+    diff = (
+        cents.withColumnRenamed("centroid", "c1")
+        .join(cents2.withColumnRenamed("centroid", "c2"), "cell")
+        .select(
+            F.aggregate(
+                F.zip_with("c1", "c2", lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("d")
+        )
+        .agg(F.max("d").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert diff < 1e-5, diff
+
+    # determinism across runs
+    a2, _, _ = S.kmeans_lloyd(emb, max_iterations=15)
+    left = sorted((r["vec_id"], r["cell"]) for r in assigned.collect())
+    right = sorted((r["vec_id"], r["cell"]) for r in a2.collect())
+    assert left == right
+
+    # assignment really is argmin over the final centroids
+    sample = assigned.limit(50)
+    chk = (
+        sample.join(emb, "vec_id")
+        .crossJoin(F.broadcast(cents.withColumnRenamed("cell", "c2")))
+        .select(
+            "vec_id",
+            "dist",
+            S.sq_dist("embedding", "centroid").alias("d2"),
+        )
+        .groupBy("vec_id", "dist")
+        .agg(F.min("d2").alias("best"))
+    )
+    bad = chk.where(F.col("dist") > F.col("best") + 1e-9).count()
+    assert bad == 0
