@@ -147,3 +147,75 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    null_ratio_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+    mean_rel_tol: float = 0.25,
+) -> DataFrame:
+    """Schema/statistics drift between two column profiles (the output
+    of :func:`~.operators.profile_columns`) — the monitoring side of the
+    quality gate: run the single-pass profiler per ingest batch, keep
+    the previous profile, diff them.
+
+    One row per column across both profiles:
+    ``(column, status, null_ratio_delta, distinct_ratio, mean_rel_delta,
+    drifted)`` where status ∈ added/removed/common.  Flags:
+
+    - null-ratio moved by more than ``null_ratio_tol`` (absolute);
+    - approx-distinct changed by more than ``distinct_ratio_tol``
+      relative (HLL at rsd 2% never moves 50% on stable data);
+    - numeric mean moved by more than ``mean_rel_tol`` relative.
+
+    Both inputs are column-count-sized (one row per column), so the
+    whole diff is a broadcast join of two tiny frames — cost lives in
+    producing the profiles, one single-pass aggregate each."""
+    b = baseline.select(
+        "column",
+        (F.col("n_null") / F.col("n_rows")).alias("b_null_ratio"),
+        F.col("approx_distinct").alias("b_distinct"),
+        F.col("mean").alias("b_mean"),
+    )
+    c = current.select(
+        "column",
+        (F.col("n_null") / F.col("n_rows")).alias("c_null_ratio"),
+        F.col("approx_distinct").alias("c_distinct"),
+        F.col("mean").alias("c_mean"),
+    )
+    j = b.join(c, "column", "full_outer")
+    status = (
+        F.when(F.col("b_null_ratio").isNull(), F.lit("added"))
+        .when(F.col("c_null_ratio").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    null_delta = F.abs(F.col("c_null_ratio") - F.col("b_null_ratio"))
+    distinct_ratio = F.when(
+        F.col("b_distinct") > 0, F.col("c_distinct") / F.col("b_distinct")
+    )
+    mean_rel = F.when(
+        F.col("b_mean").isNotNull()
+        & F.col("c_mean").isNotNull()
+        & (F.abs(F.col("b_mean")) > 0),
+        F.abs(F.col("c_mean") - F.col("b_mean")) / F.abs(F.col("b_mean")),
+    )
+    drifted = (
+        (status != "common")
+        | (null_delta > null_ratio_tol)
+        | F.coalesce(
+            (distinct_ratio > 1 + distinct_ratio_tol)
+            | (distinct_ratio < 1 - distinct_ratio_tol),
+            F.lit(False),
+        )
+        | F.coalesce(mean_rel > mean_rel_tol, F.lit(False))
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        null_delta.alias("null_ratio_delta"),
+        distinct_ratio.alias("distinct_ratio"),
+        mean_rel.alias("mean_rel_delta"),
+        drifted.alias("drifted"),
+    )

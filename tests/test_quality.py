@@ -97,3 +97,32 @@ def test_validate_empty_rules_returns_empty_frame(spark):
     out = validate(df, [])
     assert out.columns == ["rule", "n_violations", "passed"]
     assert out.count() == 0
+
+
+def test_profile_drift_flags_moved_columns(spark):
+    """Drift diff of two single-pass profiles: stable columns pass,
+    a null-spiked column and a scaled numeric column are flagged, and
+    added/removed columns surface by status."""
+    from parquet_to_postgres_spark.operators import profile_columns
+    from parquet_to_postgres_spark.quality import profile_drift
+
+    base_df = spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as double) as v", "concat('u', id % 50) as cat"
+    )
+    # drifted batch: v scaled 10x, cat mostly null, id untouched, new col
+    cur_df = spark.range(1000).selectExpr(
+        "id",
+        "cast((id % 7) * 10 as double) as v",
+        "if(id % 4 = 0, concat('u', id % 50), null) as cat",
+        "cast(1 as int) as extra",
+    )
+    drift = {
+        r["column"]: r
+        for r in profile_drift(
+            profile_columns(base_df), profile_columns(cur_df)
+        ).collect()
+    }
+    assert drift["id"]["status"] == "common" and not drift["id"]["drifted"]
+    assert drift["v"]["drifted"]  # mean moved 10x
+    assert drift["cat"]["drifted"]  # null ratio spiked
+    assert drift["extra"]["status"] == "added" and drift["extra"]["drifted"]
