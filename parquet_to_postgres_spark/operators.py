@@ -44,6 +44,44 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(*[c.alias(n) for n, c in finals.items()])
 
 
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt_col: Column,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the LARGE side, replicate the SMALL
+    side across all salt buckets, join on (keys + salt).
+
+    A hot join key's rows spread over ``buckets`` reducers instead of
+    pinning one; the price is a ``buckets``× blow-up of the small side —
+    the right trade whenever small × buckets still fits a shuffle
+    partition (the small side is typically a dimension that was just
+    too big, or too skew-correlated, to broadcast).  Prefer AQE's skew
+    join (on in session.py) first; this operator is for the cases AQE
+    cannot split — e.g. a skewed LEFT side under an outer join, or a
+    key whose single value exceeds every split threshold.
+
+    ``salt_col`` must be a deterministic expression over the large
+    side's columns (e.g. ``pmod(col("event_id"), buckets)``) so results
+    are reproducible run-to-run.  Join semantics are unchanged: each
+    large row carries exactly one salt value and meets exactly one
+    replica of every matching small row, so multiplicities are
+    preserved for inner/left joins (``how`` is restricted to those)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: a right/full "
+            "join would count the small side's replicas as distinct rows"
+        )
+    salted = large.withColumn("__salt", salt_col % buckets)
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted.join(replicated, [*keys, "__salt"], how).drop("__salt")
+
+
 def distributed_rank(
     df: DataFrame,
     order: list[Column],

@@ -568,3 +568,33 @@ def test_kmeans_lloyd_converges_and_is_deterministic(spark):
     )
     bad = chk.where(F.col("dist") > F.col("best") + 1e-9).count()
     assert bad == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join results: inner and left joins over a
+    hot-keyed fact match the plain equi-join row-for-row (including
+    multiplicities and left-side NULL padding)."""
+    from parquet_to_postgres_spark.operators import salted_join
+    from parquet_to_postgres_spark.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    # dimension covering only half the users -> real NULL padding on left
+    dim = (
+        events.select("user_id").distinct().where(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.concat(F.lit("s"), F.col("user_id") % 3))
+    )
+    for how in ("inner", "left"):
+        fast = salted_join(
+            events, dim, ["user_id"],
+            salt_col=F.pmod(F.col("event_id"), F.lit(1 << 30)),
+            buckets=8, how=how,
+        )
+        plain = events.join(dim, ["user_id"], how)
+        assert fast.columns == plain.columns
+        assert fast.exceptAll(plain).count() == 0
+        assert plain.exceptAll(fast).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(events, dim, ["user_id"], F.col("event_id"), how="full")
