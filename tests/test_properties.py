@@ -182,3 +182,64 @@ def test_tf_idf_matches_python_reference(spark):
         )
         ref_top1[d] = best[0]
     assert top1 == ref_top1
+
+
+@PROP
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.05, max_value=1.0),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(0, 3),
+)
+def test_sample_to_mixture_invariants(spark, weights, seed_shift):
+    """For ANY weight map: output ⊆ input, unlisted strata absent, at
+    least one stratum kept entirely-or-downsampled at the binding ratio,
+    and the selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import sample_to_mixture
+
+    rows = [(i + seed_shift, "abcd"[i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = sample_to_mixture(df, "id", "k", weights)
+    got = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) <= set(weights)
+    orig = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(got[k] <= orig[k] for k in got)  # downsample-only
+    # deterministic
+    again = sample_to_mixture(df, "id", "k", weights)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+@PROP
+@given(st.integers(2, 12), st.sampled_from(["inner", "left"]))
+def test_salted_join_property(spark, buckets, how):
+    """salted_join ≡ plain join for any bucket count and join type."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 5) for i in range(300)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 5, 2)], "k long, payload string"
+    )
+    fast = salted_join(
+        big, dim, ["k"], salt_col=F.col("row_id"), buckets=buckets, how=how
+    )
+    plain = big.join(dim, ["k"], how)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
