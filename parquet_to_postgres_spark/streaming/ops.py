@@ -292,6 +292,9 @@ def stream_near_dedup_writer(
     sink,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    shingle_n: int | None = 5,
 ) -> "callable":
     """foreachBatch hook: near-dedup every micro-batch against a static
     corpus band store, then write the survivors through the batch sink.
@@ -313,7 +316,13 @@ def stream_near_dedup_writer(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         base(
             near_dedup_against_store(
-                batch_df, band_store, text_col=text_col, id_col=id_col
+                batch_df,
+                band_store,
+                num_hashes=num_hashes,
+                rows_per_band=rows_per_band,
+                text_col=text_col,
+                id_col=id_col,
+                shingle_n=shingle_n,
             ),
             batch_id,
         )

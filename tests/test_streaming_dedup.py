@@ -90,28 +90,15 @@ def test_stream_near_dedup_matches_batch_operator(spark):
             .parquet(src)
         )
         sink = ParquetSink(f"{d}/out", mode="append")
-        writer = ops.stream_near_dedup_writer(store, sink)
-        # smaller hash family must flow through to the batch op: rebind
-        from parquet_to_postgres_spark.llm.dedup import (
-            near_dedup_against_store,
-        )
-
-        def _write(batch_df, batch_id):
-            sink.write(
-                near_dedup_against_store(
-                    batch_df, store, num_hashes=N_HASHES
-                )
-            )
-
+        writer = ops.stream_near_dedup_writer(store, sink, num_hashes=N_HASHES)
         q = (
-            stream.writeStream.foreachBatch(_write)
+            stream.writeStream.foreachBatch(writer)
             .option("checkpointLocation", f"{d}/ckpt")
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        del writer  # default-family writer exercised for construction only
 
         got = {
             r["doc_id"]
