@@ -232,3 +232,95 @@ def sql_lang_id(text_expr: str = "text") -> str:
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
     return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text form for dedup/quality: lowercase, collapse runs
+    of whitespace to single spaces, trim.  Pure JVM expressions — safe
+    in the scan projection of any pipeline."""
+    c = F.lower(F.col(text_col))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# Conservative, line-anchored patterns: the goal is scrubbing obvious
+# contact strings from training text, not a compliance-grade detector.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text_col: str = "text") -> Column:
+    """Replace email/IP/phone shapes with typed placeholder tokens —
+    chained ``regexp_replace`` (one codegen stage, no Python).  Order
+    matters: emails first so their digit runs can't half-match the
+    phone pattern."""
+    c = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def remove_boilerplate_lines(
+    df,
+    max_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+):
+    """Drop lines that repeat across more than ``max_doc_frac`` of the
+    corpus (nav bars, cookie banners, license footers) and reassemble
+    each document in original line order — the CCNet-style paragraph
+    dedup that removes boilerplate WITHOUT dropping whole documents.
+
+    Plan shape at 100 TB: posexplode to (doc, pos, line); line
+    frequency is ONE aggregate at md5(line) grain (map-side combined —
+    boilerplate is by definition low-cardinality relative to the
+    corpus); the corpus-size scalar rides in as a broadcast one-row
+    cross join; the verdict joins back at line grain; reassembly is one
+    per-doc aggregate ordered by the carried ``pos`` (array_sort on
+    (pos, line) structs — no window).  Documents whose every line is
+    boilerplate come back as empty strings, preserving corpus
+    cardinality for downstream joins."""
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    freq = (
+        lines.select(id_col, F.md5("line").alias("lh"))
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n_docs_with_line"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        freq.crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("n_docs_with_line") >= min_docs)
+            & (
+                F.col("n_docs_with_line")
+                > F.col("n_docs") * F.lit(max_doc_frac)
+            )
+        )
+        .select("lh")
+    )
+    kept = lines.join(
+        boiler, F.md5(F.col("line")) == F.col("lh"), "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*other_cols)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .select(*df.columns)
+    )

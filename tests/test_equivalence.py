@@ -598,3 +598,49 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(events, dim, ["user_id"], F.col("event_id"), how="full")
+
+
+def test_text_normalize_and_pii_scrub(spark):
+    from parquet_to_postgres_spark.llm.text import normalize_text, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello   WORLD \t x "),
+            (2, "mail me at a.b+c@test-site.org or 10.0.0.1"),
+            (3, "call +1 (555) 123-4567 now"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["norm"], r["scrubbed"])
+        for r in df.select(
+            "id",
+            normalize_text("text").alias("norm"),
+            scrub_pii("text").alias("scrubbed"),
+        ).collect()
+    }
+    assert got[1][0] == "hello world x"
+    assert got[2][1] == "mail me at <EMAIL> or <IP>"
+    assert got[3][1] == "call <PHONE> now"
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines shared across >5% of docs vanish; unique lines stay in
+    original order; all-boilerplate docs survive as empty strings."""
+    from parquet_to_postgres_spark.llm.text import remove_boilerplate_lines
+
+    banner = "accept cookies"
+    footer = "copyright corp"
+    rows = [(i, f"unique {i} a\n{banner}\nunique {i} b\n{footer}")
+            for i in range(50)]
+    rows.append((50, f"{banner}\n{footer}"))  # all boilerplate
+    rows.append((51, "completely original\nsecond line"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, max_doc_frac=0.05).collect()
+    }
+    assert len(out) == len(rows)  # corpus cardinality preserved
+    assert out[7] == "unique 7 a\nunique 7 b"  # order kept, banners gone
+    assert out[50] == ""
+    assert out[51] == "completely original\nsecond line"
