@@ -142,14 +142,37 @@ def derby_url(db: str) -> str:
     return f"jdbc:derby:memory:{db};create=true"
 
 
-def read_jdbc(spark: SparkSession, url: str, table: str) -> DataFrame:
-    return (
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """JDBC read, optionally range-partitioned.
+
+    Without ``partition_column`` Spark reads the whole table over ONE
+    connection — fine for a smoke test, a ceiling at scale.  With it,
+    Spark issues ``num_partitions`` bounded-range queries in parallel —
+    the read-side analogue of the sink's ``numPartitions``.  Bounds
+    only steer split boundaries (rows outside still arrive in the edge
+    partitions), so correctness never depends on them."""
+    r = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("driver", DERBY_DRIVER)
-        .load()
     )
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower))
+            .option("upperBound", str(upper))
+            .option("numPartitions", str(num_partitions))
+        )
+    return r.load()
 
 
 @register(
@@ -190,7 +213,21 @@ def etl_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         options={"driver": DERBY_DRIVER},
     )
     sink.write(src)
-    back = read_jdbc(spark, derby_url("etlrt"), "orders_rt")
+    # Partitioned read-back: 4 bounded-range scans in parallel, the
+    # read-side analogue of the sink's connection cap.  The bounds are
+    # one tiny min/max aggregate (two scalars to the driver).
+    lo, hi = t.orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    back = read_jdbc(
+        spark,
+        derby_url("etlrt"),
+        "orders_rt",
+        partition_column="o_orderkey",
+        lower=int(lo),
+        upper=int(hi),
+        num_partitions=4,
+    )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderpriority").alias("n_prios"),
