@@ -204,7 +204,14 @@ def band_keys(
     """(id, band, key) LSH band keys from a signature frame — the ONE
     derivation shared by pair generation (:func:`minhash_band_pairs`),
     the corpus band store, and streaming dedup, so keys can never drift
-    between the batch and streaming paths."""
+    between the batch and streaming paths.
+
+    Rows with a NULL signature (``minhash_signatures_rowwise`` emits
+    all-NULL ``mh*`` for docs shorter than the shingle width) produce NO
+    band keys: ``concat_ws`` skips NULLs, so without the guard every
+    empty-unit doc would collapse onto key ``""`` in every band and all
+    short docs would become mutual near-duplicates.  Filtering here
+    matches the aggregate path's emit-no-row semantics exactly."""
     n_bands = num_hashes // rows_per_band
     band_structs = []
     for bidx in range(n_bands):
@@ -217,9 +224,11 @@ def band_keys(
                 F.concat_ws("_", *cols).alias("key"),
             )
         )
-    return signatures.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        signatures.where(F.col("mh0").isNotNull())
+        .select(id_col, F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
 
 
 def minhash_signatures_rowwise(

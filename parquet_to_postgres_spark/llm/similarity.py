@@ -513,5 +513,19 @@ def kmeans_lloyd(
         cents = merged.drop("old")
         if shift is not None and shift < tol:
             break
+    # the loop's `assigned` was scored against the centroids at the
+    # START of its final iteration — a half-step stale relative to the
+    # returned `cents` whenever the loop exits via max_iterations.
+    # Recompute once against the final set so (assignments, centroids)
+    # are mutually consistent: every point's cell IS its nearest
+    # returned centroid.  One extra broadcast-assign pass, no shuffle.
+    w = Window.partitionBy("id").orderBy("dist", "cell")
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("id", "cell", sq_dist("vec", "centroid").alias("dist"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .drop("r")
+    )
     out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
     return out, cents, iterations

@@ -37,7 +37,7 @@ def salted_agg(
     partials: output-name -> aggregate over raw rows (stage 1)
     finals:   output-name -> aggregate over stage-1 partial columns
     """
-    salted = df.withColumn("__salt", salt_col % buckets)
+    salted = df.withColumn("__salt", F.pmod(salt_col, F.lit(buckets)))
     stage1 = salted.groupBy(*keys, "__salt").agg(
         *[c.alias(n) for n, c in partials.items()]
     )
@@ -65,17 +65,22 @@ def salted_join(
     key whose single value exceeds every split threshold.
 
     ``salt_col`` must be a deterministic expression over the large
-    side's columns (e.g. ``pmod(col("event_id"), buckets)``) so results
-    are reproducible run-to-run.  Join semantics are unchanged: each
-    large row carries exactly one salt value and meets exactly one
-    replica of every matching small row, so multiplicities are
-    preserved for inner/left joins (``how`` is restricted to those)."""
+    side's columns (e.g. ``hash(col("event_id"))``) so results are
+    reproducible run-to-run; it is reduced with ``pmod`` here, so
+    negative expressions (``F.hash`` returns a signed int) land in
+    ``0..buckets-1`` and always meet a small-side replica — Spark's
+    ``%`` is sign-preserving and would silently drop every
+    negative-salt row from an inner join.  Join semantics are
+    unchanged: each large row carries exactly one salt value and meets
+    exactly one replica of every matching small row, so multiplicities
+    are preserved for inner/left joins (``how`` is restricted to
+    those)."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports inner/left, got {how!r}: a right/full "
             "join would count the small side's replicas as distinct rows"
         )
-    salted = large.withColumn("__salt", salt_col % buckets)
+    salted = large.withColumn("__salt", F.pmod(salt_col, F.lit(buckets)))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

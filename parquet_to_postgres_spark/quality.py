@@ -173,22 +173,28 @@ def profile_drift(
     Both inputs are column-count-sized (one row per column), so the
     whole diff is a broadcast join of two tiny frames — cost lives in
     producing the profiles, one single-pass aggregate each."""
+    # presence is carried by explicit markers, not inferred from derived
+    # metrics: a profile row from an empty input has n_rows=0 and a NULL
+    # null-ratio (try_divide — ANSI mode makes `/` throw on 0), which
+    # would misclassify a genuinely common column
     b = baseline.select(
         "column",
-        (F.col("n_null") / F.col("n_rows")).alias("b_null_ratio"),
+        F.try_divide(F.col("n_null"), F.col("n_rows")).alias("b_null_ratio"),
         F.col("approx_distinct").alias("b_distinct"),
         F.col("mean").alias("b_mean"),
+        F.lit(True).alias("in_b"),
     )
     c = current.select(
         "column",
-        (F.col("n_null") / F.col("n_rows")).alias("c_null_ratio"),
+        F.try_divide(F.col("n_null"), F.col("n_rows")).alias("c_null_ratio"),
         F.col("approx_distinct").alias("c_distinct"),
         F.col("mean").alias("c_mean"),
+        F.lit(True).alias("in_c"),
     )
     j = b.join(c, "column", "full_outer")
     status = (
-        F.when(F.col("b_null_ratio").isNull(), F.lit("added"))
-        .when(F.col("c_null_ratio").isNull(), F.lit("removed"))
+        F.when(F.col("in_b").isNull(), F.lit("added"))
+        .when(F.col("in_c").isNull(), F.lit("removed"))
         .otherwise(F.lit("common"))
     )
     null_delta = F.abs(F.col("c_null_ratio") - F.col("b_null_ratio"))

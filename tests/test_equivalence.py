@@ -570,6 +570,29 @@ def test_kmeans_lloyd_converges_and_is_deterministic(spark):
     assert bad == 0
 
 
+def test_kmeans_assignments_match_returned_centroids_when_truncated(spark):
+    """When the loop exits via max_iterations (NOT converged), the
+    returned assignments must still be argmin over the RETURNED
+    centroids — i.e. the final re-assignment pass ran, not the stale
+    half-step-old one from the last iteration's start."""
+    from parquet_to_postgres_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assigned, cents, n_iter = S.kmeans_lloyd(emb, max_iterations=1)
+    assert n_iter == 1
+    chk = (
+        assigned.limit(50)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(cents.withColumnRenamed("cell", "c2")))
+        .select(
+            "vec_id", "dist", S.sq_dist("embedding", "centroid").alias("d2")
+        )
+        .groupBy("vec_id", "dist")
+        .agg(F.min("d2").alias("best"))
+    )
+    assert chk.where(F.col("dist") > F.col("best") + 1e-9).count() == 0
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change join results: inner and left joins over a
     hot-keyed fact match the plain equi-join row-for-row (including

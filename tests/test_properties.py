@@ -225,7 +225,10 @@ def test_sample_to_mixture_invariants(spark, weights, seed_shift):
 @PROP
 @given(st.integers(2, 12), st.sampled_from(["inner", "left"]))
 def test_salted_join_property(spark, buckets, how):
-    """salted_join ≡ plain join for any bucket count and join type."""
+    """salted_join ≡ plain join for any bucket count, join type, and
+    salt sign: F.hash() is the natural salt choice and is frequently
+    NEGATIVE — pmod reduction must land it in a replicated bucket (a
+    sign-preserving % would silently drop those rows from inner joins)."""
     from pyspark.sql import functions as F
 
     from parquet_to_postgres_spark.operators import salted_join
@@ -236,10 +239,19 @@ def test_salted_join_property(spark, buckets, how):
     dim = spark.createDataFrame(
         [(k, f"v{k}") for k in range(0, 5, 2)], "k long, payload string"
     )
-    fast = salted_join(
-        big, dim, ["k"], salt_col=F.col("row_id"), buckets=buckets, how=how
-    )
     plain = big.join(dim, ["k"], how)
-    assert sorted(map(tuple, fast.collect())) == sorted(
+    for salt in (F.col("row_id"), F.hash(F.col("row_id"))):
+        fast = salted_join(
+            big, dim, ["k"], salt_col=salt, buckets=buckets, how=how
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    # explicitly all-negative salt: every row must still join
+    neg = salted_join(
+        big, dim, ["k"],
+        salt_col=(-F.col("row_id") - 1), buckets=buckets, how=how,
+    )
+    assert sorted(map(tuple, neg.collect())) == sorted(
         map(tuple, plain.collect())
     )

@@ -126,3 +126,35 @@ def test_profile_drift_flags_moved_columns(spark):
     assert drift["v"]["drifted"]  # mean moved 10x
     assert drift["cat"]["drifted"]  # null ratio spiked
     assert drift["extra"]["status"] == "added" and drift["extra"]["drifted"]
+
+
+def test_profile_drift_empty_input_profile(spark):
+    """Column presence must come from explicit markers, not derived
+    metrics: a profile taken over an EMPTY batch has n_rows=0 and NULL
+    null-ratios, but its columns are still present — they must read as
+    'common', never 'added'/'removed'."""
+    from parquet_to_postgres_spark.operators import profile_columns
+    from parquet_to_postgres_spark.quality import profile_drift
+
+    base_df = spark.range(100).selectExpr(
+        "id", "cast(id % 3 as double) as v"
+    )
+    empty_df = base_df.where("id < 0")  # same schema, zero rows
+    drift = {
+        r["column"]: r
+        for r in profile_drift(
+            profile_columns(base_df), profile_columns(empty_df)
+        ).collect()
+    }
+    assert set(drift) == {"id", "v"}
+    for col in ("id", "v"):
+        assert drift[col]["status"] == "common", drift[col]
+    # and symmetric: empty baseline, populated current
+    drift2 = {
+        r["column"]: r
+        for r in profile_drift(
+            profile_columns(empty_df), profile_columns(base_df)
+        ).collect()
+    }
+    for col in ("id", "v"):
+        assert drift2[col]["status"] == "common", drift2[col]

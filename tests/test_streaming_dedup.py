@@ -45,6 +45,26 @@ def test_rowwise_signatures_equal_aggregate_signatures(spark):
     assert "Exchange" not in buf.getvalue()
 
 
+def test_band_keys_skip_null_signatures(spark):
+    """Docs shorter than the shingle width get all-NULL rowwise
+    signatures; band_keys must emit NO keys for them (matching the
+    aggregate path's emit-no-row semantics).  Without the guard every
+    short doc lands on key "" in every band and they all become mutual
+    near-duplicates."""
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "xy"), (3, ""), (4, "a real document long enough")],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures_rowwise(docs, num_hashes=N_HASHES, shingle_n=5)
+    bands = D.band_keys(sigs, num_hashes=N_HASHES)
+    keyed = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
+    assert keyed == {4}
+    assert bands.where(F.col("key") == "").count() == 0
+    # pair generation therefore never pairs the short docs
+    pairs = D.minhash_band_pairs(sigs, num_hashes=N_HASHES)
+    assert pairs.count() == 0
+
+
 def test_near_dedup_against_store_drops_exactly_banded_matches(spark):
     """Every batch doc sharing >= 1 band key with the corpus is dropped,
     every other doc survives with all columns intact."""
