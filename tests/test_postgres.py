@@ -1,0 +1,171 @@
+"""Live-PostgreSQL dialect execution (VERDICT r3 item 1).
+
+The reference targets Postgres (``main.rs:60-66``); the JDBC writer path
+is executed against embedded Derby (no PG JDBC jar ships here), so these
+tests prove the POSTGRES side for real: ``schema_to_pg_ddl``'s corrected
+type map (JSONB/BYTEA/NUMERIC/TIMESTAMP) executed by an actual postgres
+server, bulk COPY in, bounded-range parallel COPY out, and value-exact
+round-trips — including the NULL-vs-empty-string and embedded
+quote/comma/newline cases the CSV wire has to carry.
+
+Skipped cleanly when no postgres toolchain is installed.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_to_postgres_spark import pg as P
+
+from .conftest import SF_SMOKE
+
+pytestmark = pytest.mark.skipif(
+    not P.postgres_available(), reason="no usable postgres toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def pgsrv(tmp_path_factory):
+    srv = P.EmbeddedPostgres(str(tmp_path_factory.mktemp("pgsrv")))
+    with srv:
+        yield srv
+
+
+def _tricky_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("small", T.ShortType(), True),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("price", T.DecimalType(12, 2), True),
+            T.StructField("ratio", T.DoubleType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("at", T.TimestampNTZType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    rows = [
+        (1, 7, True, Decimal("12.34"), 0.5, 'plain', b"\x00\xff\x10",
+         datetime.date(2024, 1, 2), datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+         ["a", "b"]),
+        (2, None, False, Decimal("-0.01"), None, 'comma, "quote"', None,
+         None, None, []),
+        (3, 0, None, None, 2.25, "line1\nline2", b"", datetime.date(1999, 12, 31),
+         datetime.datetime(1999, 12, 31, 23, 59, 59), None),
+        (4, -1, True, Decimal("99999999.99"), -1.5, "", b"\xde\xad\xbe\xef",
+         datetime.date(2024, 6, 1), datetime.datetime(2024, 6, 1, 0, 0, 0),
+         ['x,y', 'q"r']),
+        (5, 12, False, Decimal("0.00"), 3.14159, None, b"\x01",
+         datetime.date(2000, 2, 29), datetime.datetime(2000, 2, 29, 12, 0, 0),
+         ["été", "中文"]),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_roundtrip_value_exact(spark, pgsrv):
+    """Every supported type survives write→COPY→read-back bit-exactly,
+    including NULL vs empty string, embedded separators, unicode, bytea,
+    decimals at precision edges and nested→JSONB."""
+    df = _tricky_df(spark)
+    sink = P.PostgresCopySink(
+        pgsrv.conninfo(), "tricky", mode="overwrite", num_partitions=2
+    )
+    ddl = sink.write(df)
+    assert "JSONB" in ddl and "BYTEA" in ddl and "NUMERIC(12,2)" in ddl
+    back = P.read_back(
+        spark,
+        pgsrv.conninfo(),
+        "tricky",
+        df.schema,
+        partition_column="id",
+        lower=1,
+        upper=5,
+        num_partitions=3,
+    )
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert got == want
+
+
+def test_jsonb_is_real_jsonb_server_side(spark, pgsrv):
+    """The nested column lands as queryable JSONB, not text: the server
+    itself evaluates a ``->>`` path over it."""
+    df = _tricky_df(spark)
+    P.PostgresCopySink(
+        pgsrv.conninfo(), "tricky_j", mode="overwrite", num_partitions=1
+    ).write(df)
+    out = pgsrv.psql(
+        "SELECT id, tags->>0 FROM tricky_j WHERE tags IS NOT NULL "
+        "AND jsonb_array_length(tags) > 0 ORDER BY id;"
+    )
+    assert out.splitlines()[0] == "1|a"
+    typ = pgsrv.psql(
+        "SELECT data_type FROM information_schema.columns "
+        "WHERE table_name='tricky_j' AND column_name='tags';"
+    ).strip()
+    assert typ == "jsonb"
+
+
+def test_append_accumulates_overwrite_resets(spark, pgsrv):
+    df = _tricky_df(spark).select("id", "name")
+    sink = P.PostgresCopySink(
+        pgsrv.conninfo(), "modes_t", mode="overwrite", num_partitions=1
+    )
+    sink.write(df)
+    P.PostgresCopySink(
+        pgsrv.conninfo(), "modes_t", mode="append", num_partitions=1
+    ).write(df)
+    assert pgsrv.psql("SELECT count(*) FROM modes_t;").strip() == "10"
+    sink.write(df)
+    assert pgsrv.psql("SELECT count(*) FROM modes_t;").strip() == "5"
+
+
+def test_orders_roundtrip_hash_equivalent(spark, pgsrv):
+    """The etl_jdbc_roundtrip shape against REAL Postgres: orders plus a
+    synthesized nested column through the COPY sink, read back over 4
+    bounded-range connections, aggregated — equal row-for-row to the
+    same aggregate over the original parquet (the oracle's side)."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    src = orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    P.PostgresCopySink(
+        pgsrv.conninfo(), "orders_rt", mode="overwrite", num_partitions=4
+    ).write(src)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    back = P.read_back(
+        spark,
+        pgsrv.conninfo(),
+        "orders_rt",
+        src.schema,
+        partition_column="o_orderkey",
+        lower=int(lo),
+        upper=int(hi),
+        num_partitions=4,
+    )
+
+    def agg(d):
+        return (
+            d.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_orderpriority").alias("n_prios"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total"),
+                F.min(F.to_json("tags")).alias("min_tags"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    assert agg(back).collect() == agg(src).collect()
+    # the server really holds every row
+    n = int(pgsrv.psql("SELECT count(*) FROM orders_rt;").strip())
+    assert n == orders.count()
