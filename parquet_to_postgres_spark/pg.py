@@ -216,6 +216,17 @@ _CSV_OPTS = {
     "dateFormat": "yyyy-MM-dd",
 }
 
+# On READ the option meanings shift: `emptyValue` is the replacement
+# for an empty QUOTED field (write-side it is the rendering of an empty
+# string), and the parser nulls an UNQUOTED empty field regardless of
+# `nullValue`.  So reads use a sentinel NULL marker: COPY out prints
+# NULLs as __PGNULL__ and FORCE_QUOTE * quotes every non-null value
+# (including ''), which parses unambiguously.  Corner case: a data
+# value equal to the sentinel itself would be nulled (Spark applies
+# nullValue to quoted fields too) — the inherent CSV-wire ambiguity.
+_PG_NULL = "__PGNULL__"
+_CSV_READ_OPTS = {**_CSV_OPTS, "emptyValue": "", "nullValue": _PG_NULL}
+
 
 def prepare_for_copy(df: DataFrame) -> DataFrame:
     """Rewrite columns whose CSV text needs Postgres-specific spelling:
@@ -337,11 +348,27 @@ def read_back(
                 conds.append(f"{partition_column} < {hi}")
             wheres.append(f" WHERE {' AND '.join(conds)}" if conds else "")
 
-    # string columns come straight through CSV; binary/nested get a text
-    # staging column then a JVM-side decode back to the declared type.
+    # string columns come straight through CSV; binary/nested/boolean get
+    # a text staging column then a JVM-side decode back to the declared
+    # type (Postgres COPY CSV spells booleans `t`/`f`, which from_csv
+    # would null out).
     stage_fields, decode_cols = [], []
     for f_ in schema.fields:
-        if isinstance(f_.dataType, T.BinaryType):
+        if isinstance(f_.dataType, T.BooleanType):
+            stage_fields.append(T.StructField(f_.name, T.StringType(), True))
+            decode_cols.append(
+                F.when(
+                    F.col(f_.name).isNotNull(),
+                    F.col(f_.name).isin("t", "true", "TRUE", "1"),
+                ).alias(f_.name)
+            )
+        elif isinstance(f_.dataType, (T.TimestampType, T.TimestampNTZType)):
+            # COPY out trims trailing zeros ("23:59:59", "…59.5"); the
+            # fixed-width from_csv format would null those, but the
+            # string→timestamp CAST takes variable-length fractions.
+            stage_fields.append(T.StructField(f_.name, T.StringType(), True))
+            decode_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        elif isinstance(f_.dataType, T.BinaryType):
             stage_fields.append(T.StructField(f_.name, T.StringType(), True))
             decode_cols.append(
                 F.unhex(F.expr(f"substring(`{f_.name}`, 3)")).alias(f_.name)
@@ -368,7 +395,8 @@ def read_back(
             for w in pdf["whereclause"]:
                 out = run_psql(
                     conninfo,
-                    f"COPY (SELECT * FROM {table}{w}) TO STDOUT (FORMAT CSV, NULL '')",
+                    f"COPY (SELECT * FROM {table}{w}) TO STDOUT "
+                    f"(FORMAT CSV, NULL '{_PG_NULL}', FORCE_QUOTE *)",
                     tuples_only=False,
                 )
                 # a quoted field may contain literal newlines, so a
@@ -392,6 +420,6 @@ def read_back(
         f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in stage_schema.fields
     )
     parsed = raw.select(
-        F.from_csv(F.col("line"), stage_ddl, _CSV_OPTS).alias("r")
+        F.from_csv(F.col("line"), stage_ddl, _CSV_READ_OPTS).alias("r")
     ).select("r.*")
     return parsed.select(*decode_cols)
