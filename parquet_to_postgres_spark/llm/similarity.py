@@ -348,6 +348,143 @@ def ann_topk_ivf(
     )
 
 
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Integer dot product of two int8-quantized array columns — exact
+    int64 arithmetic (64 dims × 127² ≪ 2⁶³), so it is order-independent
+    and bit-identical across engines, unlike float folds."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long"))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantized_cosine(
+    dot_ab: Column, self_a: Column, self_b: Column
+) -> Column:
+    """Cosine over int8-quantized vectors from integer dots.
+
+    The per-vector symmetric scales CANCEL in cosine —
+    (s_a·ia)·(s_b·ib) / (s_a|ia| · s_b|ib|) = ia·ib / (|ia||ib|) — so
+    the quantized score needs no float reconstruction at all: integer
+    dot products, one sqrt each, one division.  Zero-norm vectors get
+    the sentinel −2.0 (below any real cosine) on both engines."""
+    return F.when(
+        (self_a > 0) & (self_b > 0),
+        dot_ab.cast("double")
+        / (F.sqrt(self_a.cast("double")) * F.sqrt(self_b.cast("double"))),
+    ).otherwise(F.lit(-2.0))
+
+
+def ann_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    n_probes: int = 5,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with int8-quantized candidate scoring and
+    full-precision re-score — the storage/bandwidth scale path
+    (:func:`quantize_embeddings` recipe, VERDICT r3 item 2).
+
+    Three stages, each the cheap one at 100 TB:
+
+    1. **Candidates** — the same multi-probe sign-LSH bucket equi-join
+       as :func:`ann_topk_lsh` (never all-pairs).
+    2. **Quantized prune** — candidates are scored with the INTEGER
+       cosine (:func:`quantized_cosine`; scales cancel, so no float
+       reconstruction) and only the top ``k·rerank`` per query survive.
+       This stage touches only the int8 column: 4× less scan + shuffle
+       than float32, and the arithmetic is exact int64, so the oracle
+       replays it bit-for-bit.
+    3. **Re-score** — the tiny survivor set (≤ k·rerank per query) is
+       broadcast back against the full-precision table by id and ranked
+       by true cosine.  Only this stage reads the float column.
+
+    Deterministic end-to-end: integer dots, total-order tie breaks
+    (score desc, neighbor_id) in both stages."""
+    cq = quantize_embeddings(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+        ),
+        "cvec",
+        "qc",
+    ).select(
+        "neighbor_id", "bucket", "qc", int_dot("qc", "qc").alias("css")
+    )
+    masks = F.array(*[F.lit(m) for m in lsh_probe_masks(n_bits, n_probes)])
+    qq = (
+        quantize_embeddings(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                sign_lsh_bucket(vec_col, n_bits).alias("__base"),
+            ),
+            "qvec",
+            "qv8",
+        )
+        .select(
+            "query_id",
+            "qv8",
+            int_dot("qv8", "qv8").alias("qss"),
+            F.explode(masks).alias("__mask"),
+            F.col("__base"),
+        )
+        .select(
+            "query_id",
+            "qv8",
+            "qss",
+            F.col("__base").bitwiseXOR(F.col("__mask")).alias("bucket"),
+        )
+    )
+    cand = cq.join(F.broadcast(qq), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        quantized_cosine(
+            int_dot("qv8", "qc"), F.col("qss"), F.col("css")
+        ).alias("q_score"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("q_score").desc(), F.col("neighbor_id")
+    )
+    survivors = (
+        cand.withColumn("qrank", F.row_number().over(w1))
+        .where(F.col("qrank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    fullc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col).alias("cnrm"),
+    )
+    fullq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(vec_col).alias("qnrm"),
+    )
+    rescored = (
+        fullc.join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(fullq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "score"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame, vec_col: str = "embedding", q_col: str = "qvec"
 ) -> DataFrame:
@@ -397,6 +534,42 @@ def sql_cosine(a: str, b: str, dim: int = 64) -> str:
     return (
         f"({sql_dot(a, b, dim)} / "
         f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
+    )
+
+
+def sql_int_dot(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`int_dot` — BIGINT products, exact."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def sql_abs_max(vec: str) -> str:
+    """DuckDB twin of the per-vector max|x| used by quantization."""
+    return f"list_max(list_transform({vec}, x -> abs(CAST(x AS DOUBLE))))"
+
+
+def sql_quantize(vec: str, mx: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`quantize_embeddings`'s element rule —
+    ``mx`` must be the :func:`sql_abs_max` of the same vector (hoist it
+    into the surrounding SELECT so the division order matches Spark's
+    ``x / (mx / 127.0)`` exactly)."""
+    return (
+        f"CASE WHEN {mx} = 0 THEN "
+        f"list_transform(range(1, {dim + 1}), i -> CAST(0 AS BIGINT)) "
+        f"ELSE list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(round(CAST({vec}[i] AS DOUBLE) / ({mx} / 127.0)) AS BIGINT)) END"
+    )
+
+
+def sql_quantized_cosine(dot_ab: str, self_a: str, self_b: str) -> str:
+    """DuckDB twin of :func:`quantized_cosine` (sentinel −2.0 on zero)."""
+    return (
+        f"CASE WHEN {self_a} > 0 AND {self_b} > 0 THEN "
+        f"CAST({dot_ab} AS DOUBLE) / "
+        f"(sqrt(CAST({self_a} AS DOUBLE)) * sqrt(CAST({self_b} AS DOUBLE))) "
+        f"ELSE -2.0 END"
     )
 
 
