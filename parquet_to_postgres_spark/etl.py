@@ -154,6 +154,41 @@ class ParquetSink:
         writer.parquet(self.path)
 
 
+@dataclass
+class IdempotentParquetSink:
+    """Exactly-once streaming sink: every micro-batch lands in its own
+    ``batch_id=<id>/`` hive partition via DYNAMIC partition overwrite,
+    so a RETRIED micro-batch (failure after a partial/complete write,
+    before the checkpoint commit) replaces its own partition instead of
+    double-appending — the batch_id-keyed idempotent write promised by
+    the foreachBatch contract (streaming/ops.py).
+
+    Why this shape at 100 TB: foreachBatch gives at-least-once delivery;
+    exactly-once end-to-end needs the sink write to be a deterministic
+    function of ``batch_id``.  Overwriting the single ``batch_id=N``
+    directory is atomic-enough per batch (the parquet committer writes
+    to a temp dir and renames), touches ONLY that batch's files (dynamic
+    mode leaves all other partitions alone), and needs no transaction
+    log or table format.  Readers take ``spark.read.parquet(path)`` and
+    get each batch exactly once, however many times it was retried.
+
+    ``extra_partition_by`` appends business partition columns UNDER the
+    batch key (batch_id=…/col=…/) when downstream reads filter on them.
+    """
+
+    path: str
+    extra_partition_by: tuple[str, ...] = ()
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", *self.extra_partition_by)
+            .parquet(self.path)
+        )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..tables import normalize_events_ts
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -41,18 +43,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (schema from the batch
     footer read — streaming file sources require an explicit schema).
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
-    mirror tables.load_table: read nanos as int64 (legacy conf) and
-    truncate to microseconds with integer division."""
+    The fixture's physical ts type has varied across driver rounds
+    (TIMESTAMP(NANOS) vs timestamp[us]); mirror tables.load_table and
+    normalize based on the footer schema actually read."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         # file sources stream a DIRECTORY; the glob picks out events
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_stream_to_df(result: DataFrame, output_mode: str) -> DataFrame:
@@ -270,15 +272,30 @@ def foreach_batch_writer(sink) -> "callable":
     double-insert — exactly-once end-to-end needs a transactional or
     idempotent sink.
 
-    Overwrite-mode sinks are REJECTED: availableNow can split the input
-    into several micro-batches (maxFilesPerTrigger), and each foreachBatch
-    call would silently overwrite the previous one, keeping only the last
-    batch.  Use an append-mode sink, or partition the write by batch_id."""
+    Idempotent sinks (anything exposing ``write_batch(df, batch_id)`` —
+    e.g. :class:`..etl.IdempotentParquetSink`, which overwrites a
+    ``batch_id=`` partition dynamically) receive the batch_id and are
+    exactly-once under retries; plain ``write(df)`` sinks are
+    at-least-once (a batch retried after a successful write but before
+    the checkpoint commit appends twice).
+
+    Overwrite-mode plain sinks are REJECTED: availableNow can split the
+    input into several micro-batches (maxFilesPerTrigger), and each
+    foreachBatch call would silently overwrite the previous one, keeping
+    only the last batch.  Use an append-mode sink, or an idempotent
+    batch_id-keyed sink."""
+    if hasattr(sink, "write_batch"):
+
+        def _write_idempotent(batch_df: DataFrame, batch_id: int) -> None:
+            sink.write_batch(batch_df, batch_id)
+
+        return _write_idempotent
     if getattr(sink, "mode", None) == "overwrite":
         raise ValueError(
             "foreachBatch sink must not use mode='overwrite': a multi-batch "
             "stream would keep only the LAST micro-batch. Use mode='append' "
-            "(or key the write on batch_id)."
+            "(or an idempotent batch_id-keyed sink, e.g. "
+            "etl.IdempotentParquetSink)."
         )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:

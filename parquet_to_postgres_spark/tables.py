@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import TABLES
 
@@ -53,21 +54,41 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-TZ ``TIMESTAMP`` regardless of
+    how the fixture encoded it.  The generator has shipped two physical
+    types across rounds, so branch on the *actual* footer schema:
+
+    - ``TIMESTAMP(NANOS)`` parquet (rejected by Spark's vectorized
+      reader) read as raw int64 via ``legacy.parquet.nanosAsLong``:
+      truncate to microseconds with *integer* division — epoch nanos
+      (~1.7e18) exceed 2^53, so float division would corrupt the value.
+      Truncation (not rounding) matches DuckDB's ns→µs cast, keeping
+      the oracle comparable.
+    - ``timestamp[us]`` with ``isAdjustedToUTC=false`` → Spark infers
+      ``TIMESTAMP_NTZ``: cast to ``TIMESTAMP`` (the session TZ is
+      pinned to UTC in session.py, so the wall-clock is preserved and
+      epoch arithmetic like ``unix_micros`` matches DuckDB's naive
+      reading of the same file).
+    - already ``TIMESTAMP``: pass through.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects.  Read nanos as raw int64 (legacy conf), then
-        # truncate to microseconds with *integer* division — epoch nanos
-        # (~1.7e18) exceed 2^53, so float division would corrupt the
-        # value.  Truncation (not rounding) matches DuckDB's ns→µs cast,
-        # keeping the oracle comparable.
+        # Legacy conf is a no-op for non-nanos files; set it so the read
+        # succeeds either way, then branch on what actually came back.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
