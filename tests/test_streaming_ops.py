@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from parquet_to_postgres_spark.etl import ParquetSink
@@ -124,3 +125,39 @@ def test_idempotent_sink_replayed_batch_no_double_insert(spark):
         plain.write(replay_df)
         plain.write(replay_df)
         assert spark.read.parquet(f"{d}/plain").count() == 2 * replay_df.count()
+
+
+def test_tws_user_totals_plan_builds(spark):
+    """transformWithStateInPandas (the Spark-4 successor stateful API):
+    the operator's streaming plan must BUILD against the real stream —
+    analysis catches schema/key/output-mode mistakes — even where the
+    runtime protobuf dependency is missing."""
+    result = ops.stateful_user_totals_tws(ops.events_stream(spark, SF_SMOKE))
+    assert result.isStreaming
+    assert set(result.columns) == {"user_id", "n_events", "sum_cents"}
+
+
+@pytest.mark.skipif(
+    not ops.tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf at runtime; "
+    "not shipped in this environment (applyInPandasWithState covers T6)",
+)
+def test_tws_user_totals_matches_batch(spark):
+    """Where protobuf exists, the new-API operator must produce exactly
+    the batch per-user totals (same contract as stateful_user_totals)."""
+    got = ops.run_stream_to_df(
+        ops.stateful_user_totals_tws(ops.events_stream(spark, SF_SMOKE)),
+        "update",
+        rocksdb=True,
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
