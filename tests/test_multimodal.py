@@ -163,11 +163,141 @@ def test_decode_bytes_rejects_garbage_and_compressed():
     import pytest
 
     with pytest.raises(ValueError, match="unrecognized"):
+        M.decode_media_bytes(b"GIF8 not a supported payload")
+    with pytest.raises(ValueError, match="IHDR"):
         M.decode_media_bytes(b"\x89PNG\r\n\x1a\n garbage")
     bmp, _ = _make_bmp()
     rle = bmp[:30] + (1).to_bytes(4, "little") + bmp[34:]  # BI_RLE8
     with pytest.raises(ValueError, match="compressed"):
         M.decode_media_bytes(rle)
+
+
+def _make_png(width=6, height=5, channels=3, filters=(0, 1, 2, 3, 4)):
+    """Hand-assemble a real zlib-compressed PNG, cycling through the
+    given scanline filter types, with a known pixel mean."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    stride, bpp = width * channels, channels
+    arr = (
+        (np.arange(height * stride, dtype=np.uint32) * 37 + 11) % 256
+    ).astype(np.uint8).reshape(height, stride)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = filters[y % len(filters)]
+        row = arr[y].astype(np.int32)
+        enc = np.empty_like(row)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) // 2
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            enc[x] = (row[x] - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    return png, float(arr.mean(dtype=np.float64))
+
+
+def test_decode_png_all_filter_types():
+    """The dependency-free PNG decoder reconstructs a DEFLATE-compressed
+    raster bit-exactly across every scanline filter type (None / Sub /
+    Up / Average / Paeth) and both RGB and grayscale layouts."""
+    png, mean = _make_png(width=6, height=5, channels=3)
+    got = M.decode_media_bytes(png)
+    assert (got["fmt"], got["width"], got["height"], got["channels"]) == (
+        "png", 6, 5, 3,
+    )
+    assert got["n_values"] == 6 * 5 * 3
+    assert got["mean_value"] == mean
+
+    gray, gray_mean = _make_png(width=9, height=4, channels=1)
+    got = M.decode_media_bytes(gray)
+    assert (got["channels"], got["mean_value"]) == (1, gray_mean)
+
+    rgba, rgba_mean = _make_png(width=3, height=7, channels=4)
+    got = M.decode_media_bytes(rgba)
+    assert (got["channels"], got["mean_value"]) == (4, rgba_mean)
+
+
+def test_decode_png_rejects_unsupported_variants():
+    import struct
+    import pytest
+
+    png, _ = _make_png()
+    # patch IHDR bit depth to 16 (offset: 8 sig + 8 len/id + 8 w/h)
+    depth16 = png[:24] + b"\x10" + png[25:]
+    with pytest.raises(ValueError, match="8-bit"):
+        M.decode_media_bytes(depth16)
+    # palette color type (3)
+    pal = png[:25] + struct.pack("B", 3) + png[26:]
+    with pytest.raises(ValueError, match="color type"):
+        M.decode_media_bytes(pal)
+
+
+def test_decode_jpeg_depends_on_pillow():
+    """JPEG rides the optional PIL branch: decodes when Pillow exists,
+    raises a clear actionable error when it doesn't."""
+    import pytest
+
+    jpeg_head = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if M.pil_available():
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        buf = io.BytesIO()
+        arr = np.zeros((4, 4, 3), dtype=np.uint8) + 128
+        Image.fromarray(arr).save(buf, format="JPEG")
+        got = M.decode_media_bytes(buf.getvalue())
+        assert got["fmt"] == "jpeg"
+        assert (got["width"], got["height"], got["channels"]) == (4, 4, 3)
+    else:
+        with pytest.raises(ValueError, match="Pillow"):
+            M.decode_media_bytes(jpeg_head)
+
+
+def test_decode_png_through_spark_plumbing(spark):
+    """A compressed-codec payload decodes through the same mapInPandas
+    path as the uncompressed tier."""
+    png, mean = _make_png(width=6, height=5, channels=3)
+    media = spark.createDataFrame(
+        [(10, png, "image/png", None, None)], M.MEDIA_SCHEMA
+    )
+    row = M.decode_media_real(media).collect()[0]
+    assert row["fmt"] == "png" and row["mean_value"] == mean
 
 
 def test_decode_media_real_through_spark(spark):
