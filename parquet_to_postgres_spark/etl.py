@@ -218,16 +218,21 @@ def compact_parquet(
     import math
 
     df = spark.read.parquet(path)
-    # on-disk size via the Hadoop file index — no data scan.  listFiles
-    # is recursive: partitioned tables keep files in nested directories.
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(jpath, True)
-    total = 0
-    while it.hasNext():
-        st = it.next()
-        if st.getPath().getName().endswith(".parquet"):
-            total += st.getLen()
+    # On-disk size via the binaryFile source with content pruned: the
+    # scan reads FILE STATUS only (length/path), never the bytes — a
+    # distributed listing that works on any scheme (local/S3/HDFS) and
+    # through Spark Connect, unlike the former private `_jvm` Hadoop-FS
+    # walk.  recursiveFileLookup covers hive-partitioned nesting.
+    total = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("length")
+        .agg(F.sum("length"))
+        .collect()[0][0]
+        or 0
+    )
     n_files = max(1, math.ceil(total / target_file_bytes))
     if partition_by:
         df = df.repartition(n_files, *[F.col(c) for c in partition_by])
@@ -329,22 +334,59 @@ def scd2_apply(
     )
 
 
+# Above this much CSV/JSON input, silent schema inference is a bug, not
+# a convenience: inference is a FULL extra pass over the data before the
+# real job starts (2× the scan cost at 100 TB).  Production callers
+# pass an explicit schema; the guard makes the inference pass visible at
+# test scale (warning) and fatal at production scale (error).
+INFER_GUARD_BYTES = 256 << 20
+
+
 def read_source(
     spark: SparkSession,
     path: str,
     fmt: str = "parquet",
     schema: T.StructType | str | None = None,
+    max_infer_bytes: int = INFER_GUARD_BYTES,
     **options: str,
 ) -> DataFrame:
     """Generalized source reader (reference reads only Parquet, main.rs:52).
 
-    CSV/JSON accept an explicit schema — at 100 TB schema inference is a
-    full extra pass over the data, so production callers must pass one.
-    """
+    CSV/JSON without an explicit schema fall back to inference with a
+    production guard: a ``UserWarning`` always (inference doubles the
+    scan), and a hard error when the input exceeds ``max_infer_bytes``
+    (set ``max_infer_bytes=0`` to disable the size check for
+    deliberately schema-less exploration)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
+        import warnings
+
+        warnings.warn(
+            f"read_source({fmt}): no schema given — Spark will infer one "
+            "with a full extra pass over the input. Pass schema= in "
+            "production.",
+            UserWarning,
+            stacklevel=2,
+        )
+        if max_infer_bytes:
+            total = (
+                spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(path)
+                .select("length")
+                .agg(F.sum("length"))
+                .collect()[0][0]
+                or 0
+            )
+            if total > max_infer_bytes:
+                raise ValueError(
+                    f"read_source({fmt}): {total >> 20} MiB of input with "
+                    f"no explicit schema (guard: {max_infer_bytes >> 20} "
+                    "MiB). Schema inference would rescan all of it — pass "
+                    "schema=, or raise max_infer_bytes deliberately."
+                )
         options.setdefault("inferSchema", "true")
     if fmt == "csv":
         options.setdefault("header", "true")

@@ -452,3 +452,32 @@ def test_jdbc_sink_flattens_nested_to_json(spark):
     assert got == want
     assert got[1][0] == "[1,2]" and got[1][1] == '{"a":1}'
     assert got[1][2] == '{"s":"x","n":9}'
+
+
+def test_read_source_infer_guard(spark):
+    """CSV/JSON without an explicit schema warns (inference = an extra
+    full pass) and errors outright above the size guard."""
+    import warnings
+
+    import pytest
+
+    from parquet_to_postgres_spark.etl import read_source
+    from parquet_to_postgres_spark.tables import load_table
+
+    with tempfile.TemporaryDirectory() as d:
+        load_table(spark, SF_SMOKE, "region").write.option(
+            "header", "true"
+        ).csv(f"{d}/csv")
+        # explicit schema: silent
+        schema = load_table(spark, SF_SMOKE, "region").schema
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            read_source(spark, f"{d}/csv", "csv", schema=schema)
+        # inference: warns
+        with pytest.warns(UserWarning, match="full extra pass"):
+            df = read_source(spark, f"{d}/csv", "csv")
+        assert df.count() == 5
+        # inference above the guard: hard error
+        with pytest.warns(UserWarning):
+            with pytest.raises(ValueError, match="no explicit schema"):
+                read_source(spark, f"{d}/csv", "csv", max_infer_bytes=1)
