@@ -194,31 +194,50 @@ def cluster_zorder(
     )
 
 
-def profile_columns(df: DataFrame) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    exact_distinct: bool = False,
+    decimal_mean: bool = False,
+) -> DataFrame:
     """Single-pass column profiler: one row per column with row/null
-    counts, approximate distinct count, min/max (as strings), and mean
-    for numeric columns.
+    counts, distinct count, min/max (as strings), and mean for numeric
+    columns.
 
     The whole profile is ONE aggregate over the input — ~5 expressions
     per column inside a single map-side-combined pass — then a
     constant-size unpivot of the 1×(5·ncols) result row.  At 100 TB
     that is one scan and one tiny shuffle, versus the naive
     one-job-per-column profiler that rescans the table N times.
-    Distinct counts use HLL (approx_count_distinct, rsd 2%): the exact
-    version would need a full shuffle PER COLUMN and is precisely what
-    a profiler must avoid at scale."""
+    Distinct counts use HLL (approx_count_distinct, rsd 2%) by default:
+    the exact version needs an expand PER COLUMN and is precisely what
+    a profiler must avoid at scale.  ``exact_distinct=True`` switches
+    to exact counts and ``decimal_mean=True`` makes double-column means
+    order-independent (decimal(18,2) sums — the _util.py determinism
+    strategy) — both for gate-checked runs at test scale, not the
+    100 TB default."""
     num_types = ("int", "bigint", "smallint", "tinyint", "double", "float")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for name, dtype in df.dtypes:
         is_num = dtype in num_types or dtype.startswith("decimal")
+        if decimal_mean and dtype in ("double", "float"):
+            mean = F.sum(F.col(name).cast("decimal(18,2)")).cast(
+                "double"
+            ) / F.count(name)
+        elif is_num:
+            mean = F.avg(F.col(name).cast("double"))
+        else:
+            mean = F.lit(None)
+        distinct = (
+            F.countDistinct(name)
+            if exact_distinct
+            else F.approx_count_distinct(name, rsd=0.02)
+        )
         aggs += [
             F.count(name).alias(f"nn_{name}"),
-            F.approx_count_distinct(name, rsd=0.02).alias(f"ad_{name}"),
+            distinct.alias(f"ad_{name}"),
             F.min(name).cast("string").alias(f"mn_{name}"),
             F.max(name).cast("string").alias(f"mx_{name}"),
-            (
-                F.avg(F.col(name).cast("double")) if is_num else F.lit(None)
-            ).cast("double").alias(f"av_{name}"),
+            mean.cast("double").alias(f"av_{name}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(

@@ -53,7 +53,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "pricing_summary",
     "select_filter_case",
     "scalar_functions",
-    "array_functions",
+    "profile_drift_report",
     "semi_structured_functions",
     "daily_counts_gapfill",
     "exact_stats",
@@ -79,7 +79,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multi_source_agg",
     "etl_roundtrip_agg",
     "etl_jdbc_roundtrip",
-    "dedup_exact_text",
+    "corpus_preprocess",
     "text_metrics",
     "term_frequency_top",
     "tf_idf_top",

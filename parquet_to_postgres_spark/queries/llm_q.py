@@ -21,21 +21,104 @@ from . import register
 # ---------------------------------------------------------------- L1 ----
 
 
-@register(
-    "dedup_exact_text",
-    oracle="""
-    SELECT md5(text) AS dedup_key,
-           MIN(doc_id) AS representative,
-           COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-    tags=("L1",),
+_PII_SQL = (
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"),
 )
-def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: exact dedup by content hash — one hash-aggregate, the cheapest
-    100 TB dedup (md5 hex is identical across engines)."""
+
+
+def _corpus_preprocess_oracle(max_doc_frac: float = 0.5, min_docs: int = 2) -> str:
+    """DuckDB replay of scrub_pii → remove_boilerplate_lines(sep=' ') →
+    normalize_text → exact-dedup key, sharing regexes/constants with
+    llm/text.py so the dialects cannot drift."""
+    scrub = "text"
+    for pat, repl in _PII_SQL:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH scrubbed AS (
+      SELECT doc_id, lang, source, {scrub} AS text FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest([{{'pos': i - 1, 'line': parts[i]}}
+                     for i in range(1, len(parts) + 1)],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM scrubbed)
+    ),
+    freq AS (
+      SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS n_docs_with_line
+      FROM lines GROUP BY md5(line)
+    ),
+    boiler AS (
+      SELECT lh FROM freq
+      WHERE n_docs_with_line >= {min_docs}
+        AND n_docs_with_line > (SELECT COUNT(*) FROM documents) * {max_doc_frac}
+    ),
+    kept AS (
+      SELECT * FROM lines WHERE md5(line) NOT IN (SELECT lh FROM boiler)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos, line) AS text
+      FROM kept GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT s.doc_id, s.lang, s.source,
+             trim(regexp_replace(lower(COALESCE(r.text, '')),
+                                 '\\s+', ' ', 'g')) AS clean_text
+      FROM scrubbed s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+    )
+    SELECT doc_id, lang, source, clean_text,
+           length(clean_text) AS n_chars,
+           md5(clean_text) AS dedup_key,
+           COUNT(*) OVER (PARTITION BY md5(clean_text)) AS n_copies
+    FROM cleaned
+    """
+
+
+@register(
+    "corpus_preprocess",
+    oracle=_corpus_preprocess_oracle(),
+    tags=("L1", "L5", "L6"),
+)
+def corpus_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning composite: PII scrub → cross-document
+    boilerplate removal → normalization → exact-dedup key, the standard
+    pre-training text pipeline run as ONE declared query (promotes the
+    formerly pytest-only text-preprocessing operators to the oracle
+    gate; VERDICT r3 item 8).
+
+    The documents fixture is single-line, so boilerplate removal runs
+    at WORD grain (``sep=' '``): tokens present in over half the corpus
+    — the high-document-frequency 'boilerplate vocabulary' — are
+    dropped corpus-wide, the word-grain analogue of CCNet line dedup.
+    Plan shape at 100 TB (see llm/text.py): regex scrubs ride the scan
+    projection; line frequency is one md5-grain aggregate; the corpus
+    size rides in as a broadcast scalar; reassembly is one per-doc
+    ordered aggregate — no windows over the full corpus, and the final
+    dedup count is a key-partitioned window at md5 grain."""
     t = Catalog(spark, sf_dir)
-    return D.exact_dedup(t.documents, F.md5(F.col("text")))
+    scrubbed = t.documents.select(
+        "doc_id", "lang", "source", X.scrub_pii("text").alias("text")
+    )
+    cleaned = X.remove_boilerplate_lines(
+        scrubbed, max_doc_frac=0.5, min_docs=2, sep=" "
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        X.normalize_text("text").alias("clean_text"),
+    )
+    w = Window.partitionBy(F.md5("clean_text"))
+    return cleaned.select(
+        "doc_id",
+        "lang",
+        "source",
+        "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars"),
+        F.md5("clean_text").alias("dedup_key"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
 
 
 # ---------------------------------------------------------------- L2 ----

@@ -271,3 +271,108 @@ def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     deduped = D.near_dedup_corpus(t.documents, threshold=0.8)
     return deduped.select("doc_id", "lang", "source", "n_chars")
+
+
+_ORDERS_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "other"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _half_profile_sql(parity: int) -> str:
+    """Per-column profile of one half of orders — the DuckDB twin of
+    operators.profile_columns(exact_distinct=True, decimal_mean=True)
+    restricted to the metrics profile_drift consumes."""
+    rows = []
+    for col, kind in _ORDERS_PROFILE_COLS:
+        if kind == "int":
+            mean = f"SUM(CAST({col} AS DOUBLE)) / COUNT({col})"
+        elif kind == "money":
+            # the _util.py determinism strategy: exact decimal sum, one
+            # double division — order-independent in both engines
+            mean = (
+                f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+                f" / COUNT({col})"
+            )
+        else:
+            mean = "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"""
+      SELECT '{col}' AS "column",
+             (COUNT(*) - COUNT({col})) / COUNT(*) AS null_ratio,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             {mean} AS mean
+      FROM orders WHERE o_orderkey % 2 = {parity}"""
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _drift_oracle(
+    null_tol: float = 0.05, dist_tol: float = 0.5, mean_tol: float = 0.25
+) -> str:
+    dr = 'CASE WHEN b_d > 0 THEN c_d / b_d END'
+    mr = (
+        "CASE WHEN b_mean IS NOT NULL AND c_mean IS NOT NULL "
+        "AND abs(b_mean) > 0 THEN abs(c_mean - b_mean) / abs(b_mean) END"
+    )
+    status = (
+        "CASE WHEN NOT in_b THEN 'added' "
+        "WHEN NOT in_c THEN 'removed' ELSE 'common' END"
+    )
+    return f"""
+    WITH b AS ({_half_profile_sql(0)}),
+    c AS ({_half_profile_sql(1)}),
+    j AS (
+      SELECT COALESCE(b."column", c."column") AS "column",
+             b.null_ratio AS b_nr, c.null_ratio AS c_nr,
+             b.n_distinct AS b_d, c.n_distinct AS c_d,
+             b.mean AS b_mean, c.mean AS c_mean,
+             b."column" IS NOT NULL AS in_b,
+             c."column" IS NOT NULL AS in_c
+      FROM b FULL OUTER JOIN c ON b."column" = c."column"
+    )
+    SELECT "column",
+           {status} AS status,
+           abs(c_nr - b_nr) AS null_ratio_delta,
+           {dr} AS distinct_ratio,
+           {mr} AS mean_rel_delta,
+           ({status}) <> 'common'
+             OR abs(c_nr - b_nr) > {null_tol}
+             OR COALESCE(({dr}) > {1 + dist_tol} OR ({dr}) < {1 - dist_tol},
+                         FALSE)
+             OR COALESCE(({mr}) > {mean_tol}, FALSE) AS drifted
+    FROM j
+    """
+
+
+@register(
+    "profile_drift_report",
+    oracle=_drift_oracle(),
+    tags=("A2", "A7"),
+)
+def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch data monitoring as a declared query: profile two
+    ingest batches (orders split by key parity) with the SINGLE-PASS
+    column profiler, then diff the profiles with quality.profile_drift
+    (promoting the formerly pytest-only drift operator to the oracle
+    gate; VERDICT r3 item 8).
+
+    Gate determinism: the declared run uses exact distinct counts and
+    decimal-sum means (profile_columns flags) so the report is
+    hash-checkable; the 100 TB default keeps HLL distincts — same plan
+    shape, one pass per batch either way, and the diff itself is a
+    broadcast join of two column-count-sized frames."""
+    from ..operators import profile_columns
+    from ..quality import profile_drift
+
+    t = Catalog(spark, sf_dir)
+    base = t.orders.where(F.col("o_orderkey") % 2 == 0)
+    cur = t.orders.where(F.col("o_orderkey") % 2 == 1)
+    return profile_drift(
+        profile_columns(base, exact_distinct=True, decimal_mean=True),
+        profile_columns(cur, exact_distinct=True, decimal_mean=True),
+    )

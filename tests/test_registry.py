@@ -45,3 +45,20 @@ def test_driver_order_registry_consistency():
     assert set(DRIVER_ORDER) == set(SPECS)
     # every query has an oracle (zero rows-only in the declared set)
     assert all(SPECS[n].oracle is not None for n in DRIVER_ORDER)
+
+
+def test_rotated_out_array_functions_still_matches_oracle(spark, duck):
+    """array_functions lost its registry slot to profile_drift_report in
+    round 5 but keeps full oracle coverage here (same check the gate
+    would run)."""
+    from parquet_to_postgres_spark.queries.functions_q import (
+        ARRAY_FUNCTIONS_ORACLE,
+        array_functions,
+    )
+
+    assert_matches_oracle(
+        array_functions(spark, SF_SMOKE),
+        duck,
+        ARRAY_FUNCTIONS_ORACLE,
+        "array_functions",
+    )
