@@ -204,3 +204,42 @@ def test_tf_idf_windows_are_doc_partitioned(spark):
     assert "windowspecdefinition(doc_id" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_corpus_preprocess_no_full_corpus_window(spark):
+    """The corpus-cleaning composite must stay aggregate/join shaped:
+    its only window is partitioned by the dedup hash (per-key grain);
+    a global (empty-partition) window would serialize the corpus."""
+    p = plan(build("corpus_preprocess", spark))
+    assert "Window" in p  # the n_copies count per dedup key
+    # Spark renders a global window with an EMPTY partition spec
+    # (trailing '], []'); the dedup-key window must carry its key
+    # (Catalyst hoists md5(clean_text) into a _w0 projection, so match
+    # the spec shape, not the expression text).
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert not line.rstrip().endswith(", []"), (
+                f"global window found: {line}"
+            )
+    # boilerplate frequency is an aggregate, not a self cross join
+    assert "CartesianProduct" not in p
+
+
+def test_profile_drift_diff_consumes_aggregates_not_rows(spark):
+    """Drift = two single-pass profiles + a column-count-sized diff.
+    The scale contract is that the outer-join DIFF consumes the
+    profiles' 1-row aggregate outputs, never the raw table: each
+    orders scan must feed a HashAggregate below the join (join
+    strategy itself is irrelevant — full outer over two ~6-row frames;
+    Spark picks SMJ since full outer can't broadcast-hash)."""
+    p = plan(build("profile_drift_report", spark))
+    assert "HashAggregate" in p or "SortAggregate" in p
+    assert "Join FullOuter" in p
+    # the join keys on the stacked profile's column name, i.e. its
+    # inputs are the unpivoted profile frames — not o_* table columns
+    assert "CartesianProduct" not in p
+    # one scan per half, nothing else (formatted output lists every
+    # node twice — tree and details — so match the details form)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 2
