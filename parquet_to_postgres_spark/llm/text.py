@@ -324,3 +324,77 @@ def remove_boilerplate_lines(
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
         .select(*df.columns)
     )
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split long documents into overlapping whitespace-token windows —
+    the standard long-document prep for a fixed-context trainer
+    (RAG-style chunking with stride = chunk − overlap; the final,
+    shorter window is kept so no tail text is lost).
+
+    One row in → ceil(max(n − overlap, 1) / stride) rows out with
+    ``(id_col, chunk_id, chunk_text, n_tokens)``; every other column
+    passes through, so chunks keep their provenance (lang, source).
+
+    Plan shape at 100 TB: tokenization, window starts (``sequence``),
+    window slices (``transform`` + ``slice`` + ``concat_ws``), and the
+    explode are ALL per-row higher-order expressions inside the scan
+    projection — zero shuffles, zero Python, and the fan-out rides the
+    existing partitioning (explode never repartitions).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap_tokens}) must be < chunk ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # last start s satisfies s < n - overlap (so every chunk carries at
+    # least one NEW token); single short doc -> one chunk at start 0
+    last_start = F.greatest(
+        (n - F.lit(overlap_tokens + 1)), F.lit(0)
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, s + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    other = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*other, F.explode(chunks).alias("__c"))
+        .select(
+            *other,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn("n_tokens", F.size(F.split(F.col("chunk_text"), " ")).cast("long"))
+    )
+
+
+def shuffle_deterministic(df, id_col: str, salt: int = 0):
+    """Deterministic global permutation of a corpus — the "shuffle the
+    training set" step, reproducible across runs, engines, and cluster
+    sizes (``df.orderBy(rand())`` is none of those).
+
+    Orders by the same Knuth multiplicative hash the sampling operators
+    use (operators.hash_sample), salted so successive epochs get
+    decorrelated permutations.  A global sort is the scale-correct
+    shuffle on Spark: range-partition on the hash (sampled boundaries)
+    + per-partition local sort — no single-partition funnel, and the
+    output is stably ordered for a downstream sequential writer."""
+    key = (
+        (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    return df.orderBy(key, F.col(id_col))

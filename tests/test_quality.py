@@ -158,3 +158,81 @@ def test_profile_drift_empty_input_profile(spark):
     }
     for col in ("id", "v"):
         assert drift2[col]["status"] == "common", drift2[col]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunking must cover every token (no tail loss), overlap adjacent
+    chunks by exactly `overlap`, and keep provenance columns."""
+    from parquet_to_postgres_spark.llm.text import chunk_documents
+
+    rows = [
+        (1, "en", " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "de", "only three tokens"),                    # shorter than chunk
+        (3, "fr", " ".join(f"u{i}" for i in range(7))),    # exactly chunk+stride
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6 (stride 3); last start < 10-1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"].split() for r in c1] == [
+        ["t0", "t1", "t2", "t3"],
+        ["t3", "t4", "t5", "t6"],
+        ["t6", "t7", "t8", "t9"],
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"].split()[-1:] == b["chunk_text"].split()[:1]
+    # every source token appears in some chunk
+    assert set().union(*[set(r["chunk_text"].split()) for r in c1]) == {
+        f"t{i}" for i in range(10)
+    }
+    # short doc: single whole chunk, provenance kept
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_text"] == "only three tokens"
+    assert by_doc[2][0]["lang"] == "de"
+    assert by_doc[2][0]["n_tokens"] == 3
+    # 7 tokens: starts 0,3 only — a start at 6 would carry no NEW
+    # token (u6 is already chunk 1's tail), and coverage is total:
+    # last_start >= n - chunk always, so the final window reaches n
+    c3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c3] == [4, 4]
+    assert set().union(*[set(r["chunk_text"].split()) for r in c3]) == {
+        f"u{i}" for i in range(7)
+    }
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from parquet_to_postgres_spark.llm.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_shuffle_deterministic_is_a_stable_permutation(spark):
+    """Same rows, new order; identical across runs; different salts give
+    different permutations; plan is a range-partitioned sort (no single
+    partition funnel)."""
+    from parquet_to_postgres_spark.llm.text import shuffle_deterministic
+    from parquet_to_postgres_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    p0 = [r["doc_id"] for r in shuffle_deterministic(docs, "doc_id").collect()]
+    p0_again = [
+        r["doc_id"] for r in shuffle_deterministic(docs, "doc_id").collect()
+    ]
+    p1 = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs, "doc_id", salt=1).collect()
+    ]
+    assert p0 == p0_again  # reproducible
+    assert sorted(p0) == sorted(p1)  # a permutation
+    assert p0 != p1  # salt decorrelates
+    assert p0 != sorted(p0)  # actually shuffled
+    plan = shuffle_deterministic(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" in plan and "rangepartitioning" in plan.lower()
