@@ -49,30 +49,38 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         samples = []
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            materialize(specs[name].builder(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        # queries that persist intermediates (e.g. minhash profiles) must
-        # not leak cache into later measurements
-        spark.catalog.clearCache()
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                materialize(specs[name].builder(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # not zero out the whole benchmark (round-4 lesson: a fixture
+            # schema drift aborted bench entirely and the round recorded
+            # NO numbers); report it and keep measuring the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        finally:
+            # queries that persist intermediates (e.g. minhash profiles)
+            # must not leak cache into later measurements
+            spark.catalog.clearCache()
         per_query[name] = round(statistics.median(samples), 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
-    return 0
+    result = {
+        "metric": "declared_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
