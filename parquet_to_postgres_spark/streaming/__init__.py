@@ -16,9 +16,11 @@ from .ops import (
     session_windows,
     sliding_window_counts,
     stateful_user_totals,
+    stateful_user_totals_tws,
     stream_stream_click_attribution,
     streaming_dedup_keys,
     tumbling_window_counts,
+    tws_available,
     watermarked_late_drop,
 )
 
@@ -31,8 +33,10 @@ __all__ = [
     "session_windows",
     "sliding_window_counts",
     "stateful_user_totals",
+    "stateful_user_totals_tws",
     "stream_stream_click_attribution",
     "streaming_dedup_keys",
     "tumbling_window_counts",
+    "tws_available",
     "watermarked_late_drop",
 ]
