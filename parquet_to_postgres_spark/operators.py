@@ -544,3 +544,64 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+TIME_GRAINS = ("minute", "hour", "day", "week", "month")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: list[Column],
+    grains: tuple[str, ...] = ("hour", "day"),
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup in ONE pass: every
+    requested grain's aggregate comes out of a single scan + a single
+    shuffle, instead of one job per grain.
+
+    Output grain: ``(grain, bucket_ts, *keys, *aggs)`` — the
+    continuous-aggregate table a time-series store (TimescaleDB
+    hypertable rollups, Druid rollup segments) maintains.  Implemented
+    with native GROUPING SETS (``df.groupingSets``): Catalyst plans one
+    Expand (×len(grains)) feeding one partial/final hash aggregate, the
+    same physical shape as rollup/cube — map-side combined, so at
+    100 TB the shuffle carries pre-aggregated (grain, bucket, keys)
+    rows, not events.
+
+    For the INCREMENTAL version, run this over each micro-batch inside
+    ``foreachBatch`` with :class:`~.etl.IdempotentParquetSink` and merge
+    by (grain, bucket_ts, keys) downstream — buckets are aligned, so a
+    re-aggregation of the per-batch partials is exact for the algebraic
+    aggregates (sum/count/min/max) used here.
+    """
+    unknown = [g for g in grains if g not in TIME_GRAINS]
+    if unknown:
+        raise ValueError(f"unknown grains {unknown}; known: {TIME_GRAINS}")
+    buckets = [
+        F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains
+    ]
+    tagged = df.select(*df.columns, *buckets)
+    # every set carries the business keys; only the grain bucket varies
+    sets = [
+        [F.col(f"__b_{g}"), *[F.col(k) for k in keys]] for g in grains
+    ]
+    rolled = tagged.groupingSets(
+        sets, *[F.col(f"__b_{g}") for g in grains], *[F.col(k) for k in keys]
+    ).agg(*aggs)
+    # each grouping set leaves the OTHER grain columns null; recover the
+    # grain tag and its bucket with one coalesce chain per row
+    grain_tag = F.coalesce(
+        *[
+            F.when(F.col(f"__b_{g}").isNotNull(), F.lit(g))
+            for g in grains
+        ]
+    )
+    bucket = F.coalesce(*[F.col(f"__b_{g}") for g in grains])
+    out_aggs = [c for c in rolled.columns if not c.startswith("__b_") and c not in keys]
+    return rolled.select(
+        grain_tag.alias("grain"),
+        bucket.alias("bucket_ts"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in out_aggs],
+    )

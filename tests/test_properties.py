@@ -255,3 +255,69 @@ def test_salted_join_property(spark, buckets, how):
     assert sorted(map(tuple, neg.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_time_rollup_one_pass_matches_per_grain_aggs(spark):
+    """The multi-grain rollup equals independent per-grain aggregations,
+    and its plan is ONE scan + one Expand feeding one aggregate (the
+    grouping-sets contract), not a job per grain."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import time_rollup
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    ]
+    rolled = time_rollup(
+        ev, "ts", aggs, grains=("hour", "day"), keys=("event_type",)
+    )
+    got = {
+        (r["grain"], r["bucket_ts"], r["event_type"]): (r["n"], r["total"])
+        for r in rolled.collect()
+    }
+    for grain in ("hour", "day"):
+        expect = (
+            ev.groupBy(
+                F.date_trunc(grain, "ts").alias("b"), "event_type"
+            ).agg(*aggs)
+        ).collect()
+        assert len([k for k in got if k[0] == grain]) == len(expect)
+        for r in expect:
+            assert got[(grain, r["b"], r["event_type"])] == (
+                r["n"], r["total"],
+            ), (grain, r["b"])
+    # single-pass plan: one parquet scan, one Expand (explain a FRESH
+    # frame — the executed one would print AQE initial+final sections
+    # and double-count nodes)
+    import io
+    import re
+    import contextlib
+
+    fresh = time_rollup(
+        ev, "ts", aggs, grains=("hour", "day"), keys=("event_type",)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fresh.explain(mode="formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Expand", p, re.M)) == 1
+
+
+def test_time_rollup_rejects_unknown_grain(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import time_rollup
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="unknown grains"):
+        time_rollup(ev, "ts", [F.count(F.lit(1)).alias("n")], grains=("decade",))
