@@ -481,3 +481,27 @@ def test_read_source_infer_guard(spark):
         with pytest.warns(UserWarning):
             with pytest.raises(ValueError, match="no explicit schema"):
                 read_source(spark, f"{d}/csv", "csv", max_infer_bytes=1)
+
+
+def test_xml_and_text_sources_roundtrip(spark):
+    """E4: Spark 4's native XML source and the line-text source through
+    the same generalized reader — XML needs rowTag; text yields one
+    `value` line per row (the raw-corpus ingestion shape)."""
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        src.write.option("rootTag", "nations").option("rowTag", "nation").format(
+            "xml"
+        ).save(f"{d}/xml")
+        back = read_source(
+            spark, f"{d}/xml", "xml", schema=src.schema, rowTag="nation"
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
+        lines = src.select(F.col("n_name").alias("value"))
+        lines.write.text(f"{d}/text")
+        tback = read_source(spark, f"{d}/text", "text")
+        assert sorted(r["value"] for r in tback.collect()) == sorted(
+            r["value"] for r in lines.collect()
+        )
