@@ -667,3 +667,31 @@ def test_remove_boilerplate_lines(spark):
     assert out[7] == "unique 7 a\nunique 7 b"  # order kept, banners gone
     assert out[50] == ""
     assert out[51] == "completely original\nsecond line"
+
+
+def test_arrow_udf_matches_plain_udf_and_jvm_fingerprint(spark):
+    """The Arrow-optimized Python UDF (useArrow=True, the 4th UDF kind)
+    must agree with the plain Python UDF AND the JVM-side fingerprint
+    expression on every document — same formula, three executions."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.text import fingerprint
+    from parquet_to_postgres_spark.llm.udfs import (
+        rolling_hash_arrow_udf,
+        rolling_hash_udf,
+    )
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = docs.select(
+        rolling_hash_arrow_udf("text").alias("arrow_fp"),
+        rolling_hash_udf("text").alias("py_fp"),
+        fingerprint("text").alias("jvm_fp"),
+    )
+    bad = out.where(
+        (F.col("arrow_fp") != F.col("py_fp"))
+        | (F.col("arrow_fp") != F.col("jvm_fp"))
+    ).count()
+    assert bad == 0
