@@ -161,3 +161,53 @@ def test_tws_user_totals_matches_batch(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_idempotent_sink_multi_batch_replay(spark):
+    """Exactly-once across a MULTI-batch run: maxFilesPerTrigger=1 over
+    a 3-file input produces 3 micro-batches / 3 batch_id partitions;
+    replaying the middle batch leaves total rows and per-batch layout
+    unchanged."""
+    import tempfile
+
+    from parquet_to_postgres_spark.etl import IdempotentParquetSink
+
+    src = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src.repartition(3).write.parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in")
+        )
+        sink = IdempotentParquetSink(f"{d}/out")
+        ops.run_stream_to_sink(stream, sink, f"{d}/ckpt")
+
+        back = spark.read.parquet(f"{d}/out")
+        n0 = back.count()
+        assert n0 == src.count()
+        ids = sorted(
+            r[0] for r in back.select("batch_id").distinct().collect()
+        )
+        assert len(ids) >= 2, f"expected multiple micro-batches, got {ids}"
+
+        replay_id = ids[len(ids) // 2]
+        replay_df = (
+            spark.read.parquet(f"{d}/out")
+            .where(F.col("batch_id") == replay_id)
+            .drop("batch_id")
+            .localCheckpoint(eager=True)
+        )
+        ops.foreach_batch_writer(sink)(replay_df, replay_id)
+
+        after = spark.read.parquet(f"{d}/out")
+        assert after.count() == n0
+        per_batch = {
+            r["batch_id"]: r["n"]
+            for r in after.groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sorted(per_batch) == ids  # no new partitions appeared
