@@ -51,6 +51,19 @@ def main(argv: list[str] | None = None) -> int:
         "for the zero-install embedded-Derby target on Spark's classpath)",
     )
     ap.add_argument("--ddl-only", action="store_true", help="print DDL and exit")
+    ap.add_argument(
+        "--postgres",
+        action="store_true",
+        help="load into a throwaway EMBEDDED PostgreSQL via COPY — the "
+        "reference's actual target engine (main.rs:60-66), no JDBC "
+        "driver needed; requires a local postgres toolchain",
+    )
+    ap.add_argument(
+        "--pg-conninfo",
+        help="load into an EXISTING PostgreSQL via COPY: space-separated "
+        "key=value pairs (e.g. 'host=localhost port=5432 dbname=db "
+        "user=u'); implies the COPY sink",
+    )
     args = ap.parse_args(argv)
 
     from parquet_to_postgres_spark.etl import (
@@ -69,6 +82,48 @@ def main(argv: list[str] | None = None) -> int:
         df = read_source(spark, args.source, args.format, args.schema)
         print(schema_to_pg_ddl(args.table, df.schema))
         return 0
+
+    if args.postgres or args.pg_conninfo:
+        from parquet_to_postgres_spark.pg import (
+            EmbeddedPostgres,
+            PostgresCopySink,
+            postgres_available,
+            run_psql,
+        )
+
+        def _run_copy(conninfo: dict[str, str]) -> int:
+            sink = PostgresCopySink(
+                conninfo=conninfo,
+                table=args.table,
+                mode=args.mode,
+                num_partitions=args.num_partitions,
+            )
+            t0 = time.perf_counter()
+            ddl = etl(spark, args.source, sink, args.format, args.schema)
+            print(ddl)
+            n = run_psql(
+                conninfo, f"SELECT COUNT(*) FROM {args.table};"
+            ).strip()
+            print(f"rows in {args.table}: {n}")
+            print(f"Time taken: {time.perf_counter() - t0:.2f}s")
+            return 0
+
+        if args.pg_conninfo:
+            conninfo = dict(
+                kv.split("=", 1) for kv in args.pg_conninfo.split()
+            )
+            return _run_copy(conninfo)
+        if not postgres_available():
+            print("no usable postgres toolchain found", file=sys.stderr)
+            return 2
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as workdir:
+            # world-readable so the dropped-privilege postgres user can
+            # create its data directory under it
+            os.chmod(workdir, 0o777)
+            with EmbeddedPostgres(workdir) as pg:
+                return _run_copy(pg.conninfo())
 
     if args.jdbc_url:
         sink = JdbcSink(
