@@ -426,6 +426,7 @@ def stream_near_dedup_writer(
     num_hashes: int = 128,
     rows_per_band: int = 8,
     shingle_n: int | None = 5,
+    cache_store: bool = True,
 ) -> "callable":
     """foreachBatch hook: near-dedup every micro-batch against a static
     corpus band store, then write the survivors through the batch sink.
@@ -437,11 +438,19 @@ def stream_near_dedup_writer(
     (shuffle-free when the store is bucketed on those keys).  Inside
     foreachBatch the micro-batch is a plain DataFrame, so the exact
     batch operator (:func:`~..llm.dedup.near_dedup_against_store`) runs
-    unchanged — streaming and batch dedup cannot diverge.  Note the
-    store is read per micro-batch: append newly-ingested docs' bands to
-    it between triggers and later batches dedup against them too."""
+    unchanged — streaming and batch dedup cannot diverge.
+
+    ``cache_store`` (default) persists the band store on first use so a
+    long-running query joins each micro-batch against the cached bands
+    instead of rescanning the store's files per trigger; MEMORY_AND_DISK
+    semantics keep it safe when the store outgrows executor memory.
+    Pass ``False`` when the store is mutated between triggers (appended
+    bands must be visible to later batches) — the per-trigger re-read
+    is then the point, not a cost."""
     from ..llm.dedup import near_dedup_against_store
 
+    if cache_store:
+        band_store = band_store.persist()
     base = foreach_batch_writer(sink)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
