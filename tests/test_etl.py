@@ -505,3 +505,28 @@ def test_xml_and_text_sources_roundtrip(spark):
         assert sorted(r["value"] for r in tback.collect()) == sorted(
             r["value"] for r in lines.collect()
         )
+
+
+def test_etl_cli_ddl_only_and_parquet_sink(spark, capsys):
+    """The CLI's fast paths: --ddl-only prints executable-shaped DDL;
+    --parquet-out runs the full read->DDL->sink pipeline."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import etl_cli
+
+    rc = etl_cli.main(
+        [f"{SF_SMOKE}/nation.parquet", "--table", "nation_t", "--ddl-only"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CREATE TABLE IF NOT EXISTS nation_t" in out
+    assert "n_nationkey INTEGER" in out
+
+    with tempfile.TemporaryDirectory() as d:
+        rc = etl_cli.main(
+            [f"{SF_SMOKE}/nation.parquet", "--table", "nation_t",
+             "--parquet-out", f"{d}/out"]
+        )
+        assert rc == 0
+        assert spark.read.parquet(f"{d}/out").count() == 25
