@@ -211,3 +211,27 @@ def test_idempotent_sink_multi_batch_replay(spark):
             .collect()
         }
         assert sorted(per_batch) == ids  # no new partitions appeared
+
+
+def test_checkpoint_restart_processes_nothing_twice(spark):
+    """Source-side exactly-once: re-running an availableNow query over
+    the SAME durable checkpoint re-delivers no data — the restarted
+    query sees the committed offsets and writes zero new rows even into
+    a plain append sink."""
+    import tempfile
+
+    stream = ops.events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "purchase"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sink = ParquetSink(f"{d}/out", mode="append")
+        ops.run_stream_to_sink(stream, sink, f"{d}/ckpt")
+        n1 = spark.read.parquet(f"{d}/out").count()
+        assert n1 > 0
+
+        # "restart": same input, same checkpoint, fresh query object
+        stream2 = ops.events_stream(spark, SF_SMOKE).where(
+            F.col("event_type") == "purchase"
+        )
+        ops.run_stream_to_sink(stream2, sink, f"{d}/ckpt")
+        assert spark.read.parquet(f"{d}/out").count() == n1
