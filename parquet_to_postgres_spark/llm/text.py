@@ -361,18 +361,29 @@ def chunk_documents(
         (n - F.lit(overlap_tokens + 1)), F.lit(0)
     )
     starts = F.sequence(F.lit(0), last_start, F.lit(stride))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / F.lit(stride)).cast("long").alias("chunk_id"),
-            F.concat_ws(
-                " ", F.slice(toks, s + 1, chunk_tokens)
-            ).alias("chunk_text"),
-        ),
+    # NULL text must yield a NULL chunk array (explode_outer keeps the
+    # row): unguarded, size(NULL) is -1 and concat_ws silently renders
+    # the null slice as '' — a phantom empty chunk
+    chunks = F.when(
+        F.col(text_col).isNull(), F.lit(None)
+    ).otherwise(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / F.lit(stride)).cast("long").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, s + 1, chunk_tokens)
+                ).alias("chunk_text"),
+            ),
+        )
     )
     other = [c for c in df.columns if c != text_col]
+    # explode_outer: a NULL-text document yields ONE row with NULL
+    # chunk columns instead of silently vanishing — corpus cardinality
+    # is preserved for downstream joins (same contract as
+    # remove_boilerplate_lines)
     return (
-        df.select(*other, F.explode(chunks).alias("__c"))
+        df.select(*other, F.explode_outer(chunks).alias("__c"))
         .select(
             *other,
             F.col("__c.chunk_id").alias("chunk_id"),

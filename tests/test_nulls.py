@@ -177,3 +177,21 @@ def test_equi_width_histogram_empty_and_all_null(spark):
     assert out.count() == 0
     all_null = spark.createDataFrame([(None,), (None,)], "v double")
     assert equi_width_histogram(all_null, "v", bins=5).count() == 0
+
+
+def test_chunk_documents_preserves_null_text_rows(spark):
+    """A NULL-text document must survive chunking as one row with NULL
+    chunk columns — silent row loss would break downstream joins that
+    assume corpus cardinality."""
+    from parquet_to_postgres_spark.llm.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=3, overlap_tokens=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["chunk_id"] is None
+    assert rows[2]["chunk_text"] is None
+    assert rows[2]["n_tokens"] is None
+    assert rows[1]["chunk_text"] is not None
