@@ -321,3 +321,39 @@ def test_time_rollup_rejects_unknown_grain(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     with pytest.raises(ValueError, match="unknown grains"):
         time_rollup(ev, "ts", [F.count(F.lit(1)).alias("n")], grains=("decade",))
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@PROP
+def test_chunking_reconstructs_the_document(spark, n_tokens, chunk, overlap):
+    """Lossless-chunking property: dropping each non-first chunk's
+    leading `overlap` tokens and concatenating reconstructs the exact
+    original token sequence — no token lost, duplicated, or reordered,
+    for ANY (length, chunk, overlap) combination."""
+    from hypothesis import assume
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from parquet_to_postgres_spark.llm.text import chunk_documents
+
+    assume(overlap < chunk)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap_tokens=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = chunk - overlap
+    rebuilt: list[str] = []
+    for i, r in enumerate(out):
+        assert r["chunk_id"] == i
+        ctoks = r["chunk_text"].split(" ")
+        assert len(ctoks) <= chunk
+        rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
+    assert rebuilt == toks
+    # starts advance by exactly stride: chunk i covers tokens from i*stride
+    for i, r in enumerate(out):
+        assert r["chunk_text"].split(" ")[0] == toks[i * stride]
