@@ -409,3 +409,62 @@ def shuffle_deterministic(df, id_col: str, salt: int = 0):
         * F.lit(2654435761)
     ) % F.lit(4294967296)
     return df.orderBy(key, F.col(id_col))
+
+
+def repetition_features(
+    text_col: str = "text",
+    line_sep: str = "\n",
+    ngram_n: int = 2,
+) -> list[Column]:
+    """Within-document repetition signals (the Gopher-rule family:
+    duplicate lines / duplicate words / top-n-gram share) — the other
+    half of quality filtering next to :func:`quality_features`'s
+    length/stopword/punctuation axes.  Repetitive docs (boilerplate
+    spam, keyword stuffing, degenerate model output) score high here
+    and get filtered before training.
+
+    All per-row higher-order expressions in the scan projection — no
+    explode, no shuffle.  ``top_ngram_share`` counts each DISTINCT
+    n-gram's occurrences with a nested filter (O(distinct·n) per row —
+    fine at document grain; for book-length outliers switch to the
+    explode + groupBy(doc, ngram) shape).  Empty/NULL text yields NULL
+    features (filter decisions stay explicit downstream)."""
+    c = F.col(text_col)
+    lines = F.split(c, line_sep)
+    toks = F.split(c, " ")
+    n_lines = F.size(lines)
+    n_toks = F.size(toks)
+    ngrams = F.filter(
+        F.transform(
+            toks,
+            lambda _t, i: F.concat_ws(
+                " ", F.slice(toks, i + 1, ngram_n)
+            ),
+        ),
+        lambda _g, i: i < n_toks - F.lit(ngram_n - 1),
+    )
+    top_ngram_count = F.array_max(
+        F.transform(
+            F.array_distinct(ngrams),
+            lambda g: F.size(F.filter(ngrams, lambda x: x == g)),
+        )
+    )
+    guard = c.isNotNull() & (n_toks > 0)
+    dup_line_frac = F.when(
+        c.isNotNull() & (n_lines > 0),
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    )
+    dup_word_frac = F.when(
+        guard,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_toks,
+    )
+    top_share = F.when(
+        guard & (F.size(ngrams) > 0),
+        top_ngram_count.cast("double") / F.size(ngrams),
+    )
+    return [
+        dup_line_frac.alias("dup_line_frac"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_share.alias(f"top_{ngram_n}gram_share"),
+    ]
