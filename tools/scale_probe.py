@@ -42,6 +42,8 @@ HEAVY = [
     "near_dedup_corpus",
     "ann_topk",
     "stream_stream_join",
+    "corpus_preprocess",
+    "profile_drift_report",
 ]
 SMALL = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
