@@ -605,3 +605,46 @@ def time_rollup(
         *[F.col(k) for k in keys],
         *[F.col(c) for c in out_aggs],
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` label per
+    row, disjoint and covering BY CONSTRUCTION — each row's hash bucket
+    falls in exactly one cumulative-fraction interval.
+
+    This is the right primitive for dataset splits, where N independent
+    :func:`hash_sample` calls would need careful salting to avoid
+    overlap and still couldn't guarantee coverage.  Same Knuth
+    multiplicative hash as the sampling family, so splits are
+    reproducible across runs, engines, and cluster sizes, and a
+    document keeps its split when the corpus around it changes (stable
+    ids -> stable membership — the property that prevents train/test
+    contamination across dataset versions).  Fractions must sum to 1
+    (±1e-9); the label is a scan-level CASE chain, no shuffle."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (
+        (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    label = None
+    cum = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        threshold = F.lit(int(cum * 4294967296))
+        label = (
+            F.when(bucket < threshold, F.lit(name))
+            if label is None
+            else label.when(bucket < threshold, F.lit(name))
+        )
+    last = items[-1][0]
+    label = F.lit(last) if label is None else label.otherwise(F.lit(last))
+    return df.withColumn(out_col, label)

@@ -269,3 +269,35 @@ def test_repetition_features_known_values(spark):
     r4 = out[4]
     assert abs(r4["dup_word_frac"] - 0.75) < 1e-12   # 4 'x', 1 distinct
     assert r4["top_2gram_share"] == 1.0              # all bigrams 'x x'
+
+
+def test_assign_splits_disjoint_covering_stable(spark):
+    """Splits are disjoint+covering by construction, deterministic,
+    roughly proportional, and STABLE: a row keeps its split when other
+    rows are added or removed (the anti-contamination property)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import assign_splits
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(df, "doc_id", fr)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == set(fr)            # covering, all labels present
+    assert sum(counts.values()) == 2000      # disjoint (each row once)
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert counts["val"] / 2000 < 0.15 and counts["test"] / 2000 < 0.15
+
+    # stability: the same doc_id gets the same split in a different corpus
+    sub = assign_splits(
+        df.where(F.col("doc_id") % 3 == 0), "doc_id", fr
+    ).collect()
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "doc_id", {"train": 0.5, "test": 0.4})
