@@ -578,6 +578,11 @@ def time_rollup(
     unknown = [g for g in grains if g not in TIME_GRAINS]
     if unknown:
         raise ValueError(f"unknown grains {unknown}; known: {TIME_GRAINS}")
+    # NULL timestamps are excluded explicitly: a NULL ts would null every
+    # grain bucket, making the grain recovery below ambiguous (one
+    # NULL-grain row PER grouping set).  Rollup of unstamped rows is a
+    # different query — count them separately if they matter.
+    df = df.where(F.col(ts_col).isNotNull())
     buckets = [
         F.date_trunc(g, F.col(ts_col)).alias(f"__b_{g}") for g in grains
     ]

@@ -195,3 +195,26 @@ def test_chunk_documents_preserves_null_text_rows(spark):
     assert rows[2]["chunk_text"] is None
     assert rows[2]["n_tokens"] is None
     assert rows[1]["chunk_text"] is not None
+
+
+def test_time_rollup_excludes_null_timestamps(spark):
+    """A NULL ts nulls every grain bucket and would yield one ambiguous
+    NULL-grain row per grouping set; the operator excludes such rows
+    explicitly (documented contract)."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import time_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"), (2, None), (3, "2024-01-01 11:15:00")],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = time_rollup(
+        df, "ts", [F.count(F.lit(1)).alias("n")], grains=("hour", "day")
+    ).collect()
+    assert all(r["grain"] is not None and r["bucket_ts"] is not None for r in out)
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r["grain"], 0)
+        by_grain[r["grain"]] += r["n"]
+    assert by_grain == {"hour": 2, "day": 2}  # the NULL-ts row is gone
