@@ -631,7 +631,11 @@ def assign_splits(
     document keeps its split when the corpus around it changes (stable
     ids -> stable membership — the property that prevents train/test
     contamination across dataset versions).  Fractions must sum to 1
-    (±1e-9); the label is a scan-level CASE chain, no shuffle."""
+    (±1e-9); the label is a scan-level CASE chain, no shuffle.  A NULL
+    id nulls the hash, so every CASE test fails and the row falls to
+    the ``otherwise`` branch: NULL-id rows land deterministically in
+    the alphabetically-last split — filter them first if that is not
+    the intent."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
