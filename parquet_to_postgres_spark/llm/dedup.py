@@ -493,6 +493,28 @@ def shingles(
     )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """IDs of the RDDs currently pinned in the block manager."""
+    return {
+        int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _unpersist_rdds(sc, ids: set[int]) -> None:
+    """Release specific persisted RDDs by id (non-blocking).
+
+    ``DataFrame.unpersist`` only clears cache-manager entries, not the
+    block-manager storage a ``localCheckpoint`` pins, so iterative
+    algorithms must release superseded checkpoints through the RDD
+    registry — otherwise every iteration leaks one MEMORY_AND_DISK copy
+    of the working set until session end."""
+    if not ids:
+        return
+    for entry in sc._jsc.getPersistentRDDs().entrySet().toArray():
+        if int(entry.getKey()) in ids:
+            entry.getValue().unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -511,30 +533,51 @@ def connected_components(
     reuse the same partitioning); ``localCheckpoint`` truncates the
     per-iteration lineage so the plan doesn't grow unboundedly.
 
+    Checkpoint storage is bounded at ONE working-set copy in flight: as
+    soon as round N's checkpoint is materialized (eager), round N-1's
+    blocks are released through the RDD registry (see
+    :func:`_unpersist_rdds`) — a 25-round run pins the same storage as
+    a 2-round run.  The edge checkpoint is released before returning;
+    the only surviving pinned copy is the returned labels frame, which
+    the caller owns.
+
+    Cluster caveat (executor loss): ``localCheckpoint`` blocks are
+    unreplicated and lineage is truncated, so losing an executor kills
+    the job.  For long-running cluster jobs set
+    ``sc.setCheckpointDir(<durable path>)`` and swap the
+    ``localCheckpoint`` calls for reliable ``checkpoint()`` — same
+    shape, blocks on the cluster FS.
+
     At 100 TB: this is the textbook Kiveris et al. setting — if
     components can be DEEP (general graphs, not dedup clusters), swap
     the propagation loop for alternating large-star/small-star, which
     converges in O(log n) rounds with the same join-aggregate shape.
     The driver-side loop holds only per-round change COUNTS, never data.
     """
+    sc = pairs.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edge_ids = _persistent_rdd_ids(sc) - before
+    before |= edge_ids
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ids = _persistent_rdd_ids(sc) - before
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        snapshot = _persistent_rdd_ids(sc)
         proposed = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -546,10 +589,16 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # eager=True has materialized this round — the previous round's
+        # blocks are now dead weight; release them before the count.
+        _unpersist_rdds(sc, prev_ids)
+        prev_ids = _persistent_rdd_ids(sc) - (snapshot - prev_ids)
         changed = proposed.where(F.col("component") != F.col("prev")).count()
         labels = proposed.drop("prev")
         if changed == 0:
             break
+    # the result depends only on the final checkpoint, not the edges
+    _unpersist_rdds(sc, edge_ids)
     return labels
 
 

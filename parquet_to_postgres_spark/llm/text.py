@@ -362,8 +362,9 @@ def chunk_documents(
     )
     starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     # NULL text must yield a NULL chunk array (explode_outer keeps the
-    # row): unguarded, size(NULL) is -1 and concat_ws silently renders
-    # the null slice as '' — a phantom empty chunk
+    # row): unguarded, greatest(NULL, 0) skips the NULL and returns 0,
+    # so a start-0 chunk is built whose NULL slice concat_ws renders as
+    # '' — a phantom empty chunk
     chunks = F.when(
         F.col(text_col).isNull(), F.lit(None)
     ).otherwise(
@@ -404,10 +405,16 @@ def shuffle_deterministic(df, id_col: str, salt: int = 0):
     shuffle on Spark: range-partition on the hash (sampled boundaries)
     + per-partition local sort — no single-partition funnel, and the
     output is stably ordered for a downstream sequential writer."""
-    key = (
+    if not 0 <= salt < 2**31:
+        # Same guard as operators.assign_splits: Spark's % follows the
+        # dividend's sign, so a negative salt would collapse the
+        # permutation; an over-wide salt could overflow int64.
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    key = F.pmod(
         (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
-        * F.lit(2654435761)
-    ) % F.lit(4294967296)
+        * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     return df.orderBy(key, F.col(id_col))
 
 

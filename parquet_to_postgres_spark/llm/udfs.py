@@ -30,8 +30,12 @@ def word_count_pudf(text: pd.Series) -> pd.Series:
 
 
 @F.udf(T.LongType())
-def rolling_hash_udf(text: str) -> int | None:
-    """Row-at-a-time Python UDF twin of text.fingerprint (same formula)."""
+def rolling_hash_udf(text):
+    """Row-at-a-time Python UDF twin of text.fingerprint (same formula).
+
+    Deliberately un-hinted: PySpark tries to infer a *pandas* eval type
+    from any signature hints on a plain ``@udf`` and warns when the
+    hints are row-typed (str -> int), so the row UDF stays bare."""
     if text is None:
         return None
     h = 0

@@ -639,10 +639,16 @@ def assign_splits(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = (
+    if not 0 <= salt < 2**31:
+        # Negative salt would make Spark's sign-following % yield a
+        # negative bucket (every row below all thresholds -> one split);
+        # an over-wide salt could overflow int64 in the multiply.
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    bucket = F.pmod(
         (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
-        * F.lit(2654435761)
-    ) % F.lit(4294967296)
+        * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     label = None
     cum = 0.0
     items = sorted(fractions.items())

@@ -21,11 +21,11 @@ from . import register
 # ---------------------------------------------------------------- L1 ----
 
 
-_PII_SQL = (
-    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
-    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"),
-)
+# The SQL-side PII regexes ARE the Spark-side ones (llm/text.py) — the
+# pattern syntax used (character classes, \b, \d, non-capturing groups)
+# is common to Java regex and DuckDB's RE2, so one source of truth
+# serves both dialects and they cannot drift.
+_PII_SQL = X.PII_PATTERNS
 
 
 def _corpus_preprocess_oracle(max_doc_frac: float = 0.5, min_docs: int = 2) -> str:

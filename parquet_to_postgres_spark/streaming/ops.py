@@ -446,7 +446,13 @@ def stream_near_dedup_writer(
     semantics keep it safe when the store outgrows executor memory.
     Pass ``False`` when the store is mutated between triggers (appended
     bands must be visible to later batches) — the per-trigger re-read
-    is then the point, not a cost."""
+    is then the point, not a cost.
+
+    The returned callable carries a ``close()`` attribute that releases
+    the cached store (a no-op when ``cache_store=False``).  Call it
+    after the query stops — without it, every writer built in a
+    long-lived session would leave one MEMORY_AND_DISK DataFrame pinned
+    until session end."""
     from ..llm.dedup import near_dedup_against_store
 
     if cache_store:
@@ -467,6 +473,9 @@ def stream_near_dedup_writer(
             batch_id,
         )
 
+    _write.close = (
+        (lambda: band_store.unpersist()) if cache_store else (lambda: None)
+    )
     return _write
 
 

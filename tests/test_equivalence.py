@@ -277,6 +277,26 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_bounds_checkpoint_storage(spark):
+    """A deep chain forces many propagation rounds; per-round
+    localCheckpoints must be RELEASED as they are superseded — the only
+    pinned copy after return is the result frame the caller owns."""
+    from parquet_to_postgres_spark.llm.dedup import connected_components
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    # 14-node chain: min label needs ~13 rounds to reach the far end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(14)}  # many rounds actually ran
+    after = len(sc._jsc.getPersistentRDDs())
+    # one surviving checkpoint (the returned labels), not one per round
+    assert after - before <= 1
+
+
 def test_near_dedup_corpus_keeps_one_per_cluster(spark):
     """Planted near-dups collapse to their min-id representative;
     unrelated docs survive."""

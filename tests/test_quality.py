@@ -301,3 +301,31 @@ def test_assign_splits_disjoint_covering_stable(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits(df, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_salted_hash_ops_reject_out_of_range_salt(spark):
+    """Negative salt would ride Spark's sign-following % into a negative
+    bucket (all rows below every threshold); over-wide salt could
+    overflow int64.  Both are rejected up front, and the pmod path keeps
+    valid salts well-distributed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.text import shuffle_deterministic
+    from parquet_to_postgres_spark.operators import assign_splits
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    for bad in (-1, 2**31):
+        with pytest.raises(ValueError, match="salt"):
+            assign_splits(df, "doc_id", fr, salt=bad)
+        with pytest.raises(ValueError, match="salt"):
+            shuffle_deterministic(df, "doc_id", salt=bad)
+
+    # max valid salt still yields all three labels (no collapse)
+    out = assign_splits(df, "doc_id", fr, salt=2**31 - 1)
+    labels = {
+        r["split"]
+        for r in out.select("split").distinct().collect()
+    }
+    assert labels == set(fr)

@@ -133,3 +133,29 @@ def test_stream_near_dedup_matches_batch_operator(spark):
             .collect()
         }
         assert got == want and got  # nonempty survivors
+
+        # the writer owns the cached store: close() releases it
+        assert store.storageLevel.useMemory or store.storageLevel.useDisk
+        writer.close()
+        assert not (store.storageLevel.useMemory or store.storageLevel.useDisk)
+
+
+def test_stream_near_dedup_writer_uncached_close_is_noop(spark):
+    """cache_store=False never persists; close() exists and is a no-op."""
+    docs = _docs(spark)
+    store = D.corpus_band_store(
+        docs.where(F.col("doc_id") < 250), num_hashes=N_HASHES
+    )
+
+    class _NullSink:
+        mode = "append"
+
+        def write(self, df):
+            df.count()
+
+    writer = ops.stream_near_dedup_writer(
+        store, _NullSink(), num_hashes=N_HASHES, cache_store=False
+    )
+    assert not (store.storageLevel.useMemory or store.storageLevel.useDisk)
+    writer.close()  # must not raise
+    assert not (store.storageLevel.useMemory or store.storageLevel.useDisk)
