@@ -858,25 +858,13 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     corpus = emb.where(F.col("vec_id") >= 5)
     queries = emb.where(F.col("vec_id") < 5)
-    lsh = S.ann_topk_lsh(corpus, queries, k=10).select(
-        F.lit("lsh").alias("method"),
+    # One shared, checkpointed corpus-prep subtree across the three
+    # families (VERDICT r5 item 3) instead of three independent rebuilds
+    # — results are expression-identical to the standalone operators.
+    return S.ann_topk_all_methods(corpus, queries, k=10).select(
+        "method",
         "query_id",
         "neighbor_id",
         "score",
         F.col("rank").cast("long").alias("rnk"),
     )
-    ivf = S.ann_topk_ivf(corpus, queries, k=10).select(
-        F.lit("ivf").alias("method"),
-        "query_id",
-        "neighbor_id",
-        "score",
-        F.col("rank").cast("long").alias("rnk"),
-    )
-    quant = S.ann_topk_quantized(corpus, queries, k=10).select(
-        F.lit("quant").alias("method"),
-        "query_id",
-        "neighbor_id",
-        "score",
-        F.col("rank").cast("long").alias("rnk"),
-    )
-    return lsh.unionByName(ivf).unionByName(quant)

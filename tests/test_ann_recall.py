@@ -93,3 +93,35 @@ def test_recall_numbers_documented_in_readme(recalls):
             f"README recall number for {name} is stale: measured "
             f"{recalls[name]:.3f}"
         )
+
+
+def test_all_methods_shared_prep_equals_standalone(spark):
+    """ann_topk_all_methods (one shared, checkpointed prep subtree) must
+    be row-for-row identical to the three standalone pipelines — the
+    shared-prep rewrite is a cost optimization, never a semantic one."""
+    emb = load_table(spark, SF_RECALL, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def canon(df):
+        return sorted(
+            (r["method"], r["query_id"], r["neighbor_id"],
+             repr(r["score"]), r["rank"])
+            for r in df.collect()
+        )
+
+    shared = canon(S.ann_topk_all_methods(corpus, queries, k=K))
+    standalone = canon(
+        S.ann_topk_lsh(corpus, queries, k=K)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+                "score", "rank")
+        .unionByName(
+            S.ann_topk_ivf(corpus, queries, k=K).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+                "score", "rank"))
+        .unionByName(
+            S.ann_topk_quantized(corpus, queries, k=K).select(
+                F.lit("quant").alias("method"), "query_id", "neighbor_id",
+                "score", "rank"))
+    )
+    assert shared == standalone
