@@ -1,18 +1,34 @@
-"""Scale probe: run the heavy query family at sf0.1 and at a
-synthesized ~sf1 (10x) and report wall-time + shuffle-byte scaling.
+"""Scale probe: run the heavy query families at sf0.1 and at a
+synthesized ~sf1 (10x) and report wall-time + shuffle-byte scaling,
+plus a skewed-key resilience section.
 
 The driver ships no sf1 fixtures, so the probe synthesizes one:
 each big table is the union of COPIES id-shifted replicas of the sf0.1
-table.  Document text gets a per-copy marker token appended, so
-cross-copy pairs are NEAR-duplicates (Jaccard just under 1) rather
-than exact clones — at 10x every document sits in a 10-member
-near-dup clique, which loads the banding join and the connected-
-components rounds the way a real crawl's boilerplate families do.
-Event user_ids shift per copy so per-user stream density (and the
-stream-stream join fan-out) stays constant while volume scales 10x —
-the honest scaling shape; sharing user_ids would square the join.
+table.  Shapes per table:
 
-Wall-times at both scales and the ratio go to stdout as one JSON line;
+- documents: text gets a per-copy marker token appended, so cross-copy
+  pairs are NEAR-duplicates (Jaccard just under 1) — at 10x every
+  document sits in a 10-member near-dup clique, which loads the banding
+  join and the connected-components rounds the way a real crawl's
+  boilerplate families do.
+- events: user_ids shift per copy so per-user stream density (and the
+  stream-stream join fan-out) stays constant while volume scales 10x —
+  the honest scaling shape; sharing user_ids would square the join.
+- orders + lineitem: orderkeys shift IN SYNC (the join keys must keep
+  matching); o_custkey is NOT shifted, so the dimension tables stay
+  fixed-size and per-customer order density grows 10x — how a real fact
+  table grows against stable dims.  This gives `join_star_revenue`,
+  `cube_orders` and `profile_drift_report` real scaling curves (round-5
+  caveat: they were fixed-input before).
+
+Skew section: a second variant of the 10x data remaps a zipf-style hot
+key — ~30%% of events onto ONE user_id, ~30%% of orders onto ONE
+o_custkey — and re-runs the skew-sensitive queries.  What "passing"
+looks like: wall-time on the skewed variant stays near the uniform 10x
+time (the salted two-stage agg and AQE skew-join splitting are doing
+their jobs), instead of degrading toward one-reducer serialization.
+
+Wall-times at both scales and the ratios go to stdout as one JSON line;
 shuffle write bytes come from the Spark UI REST API (enabled just for
 this probe).  Record the results in BASELINE.md.
 
@@ -37,6 +53,10 @@ from parquet_to_postgres_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+# bump when build_scaled/build_skewed change shape: a stale probe dir
+# otherwise silently measures the OLD synthesis (an existing-file check
+# can't tell a replicated table from round-5's straight copy)
+BUILD_VERSION = 2
 HEAVY = [
     "minhash_near_dup",
     "near_dedup_corpus",
@@ -44,8 +64,14 @@ HEAVY = [
     "stream_stream_join",
     "corpus_preprocess",
     "profile_drift_report",
+    "join_star_revenue",
+    "cube_orders",
+    "window_rank_analytic",
+    "salted_user_totals",
 ]
-SMALL = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+# skew-sensitive queries re-run on the hot-key variant
+SKEWED = ["salted_user_totals", "join_star_revenue"]
+SMALL = ("region", "nation", "customer", "supplier", "part")
 
 
 def _write_single_file(df, dst_file: str) -> None:
@@ -58,6 +84,27 @@ def _write_single_file(df, dst_file: str) -> None:
     )
     shutil.move(os.path.join(tmp, part), dst_file)
     shutil.rmtree(tmp)
+
+
+def _replicated(df, shifts: dict[str, int], copies: int):
+    """Union of `copies` id-shifted replicas; `shifts` maps column ->
+    per-copy offset (join keys that must keep matching get the SAME
+    offset in both tables)."""
+    parts = [
+        df.select(
+            *[
+                (F.col(c) + F.lit(k * shifts[c])).alias(c)
+                if c in shifts
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def build_scaled(spark, dst: str, copies: int = COPIES) -> None:
@@ -97,18 +144,61 @@ def build_scaled(spark, dst: str, copies: int = COPIES) -> None:
     _write_single_file(scaled_emb, f"{dst}/embeddings.parquet")
 
     ev = spark.read.parquet(f"{SRC}/events.parquet")
-    ev_copies = [
-        ev.select(
-            (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
-            (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
-            *[c for c in ev.columns if c not in ("event_id", "user_id")],
-        )
-        for k in range(copies)
-    ]
-    scaled_ev = ev_copies[0]
-    for c in ev_copies[1:]:
-        scaled_ev = scaled_ev.unionByName(c)
-    _write_single_file(scaled_ev, f"{dst}/events.parquet")
+    _write_single_file(
+        _replicated(
+            ev, {"event_id": 1_000_000_000, "user_id": 10_000_000}, copies
+        ),
+        f"{dst}/events.parquet",
+    )
+
+    # facts grow, dims stay fixed: orderkeys shift in sync across
+    # orders+lineitem; custkey/partkey/suppkey keep their original range
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    _write_single_file(
+        _replicated(orders, {"o_orderkey": 100_000_000}, copies),
+        f"{dst}/orders.parquet",
+    )
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    _write_single_file(
+        _replicated(li, {"l_orderkey": 100_000_000}, copies),
+        f"{dst}/lineitem.parquet",
+    )
+
+
+def build_skewed(spark, scaled: str, dst: str) -> None:
+    """Hot-key variant of the 10x dir: ~30%% of events collapse onto one
+    user_id and ~30%% of orders onto one o_custkey (deterministic row
+    selection by id mod 10 < 3).  Everything else is a symlink — same
+    bytes, same stats, only the key distribution changes."""
+    os.makedirs(dst, exist_ok=True)
+    for tbl in (*SMALL, "documents", "embeddings", "lineitem"):
+        link = f"{dst}/{tbl}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{scaled}/{tbl}.parquet", link)
+
+    ev = spark.read.parquet(f"{scaled}/events.parquet")
+    hot_user = ev.selectExpr("min(user_id) AS m").collect()[0]["m"]
+    _write_single_file(
+        ev.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(10)) < 3, F.lit(hot_user)
+            ).otherwise(F.col("user_id")),
+        ),
+        f"{dst}/events.parquet",
+    )
+
+    orders = spark.read.parquet(f"{scaled}/orders.parquet")
+    hot_cust = orders.selectExpr("min(o_custkey) AS m").collect()[0]["m"]
+    _write_single_file(
+        orders.withColumn(
+            "o_custkey",
+            F.when(
+                F.pmod(F.col("o_orderkey"), F.lit(10)) < 3, F.lit(hot_cust)
+            ).otherwise(F.col("o_custkey")),
+        ),
+        f"{dst}/orders.parquet",
+    )
 
 
 def _shuffle_write_bytes(ui_port: int = 4040) -> int:
@@ -125,36 +215,58 @@ def _shuffle_write_bytes(ui_port: int = 4040) -> int:
         return -1
 
 
+def _timed(spark, spec, sf_dir: str) -> tuple[float, float | None]:
+    spark.catalog.clearCache()
+    sb0 = _shuffle_write_bytes()
+    t0 = time.perf_counter()
+    spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 2)
+    sb1 = _shuffle_write_bytes()
+    mb = round((sb1 - sb0) / 1e6, 1) if sb0 >= 0 and sb1 >= 0 else None
+    return wall, mb
+
+
 def main() -> int:
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1probe"
+    skew_dst = f"{dst}_skew"
     spark = get_spark(
         "scale_probe", extra_conf={"spark.ui.enabled": "true"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{dst}/events.parquet"):
+    meta = {"version": BUILD_VERSION, "copies": COPIES, "src": SRC}
+    meta_path = f"{dst}/_PROBE_META.json"
+    stale = True
+    if os.path.exists(meta_path):
+        try:
+            stale = json.load(open(meta_path)) != meta
+        except Exception:
+            stale = True
+    if stale:
+        for d in (dst, skew_dst):
+            if os.path.exists(d):
+                shutil.rmtree(d)
         t0 = time.perf_counter()
         build_scaled(spark, dst)
         print(
             f"# built {dst} in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+        t0 = time.perf_counter()
+        build_skewed(spark, dst, skew_dst)
+        print(
+            f"# built {skew_dst} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        json.dump(meta, open(meta_path, "w"))
 
     specs = load_all()
     out: dict[str, dict] = {}
     for name in HEAVY:
         row = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", dst)):
-            spark.catalog.clearCache()
-            sb0 = _shuffle_write_bytes()
-            t0 = time.perf_counter()
-            specs[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            row[label] = round(time.perf_counter() - t0, 2)
-            sb1 = _shuffle_write_bytes()
-            row[f"{label}_shuffle_mb"] = (
-                round((sb1 - sb0) / 1e6, 1) if sb0 >= 0 and sb1 >= 0 else None
-            )
+            wall, mb = _timed(spark, specs[name], sf_dir)
+            row[label] = wall
+            row[f"{label}_shuffle_mb"] = mb
         row["time_ratio"] = round(row["sf1"] / row["sf0.1"], 2)
         if row.get("sf1_shuffle_mb") and row.get("sf0.1_shuffle_mb"):
             row["shuffle_ratio"] = round(
@@ -162,6 +274,20 @@ def main() -> int:
             )
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+
+    skew: dict[str, dict] = {}
+    for name in SKEWED:
+        wall, mb = _timed(spark, specs[name], skew_dst)
+        uniform = out[name]["sf1"]
+        skew[name] = {
+            "sf1_uniform": uniform,
+            "sf1_skewed": wall,
+            "skew_penalty": round(wall / uniform, 2) if uniform else None,
+            "sf1_skewed_shuffle_mb": mb,
+        }
+        print(f"# skew {name}: {skew[name]}", file=sys.stderr)
+    out["_skew"] = skew
+
     print(json.dumps(out))
     return 0
 
