@@ -317,3 +317,58 @@ def test_aqe_skew_join_splits_zipfian_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filtering evidence: a selective dim-side predicate must
+    inject a bloom filter into the fact side of a shuffle join
+    (`might_contain(...)` guarding the lineitem scan), so at 100 TB the
+    fact scan drops non-joining rows BEFORE the shuffle instead of
+    shipping them.  Thresholds lowered so probe-scale data takes the
+    same decision a warehouse-scale plan would; broadcast disabled
+    because a broadcast hash join already prunes via its build side."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_CORRECT
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").where(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan(j, mode="simple")
+        assert "might_contain" in p.lower(), p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
