@@ -1,0 +1,41 @@
+"""Checkpoint strategy switch: local blocks for dev, reliable files for
+clusters — one call site instead of a scattered caveat.
+
+Every iterative / multi-consumer operator here (MinHash profiles, the
+shared ANN prep, k-means, connected components) must materialize an
+intermediate eagerly: concurrent broadcast subtrees would otherwise
+race to recompute it, and per-iteration lineage would grow without
+bound.  ``localCheckpoint`` is the right default on a single box, but
+its blocks are unreplicated and its lineage is TRUNCATED — losing an
+executor on a real cluster kills the job with no recompute path.
+
+:func:`stable_checkpoint` keeps the decision in one place: if the
+session has a checkpoint directory configured
+(``sc.setCheckpointDir(<durable path>)`` — do this in cluster deploy
+code), intermediates go through reliable ``checkpoint()`` onto the
+cluster FS and survive executor loss; otherwise the local fast path is
+used.  Operators call this helper and inherit the right behavior from
+session configuration alone.
+
+Cluster notes: set ``spark.cleaner.referenceTracking.cleanCheckpoints``
+to ``true`` so reliable checkpoint files are deleted when their
+DataFrames are garbage-collected; otherwise clean the checkpoint dir
+between jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage, durably if possible.
+
+    Reliable ``checkpoint()`` when the SparkContext has a checkpoint
+    dir, ``localCheckpoint()`` otherwise.  ``eager`` defaults to True —
+    all call sites here need the materialization barrier (racing
+    broadcast consumers / iteration-convergence counts)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

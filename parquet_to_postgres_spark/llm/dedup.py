@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import stable_checkpoint
 from ..tables import spread
 
 # Affine family over 60-bit md5-derived unit ids:
@@ -541,12 +542,14 @@ def connected_components(
     the only surviving pinned copy is the returned labels frame, which
     the caller owns.
 
-    Cluster caveat (executor loss): ``localCheckpoint`` blocks are
+    Cluster caveat (executor loss): local checkpoint blocks are
     unreplicated and lineage is truncated, so losing an executor kills
-    the job.  For long-running cluster jobs set
-    ``sc.setCheckpointDir(<durable path>)`` and swap the
-    ``localCheckpoint`` calls for reliable ``checkpoint()`` — same
-    shape, blocks on the cluster FS.
+    the job.  Every checkpoint here goes through
+    :func:`..checkpoint.stable_checkpoint` — set
+    ``sc.setCheckpointDir(<durable path>)`` in cluster deploy code and
+    the same loop writes reliable checkpoints to the cluster FS
+    instead (the block-release bookkeeping then no-ops, as files are
+    governed by ``spark.cleaner.referenceTracking.cleanCheckpoints``).
 
     At 100 TB: this is the textbook Kiveris et al. setting — if
     components can be DEEP (general graphs, not dedup clusters), swap
@@ -556,19 +559,17 @@ def connected_components(
     """
     sc = pairs.sparkSession.sparkContext
     before = _persistent_rdd_ids(sc)
-    edges = (
+    edges = stable_checkpoint(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edge_ids = _persistent_rdd_ids(sc) - before
     before |= edge_ids
-    labels = (
+    labels = stable_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     prev_ids = _persistent_rdd_ids(sc) - before
     for _ in range(max_iterations):
@@ -578,7 +579,7 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
         )
         snapshot = _persistent_rdd_ids(sc)
-        proposed = (
+        proposed = stable_checkpoint(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -587,7 +588,6 @@ def connected_components(
                 ).alias("component"),
                 F.col("component").alias("prev"),
             )
-            .localCheckpoint(eager=True)
         )
         # eager=True has materialized this round — the previous round's
         # blocks are now dead weight; release them before the count.
@@ -619,9 +619,9 @@ def near_dedup_corpus(
     in no near-dup pair pass through without joining the component
     computation at all (left-anti style via a left join on the kept /
     dropped mapping, which is tiny relative to the corpus)."""
-    profiles = minhash_profiles(
-        df, num_hashes, text_col, id_col, shingle_n
-    ).localCheckpoint(eager=True)
+    profiles = stable_checkpoint(
+        minhash_profiles(df, num_hashes, text_col, id_col, shingle_n)
+    )
     pairs = minhash_band_pairs(profiles, num_hashes, rows_per_band, id_col)
     dup_pairs = profile_jaccard(profiles, pairs).where(
         F.col("jaccard") >= threshold

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import stable_checkpoint
 from ..tables import spread
 
 
@@ -530,11 +531,11 @@ def ann_topk_all_methods(
     VERDICT r5).  Here :func:`_ann_prep` computes the union of what they
     need (norm, bucket, int8 vector, integer self-dot) once per side;
     ``checkpoint`` (default) eagerly materializes both preps via
-    ``localCheckpoint``, which also prevents the three concurrently
-    launched broadcast subtrees from racing to recompute the prep
-    (the :func:`~..queries.llm_q.minhash_near_dup` pattern; on a real
-    cluster prefer ``setCheckpointDir`` + ``checkpoint()`` — local
-    blocks die with an executor).
+    :func:`..checkpoint.stable_checkpoint`, which also prevents the
+    three concurrently launched broadcast subtrees from racing to
+    recompute the prep (the :func:`~..queries.llm_q.minhash_near_dup`
+    pattern), and upgrades to a reliable cluster-FS checkpoint when the
+    session has a checkpoint dir.
 
     Each family's candidate/score/rank pipeline below is
     expression-identical to its standalone twin (:func:`ann_topk_lsh`,
@@ -545,8 +546,8 @@ def ann_topk_all_methods(
     cprep = _ann_prep(corpus, id_col, vec_col, n_bits, keep=(by,))
     qprep = _ann_prep(queries, id_col, vec_col, n_bits)
     if checkpoint:
-        cprep = cprep.localCheckpoint(eager=True)
-        qprep = qprep.localCheckpoint(eager=True)
+        cprep = stable_checkpoint(cprep)
+        qprep = stable_checkpoint(qprep)
     masks = F.array(
         *[F.lit(m) for m in lsh_probe_masks(n_bits, n_probes_lsh)]
     )
@@ -803,7 +804,8 @@ def kmeans_lloyd(
     """Lloyd's k-means, fully declarative — the iterative-algorithm
     shape on Spark: per round ONE broadcast-join assignment pass and ONE
     fixed-point mean aggregation, a driver-side scalar for convergence,
-    ``localCheckpoint`` to stop per-iteration lineage growth.
+    :func:`..checkpoint.stable_checkpoint` to stop per-iteration
+    lineage growth (reliable on a cluster with a checkpoint dir set).
 
     Returns ``(assignments(id, cell, dist), centroids(cell, centroid),
     n_iterations)``.
@@ -827,13 +829,13 @@ def kmeans_lloyd(
     rounds are the only serial dimension.  This is exactly why k-means
     suits Spark and why each round must stay one stage + one shuffle.
     """
-    cents = (
+    cents = stable_checkpoint(
         init
         if init is not None
         else _centroid_arrays(vectors, "label").select(
             F.col("label").cast("int").alias("cell"), "centroid"
         )
-    ).localCheckpoint(eager=True)
+    )
 
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
@@ -869,12 +871,11 @@ def kmeans_lloyd(
             ).alias("centroid")
         )
         # emptied clusters keep their previous centroid
-        merged = (
+        merged = stable_checkpoint(
             cents.select("cell", F.col("centroid").alias("old"))
             .join(new, "cell", "left")
             .select("cell", F.coalesce("centroid", "old").alias("centroid"),
                     "old")
-            .localCheckpoint(eager=True)
         )
         shift = merged.select(
             F.max(

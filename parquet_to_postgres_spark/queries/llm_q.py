@@ -200,16 +200,16 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: candidate generation is an equi-shuffle on (band, key);
     only candidate pairs pay the exact-Jaccard array intersect."""
     t = Catalog(spark, sf_dir)
-    # Eager localCheckpoint: the profile subtree feeds banding AND both
+    # Eager checkpoint: the profile subtree feeds banding AND both
     # sides of the verify join, and those consumers launch concurrently
     # (broadcast exchanges are eager) — an unmaterialized subtree would
-    # race and recompute shingle+dict+agg 3x.  localCheckpoint both
-    # materializes eagerly and truncates lineage.  (On a real cluster,
-    # point setCheckpointDir at durable storage and use .checkpoint() —
-    # localCheckpoint blocks die with an executor.)
-    profiles = D.minhash_profiles(t.documents, shingle_n=5).localCheckpoint(
-        eager=True
-    )
+    # race and recompute shingle+dict+agg 3x.  stable_checkpoint
+    # materializes eagerly and truncates lineage, and upgrades to a
+    # reliable cluster-FS checkpoint when the session has a checkpoint
+    # dir (local blocks die with an executor).
+    from ..checkpoint import stable_checkpoint
+
+    profiles = stable_checkpoint(D.minhash_profiles(t.documents, shingle_n=5))
     pairs = D.minhash_band_pairs(profiles)
     return D.profile_jaccard(profiles, pairs).where(F.col("jaccard") >= 0.8)
 
