@@ -692,6 +692,98 @@ def ann_topk_all_methods(
     )
 
 
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the shared ANN prep as a PARTITIONED parquet index:
+    one hive partition per sign-LSH bucket, columns (id, vec, nrm,
+    int8 q8, integer self-dot ss).
+
+    This turns the build-once/probe-many shape into storage layout: a
+    100 TB embedding corpus pays the norm+bucket+quantize pass ONCE at
+    index-build time, and every later query batch reads only the
+    partitions its probe set touches (:func:`ann_index_topk` prunes
+    ``2^n_bits - |probed|`` of the index at PLANNING time — the scan
+    never opens the other directories).  The int8 column means the
+    candidate stage can also skip the float vectors' bytes entirely
+    when column-pruned.
+
+    The bucket space is 2**n_bits directories — deliberately coarse so
+    per-partition file counts stay healthy at scale (raise n_bits with
+    corpus size; 8 bits = 256 partitions is still trivially listable)."""
+    prep = _ann_prep(corpus, id_col, vec_col, n_bits)
+    prep.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    n_probes: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe top-k against a persisted :func:`write_ann_index`
+    store, reading ONLY the probed bucket partitions.
+
+    The probe set is ≤ 2**n_bits values BY CONSTRUCTION (bucket ids
+    live in [0, 2^n_bits)), so collecting it to the driver is bounded
+    regardless of query-set size, and the resulting ``isin`` filter is
+    a planning-time partition prune on the index scan — the unprobed
+    directories are never opened.  Scoring is expression-identical to
+    :func:`ann_topk_lsh` (same fold order, same tie breaks), so against
+    the same corpus the results match the in-memory operator
+    row-for-row (pinned in tests/test_ann_index.py)."""
+    masks = F.array(*[F.lit(m) for m in lsh_probe_masks(n_bits, n_probes)])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(vec_col).alias("qnrm"),
+            sign_lsh_bucket(vec_col, n_bits).alias("__base"),
+            F.explode(masks).alias("__mask"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            F.col("__base").bitwiseXOR(F.col("__mask")).alias("bucket"),
+        )
+    )
+    # bounded driver collect: at most 2^n_bits distinct bucket ids
+    probed = [
+        r["bucket"] for r in q.select("bucket").distinct().collect()
+    ]
+    c = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probed))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+            "bucket",
+        )
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame, vec_col: str = "embedding", q_col: str = "qvec"
 ) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Persisted ANN index: build-once/probe-many with planning-time
+partition pruning (llm/similarity.write_ann_index / ann_index_topk).
+
+Pins three contracts: (1) probing the store returns row-for-row what
+the in-memory LSH operator returns on the same corpus, (2) the index
+layout is one hive partition per bucket, (3) the probe scan carries a
+bucket partition filter and reads ONLY the probed partitions' files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.llm import similarity as S
+from parquet_to_postgres_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+N_BITS = 4
+N_PROBES = 5
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return (
+        emb.where(F.col("vec_id") >= 5),
+        emb.where(F.col("vec_id") < 5),
+    )
+
+
+def test_index_probe_matches_in_memory_lsh(spark, split):
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/annidx"
+        S.write_ann_index(corpus, path, n_bits=N_BITS)
+
+        def canon(df):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in df.collect()
+            )
+
+        from_index = canon(
+            S.ann_index_topk(
+                spark, path, queries, k=10, n_bits=N_BITS, n_probes=N_PROBES
+            )
+        )
+        in_memory = canon(
+            S.ann_topk_lsh(
+                corpus, queries, k=10, n_bits=N_BITS, n_probes=N_PROBES
+            )
+        )
+        assert from_index == in_memory and from_index
+
+
+def test_index_layout_is_one_partition_per_bucket(spark, split):
+    corpus, _ = split
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/annidx"
+        S.write_ann_index(corpus, path, n_bits=N_BITS)
+        parts = sorted(
+            p for p in os.listdir(path) if p.startswith("bucket=")
+        )
+        assert parts  # hive layout
+        buckets = {int(p.split("=")[1]) for p in parts}
+        assert buckets <= set(range(2**N_BITS))
+        want = {
+            r["bucket"]
+            for r in corpus.select(
+                S.sign_lsh_bucket("embedding", N_BITS).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        }
+        assert buckets == want
+
+
+def test_probe_scan_prunes_unprobed_partitions(spark, split):
+    corpus, queries = split
+    one_query = queries.where(F.col("vec_id") == 0)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/annidx"
+        S.write_ann_index(corpus, path, n_bits=N_BITS)
+        df = S.ann_index_topk(
+            spark, path, one_query, k=10, n_bits=N_BITS, n_probes=N_PROBES
+        )
+        # planning-time partition filter on the scan ...
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        p = buf.getvalue()
+        # ... carrying the probe set statically: 1 query x 5 probes ->
+        # an IN-list of at most 5 of the 16 bucket partitions (plus
+        # Spark's own dynamic-pruning subquery on the join key)
+        import re
+
+        m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)", p)
+        assert m, p
+        assert 0 < len(m.group(1).split(",")) <= N_PROBES
+        assert "dynamicpruning" in p
