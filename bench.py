@@ -48,10 +48,17 @@ def main() -> int:
     # Warm the JVM + parquet footers once so query 1 doesn't pay startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    from parquet_to_postgres_spark.checkpoint import (
+        persistent_rdd_ids,
+        release_rdds,
+    )
+
+    sc = spark.sparkContext
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         samples = []
+        pinned_before = persistent_rdd_ids(sc)
         try:
             for _ in range(repeat):
                 t0 = time.perf_counter()
@@ -64,9 +71,13 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         finally:
-            # queries that persist intermediates (e.g. minhash profiles)
-            # must not leak cache into later measurements
+            # queries that persist intermediates (e.g. minhash profiles,
+            # the shared ANN prep) must not leak cache OR checkpoint
+            # blocks into later measurements: clearCache drops cached
+            # relations, the registry release drops the localCheckpoint
+            # blocks clearCache cannot see
             spark.catalog.clearCache()
+            release_rdds(sc, persistent_rdd_ids(sc) - pinned_before)
         per_query[name] = round(statistics.median(samples), 3)
 
     total = round(sum(per_query.values()), 3)

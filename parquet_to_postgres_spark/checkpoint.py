@@ -39,3 +39,26 @@ def stable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def persistent_rdd_ids(sc) -> set[int]:
+    """IDs of the RDDs currently pinned in the block manager."""
+    return {
+        int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def release_rdds(sc, ids: set[int]) -> None:
+    """Release specific persisted RDDs by id (non-blocking).
+
+    ``DataFrame.unpersist`` only clears cache-manager entries, not the
+    block-manager storage a ``localCheckpoint`` pins, so superseded
+    checkpoints must be released through the RDD registry — iterative
+    operators do this per round (``connected_components``), and batch
+    harnesses that run many checkpointing queries in one session
+    (bench.py) snapshot-and-release around each query."""
+    if not ids:
+        return
+    for entry in sc._jsc.getPersistentRDDs().entrySet().toArray():
+        if int(entry.getKey()) in ids:
+            entry.getValue().unpersist(False)

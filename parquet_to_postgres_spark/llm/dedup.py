@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import stable_checkpoint
+from ..checkpoint import persistent_rdd_ids, release_rdds, stable_checkpoint
 from ..tables import spread
 
 # Affine family over 60-bit md5-derived unit ids:
@@ -494,26 +494,10 @@ def shingles(
     )
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    """IDs of the RDDs currently pinned in the block manager."""
-    return {
-        int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
-    }
-
-
-def _unpersist_rdds(sc, ids: set[int]) -> None:
-    """Release specific persisted RDDs by id (non-blocking).
-
-    ``DataFrame.unpersist`` only clears cache-manager entries, not the
-    block-manager storage a ``localCheckpoint`` pins, so iterative
-    algorithms must release superseded checkpoints through the RDD
-    registry — otherwise every iteration leaks one MEMORY_AND_DISK copy
-    of the working set until session end."""
-    if not ids:
-        return
-    for entry in sc._jsc.getPersistentRDDs().entrySet().toArray():
-        if int(entry.getKey()) in ids:
-            entry.getValue().unpersist(False)
+# canonical home is ..checkpoint (bench.py uses them too); aliased here
+# because connected_components is their primary in-package consumer
+_persistent_rdd_ids = persistent_rdd_ids
+_unpersist_rdds = release_rdds
 
 
 def connected_components(
