@@ -35,7 +35,9 @@ def test_catalog_covers_every_table():
     assert set(CATALOG_SCHEMA) == set(TABLES)
 
 
-@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+@pytest.mark.parametrize(
+    "sf_dir", [SF_SMOKE, SF_CORRECT, "/root/testdata/sf0.1"]
+)
 @pytest.mark.parametrize("name", TABLES)
 def test_loader_normalizes_every_fixture_footer(spark, sf_dir, name):
     """Whatever physical types this round's generator shipped, the
