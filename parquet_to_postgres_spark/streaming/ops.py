@@ -479,6 +479,49 @@ def stream_near_dedup_writer(
     return _write
 
 
+def stream_ann_topk_writer(
+    index_path: str,
+    sink,
+    k: int = 10,
+    n_bits: int = 4,
+    n_probes: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "callable":
+    """foreachBatch hook: approximate top-k for every query micro-batch
+    against a persisted :func:`~..llm.similarity.write_ann_index` store.
+
+    The online-inference shape at 100 TB: the corpus-side prep (norm,
+    bucket, int8) was paid ONCE at index-build time; each micro-batch
+    only hashes its own queries, collects its bounded probe set
+    (≤ 2^n_bits values by construction) and joins against the probed
+    index partitions — the scan is partition-pruned per trigger, so a
+    query burst touching 5 of 16 buckets reads 5/16 of the index.
+    Inside foreachBatch the micro-batch is a plain DataFrame, so the
+    exact batch operator (:func:`~..llm.similarity.ann_index_topk`)
+    runs unchanged — streaming and batch ANN cannot diverge."""
+    from ..llm.similarity import ann_index_topk
+
+    base = foreach_batch_writer(sink)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        base(
+            ann_index_topk(
+                batch_df.sparkSession,
+                index_path,
+                batch_df,
+                k=k,
+                n_bits=n_bits,
+                n_probes=n_probes,
+                id_col=id_col,
+                vec_col=vec_col,
+            ),
+            batch_id,
+        )
+
+    return _write
+
+
 def run_stream_to_sink(result: DataFrame, sink, checkpoint_dir: str) -> None:
     """Run a streaming DataFrame to completion (availableNow) into a
     batch sink via foreachBatch, with a durable checkpoint."""

@@ -106,3 +106,56 @@ def test_probe_scan_prunes_unprobed_partitions(spark, split):
         assert m, p
         assert 0 < len(m.group(1).split(",")) <= N_PROBES
         assert "dynamicpruning" in p
+
+
+def test_streaming_probe_matches_batch_operator(spark, split):
+    """availableNow query stream through stream_ann_topk_writer lands
+    exactly the batch ann_index_topk rows in the sink — streaming and
+    batch ANN run the identical operator per micro-batch."""
+    import shutil
+
+    from parquet_to_postgres_spark.etl import ParquetSink
+    from parquet_to_postgres_spark.streaming import ops
+
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/annidx"
+        S.write_ann_index(corpus, path, n_bits=N_BITS)
+
+        src = f"{d}/in"
+        os.makedirs(src)
+        shutil.copy(f"{SF_SMOKE}/embeddings.parquet", f"{src}/embeddings.parquet")
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").schema
+            )
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(src)
+            .where(F.col("vec_id") < 5)
+        )
+        sink = ParquetSink(f"{d}/out", mode="append")
+        writer = ops.stream_ann_topk_writer(
+            path, sink, k=10, n_bits=N_BITS, n_probes=N_PROBES
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        def canon(rows):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in rows
+            )
+
+        got = canon(spark.read.parquet(f"{d}/out").collect())
+        want = canon(
+            S.ann_index_topk(
+                spark, path, queries, k=10, n_bits=N_BITS, n_probes=N_PROBES
+            ).collect()
+        )
+        assert got == want and got
