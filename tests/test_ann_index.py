@@ -159,3 +159,39 @@ def test_streaming_probe_matches_batch_operator(spark, split):
             ).collect()
         )
         assert got == want and got
+
+
+def test_index_append_equals_full_rebuild(spark, split):
+    """Incremental index maintenance: appending a new corpus slice
+    (mode='append') yields probe results identical to rebuilding the
+    index from the full corpus — bucket assignment is a pure function
+    of the vector, so partitions stay valid under append and ingest
+    never rewrites history."""
+    corpus, queries = split
+    old = corpus.where(F.col("vec_id") % 2 == 0)
+    new = corpus.where(F.col("vec_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as d:
+        incremental, full = f"{d}/inc", f"{d}/full"
+        S.write_ann_index(old, incremental, n_bits=N_BITS)
+        S.write_ann_index(new, incremental, n_bits=N_BITS, mode="append")
+        S.write_ann_index(corpus, full, n_bits=N_BITS)
+
+        def canon(df):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in df.collect()
+            )
+
+        a = canon(
+            S.ann_index_topk(
+                spark, incremental, queries, k=10,
+                n_bits=N_BITS, n_probes=N_PROBES,
+            )
+        )
+        b = canon(
+            S.ann_index_topk(
+                spark, full, queries, k=10,
+                n_bits=N_BITS, n_probes=N_PROBES,
+            )
+        )
+        assert a == b and a
