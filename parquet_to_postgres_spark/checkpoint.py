@@ -37,7 +37,24 @@ def stable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     broadcast consumers / iteration-convergence counts)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        if eager:
+            # Reliable eager checkpoint runs TWO jobs over the subtree
+            # (the materialization count and the checkpoint-file write).
+            # Persist first so the second job reads cached blocks instead
+            # of recomputing the whole subtree — Spark's documented
+            # checkpoint recipe — then drop the scratch blocks: once the
+            # files exist the cache was only a recompute shield.
+            from pyspark.storagelevel import StorageLevel
+
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                return df.checkpoint(eager=True)
+            finally:
+                df.unpersist(False)
+        # Non-eager: the write job fires at an unknown future action, so
+        # there is no safe unpersist point here — callers wanting the
+        # recompute shield should persist/unpersist around that action.
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)
 
 

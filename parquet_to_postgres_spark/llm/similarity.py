@@ -17,8 +17,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..checkpoint import stable_checkpoint
+from ..checkpoint import persistent_rdd_ids, release_rdds, stable_checkpoint
 from ..tables import spread
+
+
+class AnnPrepHandle:
+    """Release handle for the blocks :func:`ann_topk_all_methods` pins.
+
+    ``checkpoint=True`` materializes two prep subtrees via
+    ``localCheckpoint``, whose blocks outlive the returned DataFrame in
+    the block manager (``DataFrame.unpersist`` cannot reach them — see
+    ``checkpoint.release_rdds``).  Short-lived sessions can ignore this;
+    a long-lived session running many ANN queries should call
+    :meth:`release` once it is done with the result, mirroring
+    ``stream_near_dedup_writer``'s ``close()``.  Idempotent."""
+
+    def __init__(self, sc, rdd_ids: set[int]):
+        self._sc = sc
+        self._ids = set(rdd_ids)
+
+    def release(self) -> None:
+        release_rdds(self._sc, self._ids)
+        self._ids = set()
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -520,6 +540,7 @@ def ann_topk_all_methods(
     vec_col: str = "embedding",
     by: str = "label",
     checkpoint: bool = True,
+    handle_out: list | None = None,
 ) -> DataFrame:
     """All three ANN families (sign-LSH multi-probe, IVF, int8-quantized
     prune + re-score), method-tagged in one DataFrame — sharing ONE
@@ -542,12 +563,28 @@ def ann_topk_all_methods(
     :func:`ann_topk_ivf`, :func:`ann_topk_quantized`) — same fold
     orders, same tie breaks — so results, and the SQL oracles replaying
     them, are bit-for-bit unchanged (pinned by
-    tests/test_ann_recall.py's equivalence check)."""
+    tests/test_ann_recall.py's equivalence check).
+
+    Long-lived sessions: pass ``handle_out=[]`` to receive an
+    :class:`AnnPrepHandle`; call ``.release()`` when done with the
+    result, or the two pinned prep block sets live until session end."""
     cprep = _ann_prep(corpus, id_col, vec_col, n_bits, keep=(by,))
     qprep = _ann_prep(queries, id_col, vec_col, n_bits)
     if checkpoint:
+        sc = corpus.sparkSession.sparkContext
+        before = persistent_rdd_ids(sc)
         cprep = stable_checkpoint(cprep)
         qprep = stable_checkpoint(qprep)
+        if handle_out is not None:
+            # Pass a list to receive an AnnPrepHandle whose release()
+            # frees the two pinned prep block sets — required hygiene in
+            # long-lived sessions (bench.py releases via its registry
+            # snapshot instead, so it does not use this).
+            handle_out.append(
+                AnnPrepHandle(sc, persistent_rdd_ids(sc) - before)
+            )
+    elif handle_out is not None:
+        handle_out.append(AnnPrepHandle(corpus.sparkSession.sparkContext, set()))
     masks = F.array(
         *[F.lit(m) for m in lsh_probe_masks(n_bits, n_probes_lsh)]
     )

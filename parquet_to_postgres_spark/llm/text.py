@@ -408,10 +408,16 @@ def shuffle_deterministic(df, id_col: str, salt: int = 0):
     if not 0 <= salt < 2**31:
         # Same guard as operators.assign_splits: Spark's % follows the
         # dividend's sign, so a negative salt would collapse the
-        # permutation; an over-wide salt could overflow int64.
+        # permutation.
         raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    # Salted id reduced mod 2^31 BEFORE the multiply so the product stays
+    # <= (2^31-1)*2654435761 < 2^63 — no ANSI ARITHMETIC_OVERFLOW for any
+    # in-range id/salt (same fix as operators.assign_splits/hash_sample).
     key = F.pmod(
-        (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
+        F.pmod(
+            F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt),
+            F.lit(2147483648),
+        )
         * F.lit(2654435761),
         F.lit(4294967296),
     )

@@ -273,11 +273,17 @@ def hash_sample(
     splits need; ``df.sample()`` is none of those.
 
     ``salt`` decorrelates successive samples (validation vs test split)
-    over the same ids.  The id is reduced mod 2^31 before the multiply
-    so the product never wraps int64 (a raw 64-bit id would silently
-    wrap in non-ANSI Spark while other engines error)."""
+    over the same ids.  The salted id is reduced mod 2^31 before the
+    multiply so the product never exceeds (2^31-1)*2654435761 < 2^63
+    (without the reduction, id-hash near 2^31 plus a large salt throws
+    ARITHMETIC_OVERFLOW under Spark's default ANSI mode)."""
+    if not 0 <= salt < 2**31:
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
     bucket = (
-        (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
+        F.pmod(
+            F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt),
+            F.lit(2147483648),
+        )
         * F.lit(2654435761)
     ) % F.lit(4294967296)
     return df.where(bucket < F.lit(int(fraction * 4294967296)))
@@ -641,11 +647,17 @@ def assign_splits(
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not 0 <= salt < 2**31:
         # Negative salt would make Spark's sign-following % yield a
-        # negative bucket (every row below all thresholds -> one split);
-        # an over-wide salt could overflow int64 in the multiply.
+        # negative bucket (every row below all thresholds -> one split).
         raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    # The salted id is reduced mod 2^31 BEFORE the multiply: the product
+    # stays <= (2^31-1)*2654435761 < 2^63, so no ARITHMETIC_OVERFLOW
+    # under ANSI mode for ANY id/salt in range (without it, id-hash near
+    # 2^31 plus salt near 2^31 overflows int64).
     bucket = F.pmod(
-        (F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt))
+        F.pmod(
+            F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt),
+            F.lit(2147483648),
+        )
         * F.lit(2654435761),
         F.lit(4294967296),
     )

@@ -329,3 +329,37 @@ def test_salted_hash_ops_reject_out_of_range_salt(spark):
         for r in out.select("split").distinct().collect()
     }
     assert labels == set(fr)
+
+
+def test_salted_hash_ops_no_overflow_at_extremes(spark):
+    """Regression (round-7 ADVICE): ids whose mod-2^31 hash is near
+    2^31-1 combined with the max valid salt used to overflow int64 in
+    the Knuth multiply ((2^31-1 + 2^31-1) * 2654435761 > 2^63), which
+    throws ARITHMETIC_OVERFLOW under Spark 4.x's default ANSI mode.
+    The salted sum is now reduced mod 2^31 before the multiply, so the
+    extreme corner must EXECUTE (not just parse) for every salted op."""
+    from parquet_to_postgres_spark.llm.text import shuffle_deterministic
+    from parquet_to_postgres_spark.operators import assign_splits, hash_sample
+
+    # ids straddling 2^31 so pmod(id, 2^31) hits both ~0 and ~2^31-1,
+    # plus a 64-bit id to exercise the outer reduction.
+    ids = [2**31 - 1, 2**31 - 2, 2**31, 2**31 + 1, 0, 1, 2**40 + 2**31 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    max_salt = 2**31 - 1
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split_rows = assign_splits(df, "doc_id", fr, salt=max_salt).collect()
+    assert len(split_rows) == len(ids)
+    assert all(r["split"] in fr for r in split_rows)
+
+    perm = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", salt=max_salt).collect()]
+    assert sorted(perm) == sorted(ids)
+
+    # hash_sample at fraction=1.0 must keep everything (bucket < 2^32
+    # always) — and must not throw on the way there.
+    kept = hash_sample(df, "doc_id", 1.0, salt=max_salt).collect()
+    assert len(kept) == len(ids)
+    import pytest
+
+    with pytest.raises(ValueError, match="salt"):
+        hash_sample(df, "doc_id", 0.5, salt=2**31)
