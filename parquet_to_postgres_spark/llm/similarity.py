@@ -766,15 +766,24 @@ def ann_index_topk(
     n_probes: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_buckets: int = 4096,
 ) -> DataFrame:
     """Multi-probe top-k against a persisted :func:`write_ann_index`
     store, reading ONLY the probed bucket partitions.
 
     The probe set is ≤ 2**n_bits values BY CONSTRUCTION (bucket ids
-    live in [0, 2^n_bits)), so collecting it to the driver is bounded
-    regardless of query-set size, and the resulting ``isin`` filter is
-    a planning-time partition prune on the index scan — the unprobed
-    directories are never opened.  Scoring is expression-identical to
+    live in [0, 2^n_bits)), so for the usual coarse bucket spaces
+    collecting it to the driver is bounded regardless of query-set
+    size, and the resulting ``isin`` filter is a planning-time
+    partition prune on the index scan — the unprobed directories are
+    never opened.  Past ``max_collect_buckets`` (an index built with
+    n_bits ≥ 13 by default) the driver collect stops being "bounded"
+    in any honest sense, so the literal prune is skipped and pruning
+    happens through Spark's dynamic partition pruning instead: the
+    scoring join below broadcasts the query side and joins on the
+    partition column, so the scan receives a runtime bucket filter —
+    same partitions skipped, zero driver materialization (pinned in
+    tests/test_ann_index.py).  Scoring is expression-identical to
     :func:`ann_topk_lsh` (same fold order, same tie breaks), so against
     the same corpus the results match the in-memory operator
     row-for-row (pinned in tests/test_ann_index.py)."""
@@ -794,19 +803,22 @@ def ann_index_topk(
             F.col("__base").bitwiseXOR(F.col("__mask")).alias("bucket"),
         )
     )
-    # bounded driver collect: at most 2^n_bits distinct bucket ids
-    probed = [
-        r["bucket"] for r in q.select("bucket").distinct().collect()
-    ]
-    c = (
-        spark.read.parquet(path)
-        .where(F.col("bucket").isin(probed))
-        .select(
-            F.col("id").alias("neighbor_id"),
-            F.col("vec").alias("cvec"),
-            F.col("nrm").alias("cnrm"),
-            "bucket",
-        )
+    scan = spark.read.parquet(path)
+    if 2**n_bits <= max_collect_buckets:
+        # bounded driver collect: at most 2^n_bits distinct bucket ids,
+        # pruned at PLANNING time via literal isin
+        probed = [
+            r["bucket"] for r in q.select("bucket").distinct().collect()
+        ]
+        scan = scan.where(F.col("bucket").isin(probed))
+    # else: no driver collect — the broadcast equi-join on the partition
+    # column below hands the scan a runtime filter via dynamic partition
+    # pruning (spark.sql.dynamicPartitionPruning, on by default)
+    c = scan.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+        "bucket",
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",

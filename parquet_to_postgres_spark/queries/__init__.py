@@ -66,6 +66,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_semi_anti",
     "join_dims_grid",
     "join_range_binned",
+    "join_interval_overlap",
     "join_asof",
     "join_star_revenue",
     "window_rank_analytic",
@@ -81,7 +82,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_jdbc_roundtrip",
     "corpus_preprocess",
     "text_metrics",
-    "term_frequency_top",
     "tf_idf_top",
     "stratified_sample",
     "training_data_prep",

@@ -153,6 +153,125 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int = 16,
+) -> DataFrame:
+    """True non-equi interval-overlap (theta) join, banded for scale.
+
+    Emits one row per (left, right) pair whose closed integer intervals
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` overlap — the IP-range
+    / time-validity join users write as ``ON a.s <= b.e AND b.s <= a.e``,
+    which Spark would otherwise plan as a broadcast-nested-loop (O(n·m)
+    at 100 TB; the reference has no joins at all, main.rs).
+
+    Banding rewrite: each interval is exploded over the fixed-width bins
+    it spans (``sequence(floor(s/w), floor(e/w))``), the bin becomes an
+    equi-join key (shuffle-hash / sort-merge friendly, AQE-skew
+    splittable), and a pair that shares several bins is kept exactly
+    once — in the bin containing ``greatest(l_start, r_start)``, which
+    overlap guarantees lies in both intervals.  Explode factor is
+    ``len/bin_width + 1`` per side, so pick ``bin_width`` near the
+    typical interval length; both the dedup predicate and the residual
+    overlap check are scan-level.  Requires ``start <= end`` and
+    non-negative integer units (days, seconds, IP octets...).
+    """
+    w = F.lit(bin_width)
+
+    def explode_bins(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / w), F.floor(F.col(e) / w)
+                )
+            ),
+        )
+
+    lb = explode_bins(left, l_start, l_end)
+    rb = explode_bins(right, r_start, r_end)
+    return (
+        lb.join(rb, "__bin")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (
+                F.col("__bin")
+                == F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w)
+            )
+        )
+        .drop("__bin")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH l AS (
+      SELECT o_orderkey AS urgent_key,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ls,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               + (o_orderkey % 7 + 1) AS le
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), r AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS rs,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               + (o_orderkey % 5 + 1) AS re,
+             o_totalprice
+      FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT l.urgent_key,
+           COUNT(*) AS n_overlaps,
+           {sql_dsum('o_totalprice', 'low_value')},
+           MAX(LEAST(l.le, r.re) - GREATEST(l.ls, r.rs) + 1) AS max_overlap_days
+    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+    GROUP BY l.urgent_key
+    """,
+    tags=("J6",),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (letter form): raw interval-overlap theta join — urgent-order
+    fulfillment windows against low-priority windows, per-urgent-order
+    overlap stats.  The oracle is the textbook non-equi
+    ``ON l.ls <= r.re AND r.rs <= l.le`` (DuckDB plans it as IEJoin);
+    the Spark side goes through :func:`interval_overlap_join`, whose
+    banding rewrite turns it into ONE shuffled equi-join on a bin key —
+    never a nested-loop over the cross product (plan-pinned in
+    tests/test_plans.py).  Window lengths are keyed off ``o_orderkey``
+    so the data is deterministic and both engines derive it identically.
+    """
+    t = Catalog(spark, sf_dir)
+    day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01"))  # noqa: E731
+    l = (
+        t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("urgent_key"),
+            day("o_orderdate").cast("long").alias("ls"),
+        )
+        .withColumn("le", F.col("ls") + F.col("urgent_key") % 7 + 1)
+    )
+    r = t.orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        day("o_orderdate").cast("long").alias("rs"),
+        (day("o_orderdate").cast("long") + F.col("o_orderkey") % 5 + 1).alias(
+            "re"
+        ),
+        F.col("o_totalprice"),
+    )
+    pairs = interval_overlap_join(l, r, "ls", "le", "rs", "re", bin_width=16)
+    return pairs.groupBy("urgent_key").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        dsum("o_totalprice", "low_value"),
+        F.max(
+            F.least("le", "re") - F.greatest("ls", "rs") + F.lit(1)
+        ).cast("long").alias("max_overlap_days"),
+    )
+
+
 @register(
     "join_asof",
     oracle="""

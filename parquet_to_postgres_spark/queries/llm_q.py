@@ -393,9 +393,11 @@ def _lsh_oracle(k: int = 10, n_bits: int = 4, n_probes: int = 5) -> str:
 # ---------------------------------------------------------------- L5 ----
 
 
-@register(
-    "term_frequency_top",
-    oracle="""
+# Rotated out of the 50-slot registry in round 7 (its slot went to
+# join_interval_overlap); L5 stays declared via tf_idf_top and
+# text_metrics, and this query keeps full oracle coverage in
+# tests/test_registry.py exactly like array_functions before it.
+TERM_FREQUENCY_TOP_ORACLE = """
     SELECT lang, token, cnt, rnk FROM (
       SELECT lang, token, cnt,
              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
@@ -405,9 +407,9 @@ def _lsh_oracle(k: int = 10, n_bits: int = 4, n_probes: int = 5) -> str:
         GROUP BY lang, token
       )
     ) WHERE rnk <= 5
-    """,
-    tags=("L5",),
-)
+    """
+
+
 def term_frequency_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: term frequencies + top-5 terms per language."""
     t = Catalog(spark, sf_dir)

@@ -108,6 +108,48 @@ def test_probe_scan_prunes_unprobed_partitions(spark, split):
         assert "dynamicpruning" in p
 
 
+def test_wide_bucket_space_skips_driver_collect_keeps_pruning(spark, split):
+    """Round-7 guard: when 2^n_bits exceeds max_collect_buckets the
+    driver isin-collect is skipped (a 16-bit index would otherwise pull
+    64k bucket ids to the driver silently) and partition pruning rides
+    the broadcast join's dynamic partition pruning instead — same rows,
+    no literal IN filter on the scan, DPP subquery present."""
+    import contextlib
+    import io
+    import re
+
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/annidx"
+        S.write_ann_index(corpus, path, n_bits=N_BITS)
+
+        def canon(df):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in df.collect()
+            )
+
+        literal = S.ann_index_topk(
+            spark, path, queries, k=10, n_bits=N_BITS, n_probes=N_PROBES
+        )
+        dpp_only = S.ann_index_topk(
+            spark, path, queries, k=10, n_bits=N_BITS, n_probes=N_PROBES,
+            max_collect_buckets=1,
+        )
+        assert canon(dpp_only) == canon(literal) and canon(literal)
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            dpp_only.explain(mode="formatted")
+        p = buf.getvalue()
+        assert not re.search(r"PartitionFilters: \[bucket#\d+ IN \(", p), (
+            "guarded path must not carry a driver-collected IN list"
+        )
+        assert "dynamicpruning" in p, (
+            "guarded path must prune partitions via DPP on the join"
+        )
+
+
 def test_streaming_probe_matches_batch_operator(spark, split):
     """availableNow query stream through stream_ann_topk_writer lands
     exactly the batch ann_index_topk rows in the sink — streaming and

@@ -715,3 +715,42 @@ def test_arrow_udf_matches_plain_udf_and_jvm_fingerprint(spark):
         | (F.col("arrow_fp") != F.col("jvm_fp"))
     ).count()
     assert bad == 0
+
+
+def test_interval_overlap_join_equals_naive_theta(spark):
+    """The banded rewrite must emit EXACTLY the naive theta-join pairs —
+    each exactly once — across the nasty cases: touching endpoints,
+    nested intervals, zero-length intervals, bins narrower AND wider
+    than the intervals, and pairs sharing many bins."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.queries.joins_q import interval_overlap_join
+
+    rng = random.Random(7)
+    lrows = [(i, s := rng.randrange(0, 200), s + rng.randrange(0, 40))
+             for i in range(60)]
+    rrows = [(j, s := rng.randrange(0, 200), s + rng.randrange(0, 40))
+             for j in range(70)]
+    # hand-picked edges: touching, nested, zero-length, same start
+    lrows += [(100, 10, 10), (101, 0, 199), (102, 50, 60)]
+    rrows += [(200, 10, 10), (201, 60, 61), (202, 50, 55)]
+    l = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    r = spark.createDataFrame(rrows, "rid long, rs long, re long")
+
+    naive = {
+        (a, b)
+        for (a, als, ale) in lrows
+        for (b, brs, bre) in rrows
+        if als <= bre and brs <= ale
+    }
+    for w in (1, 7, 16, 64, 1000):
+        got = [
+            (x["lid"], x["rid"])
+            for x in interval_overlap_join(
+                l, r, "ls", "le", "rs", "re", bin_width=w
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"w={w}: duplicate pairs emitted"
+        assert set(got) == naive, f"w={w}: pair set diverges from theta join"

@@ -62,3 +62,20 @@ def test_rotated_out_array_functions_still_matches_oracle(spark, duck):
         ARRAY_FUNCTIONS_ORACLE,
         "array_functions",
     )
+
+
+def test_rotated_out_term_frequency_top_still_matches_oracle(spark, duck):
+    """term_frequency_top gave its slot to join_interval_overlap in
+    round 7 (L5 stays declared via tf_idf_top / text_metrics); full
+    oracle coverage continues here."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        TERM_FREQUENCY_TOP_ORACLE,
+        term_frequency_top,
+    )
+
+    assert_matches_oracle(
+        term_frequency_top(spark, SF_SMOKE),
+        duck,
+        TERM_FREQUENCY_TOP_ORACLE,
+        "term_frequency_top",
+    )
