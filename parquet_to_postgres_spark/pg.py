@@ -167,6 +167,50 @@ class EmbeddedPostgres:
         self.stop()
 
 
+_SHARED: EmbeddedPostgres | None = None
+_SHARED_TRIED = False
+
+
+def shared_postgres() -> EmbeddedPostgres | None:
+    """Process-wide lazy embedded server, or None when unavailable.
+
+    The declared ``etl_pg_roundtrip`` query and any other repeated
+    caller share ONE server instead of paying initdb+start (~2 s) per
+    invocation — the honest model of the reference's always-on target
+    (``main.rs:60-66`` connects, it doesn't boot).  First call starts
+    the server in a scratch dir; atexit stops it and removes the dir.
+    A failed start is remembered and returns None thereafter (no retry
+    storm in a session without a usable toolchain)."""
+    global _SHARED, _SHARED_TRIED
+    if _SHARED_TRIED:
+        return _SHARED
+    _SHARED_TRIED = True
+    if not postgres_available():
+        return None
+    import atexit
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="pgshared_")
+    # world-readable so the dropped-privilege postgres user can create
+    # its data directory under it
+    os.chmod(workdir, 0o777)
+    try:
+        srv = EmbeddedPostgres(workdir).start()
+    except Exception:
+        shutil.rmtree(workdir, ignore_errors=True)
+        return None
+
+    def _stop() -> None:
+        try:
+            srv.stop()
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    atexit.register(_stop)
+    _SHARED = srv
+    return srv
+
+
 def run_psql(
     conninfo: dict[str, str],
     sql: str,

@@ -80,6 +80,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multi_source_agg",
     "etl_roundtrip_agg",
     "etl_jdbc_roundtrip",
+    "etl_pg_roundtrip",
     "corpus_preprocess",
     "text_metrics",
     "tf_idf_top",
@@ -90,7 +91,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cosine_threshold_join",
     "ann_topk",
     "udf_surface",
-    "textsim_pairs",
     "stream_windowed_aggs",
     "stream_session_windows",
     "stream_watermark_hourly",

@@ -242,9 +242,11 @@ def _simhash_oracle(n_bits: int = 48, max_hamming: int = 3) -> str:
     """
 
 
-@register(
-    "textsim_pairs",
-    oracle=f"""
+# Rotated out of the 50-slot registry in round 7 (its slot went to
+# etl_pg_roundtrip — the reference's actual target engine on the hash
+# gate); L2 stays declared via minhash_near_dup / near_dedup_corpus,
+# and this query keeps full oracle coverage in tests/test_registry.py.
+TEXTSIM_PAIRS_ORACLE = f"""
     SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
     FROM ({_simhash_oracle()})
     UNION ALL
@@ -260,9 +262,9 @@ def _simhash_oracle(n_bits: int = 48, max_hamming: int = 3) -> str:
                / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard3
       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
     )
-    """,
-    tags=("L2",),
-)
+    """
+
+
 def textsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (SimHash + n-gram Jaccard): two text-similarity pair families,
     method-tagged in one declared query.

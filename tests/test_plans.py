@@ -149,7 +149,10 @@ def test_minhash_profiles_single_logical_shuffle(spark):
 def test_simhash_pairs_blocked_not_allpairs(spark):
     # Candidate generation must be the (band, key) equi-join, never a
     # cartesian / broadcast-nested-loop all-pairs comparison.
-    p = plan(build("textsim_pairs", spark))
+    # (rotated out of the registry in r7; the plan contract holds.)
+    from parquet_to_postgres_spark.queries.llm_q import textsim_pairs
+
+    p = plan(textsim_pairs(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 

@@ -79,3 +79,20 @@ def test_rotated_out_term_frequency_top_still_matches_oracle(spark, duck):
         TERM_FREQUENCY_TOP_ORACLE,
         "term_frequency_top",
     )
+
+
+def test_rotated_out_textsim_pairs_still_matches_oracle(spark, duck):
+    """textsim_pairs gave its slot to etl_pg_roundtrip in round 7 (L2
+    stays declared via minhash_near_dup / near_dedup_corpus); full
+    oracle coverage continues here."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        TEXTSIM_PAIRS_ORACLE,
+        textsim_pairs,
+    )
+
+    assert_matches_oracle(
+        textsim_pairs(spark, SF_SMOKE),
+        duck,
+        TEXTSIM_PAIRS_ORACLE,
+        "textsim_pairs",
+    )
