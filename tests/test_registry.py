@@ -81,6 +81,25 @@ def test_rotated_out_term_frequency_top_still_matches_oracle(spark, duck):
     )
 
 
+def test_etl_pg_roundtrip_fallback_matches_oracle(spark, duck, monkeypatch):
+    """etl_pg_roundtrip's declared result must be engine-independent:
+    on a box with no postgres toolchain the builder swaps the live COPY
+    roundtrip for a ParquetSink roundtrip, and THAT path must hash-match
+    the same oracle (the parametrized gate above only ever exercises
+    whichever path this box supports)."""
+    from parquet_to_postgres_spark import pg
+    from parquet_to_postgres_spark.queries.etl_q import etl_pg_roundtrip
+
+    monkeypatch.setattr(pg, "shared_postgres", lambda: None)
+    spec = SPECS["etl_pg_roundtrip"]
+    assert_matches_oracle(
+        etl_pg_roundtrip(spark, SF_SMOKE),
+        duck,
+        spec.oracle,
+        "etl_pg_roundtrip[fallback]",
+    )
+
+
 def test_rotated_out_textsim_pairs_still_matches_oracle(spark, duck):
     """textsim_pairs gave its slot to etl_pg_roundtrip in round 7 (L2
     stays declared via minhash_near_dup / near_dedup_corpus); full
