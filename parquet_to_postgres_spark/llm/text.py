@@ -203,7 +203,114 @@ def tf_idf(
     return scored
 
 
+DECONTAM_NGRAM_N = 13
+
+
+def word_ngrams(text_col: Column | str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams; empty when the document
+    has fewer than ``n`` whitespace tokens.  (The ``size >= n`` guard
+    matters: ``sequence(1, 0)`` would COUNT DOWN and fabricate grams.)"""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_id(gram: Column) -> Column:
+    """60-bit md5-derived integer id of an n-gram (same construction as
+    dedup.unit_id, so the DuckDB twin is UNIT_ID_SQL)."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def contaminated_ids(
+    corpus,
+    eval_df,
+    n: int = DECONTAM_NGRAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+):
+    """ids of corpus documents sharing ANY word ``n``-gram with the eval
+    set — the standard benchmark-decontamination test (a 13-gram
+    collision between a training document and an eval question marks the
+    document contaminated).
+
+    Shape for 100 TB: eval sets are benchmark-sized (thousands of
+    items), so their distinct gram ids are a few MB — the eval side
+    aggregates down and BROADCASTS, and the corpus pays exactly one
+    scan + explode with a map-side LeftSemi probe: no shuffle of corpus
+    grams, ever.  The only exchange is the final distinct over hit ids,
+    bounded by the number of contaminated documents.  The reference has
+    no dedup surface at all (main.rs is scan→INSERT only)."""
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_ngrams(eval_text_col, n)).alias("__gram")
+        )
+        .select(_gram_id(F.col("__gram")).alias("__g"))
+        .distinct()
+    )
+    return (
+        corpus.select(
+            id_col, F.explode(word_ngrams(text_col, n)).alias("__gram")
+        )
+        .select(id_col, _gram_id(F.col("__gram")).alias("__g"))
+        .join(F.broadcast(eval_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus,
+    eval_df,
+    n: int = DECONTAM_NGRAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    mode: str = "drop",
+):
+    """Remove (``mode='drop'``) or flag (``mode='flag'``, boolean
+    ``contaminated`` column) corpus documents that share a word
+    ``n``-gram with ``eval_df`` — see :func:`contaminated_ids`."""
+    hits = contaminated_ids(corpus, eval_df, n, id_col, text_col, eval_text_col)
+    if mode == "drop":
+        return corpus.join(hits, id_col, "left_anti")
+    if mode == "flag":
+        flagged = hits.withColumn("contaminated", F.lit(True))
+        return corpus.join(flagged, id_col, "left").withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+
+
 # ---- DuckDB SQL twins (kept adjacent so formulas never drift) ----------
+
+
+def sql_word_ngram_ids(
+    table: str,
+    n: int = DECONTAM_NGRAM_N,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB subquery yielding ``({id_expr}, __g)`` word-n-gram 60-bit
+    ids — the twin of :func:`word_ngrams` + :func:`_gram_id` (same
+    md5 construction as dedup.UNIT_ID_SQL).  List slice ``t[i:i+n-1]``
+    is DuckDB's inclusive 1-based slice = Spark ``slice(toks, i, n)``;
+    ``generate_series(1, 0)`` is empty in DuckDB, matching the
+    ``size >= n`` guard on the Spark side."""
+    from .dedup import UNIT_ID_SQL
+
+    gram = f"array_to_string(t[i:i+{n - 1}], ' ')"
+    return (
+        f"SELECT {id_expr}, {UNIT_ID_SQL.format(col=gram)} AS __g "
+        f"FROM (SELECT {id_expr}, string_split({text_expr}, ' ') AS t FROM {table}), "
+        f"UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)"
+    )
 
 
 def sql_fingerprint(text_expr: str = "text", prefix: int = FINGERPRINT_PREFIX) -> str:

@@ -393,3 +393,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark):
+    """Benchmark decontamination must cost ONE corpus scan: eval grams
+    aggregate and broadcast; the corpus probes map-side.  A plan that
+    sort-merge-joins (or hash-partitions corpus grams) would shuffle
+    100 TB of exploded n-grams."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.text import contaminated_ids
+    from parquet_to_postgres_spark.tables import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    eval_df = docs.where(F.col("doc_id") % 7 == 0).select("text")
+    p = plan(contaminated_ids(docs, eval_df, n=8))
+
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    # the gram key is hash-partitioned exactly once — the eval-side
+    # distinct (benchmark-sized); corpus grams reach the join unshuffled
+    assert p.count("hashpartitioning(__g") == 1
+    # column pruning reaches the scan: only (doc_id, text) are read
+    assert "struct<doc_id:bigint,text:string>" in p

@@ -363,3 +363,79 @@ def test_salted_hash_ops_no_overflow_at_extremes(spark):
 
     with pytest.raises(ValueError, match="salt"):
         hash_sample(df, "doc_id", 0.5, salt=2**31)
+
+
+def test_decontaminate_literal_semantics(spark):
+    """Known micro-case: doc 1 shares a 3-gram with the eval set, doc 2
+    shares only shorter overlaps, doc 3 is too short to produce any
+    3-gram (the size>=n guard must yield empty, not count-down grams)."""
+    from parquet_to_postgres_spark.llm.text import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown wolf runs fast"),
+            (3, "br own"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("what does the quick brown fox do",)], "text string"
+    )
+
+    hits = sorted(
+        r["doc_id"] for r in contaminated_ids(corpus, eval_df, n=3).collect()
+    )
+    assert hits == [1]
+
+    clean = sorted(
+        r["doc_id"] for r in decontaminate(corpus, eval_df, n=3).collect()
+    )
+    assert clean == [2, 3]
+
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, eval_df, n=3, mode="flag").collect()
+    }
+    assert flags == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_matches_duckdb_oracle(spark, duck):
+    """Corpus-scale twin check: the eval set is derived from the
+    documents table itself (first 8 words of every 7th doc), built with
+    the SAME expressions in both engines, and the contaminated-id sets
+    must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.text import (
+        contaminated_ids,
+        sql_word_ngram_ids,
+    )
+    from parquet_to_postgres_spark.tables import Catalog
+
+    n = 8
+    docs = Catalog(spark, SF_SMOKE).documents
+    eval_df = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, n)).alias(
+            "text"
+        )
+    )
+    got = sorted(
+        r["doc_id"] for r in contaminated_ids(docs, eval_df, n=n).collect()
+    )
+
+    eval_sql = (
+        "(SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS text "
+        "FROM documents WHERE doc_id % 7 = 0)"
+    )
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            f"SELECT DISTINCT c.doc_id FROM ({sql_word_ngram_ids('documents', n)}) c "
+            f"JOIN ({sql_word_ngram_ids(eval_sql, n, id_expr='1')}) e USING (__g)"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
