@@ -1050,3 +1050,58 @@ def kmeans_lloyd(
     )
     out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
     return out, cents, iterations
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    max_iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    clusters: DataFrame | None = None,
+    mode: str = "drop",
+) -> DataFrame:
+    """Embedding-space near-dedup with cluster blocking (the SemDeDup
+    recipe, Abbas et al. 2023): k-means the corpus, form cosine pairs
+    only WITHIN each cluster, and drop every vector that has a
+    >= threshold neighbor with a smaller id (deterministic keep-lowest,
+    the same survivor rule as exact dedup in llm/dedup.py).
+
+    Blocking is the whole scale story: pairwise cosine over N vectors is
+    N^2, but within k balanced clusters it is k * (N/k)^2 = N^2 / k — and
+    the pair join is an equi-shuffle on the cell id
+    (:func:`cosine_self_join` with ``partition_col``), never a cross
+    join.  Cross-cluster near-dups are deliberately out of recall, the
+    paper's own tradeoff; raise k for finer blocking or pass explicit
+    ``clusters`` (e.g. 2-nearest-cell assignments for boundary overlap).
+
+    ``clusters`` overrides the k-means pass with a ready
+    ``(id_col, cell)`` frame; :func:`kmeans_lloyd` is deterministic, so
+    either way the output is bit-stable.  ``mode='flag'`` keeps every
+    row and adds a boolean ``semdup`` column instead of dropping.
+
+    The transitive variant (dup GROUPS rather than pairwise drops) is
+    :func:`~.dedup.connected_components` over the pair list; the greedy
+    rule here is one pass and is what the dedup family's declared
+    queries use.
+    """
+    if clusters is None:
+        assigned, _, _ = kmeans_lloyd(
+            vectors,
+            max_iterations=max_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        clusters = assigned.select(id_col, "cell")
+    v = vectors.join(clusters.select(id_col, "cell"), id_col)
+    pairs = cosine_self_join(
+        v, threshold, partition_col="cell", id_col=id_col, vec_col=vec_col
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if mode == "drop":
+        return v.join(drops, id_col, "left_anti")
+    if mode == "flag":
+        return v.join(
+            drops.withColumn("semdup", F.lit(True)), id_col, "left"
+        ).withColumn("semdup", F.coalesce(F.col("semdup"), F.lit(False)))
+    raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")

@@ -416,3 +416,21 @@ def test_decontaminate_corpus_side_never_shuffles(spark):
     assert p.count("hashpartitioning(__g") == 1
     # column pruning reaches the scan: only (doc_id, text) are read
     assert "struct<doc_id:bigint,text:string>" in p
+
+
+def test_semantic_dedup_pairs_form_on_cell_equi_join(spark):
+    """SemDeDup's whole point is N^2/k: the within-cluster pair join
+    must plan as an equi-join on the cell id, never a nested-loop over
+    the corpus cross product."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.similarity import semantic_dedup
+    from parquet_to_postgres_spark.tables import Catalog
+
+    vecs = Catalog(spark, SF_SMOKE).embeddings.select("vec_id", "embedding")
+    clusters = vecs.select(
+        "vec_id", (F.col("vec_id") % 8).cast("int").alias("cell")
+    )
+    p = plan(semantic_dedup(vecs, threshold=0.9, clusters=clusters))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
