@@ -189,6 +189,158 @@ class IdempotentParquetSink:
         )
 
 
+def _driver_jdbc_conn(spark: SparkSession, url: str, driver: str | None):
+    """Driver-side ``java.sql`` connection through the Py4J gateway.
+
+    Used ONLY for the tiny transactional publish/ledger statements of
+    :class:`ExactlyOnceJdbcSink` — bulk rows never flow through it (they
+    go executor-side via Spark's JDBC writer).  Classic driver only; a
+    Spark Connect client has no gateway, and a Connect deployment would
+    run the same three statements through any thin DB client instead.
+    """
+    jvm = spark._sc._jvm  # type: ignore[attr-defined]
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _jdbc_table_exists(conn, table: str) -> bool:
+    """Dialect-tolerant existence check: unquoted DDL identifiers are
+    folded UPPER by Derby and lower by Postgres, so probe all three."""
+    md = conn.getMetaData()
+    for cand in dict.fromkeys((table, table.upper(), table.lower())):
+        rs = md.getTables(None, None, cand, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
+@dataclass
+class ExactlyOnceJdbcSink:
+    """Exactly-once streaming → relational sink: stage + atomic publish.
+
+    The relational twin of :class:`IdempotentParquetSink`, closing the
+    reference's loop for CONTINUOUS ingest: the reference loads parquet
+    into Postgres once (``main.rs:49-102``); under ``foreachBatch`` with
+    a plain :class:`JdbcSink` a micro-batch retried after a successful
+    insert but before the checkpoint commit double-appends
+    (at-least-once).  This sink makes the visible write a deterministic
+    function of ``batch_id``:
+
+    1. **Ledger check** — if ``<table>__epochs`` already holds this
+       ``batch_id``, the batch is a replay: skip entirely.
+    2. **Stage** — the rows go through the normal executor-parallel JDBC
+       writer (``numPartitions`` connections, ``batchsize`` per
+       executeBatch) into ``<table>__stage``, mode=overwrite, so a
+       half-written stage from a crashed attempt is simply overwritten.
+    3. **Publish** — ONE driver-side transaction:
+       ``INSERT INTO target SELECT … FROM stage;
+       INSERT INTO ledger VALUES (batch_id); COMMIT``.  A crash before
+       the commit rolls back both inserts; after it, step 1 blocks the
+       replay.  Rows become visible exactly once.
+
+    At 100 TB the asymmetry is the point: bulk bytes move in parallel to
+    an invisible staging table; atomicity is needed only for the
+    bounded, row-count-free publish statement pair.  Postgres executes
+    ``INSERT … SELECT`` server-side (no second network hop); the target
+    and ledger are auto-created from the stage on first batch
+    (``CREATE TABLE … AS SELECT … WITH NO DATA`` — valid Derby AND
+    Postgres), and the insert names its columns explicitly so schema
+    column order can never silently misalign between batches.
+    """
+
+    url: str
+    table: str
+    num_partitions: int = 10
+    batchsize: int = 10_000
+    options: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def stage_table(self) -> str:
+        return f"{self.table}__stage"
+
+    @property
+    def ledger_table(self) -> str:
+        return f"{self.table}__epochs"
+
+    def _stage_sink(self) -> JdbcSink:
+        return JdbcSink(
+            url=self.url,
+            table=self.stage_table,
+            mode="overwrite",
+            num_partitions=self.num_partitions,
+            batchsize=self.batchsize,
+            options=dict(self.options),
+        )
+
+    def _connect(self, spark: SparkSession):
+        return _driver_jdbc_conn(spark, self.url, self.options.get("driver"))
+
+    def is_committed(self, spark: SparkSession, batch_id: int) -> bool:
+        conn = self._connect(spark)
+        try:
+            if not _jdbc_table_exists(conn, self.ledger_table):
+                return False
+            st = conn.createStatement()
+            rs = st.executeQuery(
+                f"SELECT 1 FROM {self.ledger_table} "
+                f"WHERE batch_id = {int(batch_id)}"
+            )
+            try:
+                return bool(rs.next())
+            finally:
+                rs.close()
+                st.close()
+        finally:
+            conn.close()
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Returns True if the batch was published, False on replay-skip."""
+        spark = df.sparkSession
+        if self.is_committed(spark, batch_id):
+            return False
+        stage = self._stage_sink()
+        stage.write(df)  # parallel bulk path; overwrite ⇒ retry-safe
+        # Spark's JDBC writer quotes column identifiers in its CREATE
+        # TABLE, so the publish references them quoted to match.
+        cols = ", ".join(f'"{c}"' for c in flatten_for_jdbc(df).columns)
+        conn = self._connect(spark)
+        try:
+            st = conn.createStatement()
+            if not _jdbc_table_exists(conn, self.ledger_table):
+                st.executeUpdate(
+                    f"CREATE TABLE {self.ledger_table} "
+                    "(batch_id BIGINT PRIMARY KEY)"
+                )
+            if not _jdbc_table_exists(conn, self.table):
+                st.executeUpdate(
+                    f"CREATE TABLE {self.table} AS "
+                    f"SELECT {cols} FROM {stage.table} WITH NO DATA"
+                )
+            conn.setAutoCommit(False)
+            try:
+                st.executeUpdate(
+                    f"INSERT INTO {self.table} ({cols}) "
+                    f"SELECT {cols} FROM {stage.table}"
+                )
+                st.executeUpdate(
+                    f"INSERT INTO {self.ledger_table} (batch_id) "
+                    f"VALUES ({int(batch_id)})"
+                )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+        return True
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -530,3 +530,98 @@ def test_etl_cli_ddl_only_and_parquet_sink(spark, capsys):
         )
         assert rc == 0
         assert spark.read.parquet(f"{d}/out").count() == 25
+
+
+# ---- exactly-once streaming → JDBC (stage + atomic publish) ----
+
+
+def test_exactly_once_jdbc_sink_publish_and_replay(spark):
+    """write_batch publishes once per batch_id: a replayed batch is a
+    no-op (ledger hit), a new batch appends, and every value survives
+    the Derby round-trip — all executed, not mocked."""
+    from parquet_to_postgres_spark.etl import ExactlyOnceJdbcSink
+    from parquet_to_postgres_spark.queries.etl_q import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+    )
+
+    url = derby_url("t_xonce")
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    b0 = nation.where(F.col("n_nationkey") < 10)
+    b1 = nation.where(F.col("n_nationkey") >= 10)
+    sink = ExactlyOnceJdbcSink(
+        url=url,
+        table="nation_x",
+        num_partitions=2,
+        batchsize=5,
+        options={"driver": DERBY_DRIVER},
+    )
+
+    assert sink.write_batch(b0, 0) is True
+    n0 = read_jdbc(spark, url, "nation_x").count()
+    assert n0 == b0.count()
+
+    # replay of a committed batch: skipped, rows unchanged
+    assert sink.write_batch(b0, 0) is False
+    assert read_jdbc(spark, url, "nation_x").count() == n0
+
+    # a genuinely new batch appends
+    assert sink.write_batch(b1, 1) is True
+    back = read_jdbc(spark, url, "nation_x")
+    cols = sorted(nation.columns)
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, nation.select(*cols).collect())
+    )
+    assert sink.is_committed(spark, 0) and sink.is_committed(spark, 1)
+    assert not sink.is_committed(spark, 2)
+
+
+def test_stream_to_jdbc_exactly_once_multi_batch(spark):
+    """Continuous reference path: a multi-micro-batch file stream lands
+    in Derby through ExactlyOnceJdbcSink via foreachBatch; total rows
+    equal the source, the epoch ledger holds every batch, and manually
+    replaying a finished batch adds nothing."""
+    from parquet_to_postgres_spark.etl import ExactlyOnceJdbcSink
+    from parquet_to_postgres_spark.queries.etl_q import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+    )
+    from parquet_to_postgres_spark.streaming import ops
+
+    url = derby_url("t_xonce_stream")
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src.repartition(3).write.parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in")
+        )
+        sink = ExactlyOnceJdbcSink(
+            url=url,
+            table="events_x",
+            num_partitions=2,
+            batchsize=500,
+            options={"driver": DERBY_DRIVER},
+        )
+        ops.run_stream_to_sink(stream, sink, f"{d}/ckpt")
+
+        back = read_jdbc(spark, url, "events_x")
+        assert back.count() == src.count()
+        committed = [b for b in range(5) if sink.is_committed(spark, b)]
+        assert len(committed) >= 2, f"expected multi-batch run: {committed}"
+
+        # replay a finished micro-batch through the same foreachBatch hook
+        replay = src.limit(50).localCheckpoint(eager=True)
+        ops.foreach_batch_writer(sink)(replay, committed[0])
+        assert read_jdbc(spark, url, "events_x").count() == src.count()
+
+        # full contents survived (values, not just counts)
+        cols = sorted(src.columns)
+        assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+            map(tuple, src.select(*cols).collect())
+        )
