@@ -353,6 +353,63 @@ class PostgresCopySink:
         ).collect()
         return ddl
 
+    # ---- exactly-once micro-batch publish (foreachBatch contract) ----
+    #
+    # The psql twin of etl.ExactlyOnceJdbcSink: COPY lands the batch in
+    # an overwritten staging table (parallel, retry-safe), then ONE
+    # psql -c string publishes stage → target and records the batch_id
+    # in <table>__epochs.  psql executes a multi-statement -c string in
+    # a single implicit transaction (with ON_ERROR_STOP aborting it
+    # whole), so the publish is atomic; a replayed batch hits the
+    # ledger and is skipped before any row moves.
+
+    @property
+    def stage_table(self) -> str:
+        return f"{self.table}__stage"
+
+    @property
+    def ledger_table(self) -> str:
+        return f"{self.table}__epochs"
+
+    def is_committed(self, batch_id: int) -> bool:
+        run_psql(
+            self.conninfo,
+            f"CREATE TABLE IF NOT EXISTS {self.ledger_table} "
+            "(batch_id BIGINT PRIMARY KEY);",
+        )
+        out = run_psql(
+            self.conninfo,
+            f"SELECT 1 FROM {self.ledger_table} "
+            f"WHERE batch_id = {int(batch_id)};",
+        )
+        return out.strip() != ""
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Returns True if the batch was published, False on replay-skip."""
+        if self.is_committed(batch_id):
+            return False
+        stage = PostgresCopySink(
+            conninfo=self.conninfo,
+            table=self.stage_table,
+            mode="overwrite",
+            num_partitions=self.num_partitions,
+        )
+        stage.write(df)
+        cols = ", ".join(df.columns)
+        run_psql(
+            self.conninfo,
+            f"CREATE TABLE IF NOT EXISTS {self.table} AS "
+            f"SELECT {cols} FROM {self.stage_table} WITH NO DATA;",
+        )
+        run_psql(
+            self.conninfo,
+            f"INSERT INTO {self.table} ({cols}) "
+            f"SELECT {cols} FROM {self.stage_table}; "
+            f"INSERT INTO {self.ledger_table} (batch_id) "
+            f"VALUES ({int(batch_id)});",
+        )
+        return True
+
 
 def read_back(
     spark: SparkSession,

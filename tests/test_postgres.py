@@ -203,3 +203,58 @@ def test_cli_pg_conninfo_targets_existing_server(spark, pgsrv, capsys):
     assert rc == 0
     assert "CREATE TABLE" in out  # DDL printed, reference parity
     assert "rows in cli_region: 5" in out  # region has 5 rows at sf0.001
+
+
+def test_copy_sink_exactly_once_batches_and_stream(spark, pgsrv):
+    """PostgresCopySink.write_batch is exactly-once on the live server:
+    replaying a committed batch_id moves no rows, new batches append,
+    and a multi-micro-batch file stream through foreachBatch lands the
+    whole source exactly once."""
+    import tempfile
+
+    from parquet_to_postgres_spark.streaming import ops
+
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    sink = P.PostgresCopySink(
+        pgsrv.conninfo(), "nation_x1", mode="append", num_partitions=2
+    )
+    b0 = src.where(F.col("n_nationkey") < 10)
+
+    assert sink.write_batch(b0, 0) is True
+    n0 = int(pgsrv.psql("SELECT count(*) FROM nation_x1;").strip())
+    assert n0 == b0.count()
+    assert sink.write_batch(b0, 0) is False  # replay: ledger hit
+    assert int(pgsrv.psql("SELECT count(*) FROM nation_x1;").strip()) == n0
+    assert sink.write_batch(src.where(F.col("n_nationkey") >= 10), 1) is True
+    assert (
+        int(pgsrv.psql("SELECT count(*) FROM nation_x1;").strip())
+        == src.count()
+    )
+    assert sink.is_committed(0) and sink.is_committed(1)
+    assert not sink.is_committed(7)
+
+    # streaming end-to-end: 3 files, maxFilesPerTrigger=1 → multi-batch
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    ssink = P.PostgresCopySink(
+        pgsrv.conninfo(), "events_x1", mode="append", num_partitions=2
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.repartition(3).write.parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in")
+        )
+        ops.run_stream_to_sink(stream, ssink, f"{d}/ckpt")
+    assert int(
+        pgsrv.psql("SELECT count(*) FROM events_x1;").strip()
+    ) == ev.count()
+    committed = [b for b in range(5) if ssink.is_committed(b)]
+    assert len(committed) >= 2, f"expected multi-batch run: {committed}"
+    # replay one finished batch through the same foreachBatch hook
+    ops.foreach_batch_writer(ssink)(ev.limit(40), committed[0])
+    assert int(
+        pgsrv.psql("SELECT count(*) FROM events_x1;").strip()
+    ) == ev.count()
