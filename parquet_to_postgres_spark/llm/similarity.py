@@ -1105,3 +1105,305 @@ def semantic_dedup(
             drops.withColumn("semdup", F.lit(True)), id_col, "left"
         ).withColumn("semdup", F.coalesce(F.col("semdup"), F.lit(False)))
     raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+
+
+# ------------------------------------------------- product quantization ----
+
+
+def _unit(vec_col: Column | str) -> Column:
+    """Normalize an array column to unit L2 length (doubles)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
+def _subvectors(
+    df: DataFrame, m: int, d: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous sub-vectors of
+    length ``d`` → rows (id, subspace, subvec)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice(F.col(vec_col), j * d + 1, d).alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(parts).alias("p")
+    ).select("id", "p.subspace", "p.subvec")
+
+
+def _subspace_means(assigned: DataFrame) -> DataFrame:
+    """Fixed-point per-(subspace, code) mean of subvec rows — the same
+    order-independent int64-sum determinism contract as kmeans_lloyd."""
+    ex = assigned.select(
+        "subspace", "code", F.posexplode("subvec").alias("pos", "val")
+    )
+    per_pos = ex.groupBy("subspace", "code", "pos").agg(
+        (
+            F.sum(
+                F.round(F.col("val").cast("double") * CENTROID_SCALE).cast(
+                    "long"
+                )
+            ).cast("double")
+            / (F.lit(float(CENTROID_SCALE)) * F.count(F.lit(1)))
+        ).alias("cv")
+    )
+    return per_pos.groupBy("subspace", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("centroid")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    max_iterations: int = 8,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Train product-quantization codebooks: per-subspace k-means, ALL
+    ``m`` subspaces in ONE iterative job.
+
+    The vector is split into ``m`` contiguous sub-vectors of ``dim/m``
+    dims; subspace ``j`` gets its own ``codes``-entry codebook.  Instead
+    of ``m`` separate Lloyd jobs, the (id, subspace, subvec) explosion
+    carries every subspace through a single loop whose assignment is an
+    equi-join on ``subspace`` against the broadcast codebook set
+    (``m × codes`` rows — tiny) and whose update is one
+    (subspace, code, pos)-grain fixed-point aggregate: per round exactly
+    one scan + one map-side-combinable shuffle, the same shape as
+    :func:`kmeans_lloyd` and the reason PQ training scales on Spark.
+
+    Deterministic throughout: init assigns ``pmod(xxhash64(id,
+    subspace), codes)`` (no RNG), means are order-independent int64
+    fixed-point sums, ties break on code.  At 100 TB, train on a
+    :func:`~..operators.hash_sample` of the corpus — codebook quality
+    saturates long before the full pass — then encode everything with
+    :func:`pq_encode` (one linear pass).
+
+    Returns ``(subspace int, code int, centroid array<double>)``.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    sub = _subvectors(vectors, m, d, id_col, vec_col)
+    cents = stable_checkpoint(
+        _subspace_means(
+            sub.withColumn(
+                "code",
+                F.pmod(F.xxhash64("id", "subspace"), F.lit(codes)).cast(
+                    "int"
+                ),
+            )
+        )
+    )
+    w = Window.partitionBy("id", "subspace").orderBy("dist", "code")
+    for _ in range(max_iterations):
+        assigned = (
+            sub.join(F.broadcast(cents), "subspace")
+            .select(
+                "id",
+                "subspace",
+                "subvec",
+                "code",
+                sq_dist("subvec", "centroid").alias("dist"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        new = _subspace_means(assigned)
+        merged = stable_checkpoint(
+            cents.select(
+                "subspace", "code", F.col("centroid").alias("old")
+            )
+            .join(new, ["subspace", "code"], "left")
+            .select(
+                "subspace",
+                "code",
+                F.coalesce("centroid", "old").alias("centroid"),
+                "old",
+            )
+        )
+        shift = merged.select(
+            F.max(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("centroid"),
+                        F.col("old"),
+                        lambda a, b: F.abs(a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        cents = merged.drop("old")
+        if shift is not None and shift < tol:
+            break
+    return cents
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors to their PQ codes: ``(id, codes array<int>)``.
+
+    One equi-join of the exploded sub-vectors against the broadcast
+    codebooks, a per-(id, subspace) argmin (map-side combinable), and a
+    per-id re-assembly — ``dim``-dim floats become ``m`` small ints
+    (64 doubles → 8 bytes at m=8), the 64× footprint drop that lets a
+    100 TB corpus's index fit hot."""
+    d = dim // m
+    sub = _subvectors(vectors, m, d, id_col, vec_col)
+    best = (
+        sub.join(F.broadcast(codebooks), "subspace")
+        .select(
+            "id",
+            "subspace",
+            "code",
+            sq_dist("subvec", "centroid").alias("dist"),
+        )
+        .groupBy("id", "subspace")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+    )
+    return best.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 16,
+    rerank: int = 4,
+    codebooks: DataFrame | None = None,
+    max_iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN family #4 — product quantization with asymmetric distance.
+
+    Vectors are unit-normalized (so L2 order ≡ cosine order:
+    ``‖a−b‖² = 2 − 2·cos`` on the unit sphere), the corpus is encoded to
+    ``m`` codes, and each query precomputes a ``m × codes`` lookup table
+    of sub-distances to every codebook entry.  Scanning the corpus then
+    costs ``m`` table lookups per vector instead of ``dim`` multiplies —
+    the classic IVF-ADC inner loop, here expressed as one JVM-side
+    ``F.aggregate`` over the code array (no UDF).  The ADC top
+    ``k·rerank`` per query (partition-local top-k then merge — the
+    :func:`two_stage_topk` shape, never a global score sort) is
+    re-ranked with exact cosine on the original vectors via an equi-join
+    on the bounded candidate set.
+
+    Output schema matches the other families: (query_id, neighbor_id,
+    score=exact cosine, rank ≤ k).  Recall floors are pinned in
+    tests/test_ann_recall.py.
+    """
+    c_unit = corpus.select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    q_unit = queries.select(
+        F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            c_unit,
+            m=m,
+            codes=codes,
+            max_iterations=max_iterations,
+            id_col="cid",
+            vec_col="cvec",
+            dim=dim,
+        )
+    codebooks = stable_checkpoint(codebooks)
+    encoded = pq_encode(
+        c_unit, codebooks, m=m, id_col="cid", vec_col="cvec", dim=dim
+    )
+    # per-query LUT: lut[subspace*codes + code] = ‖q_sub − centroid‖²
+    luts = (
+        _subvectors(q_unit, m, dim // m, "query_id", "qvec")
+        .join(F.broadcast(codebooks), "subspace")
+        .select(
+            F.col("id").alias("query_id"),
+            "subspace",
+            "code",
+            sq_dist("subvec", "centroid").alias("dist"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code", "dist"))),
+                lambda s: s["dist"],
+            ).alias("lut")
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        encoded.withColumn("pid", F.spark_partition_id())
+        .crossJoin(F.broadcast(luts))
+        .select(
+            "pid",
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adc.alias("adist"),
+        )
+    )
+    kk = k * rerank
+    local_w = Window.partitionBy("query_id", "pid").orderBy(
+        "adist", "neighbor_id"
+    )
+    global_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cands = (
+        scored.withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= kk)
+        .drop("lr", "pid")
+        .withColumn("gr", F.row_number().over(global_w))
+        .where(F.col("gr") <= kk)
+        .drop("gr", "adist")
+    )
+    # exact re-rank on the bounded candidate set (unit vecs ⇒ dot = cos)
+    exact = (
+        F.broadcast(cands)
+        .join(c_unit, cands.neighbor_id == c_unit.cid)
+        .join(F.broadcast(q_unit), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot("qvec", "cvec").alias("score"),
+        )
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
+    )

@@ -48,6 +48,7 @@ def recalls(spark):
         "lsh": _recall_at_k(spark, S.ann_topk_lsh),
         "ivf": _recall_at_k(spark, S.ann_topk_ivf),
         "quant": _recall_at_k(spark, S.ann_topk_quantized),
+        "pq": _recall_at_k(spark, S.ann_topk_pq),
         "exact_two_stage": _recall_at_k(spark, S.two_stage_topk),
     }
 
@@ -125,3 +126,35 @@ def test_all_methods_shared_prep_equals_standalone(spark):
                 "score", "rank"))
     )
     assert shared == standalone
+
+
+def test_ann_pq_recall_floor(recalls):
+    """Product quantization (m=8 subspaces × 16 codes = 32-bit codes,
+    ADC candidates, exact re-rank of 4·k) measured 0.60 recall@10 at
+    sf0.01 — the best of the four families on this corpus.  Floor
+    pinned below the measurement; rerank=8 measured 0.76."""
+    assert recalls["pq"] >= 0.45, recalls
+
+
+def test_pq_encode_deterministic_and_shaped(spark):
+    """Codebooks have exactly m×codes entries of dim/m doubles, every
+    vector encodes to m codes in [0, codes), and two independent
+    train+encode runs are bit-identical (no RNG anywhere)."""
+    emb = load_table(spark, SF_RECALL, "embeddings").limit(200)
+    m, codes, dim = 8, 16, 64
+
+    def run():
+        cb = S.pq_train(emb, m=m, codes=codes, max_iterations=3, dim=dim)
+        enc = S.pq_encode(emb, cb, m=m, dim=dim)
+        return cb, enc
+
+    cb1, enc1 = run()
+    cb2, enc2 = run()
+    cbr = cb1.collect()
+    assert len(cbr) == m * codes
+    assert all(len(r["centroid"]) == dim // m for r in cbr)
+    encr = sorted((r["id"], tuple(r["codes"])) for r in enc1.collect())
+    assert all(len(c) == m for _, c in encr)
+    assert all(0 <= x < codes for _, c in encr for x in c)
+    assert encr == sorted((r["id"], tuple(r["codes"])) for r in enc2.collect())
+    assert sorted(map(repr, cbr)) == sorted(map(repr, cb2.collect()))
