@@ -1300,6 +1300,7 @@ def ann_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    handle_out: list | None = None,
 ) -> DataFrame:
     """ANN family #4 — product quantization with asymmetric distance.
 
@@ -1318,7 +1319,14 @@ def ann_topk_pq(
     Output schema matches the other families: (query_id, neighbor_id,
     score=exact cosine, rank ≤ k).  Recall floors are pinned in
     tests/test_ann_recall.py.
+
+    Long-lived sessions: pass ``handle_out=[]`` to receive an
+    :class:`AnnPrepHandle` covering the checkpoint blocks the training
+    loop and codebook pin; call ``.release()`` when done (the
+    :func:`ann_topk_all_methods` hygiene contract).
     """
+    sc = corpus.sparkSession.sparkContext
+    before = persistent_rdd_ids(sc) if handle_out is not None else set()
     c_unit = corpus.select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
     )
@@ -1336,6 +1344,8 @@ def ann_topk_pq(
             dim=dim,
         )
     codebooks = stable_checkpoint(codebooks)
+    if handle_out is not None:
+        handle_out.append(AnnPrepHandle(sc, persistent_rdd_ids(sc) - before))
     encoded = pq_encode(
         c_unit, codebooks, m=m, id_col="cid", vec_col="cvec", dim=dim
     )

@@ -158,3 +158,27 @@ def test_pq_encode_deterministic_and_shaped(spark):
     assert all(0 <= x < codes for _, c in encr for x in c)
     assert encr == sorted((r["id"], tuple(r["codes"])) for r in enc2.collect())
     assert sorted(map(repr, cbr)) == sorted(map(repr, cb2.collect()))
+
+
+def test_pq_handle_releases_pinned_blocks(spark):
+    """ann_topk_pq(handle_out=[]) returns a release handle that frees
+    every checkpoint block the training loop pinned (the
+    ann_topk_all_methods hygiene contract)."""
+    from parquet_to_postgres_spark.checkpoint import persistent_rdd_ids
+
+    emb = load_table(spark, SF_RECALL, "embeddings").limit(300)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    sc = spark.sparkContext
+    base = persistent_rdd_ids(sc)
+    handles = []
+    got = S.ann_topk_pq(
+        corpus, queries, k=5, max_iterations=2, handle_out=handles
+    )
+    assert got.count() > 0
+    assert len(handles) == 1
+    pinned = persistent_rdd_ids(sc) - base
+    assert pinned, "training should have pinned checkpoint blocks"
+    handles[0].release()
+    assert not (persistent_rdd_ids(sc) - base)
+    handles[0].release()  # idempotent
