@@ -1,4 +1,4 @@
-"""L8 UDF surface: the four Python-boundary mechanisms, each on a
+"""L8 UDF surface: the five Python-boundary mechanisms, each on a
 function with an exact SQL twin (integer outputs — no float drift).
 
 - ``word_count_pudf``: vectorized pandas UDF (Arrow batches, the fast
@@ -8,6 +8,8 @@ function with an exact SQL twin (integer outputs — no float drift).
 - ``rolling_hash_arrow_udf``: Arrow-optimized Python UDF
   (``useArrow=True`` — row-at-a-time ergonomics, Arrow transport).
 - ``vocab_stats_grouped``: pandas UDAF via ``groupBy().applyInPandas``.
+- ``fingerprint_map_in_arrow``: ``df.mapInArrow`` — raw pyarrow
+  RecordBatches, no pandas layer (the multimodal decode shape).
 """
 
 from __future__ import annotations
@@ -138,3 +140,45 @@ def rolling_hash_arrow_udf(text: str) -> int | None:
     for ch in text[:FINGERPRINT_PREFIX]:
         h = (h * FINGERPRINT_MUL + ord(ch)) % FINGERPRINT_MOD
     return h
+
+
+def fingerprint_map_in_arrow(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FIFTH UDF kind: ``df.mapInArrow`` — raw ``pyarrow``
+    RecordBatches in and out, no pandas layer at all (Spark 3.5+).
+
+    Lowest-overhead Python boundary for byte/array-heavy payloads: no
+    pandas object conversion, zero-copy Arrow buffers both ways; the
+    multimodal decode path (``llm/multimodal.py``) is where this shape
+    earns its keep at scale.  Same rolling-hash formula as the other
+    kinds so equivalence is directly testable (tests/test_equivalence).
+    Partition-local, stateless — no shuffle is introduced."""
+    import pyarrow as pa
+
+    prefix, mul, mod = FINGERPRINT_PREFIX, FINGERPRINT_MUL, FINGERPRINT_MOD
+    out_pa = pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())])
+
+    def _fp(t: str | None) -> int | None:
+        if t is None:
+            return None
+        h = 0
+        for ch in t[:prefix]:
+            h = (h * mul + ord(ch)) % mod
+        return h
+
+    def _batches(it):
+        for batch in it:
+            cols = batch.to_pydict()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": cols["doc_id"],
+                    "fp": [_fp(t) for t in cols["text"]],
+                },
+                schema=out_pa,
+            )
+
+    sel = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return sel.mapInArrow(_batches, "doc_id long, fp long")

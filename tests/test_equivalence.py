@@ -900,3 +900,32 @@ def test_semantic_dedup_kmeans_composition_properties(spark):
         out1.select("vec_id", "embedding"), threshold=thr, clusters=clusters
     )
     assert again.count() == len(kept1) or again.count() < len(kept1)
+
+
+def test_map_in_arrow_matches_jvm_fingerprint(spark):
+    """The mapInArrow path (5th UDF kind — raw RecordBatches, no pandas)
+    must agree with the JVM fingerprint expression on every document,
+    NULL text included."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.text import fingerprint
+    from parquet_to_postgres_spark.llm.udfs import fingerprint_map_in_arrow
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame([(999_999, None)], "doc_id long, text string")
+    )
+    arrow = fingerprint_map_in_arrow(docs)
+    jvm = docs.select("doc_id", fingerprint("text").alias("jvm_fp"))
+    joined = arrow.join(jvm, "doc_id")
+    assert joined.count() == docs.count()
+    bad = joined.where(
+        ~(
+            (F.col("fp") == F.col("jvm_fp"))
+            | (F.col("fp").isNull() & F.col("jvm_fp").isNull())
+        )
+    ).count()
+    assert bad == 0
