@@ -1349,6 +1349,26 @@ def ann_topk_pq(
     encoded = pq_encode(
         c_unit, codebooks, m=m, id_col="cid", vec_col="cvec", dim=dim
     )
+    return _pq_adc_topk(
+        encoded, codebooks, c_unit, q_unit, k, m, codes, rerank, dim
+    )
+
+
+def _pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    c_unit: DataFrame,
+    q_unit: DataFrame,
+    k: int,
+    m: int,
+    codes: int,
+    rerank: int,
+    dim: int,
+) -> DataFrame:
+    """Shared ADC scoring tail of :func:`ann_topk_pq` and
+    :func:`pq_index_topk` — expression-identical by construction, so the
+    persisted-index probe matches the in-memory operator row-for-row
+    (pinned in tests/test_ann_index.py)."""
     # per-query LUT: lut[subspace*codes + code] = ‖q_sub − centroid‖²
     luts = (
         _subvectors(q_unit, m, dim // m, "query_id", "qvec")
@@ -1416,4 +1436,111 @@ def ann_topk_pq(
     return (
         exact.withColumn("rank", F.row_number().over(final_w))
         .where(F.col("rank") <= k)
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    codes: int = 16,
+    max_iterations: int = 8,
+    mode: str = "overwrite",
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist a PQ index: ``<path>/codebooks`` (m·codes tiny rows) and
+    ``<path>/codes`` (one m-code row per vector — the 64× compressed
+    form that is the only per-vector state a 100 TB corpus keeps hot).
+
+    Codebooks are written FIRST and re-read for the encode pass, so the
+    stored codes are bit-consistent with the stored codebooks (the
+    float values that reach parquet are the ones encoding used), and
+    :func:`append_pq_index` can later encode new vectors against
+    exactly the same quantizer — which is what makes append == rebuild
+    an identity rather than an approximation."""
+    spark = corpus.sparkSession
+    c_unit = corpus.select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            c_unit,
+            m=m,
+            codes=codes,
+            max_iterations=max_iterations,
+            id_col="cid",
+            vec_col="cvec",
+            dim=dim,
+        )
+    codebooks.write.mode(mode).parquet(f"{path}/codebooks")
+    stored = spark.read.parquet(f"{path}/codebooks")
+    pq_encode(c_unit, stored, m=m, id_col="cid", vec_col="cvec", dim=dim).write.mode(
+        mode
+    ).parquet(f"{path}/codes")
+
+
+def append_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Incremental index maintenance: encode new vectors with the STORED
+    codebooks and append their codes.
+
+    PQ codes are a per-vector pure function of (vector, codebooks), so
+    append is EXACTLY a rebuild restricted to the new rows — no
+    retraining, no global pass, one linear encode job over the delta.
+    (Retrain only when the vector distribution drifts; then rewrite.)"""
+    spark = new_vectors.sparkSession
+    stored = spark.read.parquet(f"{path}/codebooks")
+    c_unit = new_vectors.select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    pq_encode(c_unit, stored, m=m, id_col="cid", vec_col="cvec", dim=dim).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k against a persisted :func:`write_pq_index` store.
+
+    The scan side is the CODES table (m small ints per vector — the
+    index is 64× lighter than the float corpus, so the ADC pass streams
+    a fraction of the bytes a brute-force scan would); ``m`` and
+    ``codes`` are inferred from the stored codebooks (one bounded agg
+    over m·codes rows).  The exact re-rank joins the bounded candidate
+    set back to the live corpus table for full-precision cosine —
+    scoring is :func:`_pq_adc_topk`, expression-identical to
+    :func:`ann_topk_pq`, so results match the in-memory operator
+    row-for-row given the same codebooks."""
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    shape = codebooks.agg(
+        (F.max("subspace") + 1).alias("m"), (F.max("code") + 1).alias("codes")
+    ).collect()[0]
+    m, codes = int(shape["m"]), int(shape["codes"])
+    encoded = spark.read.parquet(f"{path}/codes")  # (id, codes)
+    c_unit = corpus.select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    q_unit = queries.select(
+        F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
+    )
+    return _pq_adc_topk(
+        encoded, codebooks, c_unit, q_unit, k, m, codes, rerank, dim
     )

@@ -237,3 +237,53 @@ def test_index_append_equals_full_rebuild(spark, split):
             )
         )
         assert a == b and a
+
+
+def test_pq_index_probe_matches_in_memory_operator(spark, split):
+    """pq_index_topk over a persisted write_pq_index store must equal
+    ann_topk_pq row-for-row when both use the same (stored) codebooks —
+    the shared _pq_adc_topk tail makes this an identity, and the test
+    pins that persistence round-trips the codebooks bit-exactly."""
+    import tempfile
+
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        S.write_pq_index(corpus, f"{d}/idx", max_iterations=3)
+        stored_cb = spark.read.parquet(f"{d}/idx/codebooks")
+        got = S.pq_index_topk(spark, f"{d}/idx", corpus, queries, k=7)
+        mem = S.ann_topk_pq(corpus, queries, k=7, codebooks=stored_cb)
+
+        def canon(df):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in df.collect()
+            )
+
+        assert canon(got) == canon(mem)
+
+
+def test_pq_index_append_equals_full_rebuild(spark, split):
+    """Appending a delta through append_pq_index yields byte-identical
+    codes to rebuilding the whole index with the same codebooks — PQ
+    encoding is a per-vector pure function of (vector, codebooks)."""
+    import tempfile
+
+    corpus, queries = split
+    old = corpus.where(F.col("vec_id") < 300)
+    delta = corpus.where(F.col("vec_id") >= 300)
+    with tempfile.TemporaryDirectory() as d:
+        S.write_pq_index(old, f"{d}/inc", max_iterations=3)
+        S.append_pq_index(delta, f"{d}/inc")
+        cb = spark.read.parquet(f"{d}/inc/codebooks")
+        S.write_pq_index(corpus, f"{d}/full", codebooks=cb)
+
+        def canon(path):
+            return sorted(
+                (r["id"], tuple(r["codes"]))
+                for r in spark.read.parquet(f"{path}/codes").collect()
+            )
+
+        assert canon(f"{d}/inc") == canon(f"{d}/full")
+        # probing the incrementally-built index works end-to-end
+        got = S.pq_index_topk(spark, f"{d}/inc", corpus, queries, k=5)
+        assert got.count() == queries.count() * 5
