@@ -588,3 +588,160 @@ def repetition_features(
         dup_word_frac.alias("dup_word_frac"),
         top_share.alias(f"top_{ngram_n}gram_share"),
     ]
+
+
+# --------------------------------------------------- char n-gram LM ----
+
+# Fixed-point scale for per-gram log-probs: summed as int64 so the
+# per-doc mean is order-independent (the same determinism contract as
+# the centroid/statistics fixed-point sums elsewhere in the repo).
+LM_SCALE = 1_000_000_000
+
+
+def _all_char_ngrams(text_col: str, n: int) -> Column:
+    """ALL character n-grams of a text, WITH multiplicity — the language
+    model unit (``dedup.char_ngrams`` deduplicates for shingling; a
+    count model must not).  Same short-text guard: Spark's
+    ``sequence(1, 0)`` is the descending ``[1, 0]``, not empty."""
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n}))"
+    )
+    return F.when(F.length(F.col(text_col)) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def train_char_lm(
+    corpus: DataFrame, n: int = 3, text_col: str = "text"
+) -> tuple[DataFrame, int]:
+    """Train a character ``n``-gram count model over a corpus.
+
+    Returns ``(lm, vocab_size)`` where ``lm`` has one row per observed
+    (context, next-char) pair: ``(ctx string, ch string, c long,
+    ctx_total long)``.  Probabilities are NOT baked in — smoothing
+    happens at scoring time (:func:`score_char_lm`), so one trained
+    table serves any ``alpha``.
+
+    The 100 TB shape: one explode + one (ctx, ch)-grain count — a
+    map-side-combinable aggregate whose reduce side is bounded by the
+    model size (≤ |charset|^n rows, independent of corpus size; for
+    n=3 over normalized text this is thousands of rows, trivially
+    broadcastable at scoring time).  No driver materialization beyond
+    the single vocab-size scalar."""
+    grams = corpus.select(
+        F.explode(_all_char_ngrams(text_col, n)).alias("gram")
+    )
+    split = grams.select(
+        F.substring("gram", 1, n - 1).alias("ctx"),
+        F.substring("gram", n, 1).alias("ch"),
+    )
+    counts = split.groupBy("ctx", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("ctx").agg(F.sum("c").alias("ctx_total"))
+    vocab_size = counts.select("ch").distinct().count()
+    return counts.join(totals, "ctx"), vocab_size
+
+
+def score_char_lm(
+    docs: DataFrame,
+    lm: DataFrame,
+    vocab_size: int,
+    n: int = 3,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score: add-``alpha``-smoothed bits per
+    character of each document under the trained char-LM — THE standard
+    LLM-corpus quality filter (low bpc = fluent/repetitive text under
+    the training distribution; high bpc = noise, wrong language,
+    binary-ish junk).
+
+    Per-gram ``log p = ln((c + alpha) / (ctx_total + alpha·V))`` with
+    ``c``/``ctx_total`` falling back to 0 for unseen pairs/contexts (an
+    unseen context scores the uniform ``1/V`` floor).  Returns
+    ``(doc_id, n_grams, bpc)``; docs shorter than ``n`` get NULL bpc.
+
+    Scale shape: explode (linear), TWO broadcast joins against the
+    bounded model (contexts, then (ctx, ch) counts — the corpus never
+    shuffles for them), and one per-doc aggregate whose sum is int64
+    fixed-point (``LM_SCALE``) so the mean is bit-stable under any row
+    order."""
+    totals = lm.select("ctx", "ctx_total").distinct()
+    counts = lm.select("ctx", "ch", "c")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(_all_char_ngrams(text_col, n)).alias("gram"),
+    ).select(
+        id_col,
+        F.substring("gram", 1, n - 1).alias("ctx"),
+        F.substring("gram", n, 1).alias("ch"),
+    )
+    joined = (
+        grams.join(F.broadcast(totals), "ctx", "left")
+        .join(F.broadcast(counts), ["ctx", "ch"], "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("ctx_total"), F.lit(0))
+                    + F.lit(float(alpha) * vocab_size)
+                )
+            ).alias("logp"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        (
+            -F.sum(F.round(F.col("logp") * LM_SCALE).cast("long")).cast(
+                "double"
+            )
+            / (F.lit(float(LM_SCALE)) * F.count(F.lit(1)))
+            / F.lit(float(__import__("math").log(2)))
+        ).alias("bpc"),
+    )
+    # docs shorter than n produce no gram rows: reattach with NULL bpc
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        "bpc",
+    )
+
+
+def sql_char_lm_bpc(
+    docs_rel: str,
+    n: int = 3,
+    alpha: float = 0.5,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of train-on-X/score-X :func:`train_char_lm` +
+    :func:`score_char_lm` (same smoothing, same fixed-point mean) for
+    oracle checks.  Engines' ``ln`` may differ in the last ulp, so
+    equivalence tests compare bpc with a tolerance rather than a hash."""
+    grams = (
+        f"SELECT doc_id, substr(txt, CAST(i AS INT), {n - 1}) AS ctx, "
+        f"substr(txt, CAST(i AS INT) + {n - 1}, 1) AS ch FROM ("
+        f"SELECT {id_expr} AS doc_id, {text_expr} AS txt, "
+        f"unnest(range(1, length({text_expr}) - {n - 2})) AS i "
+        f"FROM {docs_rel} WHERE length({text_expr}) >= {n})"
+    )
+    return f"""
+    WITH grams AS ({grams}),
+    counts AS (SELECT ctx, ch, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    totals AS (SELECT ctx, SUM(c) AS ctx_total FROM counts GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT ch) AS vs FROM counts),
+    scored AS (
+      SELECT g.doc_id,
+             ln((COALESCE(c.c, 0) + {alpha}) /
+                (COALESCE(t.ctx_total, 0) + {alpha} * v.vs)) AS logp
+      FROM grams g CROSS JOIN v
+      LEFT JOIN totals t USING (ctx)
+      LEFT JOIN counts c USING (ctx, ch)
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           -CAST(SUM(CAST(round(logp * 1000000000) AS BIGINT)) AS DOUBLE)
+             / (1000000000.0 * COUNT(*)) / ln(2) AS bpc
+    FROM scored GROUP BY doc_id
+    """

@@ -439,3 +439,87 @@ def test_decontaminate_matches_duckdb_oracle(spark, duck):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------- char n-gram LM ----
+
+
+def test_char_lm_literal_probabilities(spark):
+    """Hand-computed micro-case: corpus 'abab', n=2.  Bigrams ab,ba,ab →
+    counts (a→b)=2, (b→a)=1; totals a=2, b=1; V=2.  Scoring 'ab' with
+    alpha=0.5: logp = ln(2.5/3), bpc = -logp/ln 2.  Unseen context 'zz'
+    scores the uniform floor ln(0.5/1.0) per gram."""
+    import math
+
+    from parquet_to_postgres_spark.llm.text import (
+        score_char_lm,
+        train_char_lm,
+    )
+
+    corpus = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+    lm, v = train_char_lm(corpus, n=2)
+    assert v == 2
+    rows = {(r["ctx"], r["ch"]): (r["c"], r["ctx_total"]) for r in lm.collect()}
+    assert rows == {("a", "b"): (2, 2), ("b", "a"): (1, 1)}
+
+    docs = spark.createDataFrame(
+        [(10, "ab"), (11, "zz"), (12, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in score_char_lm(docs, lm, v, n=2).collect()}
+    assert got[10]["n_grams"] == 1
+    assert abs(got[10]["bpc"] - (-math.log(2.5 / 3.0) / math.log(2))) < 1e-6
+    # unseen ctx: c=0, total=0 → ln(0.5 / (0 + 0.5*2)) = ln(0.5)  → 1 bit
+    assert abs(got[11]["bpc"] - 1.0) < 1e-6
+    assert got[12]["n_grams"] == 0 and got[12]["bpc"] is None
+
+
+def test_char_lm_separates_fluent_from_noise(spark):
+    """The quality signal: under a model trained on the real documents
+    table, natural-looking text scores fewer bits/char than
+    high-entropy gibberish."""
+    from parquet_to_postgres_spark.llm.text import (
+        score_char_lm,
+        train_char_lm,
+    )
+    from parquet_to_postgres_spark.tables import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    lm, v = train_char_lm(docs, n=3)
+    lm = lm.localCheckpoint(eager=True)
+    probe = spark.createDataFrame(
+        [
+            (1, "spark merge join table scan window batch stream filter"),
+            (2, "qzxjv kwpf gqq zzxw vjkq pzxq wqjz xkvz qqpw zjxk vqzw"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bpc"] for r in score_char_lm(probe, lm, v).collect()}
+    assert got[1] < got[2], got
+
+
+def test_char_lm_matches_duckdb_oracle(spark, duck):
+    """Train-on-documents / score-documents bpc agrees with the DuckDB
+    twin per doc to 1e-9 (fixed-point means are order-independent; the
+    residual is the engines' last-ulp ln difference)."""
+    from parquet_to_postgres_spark.llm.text import (
+        score_char_lm,
+        sql_char_lm_bpc,
+        train_char_lm,
+    )
+    from parquet_to_postgres_spark.tables import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    lm, v = train_char_lm(docs, n=3)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["bpc"])
+        for r in score_char_lm(docs, lm, v, n=3).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(sql_char_lm_bpc("documents", n=3)).fetchall()
+    }
+    assert set(want) <= set(got) and len(want) > 400
+    for did, (ng, bpc) in want.items():
+        g_ng, g_bpc = got[did]
+        assert g_ng == ng, (did, g_ng, ng)
+        assert abs(g_bpc - bpc) < 1e-9, (did, g_bpc, bpc)
