@@ -1,4 +1,4 @@
-"""L8 UDF surface: the five Python-boundary mechanisms, each on a
+"""L8 UDF surface: the six Python-boundary mechanisms, each on a
 function with an exact SQL twin (integer outputs — no float drift).
 
 - ``word_count_pudf``: vectorized pandas UDF (Arrow batches, the fast
@@ -10,6 +10,8 @@ function with an exact SQL twin (integer outputs — no float drift).
 - ``vocab_stats_grouped``: pandas UDAF via ``groupBy().applyInPandas``.
 - ``fingerprint_map_in_arrow``: ``df.mapInArrow`` — raw pyarrow
   RecordBatches, no pandas layer (the multimodal decode shape).
+- ``asof_join_cogrouped``: cogrouped ``applyInPandas`` — per-key pandas
+  merge over two co-shuffled DataFrames (pd.merge_asof).
 """
 
 from __future__ import annotations
@@ -182,3 +184,70 @@ def fingerprint_map_in_arrow(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     return sel.mapInArrow(_batches, "doc_id long, fp long")
+
+
+ASOF_COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("click_value", T.DoubleType()),
+    ]
+)
+
+
+def asof_join_cogrouped(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """The SIXTH Python-boundary kind: cogrouped ``applyInPandas`` —
+    two DataFrames grouped on the same key, each key's pair of pandas
+    frames handed to one Python function (``pd.merge_asof`` here).
+
+    Same semantics as the declared ``join_asof`` query's JVM
+    union-tag + window compose (latest same-user click at or before
+    each purchase; equality pinned in tests/test_equivalence.py):
+    ``merge_asof(direction='backward')`` IS the as-of contract.  Inputs
+    follow the same tie discipline — ``clicks`` pre-reduced to one row
+    per (user_id, ts).
+
+    Scale shape: ONE co-partitioned shuffle on user_id for both sides,
+    then per-key pandas merges (each user's history must fit one
+    executor's memory — true for event data, and the reason the JVM
+    window compose stays the production path; this is the escape hatch
+    for per-key logic window functions cannot express).
+
+    ``purchases``: (user_id, ts, purchase_id); ``clicks``:
+    (user_id, ts, value)."""
+
+    def _merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "purchase_id"]).reset_index(drop=True)
+        if not len(left):
+            return pd.DataFrame(
+                columns=[f.name for f in ASOF_COGROUP_SCHEMA.fields]
+            )
+        if len(right):
+            r = (
+                right.sort_values("ts")[["ts", "value"]]
+                .rename(columns={"ts": "click_ts", "value": "click_value"})
+                .reset_index(drop=True)
+            )
+            out = pd.merge_asof(
+                left, r, left_on="ts", right_on="click_ts",
+                direction="backward",
+            )
+        else:
+            out = left.assign(click_ts=pd.NaT, click_value=float("nan"))
+        return pd.DataFrame(
+            {
+                "purchase_id": out["purchase_id"],
+                "user_id": out["user_id"],
+                "purchase_ts": out["ts"],
+                "click_ts": out["click_ts"],
+                "click_value": out["click_value"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_merge, ASOF_COGROUP_SCHEMA)
+    )

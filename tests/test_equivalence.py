@@ -929,3 +929,36 @@ def test_map_in_arrow_matches_jvm_fingerprint(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_cogrouped_asof_matches_jvm_window_compose(spark):
+    """The cogrouped-applyInPandas as-of join (6th UDF kind,
+    pd.merge_asof per user) must equal the declared join_asof query's
+    JVM union-tag + window compose row-for-row on the real events
+    table — including users with clicks only, purchases only, and
+    click-at-purchase-timestamp ties."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.udfs import asof_join_cogrouped
+    from parquet_to_postgres_spark.queries.joins_q import join_asof
+    from parquet_to_postgres_spark.tables import Catalog
+
+    from .conftest import SF_SMOKE
+
+    ev = Catalog(spark, SF_SMOKE).events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    got = sorted(
+        map(tuple, asof_join_cogrouped(purchases, clicks).collect())
+    )
+    want = sorted(map(tuple, join_asof(spark, SF_SMOKE).select(
+        "purchase_id", "user_id", "purchase_ts", "click_ts", "click_value"
+    ).collect()))
+    assert len(got) == len(want) > 0
+    assert got == want
