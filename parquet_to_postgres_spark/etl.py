@@ -562,3 +562,64 @@ def etl(
     ddl = schema_to_pg_ddl(table, df.schema)
     sink.write(df)
     return ddl
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    mode: str = "overwrite",
+) -> dict:
+    """Materialize a training dataset as ``n_shards`` deterministic
+    hive-layout shards plus a row-count manifest — the final "freeze
+    the dataset" step of a corpus pipeline.
+
+    Shard assignment is the repo's standard Knuth multiplicative hash of
+    the stable id (the same family as ``operators.hash_sample`` /
+    ``assign_splits``): reproducible across runs, engines, and cluster
+    sizes, balanced in expectation, and decorrelated from every
+    sampling/split salt already applied upstream.  ``salt`` re-deals the
+    shards for a new epoch layout.  Each shard is a DIRECTORY
+    (``shard=K/``) — the scale-correct contract: a 100 TB shard must be
+    many files, a trainer's reader takes the directory, and planning-
+    time partition pruning serves "give me shard 7" without listing the
+    rest.  The manifest (``_manifest/`` — one JSON row per shard plus a
+    ``__total__`` row) is written through Spark, so it works on any
+    storage scheme; counts come from ONE aggregate over the shard
+    column, not a per-shard pass.
+
+    Returns ``{shard: row_count, ..., "__total__": n}``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not 0 <= salt < 2**31:
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    key = F.pmod(
+        F.pmod(
+            F.pmod(F.col(id_col), F.lit(2147483648)) + F.lit(salt),
+            F.lit(2147483648),
+        )
+        * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    sharded = df.withColumn("shard", F.pmod(key, F.lit(n_shards)).cast("int"))
+    sharded.write.mode(mode).partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in written.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {**{str(k): v for k, v in sorted(counts.items())},
+                "__total__": sum(counts.values())}
+    rows = [
+        {"shard": str(k), "rows": v}
+        for k, v in sorted(counts.items())
+    ] + [{"shard": "__total__", "rows": manifest["__total__"]}]
+    spark.createDataFrame(rows).coalesce(1).write.mode(mode).json(
+        f"{path}/_manifest"
+    )
+    return manifest

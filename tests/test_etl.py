@@ -625,3 +625,41 @@ def test_stream_to_jdbc_exactly_once_multi_batch(spark):
         assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
             map(tuple, src.select(*cols).collect())
         )
+
+
+def test_write_training_shards_deterministic_balanced_complete(spark):
+    """Shard export: the union of shards IS the source (no loss, no
+    dup), counts are balanced, the manifest agrees with the data, and
+    two runs produce identical shard assignments; a different salt
+    re-deals them."""
+    from parquet_to_postgres_spark.etl import write_training_shards
+
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = src.count()
+    with tempfile.TemporaryDirectory() as d:
+        m1 = write_training_shards(src, f"{d}/a", n_shards=8)
+        assert m1["__total__"] == n
+        back = spark.read.parquet(f"{d}/a")
+        assert back.count() == n
+        assert back.select("doc_id").distinct().count() == n
+        per = [v for k, v in m1.items() if k != "__total__"]
+        assert len(per) == 8 and min(per) > 0
+        assert max(per) < 3 * min(per), m1  # balanced in expectation
+
+        manifest = {
+            r["shard"]: r["rows"]
+            for r in spark.read.json(f"{d}/a/_manifest").collect()
+        }
+        assert manifest == {str(k): v for k, v in m1.items() if k != "__total__"} | {
+            "__total__": n
+        }
+
+        m2 = write_training_shards(src, f"{d}/b", n_shards=8)
+        a = sorted(map(tuple, spark.read.parquet(f"{d}/a").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{d}/b").collect()))
+        assert a == b and m1 == m2
+
+        m3 = write_training_shards(src, f"{d}/c", n_shards=8, salt=7)
+        assert m3["__total__"] == n and m3 != m1
