@@ -662,16 +662,18 @@ def score_char_lm(
     unseen context scores the uniform ``1/V`` floor).  Returns
     ``(doc_id, n_grams, bpc)``; docs shorter than ``n`` get NULL bpc.
 
-    Scale shape: explode (linear), TWO broadcast joins against the
-    bounded model (contexts, then (ctx, ch) counts — the corpus never
-    shuffles for them), and one per-doc aggregate whose sum is int64
-    fixed-point (``LM_SCALE``) so the mean is bit-stable under any row
-    order."""
+    Scale shape: explode (linear; ``explode_outer`` keeps sub-``n``
+    docs in-stream as a NULL gram row, so no reattach join is ever
+    needed — the plan is scan → two broadcast joins → ONE per-doc
+    aggregate, plan-pinned in test_plans), TWO broadcast joins against
+    the bounded model (the corpus never shuffles for them), and a
+    per-doc mean whose sum is int64 fixed-point (``LM_SCALE``) so it is
+    bit-stable under any row order."""
     totals = lm.select("ctx", "ctx_total").distinct()
     counts = lm.select("ctx", "ch", "c")
     grams = docs.select(
         F.col(id_col),
-        F.explode(_all_char_ngrams(text_col, n)).alias("gram"),
+        F.explode_outer(_all_char_ngrams(text_col, n)).alias("gram"),
     ).select(
         id_col,
         F.substring("gram", 1, n - 1).alias("ctx"),
@@ -682,30 +684,31 @@ def score_char_lm(
         .join(F.broadcast(counts), ["ctx", "ch"], "left")
         .select(
             id_col,
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
-                / (
-                    F.coalesce(F.col("ctx_total"), F.lit(0))
-                    + F.lit(float(alpha) * vocab_size)
-                )
+            F.when(
+                F.col("ctx").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+                    / (
+                        F.coalesce(F.col("ctx_total"), F.lit(0))
+                        + F.lit(float(alpha) * vocab_size)
+                    )
+                ),
             ).alias("logp"),
         )
     )
-    per_doc = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        (
+    # count("logp") skips the NULL rows explode_outer kept for sub-n
+    # docs, so they land with n_grams=0 / NULL bpc without a re-join.
+    n_grams = F.count("logp")
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        F.when(
+            n_grams > 0,
             -F.sum(F.round(F.col("logp") * LM_SCALE).cast("long")).cast(
                 "double"
             )
-            / (F.lit(float(LM_SCALE)) * F.count(F.lit(1)))
-            / F.lit(float(__import__("math").log(2)))
+            / (F.lit(float(LM_SCALE)) * n_grams)
+            / F.lit(float(__import__("math").log(2))),
         ).alias("bpc"),
-    )
-    # docs shorter than n produce no gram rows: reattach with NULL bpc
-    return docs.select(id_col).join(per_doc, id_col, "left").select(
-        id_col,
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        "bpc",
     )
 
 

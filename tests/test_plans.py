@@ -434,3 +434,65 @@ def test_semantic_dedup_pairs_form_on_cell_equi_join(spark):
     p = plan(semantic_dedup(vecs, threshold=0.9, clusters=clusters))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_char_lm_scoring_model_joins_broadcast(spark):
+    """Perplexity scoring must never shuffle the corpus for the model:
+    both LM joins (context totals, pair counts) broadcast the bounded
+    model; the only corpus shuffle is the per-doc aggregate on doc_id."""
+    from parquet_to_postgres_spark.llm.text import (
+        score_char_lm,
+        train_char_lm,
+    )
+    from parquet_to_postgres_spark.tables import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    lm, v = train_char_lm(docs, n=3)
+    lm = lm.localCheckpoint(eager=True)  # isolate scoring from training
+    p = plan(score_char_lm(docs, lm, v, n=3))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # the ONLY corpus exchange is the per-doc aggregate; any ctx-keyed
+    # exchange must be the model-side distinct (its row carries
+    # ctx_total), never the corpus gram stream (whose rows don't)
+    assert p.count("hashpartitioning(doc_id") == 1
+    for line in p.splitlines():
+        if "hashpartitioning(ctx" in line:
+            assert "ctx_total" in line, f"corpus gram shuffle: {line}"
+
+
+def test_pq_adc_scan_corpus_side_unshuffled(spark):
+    """The PQ ADC pass is a pure scan of the encoded corpus: the query
+    LUTs broadcast (nested-loop on the tiny side is the deliberate
+    brute-force-over-codes shape); the encoded corpus must reach the
+    scoring operator with no exchange keyed on its rows, and the
+    argmin/encode aggregates must be partial (map-side combined)."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm import similarity as S
+    from parquet_to_postgres_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    cb = S.pq_train(corpus, max_iterations=2).localCheckpoint(eager=True)
+    p = plan(S.ann_topk_pq(corpus, queries, k=5, codebooks=cb))
+    # candidate generation: broadcast of the bounded LUT set only
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # encode's two aggregates are map-side combinable (partial_...)
+    assert "partial_min_by" in p or "partial_min" in p
+    assert "partial_collect_list" in p
+
+
+def test_bpe_tokenize_adds_no_exchange(spark):
+    """Tokenization is embarrassingly parallel: merge ranks ride the UDF
+    closure, so the plan over a parquet scan must contain NO Exchange —
+    any shuffle here would be a scale bug on a pure projection."""
+    from parquet_to_postgres_spark.llm import bpe
+    from parquet_to_postgres_spark.tables import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents.select("doc_id", "text")
+    merges = bpe.train_bpe(bpe.bpe_word_counts(docs), n_merges=20)
+    p = plan(bpe.bpe_tokenize(docs, merges))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p  # the pandas UDF, Arrow-batched
