@@ -1,4 +1,4 @@
-"""L8 UDF surface: the six Python-boundary mechanisms, each on a
+"""L8 UDF surface: the seven Python-boundary mechanisms, each on a
 function with an exact SQL twin (integer outputs — no float drift).
 
 - ``word_count_pudf``: vectorized pandas UDF (Arrow batches, the fast
@@ -12,6 +12,9 @@ function with an exact SQL twin (integer outputs — no float drift).
   RecordBatches, no pandas layer (the multimodal decode shape).
 - ``asof_join_cogrouped``: cogrouped ``applyInPandas`` — per-key pandas
   merge over two co-shuffled DataFrames (pd.merge_asof).
+- ``chunk_documents_udtf``: Python UDTF under ``DataFrame.lateralJoin``
+  — one input row fans out to N Python-generated rows (Spark 4 table
+  functions).
 """
 
 from __future__ import annotations
@@ -251,3 +254,59 @@ def asof_join_cogrouped(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(_merge, ASOF_COGROUP_SCHEMA)
     )
+
+
+@F.udtf(returnType="chunk_id: bigint, chunk_text: string, n_tokens: bigint")
+class ChunkUdtf:
+    """Python UDTF twin of ``text.chunk_documents`` — same whitespace
+    tokens, stride, kept short tail, and NULL-text contract (one
+    all-NULL chunk row, so corpus cardinality survives the fan-out).
+    Row-for-row equality is pinned in tests/test_equivalence.py."""
+
+    def eval(self, text, chunk_tokens: int, overlap_tokens: int):
+        if text is None:
+            yield None, None, None
+            return
+        toks = text.split(" ")
+        stride = chunk_tokens - overlap_tokens
+        last_start = max(len(toks) - (overlap_tokens + 1), 0)
+        for s in range(0, last_start + 1, stride):
+            chunk = " ".join(toks[s : s + chunk_tokens])
+            yield s // stride, chunk, len(chunk.split(" "))
+
+
+def chunk_documents_udtf(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """The SEVENTH Python-boundary kind: a Python UDTF (user-defined
+    TABLE function, Spark 4) applied per input row via
+    ``DataFrame.lateralJoin`` — the mechanism for one-row-in /
+    N-rows-out logic that a scalar UDF cannot express and that
+    ``explode`` can only express when the fan-out is an array
+    expression.
+
+    Same output schema and values as :func:`..text.chunk_documents`
+    (``*other, chunk_id, chunk_text, n_tokens``); the higher-order
+    JVM chunker remains the production path — this is the API-surface
+    demo and the escape hatch for generators that genuinely need
+    Python.
+
+    Scale shape: the lateral UDTF evaluates inside the scan stage
+    (Arrow-batched ``BatchEvalPythonUDTF``) — no shuffle, no driver
+    involvement; the fan-out rides the existing partitioning exactly
+    like ``explode``."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap_tokens}) must be < chunk ({chunk_tokens})"
+        )
+    other = [c for c in df.columns if c != text_col]
+    return df.lateralJoin(
+        ChunkUdtf(
+            F.col(text_col).outer(),
+            F.lit(chunk_tokens),
+            F.lit(overlap_tokens),
+        )
+    ).select(*other, "chunk_id", "chunk_text", "n_tokens")

@@ -962,3 +962,41 @@ def test_cogrouped_asof_matches_jvm_window_compose(spark):
     ).collect()))
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_udtf_chunker_matches_jvm_chunker(spark):
+    """The Python-UDTF chunker (7th UDF kind, lateralJoin fan-out) must
+    equal the zero-shuffle higher-order-function chunker row-for-row on
+    the real documents table — NULL text and empty text included."""
+    from parquet_to_postgres_spark.llm.text import chunk_documents
+    from parquet_to_postgres_spark.llm.udfs import chunk_documents_udtf
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(999_999, None), (999_998, "")], "doc_id long, text string"
+        )
+    )
+    got = chunk_documents_udtf(docs, chunk_tokens=64, overlap_tokens=16)
+    want = chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
+    assert got.columns == want.columns
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert len(g) == len(w) > docs.count()  # real fan-out happened
+    assert g == w
+
+
+def test_udtf_chunker_rejects_bad_overlap(spark):
+    import pytest
+
+    from parquet_to_postgres_spark.llm.udfs import chunk_documents_udtf
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents_udtf(docs, chunk_tokens=8, overlap_tokens=8)

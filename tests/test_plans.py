@@ -496,3 +496,16 @@ def test_bpe_tokenize_adds_no_exchange(spark):
     p = plan(bpe.bpe_tokenize(docs, merges))
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p  # the pandas UDF, Arrow-batched
+
+
+def test_udtf_chunker_adds_no_exchange(spark):
+    """The lateral Python-UDTF fan-out must evaluate inside the scan
+    stage like explode: scan -> BatchEvalPythonUDTF, zero Exchanges —
+    the corpus never shuffles to chunk."""
+    from parquet_to_postgres_spark.llm.udfs import chunk_documents_udtf
+    from parquet_to_postgres_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    p = plan(chunk_documents_udtf(docs))
+    assert "PythonUDTF" in p
+    assert "Exchange" not in p
