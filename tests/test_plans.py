@@ -509,3 +509,77 @@ def test_udtf_chunker_adds_no_exchange(spark):
     p = plan(chunk_documents_udtf(docs))
     assert "PythonUDTF" in p
     assert "Exchange" not in p
+
+
+def test_classifier_pandas_scorer_adds_no_exchange(spark):
+    """score_quality_pandas is the full-corpus filtering path: features
+    are built scan-level (higher-order functions) and the margin UDF is
+    Arrow-batched over them — the plan must contain NO Exchange.  The
+    shuffle-bearing twin (score_quality) exists for JVM-only contexts;
+    this one is the 100 TB default."""
+    import numpy as np
+
+    from parquet_to_postgres_spark.llm.classify import (
+        LinearModel,
+        score_quality_pandas,
+    )
+    from parquet_to_postgres_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    model = LinearModel(np.ones(17), 16, (1,))
+    p = plan(score_quality_pandas(docs, model))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+
+
+def test_classifier_iteration_shuffles_only_the_model(spark):
+    """One training iteration over the cached feature table must reuse
+    the cache's hash-partitioning for the per-doc window (no exchange
+    before Window) and shuffle only the model-bounded groupBy(feat)
+    gradient: exactly ONE Exchange in the whole iteration plan, and it
+    hashes on feat."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.classify import LinearModel, featurize
+    from parquet_to_postgres_spark.tables import load_table
+
+    dim = 1 << 10
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    rows = (
+        featurize(docs, dim=dim)
+        .select(F.col("doc_id").alias("__id"), F.explode("features").alias("f"))
+        .select("__id", F.col("f.feat").alias("feat"), F.col("f.x").alias("x"))
+        .repartition("__id")
+        .sortWithinPartitions("__id", "feat")
+        .persist()
+    )
+    try:
+        rows.count()  # materialize the cache so its partitioning is visible
+        w = LinearModel(np.ones(dim + 1), dim, (1,)).nonzero_weights_df(spark)
+        j = rows.join(F.broadcast(w), "feat", "left")
+        margin = F.sum(
+            F.round(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x") * 1e9)
+            .cast("long")
+        ).over(Window.partitionBy("__id"))
+        grad = (
+            j.select("feat", (margin * F.col("x")).alias("g"))
+            .groupBy("feat")
+            .agg(F.sum("g"))
+        )
+        # Only the plan ABOVE the cache boundary is per-iteration cost;
+        # the InMemoryRelation section replays the one-time build plan.
+        p = plan(grad, mode="simple").split("InMemoryRelation")[0]
+        shuffles = [
+            ln for ln in p.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        ]
+        assert len(shuffles) == 1 and "hashpartitioning(feat" in shuffles[0], p
+        assert "BroadcastHashJoin" in p
+        # the window consumes the cache's partitioning directly: nothing
+        # between Window and the cached scan may shuffle.
+        win_part = p.split("Window")[1]
+        assert "Exchange" not in win_part.split("InMemoryTableScan")[0], p
+    finally:
+        rows.unpersist()
