@@ -632,3 +632,165 @@ def exact_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def dedup_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact-substring span dedup, word-granular (the "Deduplicating
+    Training Data Makes Language Models Better" recipe): any ``n``-token
+    span occurring ``min_count``+ times in the corpus is removed from
+    every occurrence except the canonical first (lowest ``(doc, start)``;
+    ``keep_first=False`` removes that one too).  Documents are rebuilt
+    from the surviving tokens; docs containing no removed span pass
+    through byte-identical (single-space tokenization is its own inverse,
+    empty tokens from runs of spaces included).
+
+    This is the missing grain between :func:`exact_dedup` (whole-doc)
+    and MinHash (whole-doc, fuzzy): boilerplate paragraphs, license
+    headers, and templated spans repeated across otherwise-distinct
+    documents.
+
+    Scale shape: gram ids are the shuffle-free md5 construction
+    (module docstring); a count-filter pass restricts the ranking window
+    to grams that actually repeat, so the expensive per-gram
+    ``row_number`` shuffles only the DUPLICATED text volume, not the
+    corpus.  Every stage is a keyed equi-shuffle (gid, then (doc, pos),
+    then doc) — no all-pairs anywhere.  The DuckDB twin
+    (:func:`sql_dedup_repeated_spans`) reproduces the result hash-exactly.
+    """
+    from pyspark.sql import Window
+
+    from .text import word_ngrams
+
+    if n < 2:
+        raise ValueError(f"span length n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = F.split(F.col(text_col), " ")
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_ngrams(F.col(text_col), n)).alias("start", "gram"),
+    ).select("__id", "start", unit_id("gram").alias("gid"))
+    dup_gids = (
+        occ.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gid")
+    )
+    cand = occ.join(dup_gids, "gid")
+    rn = F.row_number().over(
+        Window.partitionBy("gid").orderBy("__id", "start")
+    )
+    removed = cand.withColumn("rn", rn).where(
+        F.col("rn") >= (2 if keep_first else 1)
+    )
+    covered = removed.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokens = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    flagged = tokens.join(
+        covered.withColumn("__cov", F.lit(True)), ["__id", "pos"], "left"
+    )
+    rebuilt = (
+        flagged.groupBy("__id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pos",
+                                    F.coalesce(
+                                        F.col("__cov"), F.lit(False)
+                                    ).alias("cov"),
+                                    "tok",
+                                )
+                            )
+                        ),
+                        lambda s: ~s["cov"],
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("__new_text")
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+    out = df.join(rebuilt, id_col, "left")
+    return out.select(
+        *[
+            F.coalesce(F.col("__new_text"), F.col(text_col)).alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def sql_dedup_repeated_spans(
+    table: str,
+    n: int = 8,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> str:
+    """DuckDB twin of :func:`dedup_repeated_spans`: ``(doc_id, text)``.
+    Same md5 gram ids, same canonical-first ranking, same single-space
+    rebuild (``array_to_string`` of the surviving ordered tokens; a doc
+    whose every token was removed becomes the empty string, exactly like
+    the Spark side's empty filtered array)."""
+    gram = f"array_to_string(t[i:i+{n - 1}], ' ')"
+    rn_floor = 2 if keep_first else 1
+    return f"""
+    WITH toks AS (
+      SELECT id, t[i] AS tok, i - 1 AS pos
+      FROM (SELECT {id_expr} AS id, string_split({text_expr}, ' ') AS t FROM {table}),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    occ AS (
+      SELECT id, i - 1 AS start, {UNIT_ID_SQL.format(col=gram)} AS gid
+      FROM (SELECT {id_expr} AS id, string_split({text_expr}, ' ') AS t FROM {table}),
+           UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+    ),
+    dup AS (SELECT gid FROM occ GROUP BY 1 HAVING COUNT(*) >= {min_count}),
+    removed AS (
+      SELECT id, start FROM (
+        SELECT o.id, o.start,
+               ROW_NUMBER() OVER (PARTITION BY o.gid ORDER BY o.id, o.start) AS rn
+        FROM occ o JOIN dup USING (gid))
+      WHERE rn >= {rn_floor}
+    ),
+    covered AS (
+      SELECT DISTINCT id, start + g AS pos, TRUE AS cov
+      FROM removed, UNNEST(generate_series(0, {n - 1})) AS s(g)
+    ),
+    agg AS (
+      -- COALESCE outside: DuckDB's list() over zero qualifying rows is
+      -- NULL, and array_to_string([]) is itself NULL — either way the
+      -- all-tokens-removed doc must become '' like Spark's concat_ws
+      -- over an empty filtered array.
+      SELECT t.id,
+             COALESCE(
+               array_to_string(
+                 list(t.tok ORDER BY t.pos) FILTER (WHERE c.cov IS NULL),
+                 ' '),
+               '') AS txt
+      FROM toks t LEFT JOIN covered c ON t.id = c.id AND t.pos = c.pos
+      GROUP BY 1
+    )
+    SELECT d.{id_expr} AS doc_id, COALESCE(a.txt, d.{text_expr}) AS text
+    FROM {table} d LEFT JOIN agg a ON d.{id_expr} = a.id
+    """
