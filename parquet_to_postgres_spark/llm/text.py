@@ -209,16 +209,29 @@ DECONTAM_NGRAM_N = 13
 def word_ngrams(text_col: Column | str, n: int) -> Column:
     """Array of space-joined word ``n``-grams; empty when the document
     has fewer than ``n`` whitespace tokens.  (The ``size >= n`` guard
-    matters: ``sequence(1, 0)`` would COUNT DOWN and fabricate grams.)"""
+    matters: ``sequence(1, 0)`` would COUNT DOWN and fabricate grams.)
+
+    The token array is bound as a lambda VARIABLE (the one-element
+    ``transform(array(toks), a -> ...)`` wrapper) before the per-position
+    slice: higher-order functions are interpreted, with no common-
+    subexpression elimination inside lambda bodies, so referencing the
+    split expression directly from the slice lambda would re-tokenize
+    the whole document once per gram position — O(len²) per doc, a
+    measured 14x slowdown at sf0.1.  A bound variable is evaluated once
+    and read O(1) per element."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(c, " ")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(a: Column) -> Column:
+        return F.when(
+            F.size(a) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(a, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def _gram_id(gram: Column) -> Column:
@@ -461,29 +474,33 @@ def chunk_documents(
         )
     stride = chunk_tokens - overlap_tokens
     toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    # last start s satisfies s < n - overlap (so every chunk carries at
-    # least one NEW token); single short doc -> one chunk at start 0
-    last_start = F.greatest(
-        (n - F.lit(overlap_tokens + 1)), F.lit(0)
-    )
-    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
-    # NULL text must yield a NULL chunk array (explode_outer keeps the
-    # row): unguarded, greatest(NULL, 0) skips the NULL and returns 0,
-    # so a start-0 chunk is built whose NULL slice concat_ws renders as
-    # '' — a phantom empty chunk
-    chunks = F.when(
-        F.col(text_col).isNull(), F.lit(None)
-    ).otherwise(
-        F.transform(
+
+    # the token array is BOUND as a lambda variable before the per-chunk
+    # slice (see word_ngrams): a lambda body referencing the split
+    # expression directly would re-tokenize the document once per chunk.
+    def build(a: Column) -> Column:
+        # last start s satisfies s < n - overlap (so every chunk carries
+        # at least one NEW token); single short doc -> one chunk at 0
+        last_start = F.greatest(
+            (F.size(a) - F.lit(overlap_tokens + 1)), F.lit(0)
+        )
+        starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+        return F.transform(
             starts,
             lambda s: F.struct(
                 (s / F.lit(stride)).cast("long").alias("chunk_id"),
                 F.concat_ws(
-                    " ", F.slice(toks, s + 1, chunk_tokens)
+                    " ", F.slice(a, s + 1, chunk_tokens)
                 ).alias("chunk_text"),
             ),
         )
+
+    # NULL text must yield a NULL chunk array (explode_outer keeps the
+    # row): unguarded, greatest(NULL, 0) skips the NULL and returns 0,
+    # so a start-0 chunk is built whose NULL slice concat_ws renders as
+    # '' — a phantom empty chunk
+    chunks = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.element_at(F.transform(F.array(toks), build), 1)
     )
     other = [c for c in df.columns if c != text_col]
     # explode_outer: a NULL-text document yields ONE row with NULL
@@ -544,31 +561,64 @@ def repetition_features(
     and get filtered before training.
 
     All per-row higher-order expressions in the scan projection — no
-    explode, no shuffle.  ``top_ngram_share`` counts each DISTINCT
-    n-gram's occurrences with a nested filter (O(distinct·n) per row —
-    fine at document grain; for book-length outliers switch to the
-    explode + groupBy(doc, ngram) shape).  Empty/NULL text yields NULL
+    explode, no shuffle.  ``top_ngram_share`` takes the longest run in
+    the SORTED n-gram array (run-length boundaries, O(n log n) per doc),
+    with the token/ngram arrays bound as lambda variables (see
+    word_ngrams) — the naive nested ``filter(ngrams, x == g)`` count
+    re-built the n-gram array (itself re-slicing the token array) once
+    per distinct gram, O(len³) per doc.  Empty/NULL text yields NULL
     features (filter decisions stay explicit downstream)."""
     c = F.col(text_col)
     lines = F.split(c, line_sep)
     toks = F.split(c, " ")
     n_lines = F.size(lines)
     n_toks = F.size(toks)
-    ngrams = F.filter(
-        F.transform(
-            toks,
-            lambda _t, i: F.concat_ws(
-                " ", F.slice(toks, i + 1, ngram_n)
+
+    def ngrams_from(a: Column) -> Column:
+        return F.filter(
+            F.transform(
+                a,
+                lambda _t, i: F.concat_ws(" ", F.slice(a, i + 1, ngram_n)),
             ),
-        ),
-        lambda _g, i: i < n_toks - F.lit(ngram_n - 1),
-    )
-    top_ngram_count = F.array_max(
-        F.transform(
-            F.array_distinct(ngrams),
-            lambda g: F.size(F.filter(ngrams, lambda x: x == g)),
+            lambda _g, i: i < F.size(a) - F.lit(ngram_n - 1),
         )
-    )
+
+    def max_run(srt: Column) -> Column:
+        # longest run of equal adjacent elements in a sorted array:
+        # 1-based run-start positions, max gap between consecutive
+        # starts (size+1 sentinel closes the last run)
+        def from_starts(st: Column) -> Column:
+            return F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(st)),
+                    lambda k: F.coalesce(
+                        F.try_element_at(st, k + 1), F.size(srt) + 1
+                    )
+                    - F.try_element_at(st, k),
+                )
+            )
+
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(srt)),
+            lambda i: (i == 1)
+            | (F.try_element_at(srt, i) != F.try_element_at(srt, i - 1)),
+        )
+        return F.element_at(F.transform(F.array(starts), from_starts), 1)
+
+    def top_share_from(a: Column) -> Column:
+        def from_ngrams(g: Column) -> Column:
+            return F.when(
+                F.size(g) > 0,
+                F.element_at(
+                    F.transform(F.array(F.array_sort(g)), max_run), 1
+                ).cast("double")
+                / F.size(g),
+            )
+
+        return F.element_at(
+            F.transform(F.array(ngrams_from(a)), from_ngrams), 1
+        )
+
     guard = c.isNotNull() & (n_toks > 0)
     dup_line_frac = F.when(
         c.isNotNull() & (n_lines > 0),
@@ -580,8 +630,8 @@ def repetition_features(
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_toks,
     )
     top_share = F.when(
-        guard & (F.size(ngrams) > 0),
-        top_ngram_count.cast("double") / F.size(ngrams),
+        guard,
+        F.element_at(F.transform(F.array(toks), top_share_from), 1),
     )
     return [
         dup_line_frac.alias("dup_line_frac"),
