@@ -85,7 +85,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_metrics",
     "tf_idf_top",
     "stratified_sample",
-    "training_data_prep",
+    "span_dedup",
     "embedding_profile",
     "cosine_topk",
     "cosine_threshold_join",

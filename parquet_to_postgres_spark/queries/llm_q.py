@@ -638,9 +638,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "training_data_prep",
-    oracle=f"""
+TRAINING_DATA_PREP_ORACLE = f"""
     WITH filtered AS (
       SELECT doc_id, source, text, n_chars
       FROM documents
@@ -660,9 +658,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM deduped GROUP BY source
-    """,
-    tags=("L1", "L5", "L6", "pipeline"),
-)
+    """
+
+
 def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: language filter → quality
     gate (min tokens, max punctuation ratio) → exact dedup keeping the
@@ -671,7 +669,12 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     One linear pass plus one dedup shuffle plus one agg shuffle — the
     shape that survives 100 TB: every predicate is scan-level, dedup
     shuffles only the filtered survivors, stats are map-side partial.
-    """
+
+    Rotated out of the declared registry in round 7 (its L1/L5/L6 axes
+    stay declared via corpus_preprocess / near_dedup_corpus /
+    text_metrics / tf_idf_top / stratified_sample); oracle coverage
+    continues in tests/test_registry.py against
+    TRAINING_DATA_PREP_ORACLE."""
     t = Catalog(spark, sf_dir)
     n_tokens = F.size(F.split(F.col("text"), " "))
     punct_ratio = (
@@ -689,6 +692,54 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SPAN_DEDUP_N = 4
+
+
+@register(
+    "span_dedup",
+    oracle=f"""
+    WITH dd AS ({{span_sql}})
+    SELECT dd.doc_id,
+           dd.text AS deduped_text,
+           length(dd.text) AS n_chars_after,
+           length(o.text) - length(dd.text) AS n_chars_removed
+    FROM dd JOIN documents o ON dd.doc_id = o.doc_id
+    WHERE dd.text <> o.text
+    """.format(span_sql=D.sql_dedup_repeated_spans("documents", n=_SPAN_DEDUP_N)),
+    tags=("L1", "dedup"),
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (exact-substring) dedup over the corpus: every
+    4-token span occurring twice+ survives only at its canonical first
+    occurrence; documents are rebuilt from the surviving tokens and the
+    query returns the CHANGED docs with their rebuilt text — the grain
+    between whole-doc exact dedup and MinHash near-dedup (license
+    headers, templated boilerplate).
+
+    Hash-exact by construction: md5-derived gram ids, integer ranking,
+    pure string rebuild — no floats anywhere, so the DuckDB twin (the
+    same `sql_dedup_repeated_spans` generator the pytest property suite
+    drives with random corpora) matches bit-for-bit.  Scale shape: the
+    count-filter pass bounds the ranking shuffle to duplicated text
+    volume; every stage is a keyed equi-shuffle (dedup.py docstring)."""
+    t = Catalog(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    out = D.dedup_repeated_spans(docs, n=_SPAN_DEDUP_N)
+    orig = docs.withColumnRenamed("text", "__orig")
+    return (
+        out.join(orig, "doc_id")
+        .where(F.col("text") != F.col("__orig"))
+        .select(
+            "doc_id",
+            F.col("text").alias("deduped_text"),
+            F.length("text").cast("long").alias("n_chars_after"),
+            (F.length("__orig") - F.length("text"))
+            .cast("long")
+            .alias("n_chars_removed"),
         )
     )
 

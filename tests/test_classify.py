@@ -259,3 +259,38 @@ def test_classify_guards(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="empty training set"):
         train_quality_classifier(empty, "label", n_iter=1)
+
+
+def test_classifier_scoring_is_stream_batch_unified(spark):
+    """score_quality_pandas is stateless and scan-level, so the SAME
+    code scores an unbounded stream in append mode unchanged — the
+    stream/batch unification the zero-shuffle Arrow path buys.  An
+    availableNow pass over the documents fixture must equal the batch
+    run row-for-row (same fixed-point margins, same probs)."""
+    from parquet_to_postgres_spark.llm.classify import LinearModel
+
+    dim = 1 << 10
+    model = LinearModel((np.arange(dim + 1) % 17 - 8) / 10.0, dim, (1,))
+    schema = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+        .select("doc_id", "text")
+    )
+    q = (
+        score_quality_pandas(stream, model)
+        .writeStream.format("memory")
+        .queryName("clf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM clf_stream").collect()
+    )
+    batch = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = sorted(
+        tuple(r) for r in score_quality_pandas(batch, model).collect()
+    )
+    assert got == want and len(got) == 500

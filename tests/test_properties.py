@@ -357,3 +357,46 @@ def test_chunking_reconstructs_the_document(spark, n_tokens, chunk, overlap):
     # starts advance by exactly stride: chunk i covers tokens from i*stride
     for i, r in enumerate(out):
         assert r["chunk_text"].split(" ")[0] == toks[i * stride]
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(2, 3),
+)
+def test_span_dedup_matches_duckdb_on_random_corpora(spark, texts, n):
+    """Cross-engine property: over adversarial corpora (4-token vocab ->
+    dense overlapping repeats, empty docs, dup docs) the repeated-span
+    dedup must equal its DuckDB twin exactly — pinning gram ranking,
+    coverage of overlapping removed spans, and the all-removed ->
+    empty-string rebuild on inputs far nastier than the fixtures."""
+    import duckdb
+    import pandas as pd
+
+    from parquet_to_postgres_spark.llm.dedup import (
+        dedup_repeated_spans,
+        sql_dedup_repeated_spans,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_repeated_spans(df, n=n).collect()
+    }
+    con = duckdb.connect()
+    con.register("corpus_prop", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(i): t
+        for i, t in con.sql(
+            sql_dedup_repeated_spans("corpus_prop", n=n)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

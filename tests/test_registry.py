@@ -115,3 +115,21 @@ def test_rotated_out_textsim_pairs_still_matches_oracle(spark, duck):
         TEXTSIM_PAIRS_ORACLE,
         "textsim_pairs",
     )
+
+
+def test_rotated_out_training_data_prep_still_matches_oracle(spark, duck):
+    """training_data_prep gave its slot to span_dedup in round 7 (its
+    L1/L5/L6 axes stay declared via corpus_preprocess /
+    near_dedup_corpus / text_metrics / tf_idf_top / stratified_sample);
+    full oracle coverage continues here."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        TRAINING_DATA_PREP_ORACLE,
+        training_data_prep,
+    )
+
+    assert_matches_oracle(
+        training_data_prep(spark, SF_SMOKE),
+        duck,
+        TRAINING_DATA_PREP_ORACLE,
+        "training_data_prep",
+    )
