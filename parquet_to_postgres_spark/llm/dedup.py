@@ -657,15 +657,18 @@ def dedup_repeated_spans(
     documents.
 
     Scale shape: gram ids are the shuffle-free md5 construction
-    (module docstring); a count-filter pass restricts the ranking window
-    to grams that actually repeat, so the expensive per-gram
-    ``row_number`` shuffles only the DUPLICATED text volume, not the
-    corpus.  Every stage is a keyed equi-shuffle (gid, then (doc, pos),
-    then doc) — no all-pairs anywhere.  The DuckDB twin
+    (module docstring); a count-filter pass restricts the expensive work
+    to grams that actually repeat, so it scales with the DUPLICATED text
+    volume, not the corpus.  The canonical occurrence is found with a
+    map-side-combinable ``min(struct(doc, start))`` aggregate + equi-join
+    rather than a per-gram ``row_number`` window: a boilerplate gram
+    occurring 10^9 times corpus-wide would funnel one window partition
+    onto one reducer (windows cannot be skew-split), while the min-agg
+    collapses map-side and the join back is AQE-skew-splittable.  Every
+    stage is a keyed equi-shuffle (gid, then (doc, pos), then doc) — no
+    all-pairs anywhere.  The DuckDB twin
     (:func:`sql_dedup_repeated_spans`) reproduces the result hash-exactly.
     """
-    from pyspark.sql import Window
-
     from .text import word_ngrams
 
     if n < 2:
@@ -677,19 +680,25 @@ def dedup_repeated_spans(
         F.col(id_col).alias("__id"),
         F.posexplode(word_ngrams(F.col(text_col), n)).alias("start", "gram"),
     ).select("__id", "start", unit_id("gram").alias("gid"))
-    dup_gids = (
+    # one aggregate yields BOTH the duplication filter and the canonical
+    # occurrence (lexicographic min of (doc, start)) per gram
+    dup = (
         occ.groupBy("gid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("gid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("__id", "start")).alias("__c"),
+        )
+        .where(F.col("__n") >= min_count)
+        .select("gid", "__c")
     )
-    cand = occ.join(dup_gids, "gid")
-    rn = F.row_number().over(
-        Window.partitionBy("gid").orderBy("__id", "start")
-    )
-    removed = cand.withColumn("rn", rn).where(
-        F.col("rn") >= (2 if keep_first else 1)
-    )
+    removed = occ.join(dup, "gid")
+    if keep_first:
+        removed = removed.where(
+            ~(
+                (F.col("__id") == F.col("__c.__id"))
+                & (F.col("start") == F.col("__c.start"))
+            )
+        )
     covered = removed.select(
         "__id",
         F.explode(
