@@ -583,3 +583,21 @@ def test_classifier_iteration_shuffles_only_the_model(spark):
         assert "Exchange" not in win_part.split("InMemoryTableScan")[0], p
     finally:
         rows.unpersist()
+
+
+def test_unigram_tokenize_adds_no_exchange(spark):
+    """Like BPE: the vocab rides the UDF closure, so unigram Viterbi
+    tokenization over a parquet scan must contain NO Exchange."""
+    import math
+
+    from parquet_to_postgres_spark.llm.unigram import (
+        UnigramModel,
+        unigram_tokenize,
+    )
+    from parquet_to_postgres_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    model = UnigramModel({"▁": math.log(0.5), "a": math.log(0.5)})
+    p = plan(unigram_tokenize(docs, model))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
