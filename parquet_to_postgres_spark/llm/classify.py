@@ -495,6 +495,41 @@ def importance_resample(
     return scored.orderBy(key.desc(), F.col(id_col)).limit(k)
 
 
+def importance_resample_by(
+    scored: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "logw",
+    temperature: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum Gumbel-top-k: ``k`` docs from EACH stratum (source,
+    language, shard...) with probability proportional to
+    ``exp(weight / temperature)`` within the stratum — the curriculum-
+    mix variant of :func:`importance_resample`, equally deterministic.
+
+    Executes as a rank window per stratum; Spark's WindowGroupLimit
+    pushes the ``rank <= k`` bound into the partial phase (the same
+    plan contract as the declared top_k_per_group query), so no
+    stratum's full membership is ever sorted to completion."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0 <= salt < _M31:
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    key = (
+        F.col(weight_col) / F.lit(float(temperature)) + _gumbel(id_col, salt)
+    )
+    w = Window.partitionBy(strata_col).orderBy(key.desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB SQL twins (oracle checks)
 # --------------------------------------------------------------------------
@@ -571,3 +606,113 @@ def sql_importance_logw(
            COALESCE(p.logw, 0.0) AS logw
     FROM {docs_rel} d LEFT JOIN perdoc p ON d.{id_expr} = p.__id
     """
+
+
+# --------------------------------------------------------------------------
+# Char-n-gram naive-Bayes language identification
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class LangIdModel:
+    """Per-language char-n-gram counts: ``counts`` is a DataFrame
+    ``(label, gram, c)``, ``totals`` maps label -> total gram count,
+    ``vocab_size`` the distinct-gram count across all labels."""
+
+    counts: DataFrame
+    totals: dict[str, int]
+    vocab_size: int
+    n: int
+
+
+def train_lang_id(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+) -> LangIdModel:
+    """Train a naive-Bayes character n-gram language identifier — the
+    classic statistical LID (a learned upgrade over the marker-word
+    heuristic in ``text.lang_id``).
+
+    One explode + one (label, gram)-grain map-side-combinable count;
+    the model is bounded by |charset|^n x |labels| rows regardless of
+    corpus size, broadcastable at prediction time.  Driver work is the
+    per-label totals (|labels| rows) and the vocab-size scalar."""
+    from .text import _all_char_ngrams
+
+    grams = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(_all_char_ngrams(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("label", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = {
+        r["label"]: int(r["t"])
+        for r in counts.groupBy("label").agg(F.sum("c").alias("t")).collect()
+    }
+    vocab_size = counts.select("gram").distinct().count()
+    return LangIdModel(counts, totals, vocab_size, n)
+
+
+def predict_lang(
+    df: DataFrame,
+    model: LangIdModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc argmax-label naive-Bayes score: sum over the doc's char
+    n-grams of ``ln((c_label + alpha) / (total_label + alpha*V))``.
+    Returns ``(id_col, pred_lang, logp)``; docs shorter than ``n`` get
+    NULL pred (no evidence).
+
+    Scale shape: the doc grams cross the (bounded, broadcast) label
+    list, join the (bounded, broadcast) count model, then ONE (doc,
+    label) fixed-point aggregate and ONE per-doc struct-max — ties
+    break on the lexicographically largest label, deterministically.
+    The corpus never shuffles to be scored."""
+    from .text import _all_char_ngrams
+
+    spark = df.sparkSession
+    labels = spark.createDataFrame(
+        [(lab, tot) for lab, tot in sorted(model.totals.items())],
+        "label string, total long",
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(_all_char_ngrams(text_col, model.n)).alias("gram")
+    )
+    scored = (
+        grams.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(model.counts), ["label", "gram"], "left")
+        .select(
+            id_col,
+            "label",
+            _fixed(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.col("total")
+                        + F.lit(alpha * model.vocab_size)
+                    )
+                )
+            ).alias("lp"),
+        )
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum("lp").cast("double") / F.lit(float(LM_SCALE))).alias(
+                "logp"
+            )
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("logp"), F.col("label"))).alias("__b")
+    )
+    out = best.select(
+        id_col,
+        F.col("__b.label").alias("pred_lang"),
+        F.col("__b.logp").alias("logp"),
+    )
+    # docs with no grams (shorter than n / NULL text) re-enter with NULLs
+    return df.select(id_col).join(out, id_col, "left")

@@ -798,3 +798,33 @@ def sql_char_lm_bpc(
              / (1000000000.0 * COUNT(*)) / ln(2) AS bpc
     FROM scored GROUP BY doc_id
     """
+
+
+def normalize_unicode(text_col: str = "text", form: str = "NFKC") -> Column:
+    """Unicode normalization (NFKC by default — the SentencePiece
+    pre-tokenization convention: full-width forms, ligatures, and
+    compatibility characters collapse to their canonical ASCII-ish
+    equivalents; composed and decomposed accents unify).
+
+    This is a DELIBERATE Python boundary: Spark has no builtin Unicode
+    normalizer, and stdlib ``unicodedata`` is the reference
+    implementation — a vectorized Arrow-batched pandas UDF, scan-level,
+    no shuffle.  Compose with :func:`normalize_text` (which handles
+    case/whitespace JVM-side) for the full canonical form."""
+    import unicodedata
+
+    import pandas as pd  # noqa: F401 (resolves the UDF type hints)
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm_fn(texts):
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    _norm_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _norm = F.pandas_udf(_norm_fn, "string")
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _norm(c)

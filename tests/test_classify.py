@@ -294,3 +294,109 @@ def test_classifier_scoring_is_stream_batch_unified(spark):
         tuple(r) for r in score_quality_pandas(batch, model).collect()
     )
     assert got == want and len(got) == 500
+
+
+def _lang_corpus(spark, n_per_lang=30):
+    """Three synthetic 'languages' with disjoint character inventories."""
+    inv = {"aa": "abcd", "xx": "wxyz", "mm": "mnop"}
+    rows = []
+    i = 0
+    for lang, chars in inv.items():
+        for k in range(n_per_lang):
+            words = [
+                "".join(chars[(k + j + w) % 4] for j in range(4))
+                for w in range(8)
+            ]
+            rows.append((i, " ".join(words), lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_lang_id_naive_bayes_separates(spark):
+    from parquet_to_postgres_spark.llm.classify import (
+        predict_lang,
+        train_lang_id,
+    )
+
+    docs = _lang_corpus(spark)
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    model = train_lang_id(train)
+    pred = predict_lang(test, model).join(
+        test.select("doc_id", "lang"), "doc_id"
+    )
+    n = pred.count()
+    ok = pred.where(F.col("pred_lang") == F.col("lang")).count()
+    assert n == 45 and ok == n  # disjoint charsets -> perfect separation
+    # short/NULL docs surface with NULL prediction, not dropped
+    edge = spark.createDataFrame(
+        [(100, "ab"), (101, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in predict_lang(edge, model).collect()}
+    assert out == {100: None, 101: None}
+
+
+def test_lang_id_deterministic(spark):
+    from parquet_to_postgres_spark.llm.classify import (
+        predict_lang,
+        train_lang_id,
+    )
+
+    docs = _lang_corpus(spark, n_per_lang=10)
+    m1, m2 = train_lang_id(docs), train_lang_id(docs)
+    assert m1.totals == m2.totals and m1.vocab_size == m2.vocab_size
+    a = sorted(tuple(r) for r in predict_lang(docs, m1).collect())
+    b = sorted(tuple(r) for r in predict_lang(docs, m2).collect())
+    assert a == b
+
+
+def test_importance_resample_by_strata(spark):
+    from parquet_to_postgres_spark.llm.classify import importance_resample_by
+
+    rows = [(i, "s" + str(i % 3), float(-i)) for i in range(60)]
+    scored = spark.createDataFrame(rows, "doc_id long, src string, logw double")
+    out = importance_resample_by(scored, "src", 5, weight_col="logw")
+    per = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in importance_resample_by(scored, "src", 5).collect()
+    )
+    assert a == b
+    # cold temperature: exact per-stratum top-k by weight (lowest ids)
+    cold = importance_resample_by(scored, "src", 5, temperature=1e-9)
+    assert sorted(r["doc_id"] for r in cold.collect()) == sorted(
+        range(15)
+    )
+
+
+def test_normalize_unicode_nfkc(spark):
+    from parquet_to_postgres_spark.llm.text import normalize_unicode
+
+    rows = [
+        (1, "caf\u00e9"),             # composed e-acute
+        (2, "cafe\u0301"),            # decomposed e + combining acute
+        (3, "\uff28\uff45\uff4c"),  # full-width Hel
+        (4, "\ufb01le"),              # fi ligature
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", normalize_unicode("text").alias("t")
+        ).collect()
+    }
+    assert out[1] == out[2] == "caf\u00e9"
+    assert out[3] == "Hel"
+    assert out[4] == "file"
+    assert out[5] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown normalization form"):
+        normalize_unicode("text", form="NFX")
