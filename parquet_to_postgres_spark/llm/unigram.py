@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 WORD_MARK = "▁"
 UNK_LOGP = -100.0
-_EC_SCALE = 1_000_000_000  # fixed-point for expected-count sums
+# Fixed-point scale for expected-count sums.  int64 bound: a single
+# word's contribution is <= len(word) * count(word) * _EC_SCALE, so the
+# scale must satisfy len * count < 2^63 / _EC_SCALE (~9.2e9 here) per
+# distinct word — comfortable until a single word approaches a billion
+# occurrences; drop the scale a decade per decade of corpus beyond that.
+_EC_SCALE = 1_000_000_000
 
 
 @dataclass(frozen=True)
