@@ -652,6 +652,11 @@ def train_lang_id(
         r["label"]: int(r["t"])
         for r in counts.groupBy("label").agg(F.sum("c").alias("t")).collect()
     }
+    if not totals:
+        raise ValueError(
+            "empty training set: no labeled document produced any "
+            f"char {n}-gram"
+        )
     vocab_size = counts.select("gram").distinct().count()
     return LangIdModel(counts, totals, vocab_size, n)
 
@@ -672,7 +677,10 @@ def predict_lang(
     list, join the (bounded, broadcast) count model, then ONE (doc,
     label) fixed-point aggregate and ONE per-doc struct-max — ties
     break on the lexicographically largest label, deterministically.
-    The corpus never shuffles to be scored."""
+    ``explode_outer`` keeps gram-less docs (shorter than ``n`` / NULL
+    text) in-stream as NULL-scoring rows — same no-reattach-join trick
+    as ``text.score_char_lm`` — so the corpus never shuffles except for
+    its own per-doc aggregate."""
     from .text import _all_char_ngrams
 
     spark = df.sparkSession
@@ -681,7 +689,8 @@ def predict_lang(
         "label string, total long",
     )
     grams = df.select(
-        F.col(id_col), F.explode(_all_char_ngrams(text_col, model.n)).alias("gram")
+        F.col(id_col),
+        F.explode_outer(_all_char_ngrams(text_col, model.n)).alias("gram"),
     )
     scored = (
         grams.crossJoin(F.broadcast(labels))
@@ -689,30 +698,34 @@ def predict_lang(
         .select(
             id_col,
             "label",
-            _fixed(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
-                    / (
-                        F.col("total")
-                        + F.lit(alpha * model.vocab_size)
+            F.when(
+                F.col("gram").isNotNull(),
+                _fixed(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                        / (
+                            F.col("total")
+                            + F.lit(alpha * model.vocab_size)
+                        )
                     )
-                )
+                ),
             ).alias("lp"),
         )
         .groupBy(id_col, "label")
         .agg(
-            (F.sum("lp").cast("double") / F.lit(float(LM_SCALE))).alias(
-                "logp"
-            )
+            F.when(
+                F.count("lp") > 0,
+                F.sum("lp").cast("double") / F.lit(float(LM_SCALE)),
+            ).alias("logp")
         )
     )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("logp"), F.col("label"))).alias("__b")
     )
-    out = best.select(
+    return best.select(
         id_col,
-        F.col("__b.label").alias("pred_lang"),
+        F.when(
+            F.col("__b.logp").isNotNull(), F.col("__b.label")
+        ).alias("pred_lang"),
         F.col("__b.logp").alias("logp"),
     )
-    # docs with no grams (shorter than n / NULL text) re-enter with NULLs
-    return df.select(id_col).join(out, id_col, "left")

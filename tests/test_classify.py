@@ -259,6 +259,11 @@ def test_classify_guards(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="empty training set"):
         train_quality_classifier(empty, "label", n_iter=1)
+    from parquet_to_postgres_spark.llm.classify import train_lang_id
+
+    empty_l = spark.createDataFrame([], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="empty training set"):
+        train_lang_id(empty_l)
 
 
 def test_classifier_scoring_is_stream_batch_unified(spark):

@@ -601,3 +601,36 @@ def test_unigram_tokenize_adds_no_exchange(spark):
     p = plan(unigram_tokenize(docs, model))
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p
+
+
+def test_importance_resample_avoids_full_sort(spark):
+    """Gumbel-top-k must execute as TakeOrderedAndProject (partition-
+    local top-k then merge) — a global Sort of the scored corpus would
+    defeat the point of sampling."""
+    from parquet_to_postgres_spark.llm.classify import importance_resample
+
+    scored = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(-id AS DOUBLE) AS logw"
+    )
+    p = plan(importance_resample(scored, 10))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_predict_lang_model_joins_broadcast(spark):
+    """The LID count model and label list are bounded (charset^n x
+    labels); both must broadcast — the corpus grams never shuffle to
+    meet the model."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm.classify import (
+        predict_lang,
+        train_lang_id,
+    )
+    from parquet_to_postgres_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    model = train_lang_id(docs.withColumn("lang", F.lit("en")))
+    p = plan(predict_lang(docs, model), mode="simple")
+    assert p.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in p
