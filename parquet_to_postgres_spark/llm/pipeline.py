@@ -1,0 +1,189 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+engine exists to run, as one function with one report.
+
+``curate_corpus`` chains the library's stages in the canonical order —
+normalize (NFKC + PII scrub + case/whitespace) → rule quality gate →
+char-LM perplexity gate → repeated-span dedup → exact dedup → MinHash
+near-dedup → benchmark decontamination → split assignment → sharded
+export — and returns the surviving corpus plus a ``CurationReport``
+whose per-stage counts are the audit trail (every count is a bounded
+aggregate; nothing corpus-sized ever reaches the driver).
+
+Scale posture is inherited from the components, each individually
+plan-pinned in its own test suite: scan-level normalization and rule
+gates, broadcast-model perplexity scoring, keyed-equi-shuffle dedup
+family, broadcast left-anti decontamination, scan-level split
+assignment, hash-sharded export.  The composite adds NO driver-side
+loops and NO extra shuffles beyond its parts.
+
+Determinism: every stage is deterministic (fixed-point sums, salted
+Knuth hashes, md5 ids), so two runs over the same input produce
+byte-identical shards and an identical report — the property that makes
+a 100 TB curation run auditable and resumable.
+
+Reference scope note: the reference (210-line parquet→Postgres ETL,
+src/main.rs) has no curation pipeline; this composes the
+BASELINE.json north-star surface into its intended shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationReport:
+    """Per-stage surviving doc counts (insertion-ordered) plus the
+    shard manifest when an export path was given."""
+
+    stages: dict[str, int] = field(default_factory=dict)
+    manifest: dict | None = None
+
+
+def curate_corpus(
+    df: DataFrame,
+    eval_df: DataFrame | None = None,
+    out_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.6,
+    max_bpc: float | None = None,
+    lm_n: int = 3,
+    span_n: int = 8,
+    near_dup_threshold: float = 0.8,
+    splits: dict[str, float] | None = None,
+    n_shards: int = 8,
+    salt: int = 0,
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full curation pipeline; see module docstring.
+
+    - ``max_bpc=None`` skips the char-LM gate (it costs one extra
+      model-train pass over the corpus).
+    - ``eval_df=None`` skips decontamination.
+    - ``out_path=None`` skips the sharded export (the returned
+      DataFrame still carries the ``split`` column).
+
+    Returns ``(curated_df, report)``; ``curated_df`` keeps the input
+    columns (with ``text_col`` fully normalized) plus ``split``."""
+    from ..etl import write_training_shards
+    from .classify import _norm_tokens
+    from .dedup import dedup_repeated_spans, near_dedup_corpus
+    from .text import (
+        decontaminate,
+        normalize_text,
+        normalize_unicode,
+        score_char_lm,
+        scrub_pii,
+        train_char_lm,
+    )
+
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    report = CurationReport()
+
+    def record(stage: str, d: DataFrame) -> DataFrame:
+        report.stages[stage] = d.count()
+        return d
+
+    cur = record("input", df)
+
+    # 1. normalize: NFKC -> PII scrub -> case/whitespace canonical form
+    cur = record(
+        "normalized",
+        cur.withColumn(text_col, normalize_unicode(text_col))
+        .withColumn(text_col, scrub_pii(text_col))
+        .withColumn(text_col, normalize_text(text_col)),
+    )
+
+    # 2. rule quality gate (scan-level predicates)
+    n_toks = F.size(_norm_tokens(text_col))
+    punct = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, "[^a-z0-9 ]", ""))
+    ).cast("double") / F.greatest(F.length(text_col), F.lit(1))
+    cur = record(
+        "rule_gate",
+        cur.where(
+            F.col(text_col).isNotNull()
+            & (n_toks >= min_tokens)
+            & (punct <= max_punct_ratio)
+        ),
+    )
+
+    # 3. char-LM perplexity gate (optional; model bounded by charset^n)
+    if max_bpc is not None:
+        lm, vocab = train_char_lm(cur, n=lm_n, text_col=text_col)
+        bpc = score_char_lm(
+            cur, lm, vocab, n=lm_n, text_col=text_col, id_col=id_col
+        ).select(id_col, "bpc")
+        cur = record(
+            "lm_gate",
+            cur.join(bpc, id_col, "left").where(
+                F.col("bpc").isNull() | (F.col("bpc") <= max_bpc)
+            ).drop("bpc"),
+        )
+
+    # 4. repeated-span dedup (rebuilds text; may empty some docs)
+    cur = record(
+        "span_dedup",
+        dedup_repeated_spans(
+            cur, n=span_n, id_col=id_col, text_col=text_col
+        ).where(F.size(_norm_tokens(text_col)) >= min_tokens),
+    )
+
+    # 5. exact dedup on the normalized text (keep lowest id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    cur = record(
+        "exact_dedup",
+        cur.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn"),
+    )
+
+    # 6. MinHash near-dedup (keep one representative per cluster)
+    cur = record(
+        "near_dedup",
+        near_dedup_corpus(
+            cur,
+            threshold=near_dup_threshold,
+            text_col=text_col,
+            id_col=id_col,
+        ),
+    )
+
+    # 7. benchmark decontamination (optional)
+    if eval_df is not None:
+        cur = record(
+            "decontaminated",
+            decontaminate(
+                cur, eval_df, id_col=id_col, text_col=text_col
+            ),
+        )
+
+    # 8. deterministic split assignment (disjoint + covering)
+    from ..operators import assign_splits
+
+    cur = record(
+        "split", assign_splits(cur, id_col, splits, salt=salt)
+    )
+
+    # 9. sharded export per split (optional)
+    if out_path is not None:
+        manifest: dict = {}
+        for split in sorted(splits):
+            part = cur.where(F.col("split") == split)
+            manifest[split] = write_training_shards(
+                part,
+                f"{out_path}/{split}",
+                n_shards=n_shards,
+                id_col=id_col,
+                salt=salt,
+            )
+        report.manifest = manifest
+    return cur, report

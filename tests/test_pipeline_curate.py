@@ -1,0 +1,87 @@
+"""End-to-end corpus curation composite (llm/pipeline.curate_corpus)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.llm.pipeline import curate_corpus
+from parquet_to_postgres_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+def test_curate_end_to_end_with_export(spark):
+    docs = _docs(spark)
+    # plant: an exact dup pair, a junk doc, and an eval-set hit
+    # twins: 5 tokens — above min_tokens, below span_n, so they reach
+    # exact dedup intact; junk dies at the rule gate; the 14-token
+    # sentence shares a 13-gram with the eval set (DECONTAM_NGRAM_N=13)
+    leak = (
+        "zebra yonder xylophone walrus vulture umbrella tundra "
+        "sequoia raccoon quartz pelican ocelot nimbus meerkat"
+    )
+    extra = spark.createDataFrame(
+        [
+            (900001, "alpha beta gamma delta epsilon"),
+            (900002, "alpha beta gamma delta epsilon"),
+            (900003, "!!! ??? @@@ ### $$$ %%% ^^^ &&& *** ((()))"),
+            (900004, leak),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(1, leak + " extra")], "doc_id long, text string"
+    )
+    corpus = docs.unionAll(extra)
+    with tempfile.TemporaryDirectory() as d:
+        cur, report = curate_corpus(
+            corpus,
+            eval_df=eval_df,
+            out_path=d,
+            max_bpc=8.0,
+            span_n=6,
+        )
+        counts = report.stages
+        # monotone non-increasing survival through the funnel
+        vals = list(counts.values())
+        assert vals == sorted(vals, reverse=True)
+        assert counts["input"] == 504
+        # the junk doc dies at the rule gate (punct ratio ~1)
+        assert counts["rule_gate"] < counts["normalized"]
+        # one of the planted twins dies at exact dedup
+        assert counts["exact_dedup"] < counts["span_dedup"]
+        # the contaminated survivor dies at decontamination
+        assert counts["decontaminated"] < counts["near_dedup"]
+        # splits cover the survivors exactly
+        per_split = dict(
+            cur.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        assert sum(per_split.values()) == counts["split"]
+        # export manifest agrees with the data
+        assert report.manifest is not None
+        for split, m in report.manifest.items():
+            assert m["__total__"] == per_split.get(split, 0)
+        back = spark.read.parquet(f"{d}/train")
+        assert back.count() == report.manifest["train"]["__total__"]
+
+
+def test_curate_deterministic_and_optional_stages(spark):
+    docs = _docs(spark).limit(150)
+    a, ra = curate_corpus(docs)
+    b, rb = curate_corpus(docs)
+    assert ra.stages == rb.stages
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    # optional stages skipped -> keys absent
+    assert "lm_gate" not in ra.stages
+    assert "decontaminated" not in ra.stages
+    assert ra.manifest is None
+    # split column present and covering
+    assert a.where(F.col("split").isNull()).count() == 0
