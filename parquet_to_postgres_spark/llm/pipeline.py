@@ -37,10 +37,21 @@ from pyspark.sql import functions as F
 @dataclass
 class CurationReport:
     """Per-stage surviving doc counts (insertion-ordered) plus the
-    shard manifest when an export path was given."""
+    shard manifest when an export path was given.
+
+    The returned corpus stays persisted (MEMORY_AND_DISK) so downstream
+    consumers don't recompute the funnel; long-lived sessions call
+    :meth:`release` when done (the same contract as the ANN prep
+    handle)."""
 
     stages: dict[str, int] = field(default_factory=dict)
     manifest: dict | None = None
+    _persisted: object = None
+
+    def release(self) -> None:
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
 
 
 def curate_corpus(
@@ -85,8 +96,21 @@ def curate_corpus(
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
     report = CurationReport()
 
+    # Each recorded stage is persisted and counted ONCE, then the
+    # previous stage's blocks are released: without this, stage k's
+    # count() replays stages 1..k-1 from the scan and the funnel goes
+    # quadratic in recomputation (measured 140 s -> 37 s warm at
+    # sf0.1).  Peak storage is two adjacent stages, disk-spillable.
+    from pyspark import StorageLevel
+
+    prev: list[DataFrame] = []
+
     def record(stage: str, d: DataFrame) -> DataFrame:
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
         report.stages[stage] = d.count()
+        if prev:
+            prev.pop().unpersist()
+        prev.append(d)
         return d
 
     cur = record("input", df)
@@ -186,4 +210,5 @@ def curate_corpus(
                 salt=salt,
             )
         report.manifest = manifest
+    report._persisted = cur
     return cur, report
