@@ -212,3 +212,144 @@ def curate_corpus(
         report.manifest = manifest
     report._persisted = cur
     return cur, report
+
+
+def curate_increment(
+    df: DataFrame,
+    exact_store: DataFrame | None = None,
+    band_store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.6,
+    span_n: int = 8,
+    near_dup_threshold: float = 0.8,
+    num_hashes: int = 128,
+    rows_per_band: int = 8,
+    shingle_n: int = 5,
+) -> tuple[DataFrame, CurationReport, DataFrame, DataFrame]:
+    """Curate an INGEST INCREMENT (today's crawl) against the corpus
+    already ingested — the production mode of a continuously-fed
+    training set, where re-running the full pipeline over 100 TB per
+    day is not an option.
+
+    Stages: normalize → rule gate → span dedup (within the increment) →
+    exact dedup (within the increment, then anti-join the historical
+    ``exact_store`` of md5 keys) → MinHash near-dedup (within the
+    increment, then band-key semi-join against the historical
+    ``band_store``, :func:`~.dedup.near_dedup_against_store`).
+
+    Returns ``(survivors, report, exact_keys_delta, band_rows_delta)``:
+    the caller appends the two deltas to the stores (bucketed on their
+    join keys — see ``corpus_band_store``) to make the NEXT increment
+    see today's survivors.  Re-running the same increment after
+    appending its deltas drops every document — idempotent ingest,
+    pinned in tests.
+
+    Scale shape: both historical checks are keyed joins against stores
+    that are a small fraction of the corpus (one md5 row per doc; one
+    row per (doc, band)); the increment — typically orders of magnitude
+    smaller than history — is the only data in flight."""
+    from .classify import _norm_tokens
+    from .dedup import (
+        corpus_band_store,
+        dedup_repeated_spans,
+        near_dedup_against_store,
+        near_dedup_corpus,
+    )
+    from .text import normalize_text, normalize_unicode, scrub_pii
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    report = CurationReport()
+    prev: list[DataFrame] = []
+
+    def record(stage: str, d: DataFrame) -> DataFrame:
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        report.stages[stage] = d.count()
+        if prev:
+            prev.pop().unpersist()
+        prev.append(d)
+        return d
+
+    cur = record("input", df)
+    cur = record(
+        "normalized",
+        cur.withColumn(text_col, normalize_unicode(text_col))
+        .withColumn(text_col, scrub_pii(text_col))
+        .withColumn(text_col, normalize_text(text_col)),
+    )
+    n_toks = F.size(_norm_tokens(text_col))
+    punct = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, "[^a-z0-9 ]", ""))
+    ).cast("double") / F.greatest(F.length(text_col), F.lit(1))
+    cur = record(
+        "rule_gate",
+        cur.where(
+            F.col(text_col).isNotNull()
+            & (n_toks >= min_tokens)
+            & (punct <= max_punct_ratio)
+        ),
+    )
+    cur = record(
+        "span_dedup",
+        dedup_repeated_spans(
+            cur, n=span_n, id_col=id_col, text_col=text_col
+        ).where(F.size(_norm_tokens(text_col)) >= min_tokens),
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    cur = record(
+        "exact_dedup",
+        cur.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn"),
+    )
+    if exact_store is not None:
+        cur = record(
+            "exact_vs_store",
+            cur.join(
+                exact_store,
+                F.md5(F.col(text_col)) == exact_store["dedup_key"],
+                "left_anti",
+            ),
+        )
+    cur = record(
+        "near_dedup",
+        near_dedup_corpus(
+            cur,
+            threshold=near_dup_threshold,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+            text_col=text_col,
+            id_col=id_col,
+        ),
+    )
+    if band_store is not None:
+        cur = record(
+            "near_vs_store",
+            near_dedup_against_store(
+                cur,
+                band_store,
+                num_hashes=num_hashes,
+                rows_per_band=rows_per_band,
+                text_col=text_col,
+                id_col=id_col,
+                shingle_n=shingle_n,
+            ),
+        )
+    exact_delta = cur.select(
+        F.md5(F.col(text_col)).alias("dedup_key")
+    ).distinct()
+    band_delta = corpus_band_store(
+        cur,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+    )
+    report._persisted = cur
+    return cur, report, exact_delta, band_delta

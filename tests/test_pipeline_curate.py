@@ -85,3 +85,43 @@ def test_curate_deterministic_and_optional_stages(spark):
     assert ra.manifest is None
     # split column present and covering
     assert a.where(F.col("split").isNull()).count() == 0
+
+
+def test_curate_increment_against_history(spark):
+    """Production ingest mode: today's increment dedups against itself
+    AND against the stores built from history; appending the returned
+    deltas makes a replay of the same increment drop everything
+    (idempotent ingest)."""
+    from parquet_to_postgres_spark.llm.pipeline import curate_increment
+
+    history = _docs(spark).limit(200)
+    # bootstrap stores from history via the same pipeline
+    _, _, h_exact, h_bands = curate_increment(history)
+    h_exact, h_bands = h_exact.cache(), h_bands.cache()
+    base = {r["text"] for r in history.limit(3).collect()}
+    exact_copy, near_copy = sorted(base)[0], sorted(base)[1]
+    increment = spark.createDataFrame(
+        [
+            (800001, exact_copy),                       # exact dup of history
+            (800002, near_copy + " zzx"),               # near dup of history
+            (800003, "genuinely fresh words appearing nowhere else today"),
+            (800004, "another brand new document with unseen vocabulary"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, report, d_exact, d_bands = curate_increment(
+        increment, exact_store=h_exact, band_store=h_bands
+    )
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert ids == {800003, 800004}
+    assert report.stages["exact_vs_store"] < report.stages["exact_dedup"]
+    assert report.stages["near_vs_store"] < report.stages["exact_vs_store"]
+    # append deltas -> replaying the SAME increment drops everything
+    new_exact = h_exact.unionByName(d_exact)
+    new_bands = h_bands.unionByName(d_bands)
+    replay, rep2, _, _ = curate_increment(
+        increment, exact_store=new_exact, band_store=new_bands
+    )
+    assert replay.count() == 0
+    report.release()
+    rep2.release()
