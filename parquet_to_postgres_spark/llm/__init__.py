@@ -1,5 +1,7 @@
 """LLM-data-pipeline operators: dedup, similarity search, text analysis,
-multimodal column plumbing.
+multimodal column plumbing, learned data selection (classify), both
+standard subword tokenizers (bpe, unigram), and the composed curation
+pipelines (pipeline.curate_corpus / curate_increment).
 
 These are the training-data-pipeline capabilities mandated by the north
 star (BASELINE.json) on top of the reference's ETL surface.  Everything
