@@ -206,13 +206,22 @@ def _driver_jdbc_conn(spark: SparkSession, url: str, driver: str | None):
 
 def _jdbc_table_exists(conn, table: str) -> bool:
     """Dialect-tolerant existence check: unquoted DDL identifiers are
-    folded UPPER by Derby and lower by Postgres, so probe all three."""
+    folded UPPER by Derby and lower by Postgres, so probe all three.
+
+    getTables treats its pattern as a LIKE where a bare ``_`` (present
+    in most table names) matches ANY character, so a probe for
+    ``orders_x`` would report a lookalike ``ordersax`` as existing and
+    skip the CREATE.  Search-string escaping is NOT the fix — embedded
+    Derby reports an empty escape and matches a backslash literally —
+    so the pattern is left raw (it can only OVER-match) and every
+    returned TABLE_NAME is compared for exact equality instead."""
     md = conn.getMetaData()
     for cand in dict.fromkeys((table, table.upper(), table.lower())):
         rs = md.getTables(None, None, cand, None)
         try:
-            if rs.next():
-                return True
+            while rs.next():
+                if rs.getString("TABLE_NAME") == cand:
+                    return True
         finally:
             rs.close()
     return False
@@ -619,7 +628,10 @@ def write_training_shards(
         {"shard": str(k), "rows": v}
         for k, v in sorted(counts.items())
     ] + [{"shard": "__total__", "rows": manifest["__total__"]}]
-    spark.createDataFrame(rows).coalesce(1).write.mode(mode).json(
+    # the manifest is recomputed over the FULL read-back, so it must
+    # always overwrite — in append mode the data grows but a second
+    # manifest generation must replace (not sit beside) the first
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").json(
         f"{path}/_manifest"
     )
     return manifest

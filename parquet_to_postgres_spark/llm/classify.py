@@ -635,13 +635,15 @@ def train_lang_id(
     classic statistical LID (a learned upgrade over the marker-word
     heuristic in ``text.lang_id``).
 
+    Rows with a NULL label are ignored (they carry no supervision and
+    would otherwise poison the sorted label list at prediction time).
     One explode + one (label, gram)-grain map-side-combinable count;
     the model is bounded by |charset|^n x |labels| rows regardless of
     corpus size, broadcastable at prediction time.  Driver work is the
     per-label totals (|labels| rows) and the vocab-size scalar."""
     from .text import _all_char_ngrams
 
-    grams = df.select(
+    grams = df.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("label"),
         F.explode(_all_char_ngrams(text_col, n)).alias("gram"),
     )

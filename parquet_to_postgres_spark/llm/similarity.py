@@ -1111,10 +1111,17 @@ def semantic_dedup(
 
 
 def _unit(vec_col: Column | str) -> Column:
-    """Normalize an array column to unit L2 length (doubles)."""
+    """Normalize an array column to unit L2 length (doubles).
+
+    An all-zero vector maps to all-zero (not NaN): dividing by a zero
+    norm would poison every downstream fixed-point centroid cast under
+    ANSI mode, and a zero vector's cosine against anything is 0 anyway."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(v, lambda x: x.cast("double") / n)
+    return F.transform(
+        v,
+        lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0)),
+    )
 
 
 def _subvectors(

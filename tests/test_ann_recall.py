@@ -182,3 +182,21 @@ def test_pq_handle_releases_pinned_blocks(spark):
     handles[0].release()
     assert not (persistent_rdd_ids(sc) - base)
     handles[0].release()  # idempotent
+
+
+def test_pq_handles_all_zero_vector(spark):
+    """An all-zero embedding must not poison PQ training (review
+    finding: 0/0 norm produced NaN components, which throws on the
+    fixed-point centroid cast under ANSI mode)."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    corpus = emb.unionByName(zero)
+    model = S.pq_train(corpus, m=4, codes=4, max_iterations=2)
+    codes_df = S.pq_encode(corpus, model)
+    assert codes_df.count() == 41  # the zero vector encodes, not NaNs

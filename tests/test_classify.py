@@ -405,3 +405,23 @@ def test_normalize_unicode_nfkc(spark):
 
     with _pt.raises(ValueError, match="unknown normalization form"):
         normalize_unicode("text", form="NFX")
+
+
+def test_lang_id_ignores_null_labels(spark):
+    """A NULL lang row must not poison training (review finding: it
+    survived into totals and predict_lang's sorted() threw TypeError)."""
+    from parquet_to_postgres_spark.llm.classify import (
+        predict_lang,
+        train_lang_id,
+    )
+
+    docs = _lang_corpus(spark, n_per_lang=5).unionByName(
+        spark.createDataFrame(
+            [(999, "unlabeled text row", None)],
+            "doc_id long, text string, lang string",
+        )
+    )
+    model = train_lang_id(docs)
+    assert None not in model.totals
+    out = predict_lang(docs, model)
+    assert out.count() == 16  # all docs scored, incl. the unlabeled one

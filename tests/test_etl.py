@@ -663,3 +663,52 @@ def test_write_training_shards_deterministic_balanced_complete(spark):
 
         m3 = write_training_shards(src, f"{d}/c", n_shards=8, salt=7)
         assert m3["__total__"] == n and m3 != m1
+
+
+def test_jdbc_table_exists_escapes_like_wildcards(spark):
+    """getTables patterns are LIKEs where '_' matches any char: probing
+    for 'orders_x' must NOT report lookalike 'ordersax' as existing
+    (review finding — an unescaped probe skips the CREATE and the sink
+    then fails on the genuinely missing table)."""
+    from parquet_to_postgres_spark.etl import (
+        _driver_jdbc_conn,
+        _jdbc_table_exists,
+    )
+    from parquet_to_postgres_spark.queries.etl_q import (
+        DERBY_DRIVER,
+        derby_url,
+    )
+
+    import uuid
+
+    url = derby_url(f"t_like_escape_{uuid.uuid4().hex[:8]}")
+    conn = _driver_jdbc_conn(spark, url, DERBY_DRIVER)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE ordersax (x INT)")
+        st.close()
+        assert _jdbc_table_exists(conn, "ordersax")
+        assert not _jdbc_table_exists(conn, "orders_x")
+    finally:
+        conn.close()
+
+
+def test_training_shards_append_single_manifest(spark):
+    """A second (append-mode) shard write must REPLACE the manifest, not
+    sit beside the first — consumers read one generation of counts."""
+    import tempfile
+
+    from parquet_to_postgres_spark.etl import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as d:
+        write_training_shards(a, d, n_shards=4)
+        m2 = write_training_shards(b, d, n_shards=4, mode="append")
+        back = spark.read.json(f"{d}/_manifest")
+        totals = back.where(F.col("shard") == "__total__").collect()
+        assert len(totals) == 1  # exactly one manifest generation
+        assert int(totals[0]["rows"]) == m2["__total__"] == docs.count()
