@@ -1203,14 +1203,30 @@ def pq_train(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
     sub = _subvectors(vectors, m, d, id_col, vec_col)
+    init = _subspace_means(
+        sub.withColumn(
+            "code",
+            F.pmod(F.xxhash64("id", "subspace"), F.lit(codes)).cast(
+                "int"
+            ),
+        )
+    )
+    # Densify: every (subspace, code) cell must exist even when the
+    # hash init left it memberless (small corpora / unlucky hashes).
+    # The ADC lookup table is POSITIONAL (index j*codes+code over the
+    # sorted cells), so one missing cell would shift every later
+    # distance and break the scan.  Empty cells start at the origin; a
+    # later Lloyd round may revive them, ties lose to the lower code.
+    grid = vectors.sparkSession.createDataFrame(
+        [(j, c) for j in range(m) for c in range(codes)],
+        "subspace int, code int",
+    )
+    origin = F.array(*[F.lit(0.0) for _ in range(d)])
     cents = stable_checkpoint(
-        _subspace_means(
-            sub.withColumn(
-                "code",
-                F.pmod(F.xxhash64("id", "subspace"), F.lit(codes)).cast(
-                    "int"
-                ),
-            )
+        grid.join(init, ["subspace", "code"], "left").select(
+            "subspace",
+            "code",
+            F.coalesce("centroid", origin).alias("centroid"),
         )
     )
     w = Window.partitionBy("id", "subspace").orderBy("dist", "code")

@@ -200,3 +200,28 @@ def test_pq_handles_all_zero_vector(spark):
     model = S.pq_train(corpus, m=4, codes=4, max_iterations=2)
     codes_df = S.pq_encode(corpus, model)
     assert codes_df.count() == 41  # the zero vector encodes, not NaNs
+
+
+def test_pq_codebooks_dense_on_tiny_corpus(spark):
+    """Review finding: hash init on a tiny corpus leaves (subspace,
+    code) cells memberless, and the positional ADC lookup table then
+    misaligns every index after the first gap.  Codebooks must be dense
+    (m*codes rows) regardless of corpus size, and the PQ query must
+    still return exact-k results."""
+    from parquet_to_postgres_spark.llm import similarity as S
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(12)
+    )
+    model = S.pq_train(emb, m=4, codes=16, max_iterations=2)
+    cells = model.collect()
+    assert len(cells) == 4 * 16
+    assert {(r["subspace"], r["code"]) for r in cells} == {
+        (j, c) for j in range(4) for c in range(16)
+    }
+    queries = emb.limit(3)
+    out = S.ann_topk_pq(emb, queries, k=5, m=4, codes=16, max_iterations=2)
+    per_q = out.groupBy("query_id").count().collect()
+    assert len(per_q) == 3 and all(r["count"] == 5 for r in per_q)
