@@ -646,7 +646,10 @@ def dedup_repeated_spans(
     Training Data Makes Language Models Better" recipe): any ``n``-token
     span occurring ``min_count``+ times in the corpus is removed from
     every occurrence except the canonical first (lowest ``(doc, start)``;
-    ``keep_first=False`` removes that one too).  Documents are rebuilt
+    ``keep_first=False`` removes that one too).  Canonical spans are
+    protected position-by-position, so they survive VERBATIM even when
+    duplicate occurrences overlap them (self-repeating text with period
+    < n).  Documents are rebuilt
     from the surviving tokens; docs containing no removed span pass
     through byte-identical (single-space tokenization is its own inverse,
     empty tokens from runs of spaces included).
@@ -705,6 +708,21 @@ def dedup_repeated_spans(
             F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
         ).alias("pos"),
     ).distinct()
+    if keep_first:
+        # Canonical occurrences are PROTECTED position-by-position:
+        # when duplicate spans self-overlap (repeat period < n, e.g.
+        # "a a a ... a"), the removed neighbors would otherwise cover
+        # most of the canonical span's own tokens and the promised
+        # first occurrence would not survive (review finding).
+        protected = dup.select(
+            F.col("__c.__id").alias("__id"),
+            F.explode(
+                F.sequence(
+                    F.col("__c.start"), F.col("__c.start") + F.lit(n - 1)
+                )
+            ).alias("pos"),
+        ).distinct()
+        covered = covered.join(protected, ["__id", "pos"], "left_anti")
     tokens = df.select(
         F.col(id_col).alias("__id"), F.posexplode(toks).alias("pos", "tok")
     )
@@ -763,6 +781,7 @@ def sql_dedup_repeated_spans(
     the Spark side's empty filtered array)."""
     gram = f"array_to_string(t[i:i+{n - 1}], ' ')"
     rn_floor = 2 if keep_first else 1
+    keep_first_sql = "TRUE" if keep_first else "FALSE"
     return f"""
     WITH toks AS (
       SELECT id, t[i] AS tok, i - 1 AS pos
@@ -775,16 +794,23 @@ def sql_dedup_repeated_spans(
            UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
     ),
     dup AS (SELECT gid FROM occ GROUP BY 1 HAVING COUNT(*) >= {min_count}),
-    removed AS (
-      SELECT id, start FROM (
-        SELECT o.id, o.start,
-               ROW_NUMBER() OVER (PARTITION BY o.gid ORDER BY o.id, o.start) AS rn
-        FROM occ o JOIN dup USING (gid))
-      WHERE rn >= {rn_floor}
+    ranked AS (
+      SELECT o.id, o.start,
+             ROW_NUMBER() OVER (PARTITION BY o.gid ORDER BY o.id, o.start) AS rn
+      FROM occ o JOIN dup USING (gid)
+    ),
+    protected AS (
+      SELECT DISTINCT id, start + g AS pos
+      FROM ranked, UNNEST(generate_series(0, {n - 1})) AS s(g)
+      WHERE rn = 1 AND {keep_first_sql}
     ),
     covered AS (
-      SELECT DISTINCT id, start + g AS pos, TRUE AS cov
-      FROM removed, UNNEST(generate_series(0, {n - 1})) AS s(g)
+      SELECT c.id, c.pos, TRUE AS cov FROM (
+        SELECT DISTINCT id, start + g AS pos
+        FROM ranked, UNNEST(generate_series(0, {n - 1})) AS s(g)
+        WHERE rn >= {rn_floor}
+      ) c LEFT JOIN protected p ON c.id = p.id AND c.pos = p.pos
+      WHERE p.pos IS NULL
     ),
     agg AS (
       -- COALESCE outside: DuckDB's list() over zero qualifying rows is

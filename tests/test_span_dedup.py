@@ -37,11 +37,26 @@ def test_within_doc_repeat_and_keep_first_false(spark):
     df = spark.createDataFrame(
         [(1, "x y x y x y x y")], "doc_id long, text string"
     )
-    # 2-gram "x y" repeats at starts 0,2,4,6 (also "y x" at 1,3,5)
+    # 2-gram "x y" repeats at starts 0,2,4,6 (also "y x" at 1,3,5);
+    # canonical "x y"@0 protects pos 0-1 and canonical "y x"@1 protects
+    # pos 1-2 — every duplicated span keeps its first occurrence verbatim
     out = _texts(dedup_repeated_spans(df, n=2))
-    assert out[1] == "x y"  # only the canonical first span survives
+    assert out[1] == "x y x"
     none = _texts(dedup_repeated_spans(df, n=2, keep_first=False))
     assert none[1] == ""  # every occurrence removed, doc -> empty string
+
+
+def test_self_overlapping_canonical_survives_verbatim(spark):
+    """Review finding: with repeat period < n ("a a a ... a", n=8) the
+    removed neighboring occurrences used to cover 7 of the canonical
+    span's 8 tokens.  The canonical occurrence must survive verbatim."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10)), (2, " ".join(["a"] * 10))],
+        "doc_id long, text string",
+    )
+    out = _texts(dedup_repeated_spans(df, n=8))
+    assert out[1] == " ".join(["a"] * 8)  # the full canonical 8-gram
+    assert out[2] == ""  # the copy doc holds no canonical spans
 
 
 def test_clean_corpus_passes_through_byte_identical(spark):
