@@ -46,12 +46,12 @@ class CurationReport:
 
     stages: dict[str, int] = field(default_factory=dict)
     manifest: dict | None = None
-    _persisted: object = None
+    _persisted: list = field(default_factory=list)
 
     def release(self) -> None:
-        if self._persisted is not None:
-            self._persisted.unpersist()
-            self._persisted = None
+        for d in self._persisted:
+            d.unpersist()
+        self._persisted = []
 
 
 def curate_corpus(
@@ -159,15 +159,23 @@ def curate_corpus(
         ).where(F.size(_norm_tokens(text_col)) >= min_tokens),
     )
 
-    # 5. exact dedup on the normalized text (keep lowest id)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    # 5. exact dedup on the normalized text: keep the lowest id via a
+    # map-side-combinable min-agg + AQE-skew-splittable join — NOT a
+    # row_number window, which would funnel every copy of a mega-
+    # duplicated document onto one reducer (same argument as
+    # dedup.dedup_repeated_spans' canonical selection)
+    key = F.md5(F.col(text_col))
+    winners = (
+        cur.select(F.col(id_col), key.alias("__k"))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias("__winner"))
+    )
     cur = record(
         "exact_dedup",
-        cur.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn"),
+        cur.withColumn("__k", key)
+        .join(winners, "__k")
+        .where(F.col(id_col) == F.col("__winner"))
+        .drop("__k", "__winner"),
     )
 
     # 6. MinHash near-dedup (keep one representative per cluster)
@@ -210,7 +218,7 @@ def curate_corpus(
                 salt=salt,
             )
         report.manifest = manifest
-    report._persisted = cur
+    report._persisted.append(cur)
     return cur, report
 
 
@@ -240,9 +248,11 @@ def curate_increment(
     ``band_store``, :func:`~.dedup.near_dedup_against_store`).
 
     Returns ``(survivors, report, exact_keys_delta, band_rows_delta)``:
-    the caller appends the two deltas to the stores (bucketed on their
+    the caller WRITES the two deltas into the stores (bucketed on their
     join keys — see ``corpus_band_store``) to make the NEXT increment
-    see today's survivors.  Re-running the same increment after
+    see today's survivors.  Write them (or checkpoint) before reuse —
+    as returned they are lazy plans over the whole pipeline, kept cheap
+    by the persisted survivor stage but carrying its full lineage.  Re-running the same increment after
     appending its deltas drops every document — idempotent ingest,
     pinned in tests.
 
@@ -252,15 +262,14 @@ def curate_increment(
     smaller than history — is the only data in flight."""
     from .classify import _norm_tokens
     from .dedup import (
-        corpus_band_store,
+        band_keys,
         dedup_repeated_spans,
-        near_dedup_against_store,
+        minhash_signatures_rowwise,
         near_dedup_corpus,
     )
     from .text import normalize_text, normalize_unicode, scrub_pii
 
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     report = CurationReport()
     prev: list[DataFrame] = []
@@ -299,12 +308,18 @@ def curate_increment(
             cur, n=span_n, id_col=id_col, text_col=text_col
         ).where(F.size(_norm_tokens(text_col)) >= min_tokens),
     )
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    key = F.md5(F.col(text_col))
+    winners = (
+        cur.select(F.col(id_col), key.alias("__k"))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias("__winner"))
+    )
     cur = record(
         "exact_dedup",
-        cur.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn"),
+        cur.withColumn("__k", key)
+        .join(winners, "__k")
+        .where(F.col(id_col) == F.col("__winner"))
+        .drop("__k", "__winner"),
     )
     if exact_store is not None:
         cur = record(
@@ -327,29 +342,35 @@ def curate_increment(
             id_col=id_col,
         ),
     )
+    # ONE signature pass serves both the historical check and the
+    # returned delta (review finding: the store semi-join and the delta
+    # each re-shingled and re-hashed the batch from scratch — two full
+    # extra passes of 128 hash evaluations per shingle).
+    bands = band_keys(
+        minhash_signatures_rowwise(
+            cur, num_hashes, text_col, id_col, shingle_n
+        ),
+        num_hashes,
+        rows_per_band,
+        id_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    report._persisted.append(bands)
     if band_store is not None:
+        matched = (
+            bands.join(band_store, ["band", "key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
         cur = record(
-            "near_vs_store",
-            near_dedup_against_store(
-                cur,
-                band_store,
-                num_hashes=num_hashes,
-                rows_per_band=rows_per_band,
-                text_col=text_col,
-                id_col=id_col,
-                shingle_n=shingle_n,
-            ),
+            "near_vs_store", cur.join(matched, id_col, "left_anti")
         )
     exact_delta = cur.select(
         F.md5(F.col(text_col)).alias("dedup_key")
     ).distinct()
-    band_delta = corpus_band_store(
-        cur,
-        num_hashes=num_hashes,
-        rows_per_band=rows_per_band,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
+    band_delta = (
+        bands.join(cur.select(id_col), id_col, "left_semi")
+        .select("band", "key")
+        .distinct()
     )
-    report._persisted = cur
+    report._persisted.append(cur)
     return cur, report, exact_delta, band_delta

@@ -116,9 +116,11 @@ def test_curate_increment_against_history(spark):
     assert ids == {800003, 800004}
     assert report.stages["exact_vs_store"] < report.stages["exact_dedup"]
     assert report.stages["near_vs_store"] < report.stages["exact_vs_store"]
-    # append deltas -> replaying the SAME increment drops everything
-    new_exact = h_exact.unionByName(d_exact)
-    new_bands = h_bands.unionByName(d_bands)
+    # append deltas -> replaying the SAME increment drops everything.
+    # localCheckpoint stands in for the store write+read a deployment
+    # does: the deltas otherwise carry the whole pipeline's lineage.
+    new_exact = h_exact.unionByName(d_exact.localCheckpoint())
+    new_bands = h_bands.unionByName(d_bands.localCheckpoint())
     replay, rep2, _, _ = curate_increment(
         increment, exact_store=new_exact, band_store=new_bands
     )
