@@ -828,3 +828,50 @@ def normalize_unicode(text_col: str = "text", form: str = "NFKC") -> Column:
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return _norm(c)
+
+
+# Order matters: "&amp;" decodes LAST so "&amp;lt;" yields the literal
+# "&lt;" (one decode pass, never two).
+_MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+_MARKUP_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?is)<!--.*?-->",
+    r"(?is)</?[a-z!][^>]*>",
+)
+
+
+def strip_markup(text_col: str = "text") -> Column:
+    """HTML/markup removal — the web-text extraction step of a crawl
+    pipeline: script/style blocks and comments die with their content,
+    tags become whitespace (so ``a<br>b`` keeps its word boundary),
+    common entities decode once, whitespace collapses.
+
+    Pure JVM regexp chain, scan-level; patterns live in the
+    Java-regex/RE2 common subset so :func:`sql_strip_markup` is the
+    exact DuckDB twin.  A conservative extractor, not a parser — the
+    goal is training-text hygiene, not DOM fidelity."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat in _MARKUP_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    for ent, ch in _MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def sql_strip_markup(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`strip_markup` (same patterns, same order)."""
+    c = text_expr
+    for pat in _MARKUP_PATTERNS:
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    for ent, ch in _MARKUP_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"

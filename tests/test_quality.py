@@ -523,3 +523,44 @@ def test_char_lm_matches_duckdb_oracle(spark, duck):
         g_ng, g_bpc = got[did]
         assert g_ng == ng, (did, g_ng, ng)
         assert abs(g_bpc - bpc) < 1e-9, (did, g_bpc, bpc)
+
+
+def test_strip_markup_literal_and_twin(spark, duck):
+    from parquet_to_postgres_spark.llm.text import (
+        sql_strip_markup,
+        strip_markup,
+    )
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "a<br>b<script>var x = '<p>';</script>c"),
+        (3, "<style type='text/css'>p {color: red}</style>text"),
+        (4, "5 &lt; 6 &amp;&amp; 7 &gt; 2, &amp;lt; stays"),
+        (5, "<!-- secret --><DIV CLASS='x'>shout</DIV>"),
+        (6, None),
+        (7, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", strip_markup("text").alias("t")).collect()
+    }
+    assert got[1] == "Hello world"
+    assert got[2] == "a b c"  # script content dies, tag keeps boundary
+    assert got[3] == "text"
+    assert got[4] == '5 < 6 && 7 > 2, &lt; stays'  # single decode pass
+    assert got[5] == "shout"  # comment + uppercase tags
+    assert got[6] is None
+    assert got[7] == "no markup at all"
+    # DuckDB twin parity on the same rows
+    duck.register(
+        "markup_rows",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = {
+        int(i): t
+        for i, t in duck.sql(
+            f"SELECT doc_id, {sql_strip_markup()} AS t FROM markup_rows"
+        ).fetchall()
+    }
+    assert got == want
