@@ -580,6 +580,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     salt: int = 0,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> dict:
     """Materialize a training dataset as ``n_shards`` deterministic
     hive-layout shards plus a row-count manifest — the final "freeze
@@ -599,7 +600,14 @@ def write_training_shards(
     storage scheme; counts come from ONE aggregate over the shard
     column, not a per-shard pass.
 
+    ``fmt`` selects the shard file format: ``parquet`` (default) or
+    ``jsonl`` (newline-delimited JSON — what most training loaders
+    stream; Spark's json writer IS jsonl).  The manifest and hive
+    layout are identical either way.
+
     Returns ``{shard: row_count, ..., "__total__": n}``."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if not 0 <= salt < 2**31:
@@ -613,9 +621,16 @@ def write_training_shards(
         F.lit(4294967296),
     )
     sharded = df.withColumn("shard", F.pmod(key, F.lit(n_shards)).cast("int"))
-    sharded.write.mode(mode).partitionBy("shard").parquet(path)
+    writer = sharded.write.mode(mode).partitionBy("shard")
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    if fmt == "jsonl":
+        writer.json(path)
+        written = spark.read.schema(sharded.schema).json(
+            path, pathGlobFilter="part-*"
+        )
+    else:
+        writer.parquet(path)
+        written = spark.read.parquet(path)
     counts = {
         int(r["shard"]): int(r["n"])
         for r in written.groupBy("shard")

@@ -69,9 +69,15 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     n_shards: int = 8,
     salt: int = 0,
+    markup: bool = False,
+    shard_format: str = "parquet",
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline; see module docstring.
 
+    - ``markup=True`` prepends HTML/markup stripping to normalization
+      (crawled web text).
+    - ``shard_format`` is passed to ``write_training_shards``
+      (``parquet`` or ``jsonl``).
     - ``max_bpc=None`` skips the char-LM gate (it costs one extra
       model-train pass over the corpus).
     - ``eval_df=None`` skips decontamination.
@@ -89,6 +95,7 @@ def curate_corpus(
         normalize_unicode,
         score_char_lm,
         scrub_pii,
+        strip_markup,
         train_char_lm,
     )
 
@@ -115,7 +122,9 @@ def curate_corpus(
 
     cur = record("input", df)
 
-    # 1. normalize: NFKC -> PII scrub -> case/whitespace canonical form
+    # 1. normalize: [markup strip ->] NFKC -> PII scrub -> case/ws form
+    if markup:
+        cur = cur.withColumn(text_col, strip_markup(text_col))
     cur = record(
         "normalized",
         cur.withColumn(text_col, normalize_unicode(text_col))
@@ -216,6 +225,7 @@ def curate_corpus(
                 n_shards=n_shards,
                 id_col=id_col,
                 salt=salt,
+                fmt=shard_format,
             )
         report.manifest = manifest
     report._persisted.append(cur)

@@ -127,3 +127,36 @@ def test_curate_increment_against_history(spark):
     assert replay.count() == 0
     report.release()
     rep2.release()
+
+
+def test_curate_markup_and_jsonl_export(spark):
+    """markup=True strips tags before normalization; shard_format=jsonl
+    lands newline-JSON shards with an agreeing manifest."""
+    import glob
+    import json as _json
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"<p>doc {i} body words here enough tokens to pass</p>")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cur, rep = curate_corpus(
+            docs,
+            out_path=d,
+            markup=True,
+            shard_format="jsonl",
+            splits={"train": 1.0},
+            n_shards=2,
+        )
+        texts = [r["text"] for r in cur.collect()]
+        assert texts and all("<" not in t for t in texts)
+        f = sorted(glob.glob(f"{d}/train/shard=*/part-*"))[0]
+        with open(f) as fh:
+            row = _json.loads(fh.readline())
+        assert "<p>" not in row["text"]
+        assert rep.manifest["train"]["__total__"] == cur.count()
+        rep.release()
