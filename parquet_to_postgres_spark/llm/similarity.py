@@ -80,7 +80,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+        _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -123,7 +123,7 @@ def two_stage_topk(
             "pid",
             "query_id",
             "neighbor_id",
-            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+            _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias("score"),
         )
     )
     local_w = Window.partitionBy("query_id", "pid").orderBy(
@@ -181,11 +181,24 @@ def cosine_self_join(
     out = pairs.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        (dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-            "score"
-        ),
+        _cos(
+            dot(F.col("a.vec"), F.col("b.vec")),
+            F.col("a.nrm"),
+            F.col("b.nrm"),
+        ).alias("score"),
     )
     return out.where(F.col("score") >= threshold)
+
+
+
+def _cos(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the zero-norm guard EVERY float path shares: a
+    zero-length vector scores the -2.0 sentinel (below any real cosine)
+    instead of NaN.  The guard matters because Spark orders NaN GREATER
+    than any double — unguarded, one all-zero embedding would pass every
+    >= threshold filter and occupy rank 1 of every desc top-k (the
+    quantized path already used the same sentinel)."""
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(-2.0))
 
 
 def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 4) -> Column:
@@ -258,7 +271,7 @@ def ann_topk_lsh(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+        _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -299,10 +312,12 @@ def label_centroids(
     )
 
 
-def _centroid_arrays(vectors: DataFrame, by: str = "label") -> DataFrame:
+def _centroid_arrays(
+    vectors: DataFrame, by: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
     """(group, centroid array<double>) — pos-ordered, from label_centroids."""
     return (
-        label_centroids(vectors, by)
+        label_centroids(vectors, by, vec_col)
         .groupBy(by)
         .agg(
             F.transform(
@@ -359,7 +374,7 @@ def ann_topk_ivf(
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",
-        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+        _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -493,7 +508,7 @@ def ann_topk_quantized(
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias(
+            _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias(
                 "score"
             ),
         )
@@ -616,7 +631,7 @@ def ann_topk_all_methods(
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias(
+            _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias(
                 "score"
             ),
         )
@@ -655,7 +670,7 @@ def ann_topk_all_methods(
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias(
+            _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias(
                 "score"
             ),
         )
@@ -713,7 +728,7 @@ def ann_topk_all_methods(
         .select(
             "query_id",
             "neighbor_id",
-            (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias(
+            _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias(
                 "score"
             ),
         )
@@ -823,7 +838,7 @@ def ann_index_topk(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        (dot("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm"))).alias("score"),
+        _cos(dot("qvec", "cvec"), F.col("qnrm"), F.col("cnrm")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -970,10 +985,16 @@ def kmeans_lloyd(
     rounds are the only serial dimension.  This is exactly why k-means
     suits Spark and why each round must stay one stage + one shuffle.
     """
+    if init is None and "label" not in vectors.columns:
+        raise ValueError(
+            "kmeans_lloyd default init seeds from per-'label' centroids; "
+            "this frame has no 'label' column — pass init=(cell, "
+            "centroid) explicitly"
+        )
     cents = stable_checkpoint(
         init
         if init is not None
-        else _centroid_arrays(vectors, "label").select(
+        else _centroid_arrays(vectors, "label", vec_col).select(
             F.col("label").cast("int").alias("cell"), "centroid"
         )
     )
@@ -1290,6 +1311,11 @@ def pq_encode(
     per-id re-assembly — ``dim``-dim floats become ``m`` small ints
     (64 doubles → 8 bytes at m=8), the 64× footprint drop that lets a
     100 TB corpus's index fit hot."""
+    if dim % m:
+        # same contract as pq_train: silently flooring d would encode
+        # over a truncated subspace decomposition and bias every ADC
+        # distance (trailing dims dropped without a trace)
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
     sub = _subvectors(vectors, m, d, id_col, vec_col)
     best = (
@@ -1554,9 +1580,15 @@ def pq_index_topk(
     row-for-row given the same codebooks."""
     codebooks = spark.read.parquet(f"{path}/codebooks")
     shape = codebooks.agg(
-        (F.max("subspace") + 1).alias("m"), (F.max("code") + 1).alias("codes")
+        (F.max("subspace") + 1).alias("m"),
+        (F.max("code") + 1).alias("codes"),
+        F.max(F.size("centroid")).alias("d"),
     ).collect()[0]
     m, codes = int(shape["m"]), int(shape["codes"])
+    # dim comes from the STORE (m x centroid width), never the caller:
+    # a stale dim argument would slice query subvectors at the wrong
+    # width, NULL every ADC distance, and degrade silently.
+    dim = m * int(shape["d"])
     encoded = spark.read.parquet(f"{path}/codes")  # (id, codes)
     c_unit = corpus.select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")

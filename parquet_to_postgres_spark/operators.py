@@ -217,7 +217,11 @@ def profile_columns(
     100 TB default."""
     num_types = ("int", "bigint", "smallint", "tinyint", "double", "float")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
-    for name, dtype in df.dtypes:
+    # slot aliases are INDEX-based (nn_0, ad_0, ...): a profiler gets
+    # pointed at arbitrary external tables, and a column named
+    # "user id" or "price-usd" inside a generated alias/stack string
+    # would fail to parse (review finding)
+    for i, (name, dtype) in enumerate(df.dtypes):
         is_num = dtype in num_types or dtype.startswith("decimal")
         if decimal_mean and dtype in ("double", "float"):
             mean = F.sum(F.col(name).cast("decimal(18,2)")).cast(
@@ -233,16 +237,18 @@ def profile_columns(
             else F.approx_count_distinct(name, rsd=0.02)
         )
         aggs += [
-            F.count(name).alias(f"nn_{name}"),
-            distinct.alias(f"ad_{name}"),
-            F.min(name).cast("string").alias(f"mn_{name}"),
-            F.max(name).cast("string").alias(f"mx_{name}"),
-            mean.cast("double").alias(f"av_{name}"),
+            F.count(name).alias(f"nn_{i}"),
+            distinct.alias(f"ad_{i}"),
+            F.min(name).cast("string").alias(f"mn_{i}"),
+            F.max(name).cast("string").alias(f"mx_{i}"),
+            mean.cast("double").alias(f"av_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{name}', nn_{name}, ad_{name}, mn_{name}, mx_{name}, av_{name}"
-        for name, _ in df.dtypes
+        "'{}', nn_{i}, ad_{i}, mn_{i}, mx_{i}, av_{i}".format(
+            name.replace("'", "''"), i=i
+        )
+        for i, (name, _) in enumerate(df.dtypes)
     )
     return wide.selectExpr(
         "__rows as n_rows",
@@ -376,13 +382,17 @@ def sessionize(
 
     Gaps are measured in MICROSECONDS (``unix_micros``), not truncated
     whole seconds: ts 1.9s and 3.1s are a 1.2s gap, not 2s — matching
-    the streaming ``session_window`` twin at sub-second resolution."""
+    the streaming ``session_window`` twin at sub-second resolution.
+    The split predicate is ``gap >= gap_seconds``: session_window's
+    end-EXCLUSIVE [start, last+gap) means an event at exactly last+gap
+    starts a new session, and the batch operator must agree at the
+    boundary."""
     w = Window.partitionBy(key).orderBy(F.col(ts_col))
     # cast covers both real timestamps and epoch-seconds integer columns
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = ts_us - F.lag(ts_us).over(w)
     is_new = F.when(
-        gap.isNull() | (gap > int(gap_seconds * 1_000_000)), F.lit(1)
+        gap.isNull() | (gap >= int(gap_seconds * 1_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",

@@ -81,6 +81,7 @@ class EmbeddedPostgres:
 
     workdir: str
     _started: bool = field(default=False, init=False)
+    _chmodded: list = field(default_factory=list, init=False)
 
     @property
     def datadir(self) -> str:
@@ -122,12 +123,16 @@ class EmbeddedPostgres:
             for p in (self.workdir, self.datadir, self.sockdir):
                 os.chown(p, uid, -1)
             # the postgres user must be able to TRAVERSE every ancestor
-            # (pytest tmp dirs are 0700 root) — add o+x where we own it
+            # (pytest tmp dirs are 0700 root) — add o+x where we own it,
+            # RECORDING each change so stop() restores the original
+            # modes (leaving e.g. /root world-traversable after the
+            # tests would outlive the process — review finding)
             anc = os.path.dirname(os.path.abspath(self.workdir))
             while anc not in ("/", ""):
                 st = os.stat(anc)
                 if st.st_uid == 0 and not st.st_mode & stat.S_IXOTH:
                     os.chmod(anc, st.st_mode | stat.S_IXOTH)
+                    self._chmodded.append((anc, st.st_mode))
                 anc = os.path.dirname(anc)
         r = self._run([ "initdb", "-D", self.datadir, "--auth=trust", "-E", "UTF8"])
         if r.returncode != 0:
@@ -154,6 +159,13 @@ class EmbeddedPostgres:
         if self._started:
             self._run(["pg_ctl", "-D", self.datadir, "-m", "immediate", "stop"])
             self._started = False
+        # restore ancestor modes in reverse (deepest last changed first)
+        while self._chmodded:
+            path, mode = self._chmodded.pop()
+            try:
+                os.chmod(path, mode)
+            except OSError:
+                pass
 
     def psql(self, sql: str, tuples_only: bool = True) -> str:
         """Run one SQL script through psql; returns stdout, raises on error."""
@@ -307,9 +319,22 @@ class PostgresCopySink:
     table: str
     mode: str = "append"
     num_partitions: int = 4
+    # partition_tag=True makes per-TASK writes idempotent: rows carry a
+    # __part column (the task's partition id, stable across retries),
+    # and each task runs DELETE __part + COPY in ONE implicit psql
+    # transaction — a task retried after its COPY committed (executor
+    # loss after commit) replaces its own rows instead of doubling
+    # them.  write_batch stages with this on; the plain append path
+    # keeps the user's exact schema and therefore shares the same
+    # task-retry exposure as any plain INSERT/COPY appender (disable
+    # spark.speculation for it, and prefer write_batch for guarantees).
+    partition_tag: bool = False
 
     def write(self, df: DataFrame) -> str:
-        ddl = schema_to_pg_ddl(self.table, df.schema)
+        schema_df = (
+            df.withColumn("__part", F.lit(0)) if self.partition_tag else df
+        )
+        ddl = schema_to_pg_ddl(self.table, schema_df.schema)
         if self.mode == "overwrite":
             run_psql(self.conninfo, f"DROP TABLE IF EXISTS {self.table};")
         elif self.mode != "append":
@@ -317,20 +342,24 @@ class PostgresCopySink:
         run_psql(self.conninfo, ddl)
 
         prepared = prepare_for_copy(df)
-        col_list = ", ".join(prepared.columns)
         # range-partition on the first column: every COPY connection gets
         # an evenly sized, internally sorted slice (JdbcSink.prepare's
         # contract), and partition count == connection cap.
         prepared = prepared.repartitionByRange(
             self.num_partitions, prepared.columns[0]
         )
+        if self.partition_tag:
+            prepared = prepared.withColumn("__part", F.spark_partition_id())
+        col_list = ", ".join(prepared.columns)
         lines = prepared.select(
             F.to_csv(F.struct(*prepared.columns), _CSV_OPTS).alias("line")
         )
         conninfo, table = dict(self.conninfo), self.table
+        tagged = self.partition_tag
 
         def _copy_partition(batches):
             import pandas as pd
+            from pyspark import TaskContext
 
             n = 0
             chunks: list[str] = []
@@ -339,11 +368,19 @@ class PostgresCopySink:
                     n += len(pdf)
                     chunks.append("\n".join(pdf["line"]))
             if n:
-                run_psql(
-                    conninfo,
-                    f"COPY {table} ({col_list}) FROM STDIN (FORMAT CSV, NULL '')",
-                    stdin="\n".join(chunks) + "\n",
+                copy = (
+                    f"COPY {table} ({col_list}) "
+                    "FROM STDIN (FORMAT CSV, NULL '')"
                 )
+                if tagged:
+                    # one -c string = one implicit transaction: the
+                    # delete and the copy commit or roll back together
+                    pid = TaskContext.get().partitionId()
+                    copy = (
+                        f"DELETE FROM {table} WHERE __part = {pid}; "
+                        + copy
+                    )
+                run_psql(conninfo, copy, stdin="\n".join(chunks) + "\n")
             yield pd.DataFrame({"n": [n]})
 
         # the aggregate is the action that runs the COPY tasks; its value
@@ -393,6 +430,7 @@ class PostgresCopySink:
             table=self.stage_table,
             mode="overwrite",
             num_partitions=self.num_partitions,
+            partition_tag=True,
         )
         stage.write(df)
         cols = ", ".join(df.columns)

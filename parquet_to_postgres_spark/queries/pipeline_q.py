@@ -30,7 +30,7 @@ from .llm_q import _minhash_oracle
     WITH o AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                    OR date_diff('microsecond', LAG(ts) OVER w, ts) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -54,9 +54,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The operator is two stacked windows over the SAME key partitioning
     (one shuffle, parallel across keys, no global window); gaps are
     measured at microsecond resolution.  The oracle is the
-    gaps-and-islands SQL twin; the split predicate is strictly
-    ``gap > 1800s``, the complement of the streaming session_window's
-    end-exclusive ``>=`` merge rule applied to session interiors."""
+    gaps-and-islands SQL twin; the split predicate is ``gap >= 1800s``,
+    agreeing with the streaming session_window's end-exclusive
+    [start, last+gap) rule at the exact boundary."""
     t = Catalog(spark, sf_dir)
     sess = sessionize(t.events, key="user_id", ts_col="ts", gap_seconds=1800)
     return sess.groupBy("user_id", "session_id").agg(

@@ -99,7 +99,15 @@ def run_stream_to_df(
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", prev_provider
         )
-    return spark.table(name)
+    # Copy the sink's rows out and DROP the memory table: every sink
+    # pins its full result set in driver memory for the session
+    # lifetime otherwise, and the fresh name per call makes the leak
+    # monotonic across a long test session (review finding).  The
+    # harness is bounded-data by construction, so the collect is small.
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 # ------------------------------------------------------------------ T1 ----
@@ -233,6 +241,8 @@ def _user_totals_fn(key, pdfs, state: GroupState):
         # oracle); pandas .round() is half-to-even and would diverge on
         # exact .5 ties if value ever carried more than 2 decimals.
         v = pdf["value"].to_numpy()
+        v = v[~np.isnan(v)]  # NULL values: SQL sum() skips them; an
+        # unmasked NaN.astype(int64) is undefined (INT64_MIN garbage)
         cents += int(
             (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64").sum()
         )
@@ -286,6 +296,7 @@ class _UserTotalsProcessor(StatefulProcessor):
             n += len(pdf)
             # Half-away-from-zero (matches SQL round(); see _user_totals_fn)
             v = pdf["value"].to_numpy()
+            v = v[~np.isnan(v)]  # see _user_totals_fn: SQL sum() skips NULLs
             cents += int(
                 (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
                 .astype("int64")

@@ -258,3 +258,26 @@ def test_copy_sink_exactly_once_batches_and_stream(spark, pgsrv):
     assert int(
         pgsrv.psql("SELECT count(*) FROM events_x1;").strip()
     ) == ev.count()
+
+
+def test_partition_tagged_copy_is_task_retry_idempotent(spark, pgsrv):
+    """The staged COPY path deletes its own partition's rows before
+    copying inside one transaction, so a re-executed task (the
+    executor-lost-after-commit retry) replaces rather than duplicates.
+    Simulated here by re-running the whole tagged write into the same
+    table: every task is a 'retry' and the row count must not move."""
+    from parquet_to_postgres_spark.pg import PostgresCopySink, run_psql
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    sink = PostgresCopySink(
+        conninfo=pgsrv.conninfo(),
+        table="retry_tagged",
+        mode="append",
+        num_partitions=3,
+        partition_tag=True,
+    )
+    sink.write(docs)
+    first = int(run_psql(pgsrv.conninfo(), "SELECT count(*) FROM retry_tagged;"))
+    sink.write(docs)  # every task re-runs: delete-own-partition + copy
+    second = int(run_psql(pgsrv.conninfo(), "SELECT count(*) FROM retry_tagged;"))
+    assert first == docs.count() == second

@@ -564,3 +564,20 @@ def test_strip_markup_literal_and_twin(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_profile_columns_handles_exotic_column_names(spark):
+    """Review finding: generated stack/alias SQL broke on any column
+    that is not a bare identifier — exactly the names external tables
+    arrive with."""
+    from parquet_to_postgres_spark.operators import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y")],
+        ["user id", "price-usd", "it's"],
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"user id", "price-usd", "it's"}
+    assert prof["user id"]["n_non_null"] == 2
+    assert prof["price-usd"]["n_null"] == 1
+    assert prof["price-usd"]["mean"] == 2.5
