@@ -11,6 +11,9 @@ Env:
     BENCH_REPEAT        timed repeats per query (default 2; min reported
                         for <=2 repeats, median for 3+)
     BENCH_E2E           "0" skips the E2E ETL measurement (default on)
+    BENCH_COMPOSITE     "1" adds the 9-stage curate_corpus composite
+                        (wall + per-stage funnel) to the JSON (default
+                        off so the 50-query budget is unchanged)
 
 Each query is forced to full materialization with a ``noop`` sink write —
 every partition is computed and serialized, nothing is collected to the
@@ -136,6 +139,38 @@ def run_e2e_etl(spark, sf_dir: str) -> dict:
         return {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
 
+def run_composite(spark, sf_dir: str) -> dict:
+    """The flagship user journey as ONE tracked number (VERDICT r7
+    item 5): curate_corpus over the documents table — normalize → rule
+    gate → char-LM gate → span dedup → exact dedup → MinHash near-dedup
+    → split assignment → sharded export — wall-clock plus the per-stage
+    funnel, so a regression in any stage is driver-visible instead of
+    living only in BASELINE.md prose."""
+    import tempfile
+
+    try:
+        from parquet_to_postgres_spark.llm.pipeline import curate_corpus
+        from parquet_to_postgres_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.perf_counter()
+            cur, report = curate_corpus(docs, out_path=d, max_bpc=8.0)
+            sec = time.perf_counter() - t0
+        out = {
+            "sec": round(sec, 3),
+            "stages": dict(report.stages),
+            # manifest is per-split: {"train": {..., "__total__": n}, ...}
+            "shards_total": sum(
+                m["__total__"] for m in (report.manifest or {}).values()
+            ),
+        }
+        report.release()
+        return out
+    except Exception as exc:  # noqa: BLE001 — never fail the whole bench
+        return {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
@@ -197,6 +232,14 @@ def main() -> int:
     }
     if os.environ.get("BENCH_E2E", "1") != "0":
         result["e2e_etl"] = run_e2e_etl(spark, sf_dir)
+    # Which engine etl_pg_roundtrip actually exercised this run (a green
+    # gate row on "parquet-fallback" does NOT certify the COPY wire).
+    from parquet_to_postgres_spark.queries import etl_q
+
+    if etl_q.PG_ROUNDTRIP_SINK is not None:
+        result["pg_roundtrip_sink"] = etl_q.PG_ROUNDTRIP_SINK
+    if os.environ.get("BENCH_COMPOSITE", "0") == "1":
+        result["composite"] = run_composite(spark, sf_dir)
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

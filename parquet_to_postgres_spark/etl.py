@@ -603,11 +603,31 @@ def write_training_shards(
     ``fmt`` selects the shard file format: ``parquet`` (default) or
     ``jsonl`` (newline-delimited JSON — what most training loaders
     stream; Spark's json writer IS jsonl).  The manifest and hive
-    layout are identical either way.
+    layout are identical either way.  JSON cannot represent every
+    Spark type losslessly: ``binary`` columns are REJECTED up front
+    (base64-in, null-out on read-back — silent data loss), and two
+    restrictions are inherent to the format and documented rather than
+    rejected: NaN/Infinity doubles round-trip as nulls, and timestamps
+    keep only millisecond precision (sub-ms digits are truncated).
+    Use ``fmt='parquet'`` when any of those matter — the manifest row
+    counts match either way, so counts alone cannot certify fidelity.
 
     Returns ``{shard: row_count, ..., "__total__": n}``."""
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
+    if fmt == "jsonl":
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if "binary" in f.dataType.simpleString()
+        ]
+        if bad:
+            raise ValueError(
+                "fmt='jsonl' cannot round-trip binary columns "
+                f"{bad}: Spark writes them base64 but reads them back "
+                "as null against a binary schema. Drop/encode them or "
+                "use fmt='parquet'."
+            )
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if not 0 <= salt < 2**31:

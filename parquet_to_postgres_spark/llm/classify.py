@@ -450,16 +450,31 @@ def score_importance(
     )
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _reduced_id(df: DataFrame, id_col: str) -> Column:
+    """The id reduced into [0, 2^31) for the salted Knuth pipeline.
+
+    Integral ids keep the direct ``pmod(id, 2^31)`` reduction (stable
+    across rounds — existing sample pins depend on it).  Any other type
+    (string doc ids, uuids...) goes through ``xxhash64`` first: without
+    this, ``pmod(string, N)`` is NULL (or an ANSI cast error) and
+    Gumbel-top-k silently degenerates to ordering by the raw weight
+    (driver ADVICE r7 finding)."""
+    if dict(df.dtypes).get(id_col) in _INTEGRAL_TYPES:
+        return F.pmod(F.col(id_col), F.lit(_M31))
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(_M31))
+
+
 # salt bound keeping (pmod + salt) * KNUTH below 2^63 is enforced by the
 # mod-2^31 reduction, same discipline as operators.hash_sample.
-def _gumbel(id_col: str, salt: int) -> Column:
+def _gumbel(reduced_id: Column, salt: int) -> Column:
     """Deterministic Gumbel(0,1) noise from the salted Knuth hash of the
-    id: u = (bucket + 0.5) / 2^32 in (0,1), g = -ln(-ln(u))."""
+    reduced id (see :func:`_reduced_id`): u = (bucket + 0.5) / 2^32 in
+    (0,1), g = -ln(-ln(u))."""
     bucket = F.pmod(
-        F.pmod(
-            F.pmod(F.col(id_col), F.lit(_M31)) + F.lit(salt), F.lit(_M31)
-        )
-        * F.lit(_KNUTH),
+        F.pmod(reduced_id + F.lit(salt), F.lit(_M31)) * F.lit(_KNUTH),
         F.lit(_M32),
     )
     u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(_M32))
@@ -489,8 +504,8 @@ def importance_resample(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     if not 0 <= salt < _M31:
         raise ValueError(f"salt must be in [0, 2^31), got {salt}")
-    key = (
-        F.col(weight_col) / F.lit(float(temperature)) + _gumbel(id_col, salt)
+    key = F.col(weight_col) / F.lit(float(temperature)) + _gumbel(
+        _reduced_id(scored, id_col), salt
     )
     return scored.orderBy(key.desc(), F.col(id_col)).limit(k)
 
@@ -519,8 +534,8 @@ def importance_resample_by(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     if not 0 <= salt < _M31:
         raise ValueError(f"salt must be in [0, 2^31), got {salt}")
-    key = (
-        F.col(weight_col) / F.lit(float(temperature)) + _gumbel(id_col, salt)
+    key = F.col(weight_col) / F.lit(float(temperature)) + _gumbel(
+        _reduced_id(scored, id_col), salt
     )
     w = Window.partitionBy(strata_col).orderBy(key.desc(), F.col(id_col))
     return (

@@ -641,6 +641,7 @@ def dedup_repeated_spans(
     text_col: str = "text",
     min_count: int = 2,
     keep_first: bool = True,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """Exact-substring span dedup, word-granular (the "Deduplicating
     Training Data Makes Language Models Better" recipe): any ``n``-token
@@ -671,6 +672,17 @@ def dedup_repeated_spans(
     stage is a keyed equi-shuffle (gid, then (doc, pos), then doc) — no
     all-pairs anywhere.  The DuckDB twin
     (:func:`sql_dedup_repeated_spans`) reproduces the result hash-exactly.
+
+    Per-document memory bound: the rebuild collects each doc's surviving
+    tokens into ONE in-memory array (``collect_list`` + ``array_sort``
+    per ``__id`` group), so executor memory must hold the largest single
+    document ~3× over (pos/cov/tok structs) — fine for web-doc-sized
+    rows, but a pathological multi-GB single document would OOM its
+    reducer.  Pass ``max_doc_tokens`` (e.g. ``8_000_000`` ≈ a 50 MB doc)
+    to enforce the bound up front: one cheap scan-level aggregate, and a
+    ``ValueError`` naming the worst offender instead of a mid-job
+    executor death.  ``None`` (default) skips the extra pass — callers
+    that already know their doc-length distribution shouldn't pay it.
     """
     from .text import word_ngrams
 
@@ -679,6 +691,27 @@ def dedup_repeated_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks = F.split(F.col(text_col), " ")
+    if max_doc_tokens is not None:
+        if max_doc_tokens < n:
+            raise ValueError(
+                f"max_doc_tokens must be >= n ({n}), got {max_doc_tokens}"
+            )
+        worst = (
+            df.select(
+                F.col(id_col).alias("__id"), F.size(toks).alias("__nt")
+            )
+            .orderBy(F.col("__nt").desc(), "__id")
+            .limit(1)
+            .collect()
+        )
+        if worst and worst[0]["__nt"] > max_doc_tokens:
+            raise ValueError(
+                f"dedup_repeated_spans: document {worst[0]['__id']!r} has "
+                f"{worst[0]['__nt']} tokens > max_doc_tokens="
+                f"{max_doc_tokens}; the per-doc rebuild would hold it in "
+                "one executor's memory. Split oversized documents first "
+                "(e.g. udfs.chunk_documents_udtf) or raise the bound."
+            )
     occ = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(word_ngrams(F.col(text_col), n)).alias("start", "gram"),

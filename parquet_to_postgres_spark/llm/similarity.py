@@ -66,7 +66,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: broadcast the query set, score the full corpus, global
     rank per query.  Correct but the final window shuffles every score to
-    one partition per query — the baseline, not the scale path."""
+    one partition per query — the baseline, not the scale path.
+
+    Zero-norm vectors (corpus or query side) never appear in the output:
+    their pairs carry the :data:`ZERO_NORM_SENTINEL` score and are
+    dropped before the rank window (same contract in every top-k path
+    here)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -86,7 +91,8 @@ def brute_force_topk(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        _drop_zero_norm(scored)
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
@@ -104,7 +110,9 @@ def two_stage_topk(
     window spreads over P×Q partitions with no skew, and only k rows per
     (query, partition) survive.  Stage 2 ranks the ≤ k·P survivors.
     Results are identical to :func:`brute_force_topk` (local top-k is a
-    superset of the global top-k restricted to that partition).
+    superset of the global top-k restricted to that partition), including
+    the zero-norm contract: sentinel-scored pairs are dropped before
+    stage 1.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -130,7 +138,8 @@ def two_stage_topk(
         F.col("score").desc(), F.col("neighbor_id")
     )
     survivors = (
-        scored.withColumn("lrank", F.row_number().over(local_w))
+        _drop_zero_norm(scored)
+        .withColumn("lrank", F.row_number().over(local_w))
         .where(F.col("lrank") <= k)
         .drop("lrank", "pid")
     )
@@ -198,7 +207,25 @@ def _cos(d: Column, na: Column, nb: Column) -> Column:
     than any double — unguarded, one all-zero embedding would pass every
     >= threshold filter and occupy rank 1 of every desc top-k (the
     quantized path already used the same sentinel)."""
-    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(-2.0))
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(
+        F.lit(ZERO_NORM_SENTINEL)
+    )
+
+
+ZERO_NORM_SENTINEL = -2.0
+"""Score assigned by :func:`_cos` to any pair involving a zero-norm
+vector (cosine undefined).  Threshold paths drop it arithmetically
+(every real threshold exceeds -2); top-k paths drop it explicitly via
+:func:`_drop_zero_norm` so no emitted row ever carries a score a
+consumer could mistake for a real cosine (driver ADVICE r7)."""
+
+
+def _drop_zero_norm(scored: DataFrame) -> DataFrame:
+    """Remove sentinel-scored rows before a rank window — a scan-level
+    predicate (no-op on corpora without zero vectors).  A query whose
+    OWN vector is zero-norm thus returns no rows at all, which is the
+    honest answer: it has no nearest neighbors under cosine."""
+    return scored.where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
 
 
 def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 4) -> Column:
@@ -276,7 +303,7 @@ def ann_topk_lsh(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    return _drop_zero_norm(scored).withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
 
@@ -379,7 +406,7 @@ def ann_topk_ivf(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    return _drop_zero_norm(scored).withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
 
@@ -516,9 +543,9 @@ def ann_topk_quantized(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return rescored.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= k
-    )
+    return _drop_zero_norm(rescored).withColumn(
+        "rank", F.row_number().over(w2)
+    ).where(F.col("rank") <= k)
 
 
 def _ann_prep(
@@ -635,6 +662,7 @@ def ann_topk_all_methods(
                 "score"
             ),
         )
+        .where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
@@ -674,6 +702,7 @@ def ann_topk_all_methods(
                 "score"
             ),
         )
+        .where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
@@ -732,6 +761,7 @@ def ann_topk_all_methods(
                 "score"
             ),
         )
+        .where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
@@ -843,7 +873,7 @@ def ann_index_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    return _drop_zero_norm(scored).withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
 
@@ -1367,7 +1397,11 @@ def ann_topk_pq(
 
     Output schema matches the other families: (query_id, neighbor_id,
     score=exact cosine, rank ≤ k).  Recall floors are pinned in
-    tests/test_ann_recall.py.
+    tests/test_ann_recall.py.  Zero-norm vectors normalize to the zero
+    vector (see :func:`_unit`), so here they score a true 0.0 against
+    everything rather than the float families' dropped
+    :data:`ZERO_NORM_SENTINEL` — rankable, never mistaken for a real
+    high similarity.
 
     Long-lived sessions: pass ``handle_out=[]`` to receive an
     :class:`AnnPrepHandle` covering the checkpoint blocks the training

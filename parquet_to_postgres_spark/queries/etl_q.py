@@ -24,6 +24,13 @@ from ._util import sql_dsum
 
 _SCRATCH = os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
 
+# Which engine the last etl_pg_roundtrip build actually exercised:
+# "postgres-copy" (live server on the wire) or "parquet-fallback" (no
+# postgres toolchain on this box).  bench.py surfaces it in the JSON so
+# a green gate row can't be misread as certifying the COPY path on a
+# box where it silently wasn't (VERDICT r7 item 4).
+PG_ROUNDTRIP_SINK: str | None = None
+
 
 def _scratch(name: str) -> str:
     path = os.path.abspath(os.path.join(_SCRATCH, name))
@@ -280,8 +287,10 @@ def etl_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pg import PostgresCopySink, read_back, shared_postgres
 
+    global PG_ROUNDTRIP_SINK
     pg = shared_postgres()
     if pg is not None:
+        PG_ROUNDTRIP_SINK = "postgres-copy"
         PostgresCopySink(
             pg.conninfo(), "lineitem_rt", mode="overwrite", num_partitions=8
         ).write(src)
@@ -297,6 +306,18 @@ def etl_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_partitions=8,
         )
     else:
+        # LOUD fallback (VERDICT r7 item 4): a green gate row on this
+        # path certifies the aggregation, NOT the Postgres COPY wire.
+        PG_ROUNDTRIP_SINK = "parquet-fallback"
+        import warnings
+
+        warnings.warn(
+            "etl_pg_roundtrip: no postgres toolchain on this box — "
+            "falling back to a Parquet roundtrip. The live-Postgres "
+            "COPY wire is NOT being exercised.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         path = _scratch("etl/lineitem_pg_fallback")
         src.write.mode("overwrite").parquet(path)
         back = spark.read.parquet(path)

@@ -178,19 +178,27 @@ def interval_overlap_join(
     overlap guarantees lies in both intervals.  Explode factor is
     ``len/bin_width + 1`` per side, so pick ``bin_width`` near the
     typical interval length; both the dedup predicate and the residual
-    overlap check are scan-level.  Requires ``start <= end`` and
-    non-negative integer units (days, seconds, IP octets...).
+    overlap check are scan-level.  Requires ``start <= end``; endpoints
+    may be ANY int64 (negative epochs, pre-1970 days, signed offsets):
+    binning uses exact integer floor division — ``(x − pmod(x, w))
+    div w`` — which rounds toward −∞ for negatives and never routes
+    through a double (``F.floor(x / w)`` would lose exactness above
+    2^53, silently mis-binning e.g. nanosecond epochs).
     """
-    w = F.lit(bin_width)
+    wi = int(bin_width)
+    if wi < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+
+    def floor_div(expr: str) -> F.Column:
+        # exact int64 floor division: pmod(x, w) is the non-negative
+        # remainder, so (x - pmod(x, w)) is exactly w*floor(x/w) and
+        # `div` (integer division of an exact multiple) cannot round
+        return F.expr(f"(({expr}) - pmod(({expr}), {wi})) div {wi}")
 
     def explode_bins(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(
             "__bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(s) / w), F.floor(F.col(e) / w)
-                )
-            ),
+            F.explode(F.sequence(floor_div(f"`{s}`"), floor_div(f"`{e}`"))),
         )
 
     lb = explode_bins(left, l_start, l_end)
@@ -202,7 +210,7 @@ def interval_overlap_join(
             & (F.col(r_start) <= F.col(l_end))
             & (
                 F.col("__bin")
-                == F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w)
+                == floor_div(f"greatest(`{l_start}`, `{r_start}`)")
             )
         )
         .drop("__bin")

@@ -42,6 +42,12 @@ from pyspark.sql.types import (
 
 _SINK_IDS = itertools.count()
 
+# run_stream_to_df is a bounded test harness (it collects the memory
+# sink to the driver); this cap turns an accidental large-stream misuse
+# into a fast, explicit error instead of a driver OOM.  5M rows of the
+# widest harness schema is well under a gigabyte.
+MAX_MEMORY_SINK_ROWS = 5_000_000
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (schema from the batch
@@ -103,10 +109,20 @@ def run_stream_to_df(
     # pins its full result set in driver memory for the session
     # lifetime otherwise, and the fresh name per call makes the leak
     # monotonic across a long test session (review finding).  The
-    # harness is bounded-data by construction, so the collect is small.
+    # harness is bounded-data by construction, so the collect is small —
+    # and the bound is ENFORCED (driver ADVICE r7): the collect reads at
+    # most max_rows+1 rows, so a misuse on an unbounded-ish stream fails
+    # fast with a clear error instead of OOMing the driver mid-collect.
     sink = spark.table(name)
-    rows, schema = sink.collect(), sink.schema
+    rows, schema = sink.limit(MAX_MEMORY_SINK_ROWS + 1).collect(), sink.schema
     spark.catalog.dropTempView(name)
+    if len(rows) > MAX_MEMORY_SINK_ROWS:
+        raise RuntimeError(
+            f"run_stream_to_df: memory sink exceeded {MAX_MEMORY_SINK_ROWS} "
+            "rows — this helper is a bounded TEST harness that collects "
+            "the result to the driver. Route large streams through "
+            "run_stream_to_sink (foreachBatch into a real sink) instead."
+        )
     return spark.createDataFrame(rows, schema)
 
 

@@ -45,3 +45,51 @@ def test_bench_clean_run_exits_zero(spark, monkeypatch, capsys):
     d = json.loads(line)
     assert rc == 0 and "errors" not in d
     assert set(d["queries"]) == {"top_k_global"}
+
+
+def test_bench_records_pg_roundtrip_sink_marker(spark, monkeypatch, capsys):
+    """A green etl_pg_roundtrip row must say WHICH engine it exercised:
+    'postgres-copy' (live server) or 'parquet-fallback' (no toolchain) —
+    the silent-fallback finding from VERDICT r7 item 4."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", SF_SMOKE)
+    monkeypatch.setenv("BENCH_QUERIES", "etl_pg_roundtrip")
+    monkeypatch.setenv("BENCH_E2E", "0")
+    rc = bench.main()
+    line = [
+        ln for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    d = json.loads(line)
+    assert rc == 0
+    assert d["pg_roundtrip_sink"] in ("postgres-copy", "parquet-fallback")
+    from parquet_to_postgres_spark.pg import postgres_available
+
+    want = "postgres-copy" if postgres_available() else "parquet-fallback"
+    assert d["pg_roundtrip_sink"] == want
+
+
+def test_bench_composite_block(spark, monkeypatch, capsys):
+    """BENCH_COMPOSITE=1 adds the curate_corpus funnel: wall-clock, the
+    ordered per-stage counts (monotone non-increasing after 'input'),
+    and the shard-manifest total (VERDICT r7 item 5)."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", SF_SMOKE)
+    monkeypatch.setenv("BENCH_QUERIES", "top_k_global")
+    monkeypatch.setenv("BENCH_E2E", "0")
+    monkeypatch.setenv("BENCH_COMPOSITE", "1")
+    rc = bench.main()
+    line = [
+        ln for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    d = json.loads(line)
+    assert rc == 0
+    comp = d["composite"]
+    assert comp["sec"] > 0
+    counts = list(comp["stages"].values())
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts[1:], counts[2:]))
+    assert comp["shards_total"] == counts[-1]

@@ -16,6 +16,7 @@ from parquet_to_postgres_spark.llm.classify import (
     hashed_ngram_profile,
     importance_log_ratios,
     importance_resample,
+    importance_resample_by,
     score_importance,
     score_quality,
     score_quality_pandas,
@@ -240,6 +241,47 @@ def test_resample_deterministic_temperature_and_salt(spark):
     assert hot1 != hot2
     # k >= n keeps everything
     assert importance_resample(scored, 100).count() == 50
+
+
+def test_resample_string_ids_get_real_gumbel_noise(spark):
+    """String doc ids must hash through xxhash64, not degenerate: with a
+    numeric-only pmod the key is NULL for every row and hot-temperature
+    resampling silently turns into ordering by id (driver ADVICE r7)."""
+    scored = spark.createDataFrame(
+        [(f"doc-{i:03d}", float(-i)) for i in range(50)],
+        "doc_id string, logw double",
+    )
+    a = [r["doc_id"] for r in importance_resample(scored, 10, salt=1).collect()]
+    b = [r["doc_id"] for r in importance_resample(scored, 10, salt=1).collect()]
+    assert a == b and len(a) == 10
+    # cold: pure top-k by weight regardless of id type
+    cold = {
+        r["doc_id"]
+        for r in importance_resample(scored, 10, temperature=1e-9).collect()
+    }
+    assert cold == {f"doc-{i:03d}" for i in range(10)}
+    # hot: the selection must be noise-driven — different salts pick
+    # different sets, and NOT the first-10-by-id degenerate ordering
+    hot1 = {
+        r["doc_id"]
+        for r in importance_resample(
+            scored, 10, temperature=1e9, salt=1
+        ).collect()
+    }
+    hot2 = {
+        r["doc_id"]
+        for r in importance_resample(
+            scored, 10, temperature=1e9, salt=2
+        ).collect()
+    }
+    assert hot1 != hot2
+    assert hot1 != {f"doc-{i:03d}" for i in range(10)}
+    # per-stratum variant shares the same generic-id path
+    strat = scored.withColumn("src", F.expr("length(doc_id) % 2"))
+    by1 = importance_resample_by(
+        strat, "src", 5, temperature=1e9, salt=1
+    ).count()
+    assert by1 == 5  # one stratum here; k rows from it
 
 
 def test_classify_guards(spark):

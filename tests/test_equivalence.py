@@ -38,6 +38,57 @@ def test_two_stage_topk_equals_brute_force(spark):
     assert a == b
 
 
+def test_topk_paths_never_emit_zero_norm_sentinel(spark):
+    """Zero-norm vectors have no defined cosine: every top-k family must
+    drop their sentinel-scored pairs before ranking, never emit a row a
+    consumer could read as score=-2.0 (driver ADVICE r7).  A zero-norm
+    QUERY returns no rows at all; a zero-norm CORPUS vector never
+    appears as a neighbor."""
+    from parquet_to_postgres_spark.llm.similarity import (
+        ann_topk_ivf,
+        ann_topk_lsh,
+        ann_topk_quantized,
+        brute_force_topk,
+        two_stage_topk,
+    )
+
+    dim = 16
+    vecs = _random_vectors(spark, 60, dim=dim)
+    zero = spark.createDataFrame(
+        [(998, [0.0] * dim), (999, [0.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    # ivf's coarse quantizer is label-built; give every row a label
+    label = F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("label")
+    queries = (
+        vecs.where(F.col("vec_id") < 3)
+        .unionByName(zero.where(F.col("vec_id") == 999))
+        .select("vec_id", "embedding", label)
+    )
+    corpus = (
+        vecs.where(F.col("vec_id") >= 3)
+        .unionByName(zero.where(F.col("vec_id") == 998))
+        .select("vec_id", "embedding", label)
+        .repartition(4)
+    )
+    for fn in (
+        brute_force_topk,
+        two_stage_topk,
+        ann_topk_lsh,
+        ann_topk_ivf,
+        ann_topk_quantized,
+    ):
+        rows = fn(corpus, queries, k=5).collect()
+        assert rows, fn.__name__  # the real queries still get results
+        assert all(r["score"] > -2.0 for r in rows), fn.__name__
+        assert all(r["neighbor_id"] != 998 for r in rows), fn.__name__
+        assert all(r["query_id"] != 999 for r in rows), fn.__name__
+    # exactness is preserved on the surviving pairs
+    a = canon(brute_force_topk(corpus, queries, k=5).toPandas())
+    b = canon(two_stage_topk(corpus, queries, k=5).toPandas())
+    assert a == b
+
+
 def test_salted_agg_equals_plain_groupby(spark):
     from parquet_to_postgres_spark.operators import salted_agg
 
@@ -729,13 +780,22 @@ def test_interval_overlap_join_equals_naive_theta(spark):
     from parquet_to_postgres_spark.queries.joins_q import interval_overlap_join
 
     rng = random.Random(7)
-    lrows = [(i, s := rng.randrange(0, 200), s + rng.randrange(0, 40))
+    # spanning negative territory: pre-1970 epochs / signed offsets are
+    # first-class (exact integer floor division bins toward -inf;
+    # VERDICT r7 item 6)
+    lrows = [(i, s := rng.randrange(-200, 200), s + rng.randrange(0, 40))
              for i in range(60)]
-    rrows = [(j, s := rng.randrange(0, 200), s + rng.randrange(0, 40))
+    rrows = [(j, s := rng.randrange(-200, 200), s + rng.randrange(0, 40))
              for j in range(70)]
-    # hand-picked edges: touching, nested, zero-length, same start
-    lrows += [(100, 10, 10), (101, 0, 199), (102, 50, 60)]
-    rrows += [(200, 10, 10), (201, 60, 61), (202, 50, 55)]
+    # hand-picked edges: touching, nested, zero-length, same start,
+    # straddling zero, negative zero-length on a bin boundary, and
+    # magnitudes beyond 2^53 where double-based floor would mis-bin
+    big = 1 << 60
+    lrows += [(100, 10, 10), (101, 0, 199), (102, 50, 60),
+              (103, -25, 5), (104, -16, -16), (105, big, big + 20)]
+    rrows += [(200, 10, 10), (201, 60, 61), (202, 50, 55),
+              (203, -1, 0), (204, -17, -16), (205, big + 7, big + 9),
+              (206, big - 3, big)]
     l = spark.createDataFrame(lrows, "lid long, ls long, le long")
     r = spark.createDataFrame(rrows, "rid long, rs long, re long")
 

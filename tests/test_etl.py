@@ -745,3 +745,28 @@ def test_training_shards_jsonl_format(spark):
 
     with _pt.raises(ValueError, match="fmt must be"):
         write_training_shards(docs, "/tmp/x", fmt="csv")
+
+
+def test_training_shards_jsonl_rejects_binary_columns(spark):
+    """JSON writes binary as base64 but the schema'd read-back nulls it —
+    silent data loss the manifest row counts cannot catch, so binary
+    columns are rejected up front for fmt='jsonl' (driver ADVICE r7);
+    parquet takes them losslessly."""
+    import tempfile
+
+    import pytest as _pt
+
+    from parquet_to_postgres_spark.etl import write_training_shards
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01"))], "doc_id long, payload binary"
+    )
+    with _pt.raises(ValueError, match="binary"):
+        write_training_shards(df, "/tmp/never-written", fmt="jsonl")
+    nested = df.select("doc_id", F.struct("payload").alias("s"))
+    with _pt.raises(ValueError, match="binary"):
+        write_training_shards(nested, "/tmp/never-written", fmt="jsonl")
+    with tempfile.TemporaryDirectory() as d:
+        m = write_training_shards(df, d, n_shards=2, fmt="parquet")
+        assert m["__total__"] == 1
+        assert spark.read.parquet(d).collect()[0]["payload"] == b"\x00\x01"

@@ -117,3 +117,29 @@ def test_span_dedup_guards(spark):
         dedup_repeated_spans(df, n=1)
     with pytest.raises(ValueError):
         dedup_repeated_spans(df, min_count=1)
+
+
+def test_span_dedup_max_doc_tokens_guard(spark):
+    """The rebuild holds each doc's tokens in one executor's memory;
+    max_doc_tokens turns a would-be mid-job OOM into an up-front
+    ValueError naming the worst offender (VERDICT r7 item 7)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, " ".join(f"t{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    # bound below the worst doc: refused, offender named
+    with pytest.raises(ValueError, match=r"document 2 has 50 tokens"):
+        dedup_repeated_spans(df, n=3, max_doc_tokens=20)
+    # bound at/above the worst doc: identical to the unguarded run
+    guarded = {
+        r["doc_id"]: r["text"]
+        for r in dedup_repeated_spans(df, n=3, max_doc_tokens=50).collect()
+    }
+    plain = {
+        r["doc_id"]: r["text"]
+        for r in dedup_repeated_spans(df, n=3).collect()
+    }
+    assert guarded == plain
+    # nonsense bound rejected
+    with pytest.raises(ValueError, match="max_doc_tokens must be >= n"):
+        dedup_repeated_spans(df, n=3, max_doc_tokens=2)

@@ -235,3 +235,20 @@ def test_checkpoint_restart_processes_nothing_twice(spark):
         )
         ops.run_stream_to_sink(stream2, sink, f"{d}/ckpt")
         assert spark.read.parquet(f"{d}/out").count() == n1
+
+
+def test_run_stream_to_df_row_cap_guard(spark, monkeypatch):
+    """run_stream_to_df collects the memory sink to the driver — safe
+    only because the harness is bounded.  The cap makes a large-stream
+    misuse fail fast and loud instead of OOMing the driver (driver
+    ADVICE r7).  Verified by shrinking the cap below the fixture size."""
+    stream = ops.events_stream(spark, SF_SMOKE).select("event_id", "user_id")
+    monkeypatch.setattr(ops, "MAX_MEMORY_SINK_ROWS", 10)
+    with pytest.raises(RuntimeError, match="memory sink exceeded 10 rows"):
+        ops.run_stream_to_df(stream, "append")
+    # and the over-cap run must not leak its memory-sink temp view
+    assert not [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("stream_sink_")
+    ]
