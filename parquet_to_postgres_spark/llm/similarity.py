@@ -1039,11 +1039,24 @@ def kmeans_lloyd(
         scored = v.crossJoin(F.broadcast(cents)).select(
             "id", "vec", "cell", sq_dist("vec", "centroid").alias("dist")
         )
-        w = Window.partitionBy("id").orderBy("dist", "cell")
+        # argmin by (dist, cell) as a map-side-combinable min_by hash
+        # aggregate — same winner as the former row_number window
+        # (cell is unique per group: no ordering ties), but no sort of
+        # N·k rows per round (round-8 scale fix, twin of pq_train's)
         assigned = (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .drop("r")
+            scored.groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "vec", "dist"),
+                    F.struct("dist", "cell"),
+                ).alias("__b")
+            )
+            .select(
+                "id",
+                F.col("__b.vec").alias("vec"),
+                F.col("__b.cell").alias("cell"),
+                F.col("__b.dist").alias("dist"),
+            )
         )
         ex = assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
         new0 = ex.groupBy("cell", "pos").agg(
@@ -1090,14 +1103,22 @@ def kmeans_lloyd(
     # returned `cents` whenever the loop exits via max_iterations.
     # Recompute once against the final set so (assignments, centroids)
     # are mutually consistent: every point's cell IS its nearest
-    # returned centroid.  One extra broadcast-assign pass, no shuffle.
-    w = Window.partitionBy("id").orderBy("dist", "cell")
+    # returned centroid.  One extra broadcast-assign pass; the min_by
+    # aggregate shuffles only the per-id winner structs.
     assigned = (
         v.crossJoin(F.broadcast(cents))
         .select("id", "cell", sq_dist("vec", "centroid").alias("dist"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .drop("r")
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "dist"), F.struct("dist", "cell")
+            ).alias("__b")
+        )
+        .select(
+            "id",
+            F.col("__b.cell").alias("cell"),
+            F.col("__b.dist").alias("dist"),
+        )
     )
     out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
     return out, cents, iterations
@@ -1169,9 +1190,23 @@ def _unit(vec_col: Column | str) -> Column:
     ANSI mode, and a zero vector's cosine against anything is 0 anyway."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(
-        v,
-        lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0)),
+    # Bind the norm as a lambda variable (transform over a one-element
+    # array): higher-order-function lambdas are interpreted with no
+    # common-subexpression elimination, so referencing `n` directly in
+    # the per-element lambda re-runs the whole O(d) norm fold for EVERY
+    # element — O(d²) per row (the round-7 HOF lesson; measured as the
+    # dominant cost of the 128k-vector PQ encode before this fix).
+    return F.element_at(
+        F.transform(
+            F.array(n),
+            lambda nn: F.transform(
+                v,
+                lambda x: F.when(nn > 0, x.cast("double") / nn).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        ),
+        1,
     )
 
 
@@ -1218,6 +1253,47 @@ def _subspace_means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __v) with the vector expression evaluated exactly once per
+    row behind a Generate barrier (explode of a one-element array) —
+    CollapseProject cannot inline the caller's possibly-expensive vector
+    expression (``_unit``'s interpreted transform) into the m·codes·d
+    element_at references of the argmin forest.  Null vectors drop."""
+    v = F.col(vec_col)
+    return vectors.where(v.isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(F.array(v)).alias("__v")
+    )
+
+
+def _argmin_code_exprs(
+    cmap: dict, m: int, d: int, n_codes: int
+) -> "list[Column]":
+    """Per-subspace nearest-code expressions over the barrier column
+    ``__v``: scalar element_at + arithmetic trees (codegen'd, CSE'd —
+    never interpreted higher-order folds) with ``array_min`` over
+    ``(dist, code)`` structs for the argmin; ties go to the lower code.
+    Left-to-right + matches sq_dist's fold association, so the doubles
+    are bit-identical to scoring against the same centroids."""
+    bv = F.col("__v")
+    per_sub = []
+    for j in range(m):
+        elems = [
+            F.element_at(bv, j * d + t + 1).cast("double") for t in range(d)
+        ]
+        cand = []
+        for c in range(n_codes):
+            cent = cmap[(j, c)]
+            dist = None
+            for t in range(d):
+                term = (elems[t] - F.lit(float(cent[t]))) * (
+                    elems[t] - F.lit(float(cent[t]))
+                )
+                dist = term if dist is None else dist + term
+            cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
+        per_sub.append(F.array_min(F.array(*cand))["code"])
+    return per_sub
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 8,
@@ -1232,21 +1308,24 @@ def pq_train(
     ``m`` subspaces in ONE iterative job.
 
     The vector is split into ``m`` contiguous sub-vectors of ``dim/m``
-    dims; subspace ``j`` gets its own ``codes``-entry codebook.  Instead
-    of ``m`` separate Lloyd jobs, the (id, subspace, subvec) explosion
-    carries every subspace through a single loop whose assignment is an
-    equi-join on ``subspace`` against the broadcast codebook set
-    (``m × codes`` rows — tiny) and whose update is one
-    (subspace, code, pos)-grain fixed-point aggregate: per round exactly
-    one scan + one map-side-combinable shuffle, the same shape as
-    :func:`kmeans_lloyd` and the reason PQ training scales on Spark.
+    dims; subspace ``j`` gets its own ``codes``-entry codebook.  The
+    codebooks are a BOUNDED model (``m × codes`` rows), so each Lloyd
+    round collects them to the driver and embeds them as literals in a
+    scan-level argmin (:func:`_argmin_code_exprs` — whole-stage-codegen,
+    no join, no window): per round exactly one corpus scan + one
+    (subspace, code, pos)-grain map-side-combinable fixed-point mean.
+    (Round 8: the former broadcast-join + interpreted sq_dist fold
+    assignment cost ~98 s/4 rounds at 128k vectors; this form runs the
+    same rounds in ~12 s and its per-round reduce side stays m·codes·d
+    rows independent of N.)
 
     Deterministic throughout: init assigns ``pmod(xxhash64(id,
     subspace), codes)`` (no RNG), means are order-independent int64
-    fixed-point sums, ties break on code.  At 100 TB, train on a
-    :func:`~..operators.hash_sample` of the corpus — codebook quality
-    saturates long before the full pass — then encode everything with
-    :func:`pq_encode` (one linear pass).
+    fixed-point sums, ties break on code, and the driver round-trips
+    centroid doubles losslessly (Python float IS an IEEE double).  At
+    100 TB, train on a :func:`~..operators.hash_sample` of the corpus —
+    codebook quality saturates long before the full pass — then encode
+    everything with :func:`pq_encode` (one linear pass).
 
     Returns ``(subspace int, code int, centroid array<double>)``.
     """
@@ -1268,62 +1347,52 @@ def pq_train(
     # sorted cells), so one missing cell would shift every later
     # distance and break the scan.  Empty cells start at the origin; a
     # later Lloyd round may revive them, ties lose to the lower code.
-    grid = vectors.sparkSession.createDataFrame(
-        [(j, c) for j in range(m) for c in range(codes)],
-        "subspace int, code int",
-    )
-    origin = F.array(*[F.lit(0.0) for _ in range(d)])
-    cents = stable_checkpoint(
-        grid.join(init, ["subspace", "code"], "left").select(
-            "subspace",
-            "code",
-            F.coalesce("centroid", origin).alias("centroid"),
-        )
-    )
-    w = Window.partitionBy("id", "subspace").orderBy("dist", "code")
+    cmap = {(j, c): [0.0] * d for j in range(m) for c in range(codes)}
+    for r in init.collect():  # bounded: <= m·codes rows
+        cmap[(r["subspace"], r["code"])] = list(r["centroid"])
+    base = _pq_barrier(vectors, id_col, vec_col)
     for _ in range(max_iterations):
-        assigned = (
-            sub.join(F.broadcast(cents), "subspace")
-            .select(
-                "id",
-                "subspace",
-                "subvec",
-                "code",
-                sq_dist("subvec", "centroid").alias("dist"),
-            )
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
+        # Stage a: the argmin forest in a PLAIN codes-array projection —
+        # the exact shape pq_encode compiles (wrapping the forest inside
+        # an array-of-structs projection instead blows janino's method
+        # compiler on the ~30k-line generated class).  Stage b: explode
+        # cheap attribute references (element_at/slice on columns) into
+        # the (subspace, code, subvec) grain the mean update needs.
+        scored = base.select(
+            "id",
+            "__v",
+            F.array(*_argmin_code_exprs(cmap, m, d, codes)).alias(
+                "__codes"
+            ),
         )
-        new = _subspace_means(assigned)
-        merged = stable_checkpoint(
-            cents.select(
-                "subspace", "code", F.col("centroid").alias("old")
-            )
-            .join(new, ["subspace", "code"], "left")
-            .select(
-                "subspace",
-                "code",
-                F.coalesce("centroid", "old").alias("centroid"),
-                "old",
-            )
-        )
-        shift = merged.select(
-            F.max(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("centroid"),
-                        F.col("old"),
-                        lambda a, b: F.abs(a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: F.greatest(acc, x),
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    F.element_at(F.col("__codes"), j + 1).alias("code"),
+                    F.slice(F.col("__v"), j * d + 1, d).alias("subvec"),
                 )
-            ).alias("s")
-        ).collect()[0]["s"]
-        cents = merged.drop("old")
-        if shift is not None and shift < tol:
+                for j in range(m)
+            ]
+        )
+        assigned = scored.select("id", F.explode(parts).alias("p")).select(
+            "id", "p.subspace", "p.code", "p.subvec"
+        )
+        shift = 0.0
+        for r in _subspace_means(assigned).collect():  # <= m·codes rows
+            key = (r["subspace"], r["code"])
+            new_cent = list(r["centroid"])
+            shift = max(
+                shift,
+                max(abs(a - b) for a, b in zip(new_cent, cmap[key])),
+            )
+            cmap[key] = new_cent
+        if shift < tol:
             break
-    return cents
+    return vectors.sparkSession.createDataFrame(
+        [(j, c, cmap[(j, c)]) for j in range(m) for c in range(codes)],
+        "subspace int, code int, centroid array<double>",
+    )
 
 
 def pq_encode(
@@ -1336,34 +1405,70 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors to their PQ codes: ``(id, codes array<int>)``.
 
-    One equi-join of the exploded sub-vectors against the broadcast
-    codebooks, a per-(id, subspace) argmin (map-side combinable), and a
-    per-id re-assembly — ``dim``-dim floats become ``m`` small ints
-    (64 doubles → 8 bytes at m=8), the 64× footprint drop that lets a
-    100 TB corpus's index fit hot."""
+    ZERO-shuffle: the codebooks are a bounded model (``m × codes`` rows
+    — same collect discipline as every broadcast model here), so they
+    are embedded as literal arrays and the per-subspace argmin becomes
+    a pure scan expression (``array_min`` over ``(dist, code)`` structs
+    — min dist, ties to the lower code, exactly the former
+    join + min_by winner on the same IEEE fold).  Encode is the one
+    pass that must touch EVERY corpus vector at 100 TB; as a scan it
+    whole-stage-codegens with no exchange, no aggregate, no join
+    (round-8: the previous explode+join+min_by shape pushed N·m·codes
+    rows through two aggregates — 151 s at 128k vectors; this form
+    measured 2.6 s for the same encode, and the gap widens with N
+    since the scan is shuffle-free).  ``dim``-dim floats become ``m``
+    small ints (64 doubles →
+    8 bytes at m=8), the 64× footprint drop that lets a 100 TB
+    corpus's index fit hot.  Null vectors are dropped (no codes can be
+    assigned).  ``m`` is INFERRED from the codebooks (they define the
+    subspace decomposition); the parameter is kept for signature
+    stability but a disagreeing value is ignored."""
+    cb_rows = codebooks.collect()  # bounded: m·codes tiny rows
+    cb = {(r["subspace"], r["code"]): r["centroid"] for r in cb_rows}
+    # m is a property OF the codebooks — infer it rather than trusting
+    # the parameter (the former join-based encode silently joined only
+    # the subspaces the codebooks had, scoring d-length subvecs against
+    # differently-sized centroids when the caller's m disagreed with
+    # training's; pq_index_topk already infers from the store)
+    m = max(r["subspace"] for r in cb_rows) + 1
     if dim % m:
         # same contract as pq_train: silently flooring d would encode
         # over a truncated subspace decomposition and bias every ADC
         # distance (trailing dims dropped without a trace)
-        raise ValueError(f"dim={dim} not divisible by m={m}")
+        raise ValueError(f"dim={dim} not divisible by codebook m={m}")
     d = dim // m
-    sub = _subvectors(vectors, m, d, id_col, vec_col)
-    best = (
-        sub.join(F.broadcast(codebooks), "subspace")
-        .select(
-            "id",
-            "subspace",
-            "code",
-            sq_dist("subvec", "centroid").alias("dist"),
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    bad_len = [k for k, cent in cb.items() if len(cent) != d]
+    if bad_len:
+        raise ValueError(
+            f"codebook centroids at {bad_len[:4]} have length != dim/m={d}"
         )
-        .groupBy("id", "subspace")
-        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
-    )
-    return best.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
+    missing = [
+        (j, c) for j in range(m) for c in range(n_codes) if (j, c) not in cb
+    ]
+    if missing:
+        raise ValueError(
+            f"codebooks are not a dense (subspace, code) grid; missing "
+            f"{missing[:4]}{'...' if len(missing) > 4 else ''}"
+        )
+    # Generate barrier #1 (input): see _pq_barrier — without it,
+    # CollapseProject inlines the caller's vector expression (e.g. the
+    # interpreted `_unit` transform) into every element_at of the
+    # argmin forest (measured ~1 ms/row at 128k vectors).
+    base = _pq_barrier(vectors, id_col, vec_col)
+    per_sub = _argmin_code_exprs(cb, m, d, n_codes)
+    # Generate barrier #2 (output): bind the codes array once per row —
+    # downstream consumers (the ADC scan reads element_at(codes, j+1)
+    # m times) would otherwise inline the whole argmin forest m times.
+    # Two steps, deliberately: the forest must sit in a PROJECT (which
+    # whole-stage-codegens and CSEs the shared element_at accesses);
+    # the explode generator then references only the computed
+    # attribute.  Folding the forest into the generator expression
+    # itself would evaluate it through the interpreted eval path —
+    # measured ~0.6 ms/row, the very tax this rewrite removes.
+    scored = base.select("id", F.array(*per_sub).alias("__codes"))
+    return scored.select(
+        "id", F.explode(F.array("__codes")).alias("codes")
     )
 
 
@@ -1373,7 +1478,7 @@ def ann_topk_pq(
     k: int = 10,
     m: int = 8,
     codes: int = 16,
-    rerank: int = 4,
+    rerank: int = 16,
     codebooks: DataFrame | None = None,
     max_iterations: int = 8,
     id_col: str = "vec_id",
@@ -1394,6 +1499,14 @@ def ann_topk_pq(
     :func:`two_stage_topk` shape, never a global score sort) is
     re-ranked with exact cosine on the original vectors via an equi-join
     on the bounded candidate set.
+
+    ``rerank`` defaults to 16 (round-8 sweep): recall@10 at sf0.01 was
+    0.46–0.66 at rerank=4 across (m, codes) configs vs 0.92 at
+    m=8/codes=16/rerank=16 — and rerank is the CHEAPEST recall lever at
+    scale, since it widens only the bounded k·rerank candidate join per
+    query, not the per-vector encode (codes) or the codebook train (m).
+    The floor is pinned in tests/test_ann_recall.py; the sweep table is
+    in BASELINE.md.
 
     Output schema matches the other families: (query_id, neighbor_id,
     score=exact cosine, rank ≤ k).  Recall floors are pinned in
@@ -1470,15 +1583,21 @@ def _pq_adc_topk(
             ).alias("lut")
         )
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
+    # ADC distance as an UNROLLED scalar sum (m is a small constant):
+    # the F.aggregate/sequence fold form is an interpreted higher-order
+    # function — no codegen, no CSE (the round-7 HOF lesson) — and it
+    # sat on the per-(corpus-row × query) hot path; the unrolled form
+    # whole-stage-codegens.  Left-to-right + matches the fold's
+    # association, so the doubles are bit-identical.
+    adc = None
+    for j in range(m):
+        term = F.element_at(
             F.col("lut"),
-            (j * codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
-        ),
-    )
+            (
+                F.lit(j * codes) + F.element_at(F.col("codes"), j + 1) + 1
+            ).cast("int"),
+        )
+        adc = term if adc is None else adc + term
     scored = (
         encoded.withColumn("pid", F.spark_partition_id())
         .crossJoin(F.broadcast(luts))
@@ -1596,7 +1715,7 @@ def pq_index_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    rerank: int = 4,
+    rerank: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,

@@ -129,11 +129,13 @@ def test_all_methods_shared_prep_equals_standalone(spark):
 
 
 def test_ann_pq_recall_floor(recalls):
-    """Product quantization (m=8 subspaces × 16 codes = 32-bit codes,
-    ADC candidates, exact re-rank of 4·k) measured 0.60 recall@10 at
-    sf0.01 — the best of the four families on this corpus.  Floor
-    pinned below the measurement; rerank=8 measured 0.76."""
-    assert recalls["pq"] >= 0.45, recalls
+    """Product quantization (m=8 subspaces × 16 codes, ADC candidates,
+    exact re-rank of 16·k — the round-8 swept default) measured 0.92
+    recall@10 at sf0.01 — the best of the four families on this corpus.
+    Floor pinned at 0.8 (the VERDICT r7 item-3 production bar) below the
+    measurement.  Sweep context: rerank=4 → 0.60, rerank=8 → 0.76 on the
+    same codebooks; the full (m, codes, rerank) grid is in BASELINE.md."""
+    assert recalls["pq"] >= 0.80, recalls
 
 
 def test_pq_encode_deterministic_and_shaped(spark):

@@ -479,9 +479,15 @@ def test_pq_adc_scan_corpus_side_unshuffled(spark):
     p = plan(S.ann_topk_pq(corpus, queries, k=5, codebooks=cb))
     # candidate generation: broadcast of the bounded LUT set only
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    # encode's two aggregates are map-side combinable (partial_...)
-    assert "partial_min_by" in p or "partial_min" in p
+    # the LUT build's reassembly aggregate is map-side combinable
     assert "partial_collect_list" in p
+    # encode is a pure scan (round 8): literal codebooks, argmin as an
+    # array_min expression — NO exchange, join, or aggregate anywhere
+    c_unit = corpus.select(
+        F.col("vec_id").alias("cid"), S._unit("embedding").alias("cvec")
+    )
+    pe = plan(S.pq_encode(c_unit, cb, id_col="cid", vec_col="cvec"))
+    assert "Exchange" not in pe and "Join" not in pe and "Aggregate" not in pe
 
 
 def test_bpe_tokenize_adds_no_exchange(spark):

@@ -46,38 +46,65 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def replicate(emb, mult: int, dim: int = 64):
     """mult copies; copy k rotates the embedding left by k (mod dim) and
-    offsets vec_id — distinct, identically distributed vectors."""
+    offsets vec_id — distinct, identically distributed vectors.
+
+    For mult > dim (the >=100k-vector regime, VERDICT r7 item 2) the
+    rotation family alone would alias (k % dim repeats), so copies
+    beyond the first `dim` additionally apply a deterministic per-copy
+    sign pattern: element i is multiplied by ±1 from
+    xxhash64(k // dim, i).  Sign flips are an isometry — length, norms,
+    and every within-copy distance are preserved exactly, so each copy
+    is the same point cloud under a different orthogonal map; copies
+    k < dim are bit-identical to the previous generation's."""
     if mult == 1:
         return emb
     n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    copies = []
-    for k in range(mult):
-        r = k % dim
-        vec = (
-            F.col("embedding")
-            if r == 0
-            else F.concat(
-                F.slice("embedding", r + 1, dim - r),
-                F.slice("embedding", 1, r),
-            )
-        )
-        copies.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
-                vec.alias("embedding"),
-            )
-        )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    return out
+    # ONE broadcast crossJoin against the copy-index table (a per-copy
+    # union would build a mult-branch plan — analysis alone goes
+    # quadratic by ~x512), with the rotation expressed as column-arg
+    # slices: for r = k % dim, slice(v, r+1, dim-r) || slice(v, 1, r)
+    # (the r = 0 tail slice is the empty array, so copy 0 is v itself).
+    ks = emb.sparkSession.range(mult).select(
+        F.col("id").alias("__k"),
+        F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("__r"),
+        (F.col("id") / F.lit(dim)).cast("long").alias("__q"),
+    )
+    rotated = F.concat(
+        F.slice(F.col("embedding"), F.col("__r") + 1, F.lit(dim) - F.col("__r")),
+        F.slice(F.col("embedding"), F.lit(1), F.col("__r")),
+    )
+    vec = F.transform(
+        rotated,
+        lambda x, i: x
+        * F.when(F.col("__q") == 0, F.lit(1.0))
+        .otherwise(
+            (
+                F.lit(1)
+                - F.lit(2) * F.pmod(F.xxhash64(F.col("__q"), i), F.lit(2))
+            ).cast("float")
+        ),
+    )
+    return emb.crossJoin(F.broadcast(ks)).select(
+        (F.col("vec_id") + F.col("__k") * F.lit(n)).alias("vec_id"),
+        vec.alias("embedding"),
+    )
 
 
 def pq_probe(spark) -> list[dict]:
+    """Train / encode+write / ADC-query walls AND per-phase shuffle-write
+    bytes as the corpus grows (VERDICT r7 item 2: make the m·codes·d
+    reduce-side claim measured, not argued).  The query phase is the
+    PRODUCTION path — pq_index_topk against the just-written index: LUT
+    build + ADC scan of the codes table + bounded exact re-rank; no
+    training or encoding inside the timed span."""
+    import tempfile
+
+    from dedup_scale_probe import _shuffle_write_bytes
+
     base = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     mults = [
         int(x)
-        for x in os.environ.get("PQ_PROBE_MULTIPLIERS", "1,4,16").split(",")
+        for x in os.environ.get("PQ_PROBE_MULTIPLIERS", "1,8,64,512").split(",")
     ]
     rows = []
     for mult in mults:
@@ -85,18 +112,25 @@ def pq_probe(spark) -> list[dict]:
         n = emb.count()
         corpus = emb.where(F.col("vec_id") >= 5)
         queries = emb.where(F.col("vec_id") < 5)
-        t0 = time.time()
-        cb = S.pq_train(corpus, max_iterations=4).localCheckpoint(eager=True)
-        cb.count()
-        t_train = time.time() - t0
-        t0 = time.time()
-        enc = S.pq_encode(corpus, cb).localCheckpoint(eager=True)
-        enc.count()
-        t_encode = time.time() - t0
-        t0 = time.time()
-        got = S.ann_topk_pq(corpus, queries, k=10, codebooks=cb)
-        n_out = got.count()
-        t_query = time.time() - t0
+        with tempfile.TemporaryDirectory() as index_path:
+            sb0 = _shuffle_write_bytes()
+            t0 = time.time()
+            cb = S.pq_train(corpus, max_iterations=4).localCheckpoint(
+                eager=True
+            )
+            cb.count()
+            t_train = time.time() - t0
+            sb1 = _shuffle_write_bytes()
+            t0 = time.time()
+            S.write_pq_index(corpus, index_path, codebooks=cb)
+            t_encode = time.time() - t0
+            sb2 = _shuffle_write_bytes()
+            t0 = time.time()
+            got = S.pq_index_topk(spark, index_path, corpus, queries, k=10)
+            n_out = got.count()
+            t_query = time.time() - t0
+            sb3 = _shuffle_write_bytes()
+        mb = lambda a, b: round((b - a) / 1e6, 1) if a >= 0 and b >= 0 else None  # noqa: E731
         rows.append(
             {
                 "mult": mult,
@@ -104,6 +138,9 @@ def pq_probe(spark) -> list[dict]:
                 "train_s": round(t_train, 2),
                 "encode_s": round(t_encode, 2),
                 "query_s": round(t_query, 2),
+                "train_shuffle_mb": mb(sb0, sb1),
+                "encode_shuffle_mb": mb(sb1, sb2),
+                "query_shuffle_mb": mb(sb2, sb3),
                 "rows_out": n_out,
             }
         )
@@ -143,7 +180,8 @@ def xonce_probe(spark) -> dict:
 
 
 def main() -> int:
-    spark = get_spark()
+    # UI on: the per-phase shuffle-write bytes come from the stage API
+    spark = get_spark("pq_probe", extra_conf={"spark.ui.enabled": "true"})
     result = {"sf_dir": SF_DIR, "pq": pq_probe(spark), "xonce": xonce_probe(spark)}
     print(json.dumps(result))
     return 0
