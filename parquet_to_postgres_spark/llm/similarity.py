@@ -891,17 +891,32 @@ def quantize_embeddings(
     pre-filter), full-precision re-score only for the final
     candidates — mirroring the IVF/LSH two-stage pattern above.
     All JVM-side (transform / aggregate); a zero vector keeps scale 0
-    and quantizes to zeros."""
+    and quantizes to zeros.
+
+    The per-element lambda references the max-abs via a BOUND lambda
+    variable (transform over a one-element array), not directly:
+    higher-order-function lambdas are interpreted with no
+    common-subexpression elimination, so a direct reference re-runs the
+    O(d) array_max for every element — O(d²) per row (the same round-8
+    finding as ``_unit``; values are bit-identical either way)."""
     v = F.col(vec_col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = (mx / F.lit(127.0)).alias("q_scale")
-    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+    q = F.element_at(
         F.transform(
-            v,
-            lambda x: F.round(x.cast("double") / (mx / F.lit(127.0))).cast(
-                "tinyint"
+            F.array(mx),
+            lambda m: F.when(
+                m == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+            ).otherwise(
+                F.transform(
+                    v,
+                    lambda x: F.round(
+                        x.cast("double") / (m / F.lit(127.0))
+                    ).cast("tinyint"),
+                )
             ),
-        )
+        ),
+        1,
     )
     return vectors.withColumn("q_scale", scale).withColumn(q_col, q)
 
