@@ -183,6 +183,14 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # The sink marker is a process-global set by the query builder;
+    # reset it so a second bench.main() in the same process (tests do
+    # this) can't report a stale marker for a run that never executed
+    # etl_pg_roundtrip (round-8 review finding).
+    from parquet_to_postgres_spark.queries import etl_q
+
+    etl_q.PG_ROUNDTRIP_SINK = None
+
     # Warm the JVM + parquet footers once so query 1 doesn't pay startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -232,10 +240,8 @@ def main() -> int:
     }
     if os.environ.get("BENCH_E2E", "1") != "0":
         result["e2e_etl"] = run_e2e_etl(spark, sf_dir)
-    # Which engine etl_pg_roundtrip actually exercised this run (a green
+    # Which engine etl_pg_roundtrip actually exercised THIS run (a green
     # gate row on "parquet-fallback" does NOT certify the COPY wire).
-    from parquet_to_postgres_spark.queries import etl_q
-
     if etl_q.PG_ROUNDTRIP_SINK is not None:
         result["pg_roundtrip_sink"] = etl_q.PG_ROUNDTRIP_SINK
     if os.environ.get("BENCH_COMPOSITE", "0") == "1":

@@ -700,6 +700,10 @@ def dedup_repeated_spans(
             df.select(
                 F.col(id_col).alias("__id"), F.size(toks).alias("__nt")
             )
+            # NULL text -> NULL size: not a length violation (NULL docs
+            # pass through the rebuild untouched), and comparing None
+            # against the bound would TypeError (round-8 review finding)
+            .where(F.col("__nt").isNotNull())
             .orderBy(F.col("__nt").desc(), "__id")
             .limit(1)
             .collect()

@@ -662,7 +662,7 @@ def ann_topk_all_methods(
                 "score"
             ),
         )
-        .where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
+        .transform(_drop_zero_norm)
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
@@ -702,7 +702,7 @@ def ann_topk_all_methods(
                 "score"
             ),
         )
-        .where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
+        .transform(_drop_zero_norm)
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
@@ -761,7 +761,7 @@ def ann_topk_all_methods(
                 "score"
             ),
         )
-        .where(F.col("score") > F.lit(ZERO_NORM_SENTINEL))
+        .transform(_drop_zero_norm)
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
@@ -1557,6 +1557,18 @@ def ann_topk_pq(
     codebooks = stable_checkpoint(codebooks)
     if handle_out is not None:
         handle_out.append(AnnPrepHandle(sc, persistent_rdd_ids(sc) - before))
+    # (m, codes, dim) are properties OF the codebooks: infer them the
+    # same way pq_index_topk does, so caller-supplied codebooks that
+    # disagree with the defaults cannot mis-slice the query LUT or
+    # mis-index the ADC lookup (round-8 review finding — the exact bug
+    # class pq_encode's inference fixed, one level up).
+    shape = codebooks.agg(
+        (F.max("subspace") + 1).alias("m"),
+        (F.max("code") + 1).alias("codes"),
+        F.max(F.size("centroid")).alias("d"),
+    ).collect()[0]
+    m, codes = int(shape["m"]), int(shape["codes"])
+    dim = m * int(shape["d"])
     encoded = pq_encode(
         c_unit, codebooks, m=m, id_col="cid", vec_col="cvec", dim=dim
     )

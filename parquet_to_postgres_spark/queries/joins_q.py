@@ -179,21 +179,28 @@ def interval_overlap_join(
     ``len/bin_width + 1`` per side, so pick ``bin_width`` near the
     typical interval length; both the dedup predicate and the residual
     overlap check are scan-level.  Requires ``start <= end``; endpoints
-    may be ANY int64 (negative epochs, pre-1970 days, signed offsets):
-    binning uses exact integer floor division — ``(x − pmod(x, w))
-    div w`` — which rounds toward −∞ for negatives and never routes
-    through a double (``F.floor(x / w)`` would lose exactness above
-    2^53, silently mis-binning e.g. nanosecond epochs).
+    may be ANY int64 (negative epochs, pre-1970 days, signed offsets,
+    values adjacent to Long.MIN/MAX): binning uses exact integer floor
+    division — truncating ``div`` corrected by one when the remainder
+    is negative — which rounds toward −∞, never routes through a double
+    (``F.floor(x / w)`` would lose exactness above 2^53, silently
+    mis-binning e.g. nanosecond epochs), and performs no intermediate
+    add/subtract that could overflow at the int64 extremes.
     """
     wi = int(bin_width)
     if wi < 1:
         raise ValueError(f"bin_width must be >= 1, got {bin_width}")
 
     def floor_div(expr: str) -> F.Column:
-        # exact int64 floor division: pmod(x, w) is the non-negative
-        # remainder, so (x - pmod(x, w)) is exactly w*floor(x/w) and
-        # `div` (integer division of an exact multiple) cannot round
-        return F.expr(f"(({expr}) - pmod(({expr}), {wi})) div {wi}")
+        # exact, overflow-free int64 floor division: `div` truncates
+        # toward zero and cannot overflow for w >= 1; subtracting 1
+        # exactly when the remainder is negative converts truncation to
+        # floor.  (The tempting (x - pmod(x, w)) div w form overflows
+        # for x within pmod(x, w) of Long.MIN — round-8 review finding.)
+        return F.expr(
+            f"(({expr}) div {wi}) - "
+            f"(CASE WHEN (({expr}) % {wi}) < 0 THEN 1 ELSE 0 END)"
+        )
 
     def explode_bins(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(

@@ -42,10 +42,15 @@ from pyspark.sql.types import (
 
 _SINK_IDS = itertools.count()
 
-# run_stream_to_df is a bounded test harness (it collects the memory
-# sink to the driver); this cap turns an accidental large-stream misuse
-# into a fast, explicit error instead of a driver OOM.  5M rows of the
-# widest harness schema is well under a gigabyte.
+# run_stream_to_df is a bounded test harness (the memory sink
+# materializes on the driver); this cap turns an oversized-but-fitting
+# result into an explicit error so the misuse is caught the first time
+# it happens at test scale — it canNOT stop a stream so large it OOMs
+# the driver while the sink is still filling (the sink buffers during
+# the query run, before any check can see it).  Streams of that size
+# must use run_stream_to_sink (foreachBatch into a real sink), which
+# never routes rows through the driver.  5M rows of the widest harness
+# schema is well under a gigabyte.
 MAX_MEMORY_SINK_ROWS = 5_000_000
 
 
@@ -116,9 +121,10 @@ def run_stream_to_df(
     # blocks are persisted RDDs, so bench's between-repeat
     # release_rdds() and session shutdown both reclaim them.  The
     # memory sink itself still materializes on the driver, so the
-    # bounded-harness row cap is ENFORCED first (driver ADVICE r7): a
-    # misuse on an unbounded-ish stream fails fast with a clear error
-    # instead of OOMing the driver.
+    # bounded-harness row cap is checked first (driver ADVICE r7): an
+    # oversized result that FIT in driver memory errors loudly instead
+    # of silently growing with each misuse (see MAX_MEMORY_SINK_ROWS
+    # for what the cap can and cannot protect against).
     sink = spark.table(name)
     n = sink.count()
     if n > MAX_MEMORY_SINK_ROWS:

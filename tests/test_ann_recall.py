@@ -227,3 +227,30 @@ def test_pq_codebooks_dense_on_tiny_corpus(spark):
     out = S.ann_topk_pq(emb, queries, k=5, m=4, codes=16, max_iterations=2)
     per_q = out.groupBy("query_id").count().collect()
     assert len(per_q) == 3 and all(r["count"] == 5 for r in per_q)
+
+
+def test_pq_topk_infers_shape_from_caller_codebooks(spark):
+    """ann_topk_pq must derive (m, codes, dim) from the codebooks it is
+    given, exactly like pq_index_topk does from a store: a caller who
+    trains m=4/codes=8 and passes the result with default arguments must
+    get the same answer as one who spells the shape out (round-8 review
+    finding — the mismatch previously mis-sliced the query LUT and
+    mis-indexed the ADC scan)."""
+    emb = load_table(spark, SF_RECALL, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    cb = S.pq_train(corpus, m=4, codes=8, max_iterations=2).localCheckpoint(
+        eager=True
+    )
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], repr(r["score"]))
+            for r in df.collect()
+        )
+
+    implicit = canon(S.ann_topk_pq(corpus, queries, k=5, codebooks=cb))
+    explicit = canon(
+        S.ann_topk_pq(corpus, queries, k=5, m=4, codes=8, codebooks=cb)
+    )
+    assert implicit == explicit and len(implicit) == 25

@@ -73,16 +73,19 @@ def replicate(emb, mult: int, dim: int = 64):
         F.slice(F.col("embedding"), F.col("__r") + 1, F.lit(dim) - F.col("__r")),
         F.slice(F.col("embedding"), F.lit(1), F.col("__r")),
     )
+    # the ±1 factor is cast to FLOAT so float × float stays float — a
+    # double factor would silently widen every copy's embedding column
+    # to array<double>, changing the schema (and doubling bytes) vs the
+    # mult == 1 passthrough (round-8 review finding)
     vec = F.transform(
         rotated,
         lambda x, i: x
         * F.when(F.col("__q") == 0, F.lit(1.0))
         .otherwise(
-            (
-                F.lit(1)
-                - F.lit(2) * F.pmod(F.xxhash64(F.col("__q"), i), F.lit(2))
-            ).cast("float")
-        ),
+            F.lit(1)
+            - F.lit(2) * F.pmod(F.xxhash64(F.col("__q"), i), F.lit(2))
+        )
+        .cast("float"),
     )
     return emb.crossJoin(F.broadcast(ks)).select(
         (F.col("vec_id") + F.col("__k") * F.lit(n)).alias("vec_id"),
