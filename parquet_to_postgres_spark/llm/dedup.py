@@ -276,7 +276,16 @@ def minhash_signatures_rowwise(
                 f"mh{j}"
             )
         )
-    return df.withColumn("__vmods", vmods).select(id_col, *sig_cols)
+    # Generate barrier (explode of a one-element array): the md5 unit-id
+    # transform is evaluated exactly once per row and the num_hashes
+    # array_min folds reference the materialized attribute — a plain
+    # withColumn projection leaves the optimizer free to inline the
+    # shingle+md5 work into each of the 128 references (measured ~28%
+    # slower at sf0.1; the round-8 projection-binding pattern, see
+    # similarity._pq_barrier).  Values are bit-identical.
+    return df.select(
+        id_col, F.explode(F.array(vmods)).alias("__vmods")
+    ).select(id_col, *sig_cols)
 
 
 def corpus_band_store(
