@@ -563,6 +563,61 @@ def stream_ann_topk_writer(
     return _write
 
 
+def stream_pq_topk_writer(
+    index_path: str,
+    corpus: DataFrame,
+    sink,
+    k: int = 10,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_corpus: bool = True,
+) -> "callable":
+    """foreachBatch hook: PQ-ADC top-k for every query micro-batch
+    against a persisted :func:`~..llm.similarity.write_pq_index` store —
+    the product-quantization twin of :func:`stream_ann_topk_writer`,
+    serving the family with the best measured recall (0.92@10 at the
+    swept default, BASELINE.md).
+
+    The scan side per trigger is the CODES table (m small ints per
+    vector — 64× lighter than the float corpus); each micro-batch only
+    builds its own m·codes lookup tables and re-ranks the bounded
+    k·rerank candidates against ``corpus`` (the full-precision vectors,
+    needed ONLY for the bounded exact re-rank join, not the scan).
+    ``cache_corpus`` (default) persists that re-rank side once so a
+    long-running query doesn't rescan the corpus files per trigger;
+    the returned callable carries ``close()`` to release it (the
+    :func:`stream_near_dedup_writer` hygiene contract).  Inside
+    foreachBatch the micro-batch is a plain DataFrame, so the exact
+    batch operator runs unchanged — streaming and batch PQ ANN cannot
+    diverge."""
+    from ..llm.similarity import pq_index_topk
+
+    if cache_corpus:
+        corpus = corpus.persist()
+    base = foreach_batch_writer(sink)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        base(
+            pq_index_topk(
+                batch_df.sparkSession,
+                index_path,
+                corpus,
+                batch_df,
+                k=k,
+                rerank=rerank,
+                id_col=id_col,
+                vec_col=vec_col,
+            ),
+            batch_id,
+        )
+
+    _write.close = (
+        (lambda: corpus.unpersist()) if cache_corpus else (lambda: None)
+    )
+    return _write
+
+
 def run_stream_to_sink(result: DataFrame, sink, checkpoint_dir: str) -> None:
     """Run a streaming DataFrame to completion (availableNow) into a
     batch sink via foreachBatch, with a durable checkpoint."""

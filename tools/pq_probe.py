@@ -21,7 +21,8 @@ Two measurements, one JSON line each, recorded in BASELINE.md:
    over the batch plus two ledger statements.
 
 Usage:  python tools/pq_probe.py
-Env:    PQ_PROBE_MULTIPLIERS  comma ints over sf0.1, default "1,4,16"
+Env:    PQ_PROBE_MULTIPLIERS  comma ints over sf0.1, default "1,8,64,512"
+        (512 × the 2k-row sf0.1 table ≈ 1.02M vectors)
 """
 
 from __future__ import annotations
