@@ -241,8 +241,10 @@ def minhash_signatures_rowwise(
 ) -> DataFrame:
     """Per-ROW MinHash signature via higher-order functions — ZERO
     shuffles: shingle set, md5 unit ids, and all ``num_hashes`` mins are
-    computed inside one projection over the scan (whole-stage codegen),
-    with no explode and no aggregate.
+    computed row-wise over the scan, with no aggregate and no exchange.
+    (The one Generate node — an explode of a single-element array — is
+    a row-preserving projection barrier binding the unit-id array, not
+    a fan-out; see the comment at the return.)
 
     Values are IDENTICAL to :func:`minhash_signatures` (same unit ids,
     same affine family — equivalence-tested); the difference is purely

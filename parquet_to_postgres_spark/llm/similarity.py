@@ -1309,6 +1309,20 @@ def _argmin_code_exprs(
     return per_sub
 
 
+def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":
+    """(m, codes, dim) as defined BY a codebooks frame — one bounded agg
+    over its m·codes rows.  The single source of truth shared by
+    :func:`ann_topk_pq` and :func:`pq_index_topk`, whose row-for-row
+    equivalence pin depends on both inferring identically."""
+    shape = codebooks.agg(
+        (F.max("subspace") + 1).alias("m"),
+        (F.max("code") + 1).alias("codes"),
+        F.max(F.size("centroid")).alias("d"),
+    ).collect()[0]
+    m, codes = int(shape["m"]), int(shape["codes"])
+    return m, codes, m * int(shape["d"])
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 8,
@@ -1557,18 +1571,12 @@ def ann_topk_pq(
     codebooks = stable_checkpoint(codebooks)
     if handle_out is not None:
         handle_out.append(AnnPrepHandle(sc, persistent_rdd_ids(sc) - before))
-    # (m, codes, dim) are properties OF the codebooks: infer them the
-    # same way pq_index_topk does, so caller-supplied codebooks that
-    # disagree with the defaults cannot mis-slice the query LUT or
-    # mis-index the ADC lookup (round-8 review finding — the exact bug
-    # class pq_encode's inference fixed, one level up).
-    shape = codebooks.agg(
-        (F.max("subspace") + 1).alias("m"),
-        (F.max("code") + 1).alias("codes"),
-        F.max(F.size("centroid")).alias("d"),
-    ).collect()[0]
-    m, codes = int(shape["m"]), int(shape["codes"])
-    dim = m * int(shape["d"])
+    # (m, codes, dim) are properties OF the codebooks — shared inference
+    # with pq_index_topk, so caller-supplied codebooks that disagree
+    # with the defaults cannot mis-slice the query LUT or mis-index the
+    # ADC lookup (round-8 review finding — the exact bug class
+    # pq_encode's inference fixed, one level up).
+    m, codes, dim = _pq_codebook_shape(codebooks)
     encoded = pq_encode(
         c_unit, codebooks, m=m, id_col="cid", vec_col="cvec", dim=dim
     )
@@ -1746,32 +1754,37 @@ def pq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    corpus_unit: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against a persisted :func:`write_pq_index` store.
 
     The scan side is the CODES table (m small ints per vector — the
     index is 64× lighter than the float corpus, so the ADC pass streams
-    a fraction of the bytes a brute-force scan would); ``m`` and
-    ``codes`` are inferred from the stored codebooks (one bounded agg
-    over m·codes rows).  The exact re-rank joins the bounded candidate
-    set back to the live corpus table for full-precision cosine —
-    scoring is :func:`_pq_adc_topk`, expression-identical to
-    :func:`ann_topk_pq`, so results match the in-memory operator
-    row-for-row given the same codebooks."""
+    a fraction of the bytes a brute-force scan would); ``m``, ``codes``
+    and ``dim`` are inferred from the stored codebooks
+    (:func:`_pq_codebook_shape` — ``dim`` comes from the STORE, never
+    the caller: a stale argument would slice query subvectors at the
+    wrong width, NULL every ADC distance, and degrade silently).  The
+    exact re-rank joins the bounded candidate set back to the live
+    corpus table for full-precision cosine — scoring is
+    :func:`_pq_adc_topk`, expression-identical to :func:`ann_topk_pq`,
+    so results match the in-memory operator row-for-row given the same
+    codebooks.
+
+    ``corpus_unit`` lets repeat callers (the streaming writer) hand in
+    the already-normalized re-rank side as a ``(cid, cvec)`` frame
+    (e.g. persisted across triggers) instead of paying the
+    unit-normalization of the full corpus per call; when given,
+    ``corpus``/``id_col``/``vec_col`` are ignored for the corpus side."""
     codebooks = spark.read.parquet(f"{path}/codebooks")
-    shape = codebooks.agg(
-        (F.max("subspace") + 1).alias("m"),
-        (F.max("code") + 1).alias("codes"),
-        F.max(F.size("centroid")).alias("d"),
-    ).collect()[0]
-    m, codes = int(shape["m"]), int(shape["codes"])
-    # dim comes from the STORE (m x centroid width), never the caller:
-    # a stale dim argument would slice query subvectors at the wrong
-    # width, NULL every ADC distance, and degrade silently.
-    dim = m * int(shape["d"])
+    m, codes, dim = _pq_codebook_shape(codebooks)
     encoded = spark.read.parquet(f"{path}/codes")  # (id, codes)
-    c_unit = corpus.select(
-        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    c_unit = (
+        corpus_unit
+        if corpus_unit is not None
+        else corpus.select(
+            F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+        )
     )
     q_unit = queries.select(
         F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")

@@ -584,18 +584,31 @@ def stream_pq_topk_writer(
     builds its own m·codes lookup tables and re-ranks the bounded
     k·rerank candidates against ``corpus`` (the full-precision vectors,
     needed ONLY for the bounded exact re-rank join, not the scan).
-    ``cache_corpus`` (default) persists that re-rank side once so a
-    long-running query doesn't rescan the corpus files per trigger;
+    ``cache_corpus`` (default) persists the NORMALIZED re-rank side —
+    ``(cid, cvec)`` after unit-normalization, not the raw files — so a
+    long-running query neither rescans the corpus nor re-runs the
+    per-row ``_unit`` transform every trigger (round-8 review finding:
+    caching the raw frame left the transform on the per-trigger path);
     the returned callable carries ``close()`` to release it (the
-    :func:`stream_near_dedup_writer` hygiene contract).  Inside
+    :func:`stream_near_dedup_writer` hygiene contract).
+
+    Pass ``cache_corpus=False`` when the INDEX is appended between
+    triggers (``append_pq_index``) and ``corpus`` is a file-backed
+    frame that picks up the new vectors: a cached snapshot would be
+    missing the appended ids, and the exact-re-rank inner join would
+    silently drop them from every top-k (same trap — and same knob —
+    as :func:`stream_near_dedup_writer`'s mutated band store).  Inside
     foreachBatch the micro-batch is a plain DataFrame, so the exact
     batch operator runs unchanged — streaming and batch PQ ANN cannot
     diverge."""
-    from ..llm.similarity import pq_index_topk
+    from ..llm.similarity import _unit, pq_index_topk
 
-    if cache_corpus:
-        corpus = corpus.persist()
     base = foreach_batch_writer(sink)
+    c_unit = None
+    if cache_corpus:
+        c_unit = corpus.select(
+            F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+        ).persist()
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         base(
@@ -608,12 +621,13 @@ def stream_pq_topk_writer(
                 rerank=rerank,
                 id_col=id_col,
                 vec_col=vec_col,
+                corpus_unit=c_unit,
             ),
             batch_id,
         )
 
     _write.close = (
-        (lambda: corpus.unpersist()) if cache_corpus else (lambda: None)
+        (lambda: c_unit.unpersist()) if cache_corpus else (lambda: None)
     )
     return _write
 
