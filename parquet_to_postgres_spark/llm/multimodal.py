@@ -441,6 +441,350 @@ def decode_png(b: bytes) -> dict:
     }
 
 
+# --------------------------------------------------- baseline JPEG ----
+# r9 (verdict item 3): the most common web-crawl image format gets a
+# native decoder instead of the PIL gate.  Scope: baseline sequential
+# DCT (SOF0), 8-bit, 1- or 3-component, any JFIF sampling grid (4:4:4 /
+# 4:2:2 / 4:2:0 fall out of the generic Hi x Vi MCU walk), restart
+# markers, 0xFF00 byte stuffing.  Progressive (SOF2), arithmetic
+# coding, 12-bit, and CMYK raise — the honest-refusal contract — and
+# decode_media_bytes falls through to PIL for those only when it is
+# installed.  Entropy decoding is per-symbol Python (inherent to
+# Huffman), the block math (dequant, IDCT, upsample, YCbCr->RGB) is
+# vectorized numpy over all blocks at once; mapInPandas is the decode
+# boundary exactly as for PNG.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    """8-point DCT-III basis: m[u, x] = (alpha(u)/2) cos((2x+1)u pi/16);
+    IDCT(block) = m.T @ coefs @ m, done for all blocks in one einsum."""
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        alpha = (1.0 / (2.0**0.5)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * alpha * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol."""
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.max_len = 16
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # marker (EOI / next segment): pad with zero bits, the
+                # spec's defined end-of-scan behavior
+                byte = 0
+                self.pos = len(d)
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self):
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table):
+        code = 0
+        for length in range(1, table.max_len + 1):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self, marker):
+        """Consume the RSTn marker the stream stopped at and reset."""
+        d = self.data
+        # self.pos points AT the 0xFF of the restart marker
+        if not (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and d[self.pos + 1] == marker
+        ):
+            raise ValueError("lost JPEG restart-marker sync")
+        self.pos += 2
+        self.bits = 0
+        self.nbits = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _jpeg_extend(v, t):
+    """DIFF/AC value extension (ITU T.81 F.2.2.1): an n-bit magnitude
+    with a 0 leading bit encodes a negative value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_segments(b):
+    """Yield (marker, payload_start, payload_len) walking the segment
+    list; stops before entropy data handling is needed (SOS payload
+    length covers only its header)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        size = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        yield marker, pos + 4, size - 2
+        pos += 2 + size
+        if marker == 0xDA:  # SOS: entropy data follows, caller takes over
+            return
+
+
+def _jpeg_pixels(b):
+    """Decode a baseline JPEG to an (h, w, channels) uint8 array."""
+    import numpy as np
+
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    scan = None
+    restart_interval = 0
+    data_start = None
+    for marker, off, size in _jpeg_segments(b):
+        body = b[off : off + size]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if prec == 0:
+                    tbl = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=p
+                    ).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=p
+                    ).astype(np.int32)
+                    p += 128
+                qt[tid] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline + ext sequential
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"{precision}-bit JPEG unsupported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported (baseline only)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG coding unsupported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                counts = list(body[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(body[p + 17 : p + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _HuffTable(
+                    counts, symbols
+                )
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            data_start = off + size
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS segment")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (frame["w"] + mcu_w - 1) // mcu_w
+    mcus_y = (frame["h"] + mcu_h - 1) // mcu_h
+
+    # per-component coefficient planes, in 8x8 block grid
+    planes = {}
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int32)
+
+    order = [by_id[s["id"]] for s in scan]
+    tabs = {s["id"]: s for s in scan}
+    reader = _BitReader(b, data_start)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    rst_seq = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                try:
+                    # stream should stop at the marker on next read; if
+                    # bits remain buffered the encoder padded the byte
+                    while True:
+                        reader.read_bit()
+                except _RestartMarker as r:
+                    reader.sync_restart(r.marker)
+                    pred = {c["id"]: 0 for c in comps}
+                    if r.marker != 0xD0 + (rst_seq % 8):
+                        raise ValueError("JPEG restart marker out of order")
+                    rst_seq += 1
+            for c in order:
+                st = tabs[c["id"]]
+                for v in range(c["v"]):
+                    for hsub in range(c["h"]):
+                        coefs = np.zeros(64, dtype=np.int32)
+                        t = reader.decode_huff(huff_dc[st["dc"]])
+                        diff = _jpeg_extend(reader.read_bits(t), t)
+                        pred[c["id"]] += diff
+                        coefs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(huff_ac[st["ac"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coefs[_ZIGZAG[k]] = _jpeg_extend(
+                                reader.read_bits(s), s
+                            )
+                            k += 1
+                        planes[c["id"]][
+                            my * c["v"] + v, mx * c["h"] + hsub
+                        ] = coefs
+            mcu_count += 1
+
+    # dequantize + IDCT, all blocks of each component at once
+    idct = _idct_matrix()
+    out_comps = []
+    for c in comps:
+        grid = planes[c["id"]]
+        bh, bw = grid.shape[:2]
+        deq = grid * _dezigzag_q(qt[c["tq"]])
+        blocks = deq.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ux,yruv,vc->yrxc", idct, blocks.astype(np.float64),
+                        idct)
+        # assemble block grid into the component plane
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        # upsample to full MCU-grid resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        out_comps.append(plane[: frame["h"], : frame["w"]])
+
+    if len(out_comps) == 1:
+        return out_comps[0].astype(np.uint8)[:, :, None]
+    if len(out_comps) != 3:
+        raise ValueError(f"{len(out_comps)}-component JPEG unsupported")
+    y, cb, cr = out_comps
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _dezigzag_q(q):
+    """Quant table arrives in zigzag order; place entries at their
+    natural raster positions."""
+    import numpy as np
+
+    out = np.zeros(64, dtype=np.int32)
+    for i, pos in enumerate(_ZIGZAG):
+        out[pos] = q[i]
+    return out
+
+
+def decode_jpeg(b: bytes) -> dict:
+    """Decode a baseline JPEG natively (stdlib + numpy — see the
+    section comment for scope) into the shared stats dict."""
+    import numpy as np
+
+    arr = _jpeg_pixels(b)
+    return {
+        "fmt": "jpeg",
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "channels": int(arr.shape[2]),
+        "sample_rate": None,
+        "n_values": int(arr.size),
+        "mean_value": float(arr.mean(dtype=np.float64)),
+    }
+
+
 def pil_available() -> bool:
     """True iff Pillow is importable (optional dependency — JPEG and
     every other compressed raster format PIL knows)."""
@@ -495,19 +839,20 @@ def decode_media_bytes(b: bytes) -> dict:
     """Dispatch one payload to its real decoder by magic bytes.
 
     Dependency-free tier first (BMP/PPM/WAV headers + raw samples, PNG
-    via zlib); JPEG magic falls through to the optional PIL branch when
-    Pillow is installed, and raises a clear error otherwise."""
+    via zlib, baseline JPEG via the native Huffman+IDCT path — r9);
+    JPEGs the native tier refuses (progressive, 12-bit, arithmetic)
+    fall through to the optional PIL branch when Pillow is installed,
+    and re-raise the native error otherwise."""
     for magic, dec in _MAGIC_DECODERS:
         if b[: len(magic)] == magic:
             return dec(b)
     if b[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
-        if pil_available():
-            return decode_with_pil(b)
-        raise ValueError(
-            "JPEG payload needs the optional Pillow dependency "
-            "(pip install pillow); dependency-free tier covers "
-            "BMP/PPM/WAV/PNG"
-        )
+        try:
+            return decode_jpeg(b)
+        except ValueError:
+            if pil_available():
+                return decode_with_pil(b)
+            raise
     raise ValueError(f"unrecognized media payload (head={b[:4]!r})")
 
 

@@ -266,27 +266,22 @@ def test_decode_png_rejects_unsupported_variants():
         M.decode_media_bytes(pal)
 
 
-def test_decode_jpeg_depends_on_pillow():
-    """JPEG rides the optional PIL branch: decodes when Pillow exists,
-    raises a clear actionable error when it doesn't."""
+def test_decode_jpeg_native_no_pillow_needed():
+    """Baseline JPEG decodes NATIVELY (r9) — no Pillow on this box —
+    and a garbage payload behind the JPEG magic still raises a clear
+    ValueError rather than nonsense stats."""
+    import numpy as np
     import pytest
 
-    jpeg_head = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    if M.pil_available():
-        import io
+    from ._jpeg_ref import encode_jpeg
 
-        import numpy as np
-        from PIL import Image
+    arr = np.full((4, 4, 3), 128, dtype=np.uint8)
+    got = M.decode_media_bytes(encode_jpeg(arr))
+    assert got["fmt"] == "jpeg"
+    assert (got["width"], got["height"], got["channels"]) == (4, 4, 3)
 
-        buf = io.BytesIO()
-        arr = np.zeros((4, 4, 3), dtype=np.uint8) + 128
-        Image.fromarray(arr).save(buf, format="JPEG")
-        got = M.decode_media_bytes(buf.getvalue())
-        assert got["fmt"] == "jpeg"
-        assert (got["width"], got["height"], got["channels"]) == (4, 4, 3)
-    else:
-        with pytest.raises(ValueError, match="Pillow"):
-            M.decode_media_bytes(jpeg_head)
+    with pytest.raises(ValueError):
+        M.decode_media_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def test_decode_png_through_spark_plumbing(spark):
@@ -318,3 +313,105 @@ def test_decode_media_real_through_spark(spark):
     assert out[2]["fmt"] == "ppm" and out[2]["mean_value"] == ppm_mean
     assert out[3]["fmt"] == "wav" and out[3]["sample_rate"] == 8000
     assert out[3]["mean_value"] == wav_mean
+
+
+# ---- native baseline JPEG (r9) ------------------------------------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def test_decode_jpeg_flat_gray_is_exact():
+    """DC-only blocks round-trip EXACTLY (8*(v-128) is integral, q=1
+    divides it, IDCT of a DC-only block is a flat value) — so any
+    zigzag/scale/level-shift bug shows as a hard mismatch here and
+    CANNOT cancel against the test encoder's own math."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg
+
+    for v in (0, 17, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        got = M.decode_media_bytes(encode_jpeg(img))
+        assert (got["fmt"], got["width"], got["height"], got["channels"]) == (
+            "jpeg", 24, 16, 1
+        )
+        assert got["mean_value"] == float(v), (v, got["mean_value"])
+        pix = M._jpeg_pixels(encode_jpeg(img))
+        assert int(pix.min()) == int(pix.max()) == v
+
+
+def test_decode_jpeg_gray_noise_near_lossless():
+    """q=1 4:4:4 grayscale: the only error is DCT float rounding —
+    every pixel within ±2 of the source."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    pix = M._jpeg_pixels(encode_jpeg(img))
+    assert pix.shape == (24, 40, 1)
+    err = np.abs(pix[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 2, err.max()
+
+
+def test_decode_jpeg_rgb_444_near_lossless():
+    """q=1 4:4:4 color: adds two colorspace roundings — within ±4."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    pix = M._jpeg_pixels(encode_jpeg(img))
+    assert pix.shape == (16, 16, 3)
+    err = np.abs(pix.astype(int) - img.astype(int))
+    assert err.max() <= 4, err.max()
+
+
+def test_decode_jpeg_420_restart_odd_dims():
+    """The realistic shape: 4:2:0 subsampling, quantization, restart
+    markers, and non-MCU-multiple dimensions (21x13).  Smooth gradient
+    so chroma box-downsampling stays honest; tolerance covers quant +
+    nearest-neighbor chroma upsampling."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg
+
+    h, w = 13, 21
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (40 + 6 * xx) % 256,
+            (200 - 4 * yy) % 256,
+            (90 + 3 * xx + 2 * yy) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    q = np.full(64, 2, dtype=int)
+    qc = np.full(64, 4, dtype=int)
+    b = encode_jpeg(img, q_luma=q, q_chroma=qc, subsampling="420",
+                    restart_interval=1)
+    got = M.decode_media_bytes(b)
+    assert (got["width"], got["height"], got["channels"]) == (21, 13, 3)
+    pix = M._jpeg_pixels(b)
+    err = np.abs(pix.astype(int) - img.astype(int))
+    assert float(err.mean()) <= 6.0, err.mean()
+    assert err.max() <= 40, err.max()
+
+
+def test_decode_jpeg_progressive_raises_without_pil():
+    """SOF2 must raise the honest refusal (this sandbox has no PIL);
+    flipping the SOF marker on a valid baseline stream is enough."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg
+
+    b = bytearray(encode_jpeg(np.full((8, 8), 99, dtype=np.uint8)))
+    i = bytes(b).index(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    if M.pil_available():
+        pytest.skip("PIL present: dispatch would legitimately succeed")
+    with pytest.raises(ValueError, match="progressive"):
+        M.decode_media_bytes(bytes(b))
