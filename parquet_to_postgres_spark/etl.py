@@ -616,11 +616,22 @@ def write_training_shards(
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     if fmt == "jsonl":
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if "binary" in f.dataType.simpleString()
-        ]
+        # Walk the DataType tree rather than substring-matching
+        # simpleString(): the rendered string includes nested field
+        # NAMES, so a struct field merely *named* "binary_flag" must
+        # not trip the rejection.
+        def _has_binary(dt):
+            if isinstance(dt, T.BinaryType):
+                return True
+            if isinstance(dt, T.StructType):
+                return any(_has_binary(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return _has_binary(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return _has_binary(dt.keyType) or _has_binary(dt.valueType)
+            return False
+
+        bad = [f.name for f in df.schema.fields if _has_binary(f.dataType)]
         if bad:
             raise ValueError(
                 "fmt='jsonl' cannot round-trip binary columns "

@@ -47,6 +47,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import UNIT_ID_SQL
 from .text import LM_SCALE, _gram_id, word_ngrams
@@ -450,20 +451,34 @@ def score_importance(
     )
 
 
-_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+def _is_integral(dt: T.DataType) -> bool:
+    """Whether ``pmod(id, 2^31)`` is exact for this type: the integer
+    family, plus scale-0 decimals (an integral value stored as
+    decimal(p, 0) reduces identically)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return True
+    return isinstance(dt, T.DecimalType) and dt.scale == 0
 
 
 def _reduced_id(df: DataFrame, id_col: str) -> Column:
     """The id reduced into [0, 2^31) for the salted Knuth pipeline.
 
-    Integral ids keep the direct ``pmod(id, 2^31)`` reduction (stable
-    across rounds — existing sample pins depend on it).  Any other type
-    (string doc ids, uuids...) goes through ``xxhash64`` first: without
-    this, ``pmod(string, N)`` is NULL (or an ANSI cast error) and
-    Gumbel-top-k silently degenerates to ordering by the raw weight
-    (driver ADVICE r7 finding)."""
-    if dict(df.dtypes).get(id_col) in _INTEGRAL_TYPES:
-        return F.pmod(F.col(id_col), F.lit(_M31))
+    Integral ids — the integer family plus scale-0 decimals — keep the
+    direct ``pmod(id, 2^31)`` reduction (stable across rounds —
+    existing sample pins depend on it).  Any other type (string doc
+    ids, uuids, fractional numerics whose pmod would be fractional)
+    goes through ``xxhash64`` first: without this, ``pmod(string, N)``
+    is NULL (or an ANSI cast error) and Gumbel-top-k silently
+    degenerates to ordering by the raw weight (driver ADVICE r7
+    finding).  The dtype is resolved case-insensitively against the
+    schema (Spark resolves ``F.col("Doc_ID")`` fine; an exact-string
+    dict lookup would silently misroute it to the hash path — driver
+    ADVICE r8 finding)."""
+    for f in df.schema.fields:
+        if f.name.lower() == id_col.lower():
+            if _is_integral(f.dataType):
+                return F.pmod(F.col(id_col), F.lit(_M31))
+            break
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(_M31))
 
 

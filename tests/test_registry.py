@@ -86,14 +86,21 @@ def test_etl_pg_roundtrip_fallback_matches_oracle(spark, duck, monkeypatch):
     on a box with no postgres toolchain the builder swaps the live COPY
     roundtrip for a ParquetSink roundtrip, and THAT path must hash-match
     the same oracle (the parametrized gate above only ever exercises
-    whichever path this box supports)."""
+    whichever path this box supports).  The deliberate fallback's
+    RuntimeWarning is ASSERTED here (pytest.warns swallows it), so the
+    suite's warnings summary stays clean and any *unexpected* pg
+    fallback elsewhere in CI output is signal, not noise (r8 verdict)."""
+    import pytest
+
     from parquet_to_postgres_spark import pg
     from parquet_to_postgres_spark.queries.etl_q import etl_pg_roundtrip
 
     monkeypatch.setattr(pg, "shared_postgres", lambda: None)
     spec = SPECS["etl_pg_roundtrip"]
+    with pytest.warns(RuntimeWarning, match="fall"):
+        result = etl_pg_roundtrip(spark, SF_SMOKE)
     assert_matches_oracle(
-        etl_pg_roundtrip(spark, SF_SMOKE),
+        result,
         duck,
         spec.oracle,
         "etl_pg_roundtrip[fallback]",
