@@ -1197,6 +1197,21 @@ def semantic_dedup(
 # ------------------------------------------------- product quantization ----
 
 
+def _nonzero_vec(vec_col: Column | str) -> Column:
+    """Predicate: the vector has a nonzero element (norm > 0).
+
+    A short-circuit ``exists`` over the RAW array — O(d) worst case,
+    usually one element deep — not a norm fold.  Every PQ entry point
+    filters both sides through this so the zero-norm contract matches
+    the float families (sentinel-drop there, pre-filter here): a
+    zero-norm query returns NO rows in every ANN family, instead of
+    the PQ paths ranking it 0.0 against everything (driver ADVICE r8
+    finding — a consumer switching families saw different row counts
+    for the same degenerate input)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.exists(v, lambda x: x != F.lit(0.0))
+
+
 def _unit(vec_col: Column | str) -> Column:
     """Normalize an array column to unit L2 length (doubles).
 
@@ -1280,33 +1295,135 @@ def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _argmin_code_exprs(
-    cmap: dict, m: int, d: int, n_codes: int
-) -> "list[Column]":
-    """Per-subspace nearest-code expressions over the barrier column
-    ``__v``: scalar element_at + arithmetic trees (codegen'd, CSE'd —
-    never interpreted higher-order folds) with ``array_min`` over
-    ``(dist, code)`` structs for the argmin; ties go to the lower code.
-    Left-to-right + matches sq_dist's fold association, so the doubles
-    are bit-identical to scoring against the same centroids."""
+# Max (codes x d) squared-diff terms per projection chunk.  janino's
+# hard per-method limit is 64 KB of bytecode; the full 8x16x8 forest
+# (1024 terms, ~30 KLoC generated) fails to compile and Spark falls
+# back to the interpreted projection — correct but ~5x slower AND a
+# repeated failed-compile stall per job (r8 BASELINE.md).  512 terms
+# (half the forest) verified compiling under
+# codegen.fallback=false/CODEGEN_ONLY (tools/argmin_codegen_probe.py,
+# r9); the budget leaves 2x headroom below the measured failure point.
+_ARGMIN_CHUNK_TERMS = 512
+
+
+def _argmin_struct_expr(
+    cmap: dict, j: int, d: int, code_block: "list[int]"
+) -> Column:
+    """Min ``(dist, code)`` struct over one subspace's ``code_block``,
+    as a scalar element_at + arithmetic tree over the barrier column
+    ``__v`` (codegen'd, CSE'd — never interpreted higher-order folds);
+    struct ordering breaks dist ties to the lower code.  Left-to-right
+    + matches sq_dist's fold association, so the doubles are
+    bit-identical to scoring against the same centroids — and because
+    struct-min is associative with this tie rule, min-of-block-mins
+    equals the unblocked argmin exactly."""
     bv = F.col("__v")
+    elems = [
+        F.element_at(bv, j * d + t + 1).cast("double") for t in range(d)
+    ]
+    cand = []
+    for c in code_block:
+        cent = cmap[(j, c)]
+        dist = None
+        for t in range(d):
+            term = (elems[t] - F.lit(float(cent[t]))) * (
+                elems[t] - F.lit(float(cent[t]))
+            )
+            dist = term if dist is None else dist + term
+        cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
+    return F.array_min(F.array(*cand))
+
+
+def _argmin_units(m: int, d: int, n_codes: int) -> "list[list[tuple]]":
+    """Pack the per-subspace argmin work into projection chunks of at
+    most :data:`_ARGMIN_CHUNK_TERMS` ``codes x d`` terms each.
+
+    A unit is ``(subspace, code_block)``; a subspace whose full block
+    exceeds the budget is split over code ranges (struct-min is
+    associative, see :func:`_argmin_struct_expr`).  Returns the chunk
+    list; every chunk compiles as ONE projection under janino's method
+    limit."""
+    block = max(1, _ARGMIN_CHUNK_TERMS // max(1, d))
+    units = [
+        (j, list(range(c0, min(c0 + block, n_codes))))
+        for j in range(m)
+        for c0 in range(0, n_codes, block)
+    ]
+    chunks, cur, cur_terms = [], [], 0
+    for u in units:
+        terms = len(u[1]) * d
+        if cur and cur_terms + terms > _ARGMIN_CHUNK_TERMS:
+            chunks.append(cur)
+            cur, cur_terms = [], 0
+        cur.append(u)
+        cur_terms += terms
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _pq_codes_frame(
+    base: DataFrame,
+    cmap: dict,
+    m: int,
+    d: int,
+    n_codes: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id[, __v], codes array<int>) over a :func:`_pq_barrier` frame —
+    the janino-BOUNDED argmin pipeline (r9, verdict item 2).
+
+    The forest is emitted as a chain of projection chunks
+    (:func:`_argmin_units`), each holding at most
+    :data:`_ARGMIN_CHUNK_TERMS` squared-diff terms and each bound
+    behind its own Generate barrier (explode of a one-element array —
+    the forest itself stays in a PROJECT, which whole-stage-codegens
+    and CSEs the shared element_at accesses; the generator only
+    references the computed attribute).  All chunks fuse into ONE
+    WholeStageCodegen stage, but each projection's consume lands in
+    its own generated method, so every method stays under janino's
+    64 KB limit and the stage COMPILES — no more per-job failed
+    -compile stall, and the scan runs ~5x faster than the interpreted
+    fallback (probe: 200k x 64 dims, 36.4 s interpreted vs 7.2 s
+    compiled; verified strict under codegen.fallback=false).
+
+    ``carry_vec`` keeps ``__v`` in the output (pq_train's mean-update
+    stage slices it); pq_encode drops it."""
+    chunks = _argmin_units(m, d, n_codes)
+    cur = base
+    bound = []  # bound chunk-array column names
+    for ci, ch in enumerate(chunks):
+        last = ci == len(chunks) - 1
+        keep = ["id"] + ([] if last and not carry_vec else ["__v"])
+        structs = F.array(
+            *[_argmin_struct_expr(cmap, j, d, blk) for (j, blk) in ch]
+        )
+        proj = cur.select(
+            *keep, *[F.col(c) for c in bound], structs.alias(f"__s{ci}")
+        )
+        cur = proj.select(
+            *keep,
+            *[F.col(c) for c in bound],
+            F.explode(F.array(f"__s{ci}")).alias(f"__sb{ci}"),
+        )
+        bound.append(f"__sb{ci}")
+    # final cheap projection: per-subspace min over its (few) block
+    # structs, then the codes array — element_at refs only
+    pos = {}  # (chunk_idx, unit_idx) lookup per subspace
+    for ci, ch in enumerate(chunks):
+        for ui, (j, _blk) in enumerate(ch):
+            pos.setdefault(j, []).append((ci, ui))
     per_sub = []
     for j in range(m):
-        elems = [
-            F.element_at(bv, j * d + t + 1).cast("double") for t in range(d)
+        parts = [
+            F.element_at(F.col(f"__sb{ci}"), ui + 1) for ci, ui in pos[j]
         ]
-        cand = []
-        for c in range(n_codes):
-            cent = cmap[(j, c)]
-            dist = None
-            for t in range(d):
-                term = (elems[t] - F.lit(float(cent[t]))) * (
-                    elems[t] - F.lit(float(cent[t]))
-                )
-                dist = term if dist is None else dist + term
-            cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
-        per_sub.append(F.array_min(F.array(*cand))["code"])
-    return per_sub
+        s = parts[0] if len(parts) == 1 else F.array_min(F.array(*parts))
+        per_sub.append(s["code"])
+    out_cols = ["id"] + (["__v"] if carry_vec else [])
+    return cur.select(
+        *out_cols, F.array(*per_sub).alias("codes")
+    )
 
 
 def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":
@@ -1340,13 +1457,15 @@ def pq_train(
     dims; subspace ``j`` gets its own ``codes``-entry codebook.  The
     codebooks are a BOUNDED model (``m × codes`` rows), so each Lloyd
     round collects them to the driver and embeds them as literals in a
-    scan-level argmin (:func:`_argmin_code_exprs` — whole-stage-codegen,
-    no join, no window): per round exactly one corpus scan + one
-    (subspace, code, pos)-grain map-side-combinable fixed-point mean.
-    (Round 8: the former broadcast-join + interpreted sq_dist fold
-    assignment cost ~98 s/4 rounds at 128k vectors; this form runs the
-    same rounds in ~12 s and its per-round reduce side stays m·codes·d
-    rows independent of N.)
+    scan-level argmin (:func:`_pq_codes_frame` — the janino-bounded
+    chunk pipeline, whole-stage-codegen, no join, no window): per
+    round exactly one corpus scan + one (subspace, code, pos)-grain
+    map-side-combinable fixed-point mean.  (Round 8: the former
+    broadcast-join + interpreted sq_dist fold assignment cost ~98 s/4
+    rounds at 128k vectors; the literal-argmin form ran the same
+    rounds in ~12 s interpreted; round 9's chunked form actually
+    COMPILES, removing both the ~5x interpreted-eval tax on the scan
+    and the repeated failed-janino stall per round.)
 
     Deterministic throughout: init assigns ``pmod(xxhash64(id,
     subspace), codes)`` (no RNG), means are order-independent int64
@@ -1381,24 +1500,19 @@ def pq_train(
         cmap[(r["subspace"], r["code"])] = list(r["centroid"])
     base = _pq_barrier(vectors, id_col, vec_col)
     for _ in range(max_iterations):
-        # Stage a: the argmin forest in a PLAIN codes-array projection —
-        # the exact shape pq_encode compiles (wrapping the forest inside
-        # an array-of-structs projection instead blows janino's method
-        # compiler on the ~30k-line generated class).  Stage b: explode
-        # cheap attribute references (element_at/slice on columns) into
-        # the (subspace, code, subvec) grain the mean update needs.
-        scored = base.select(
-            "id",
-            "__v",
-            F.array(*_argmin_code_exprs(cmap, m, d, codes)).alias(
-                "__codes"
-            ),
-        )
+        # Stage a: the argmin as the janino-bounded chunk pipeline
+        # (_pq_codes_frame — each projection chunk COMPILES, r9; the
+        # former single-projection forest fell back to the interpreted
+        # path plus a failed-compile stall per round).  Stage b:
+        # explode cheap attribute references (element_at/slice on
+        # columns) into the (subspace, code, subvec) grain the mean
+        # update needs.
+        scored = _pq_codes_frame(base, cmap, m, d, codes, carry_vec=True)
         parts = F.array(
             *[
                 F.struct(
                     F.lit(j).alias("subspace"),
-                    F.element_at(F.col("__codes"), j + 1).alias("code"),
+                    F.element_at(F.col("codes"), j + 1).alias("code"),
                     F.slice(F.col("__v"), j * d + 1, d).alias("subvec"),
                 )
                 for j in range(m)
@@ -1480,25 +1594,15 @@ def pq_encode(
             f"codebooks are not a dense (subspace, code) grid; missing "
             f"{missing[:4]}{'...' if len(missing) > 4 else ''}"
         )
-    # Generate barrier #1 (input): see _pq_barrier — without it,
+    # Generate barrier (input): see _pq_barrier — without it,
     # CollapseProject inlines the caller's vector expression (e.g. the
     # interpreted `_unit` transform) into every element_at of the
-    # argmin forest (measured ~1 ms/row at 128k vectors).
+    # argmin forest (measured ~1 ms/row at 128k vectors).  The argmin
+    # itself is the janino-bounded chunk pipeline (_pq_codes_frame,
+    # r9): every generated method compiles, so the scan runs
+    # whole-stage-codegen'd instead of the interpreted fallback.
     base = _pq_barrier(vectors, id_col, vec_col)
-    per_sub = _argmin_code_exprs(cb, m, d, n_codes)
-    # Generate barrier #2 (output): bind the codes array once per row —
-    # downstream consumers (the ADC scan reads element_at(codes, j+1)
-    # m times) would otherwise inline the whole argmin forest m times.
-    # Two steps, deliberately: the forest must sit in a PROJECT (which
-    # whole-stage-codegens and CSEs the shared element_at accesses);
-    # the explode generator then references only the computed
-    # attribute.  Folding the forest into the generator expression
-    # itself would evaluate it through the interpreted eval path —
-    # measured ~0.6 ms/row, the very tax this rewrite removes.
-    scored = base.select("id", F.array(*per_sub).alias("__codes"))
-    return scored.select(
-        "id", F.explode(F.array("__codes")).alias("codes")
-    )
+    return _pq_codes_frame(base, cb, m, d, n_codes, carry_vec=False)
 
 
 def ann_topk_pq(
@@ -1539,11 +1643,12 @@ def ann_topk_pq(
 
     Output schema matches the other families: (query_id, neighbor_id,
     score=exact cosine, rank ≤ k).  Recall floors are pinned in
-    tests/test_ann_recall.py.  Zero-norm vectors normalize to the zero
-    vector (see :func:`_unit`), so here they score a true 0.0 against
-    everything rather than the float families' dropped
-    :data:`ZERO_NORM_SENTINEL` — rankable, never mistaken for a real
-    high similarity.
+    tests/test_ann_recall.py.  The zero-norm contract is UNIFORM with
+    the float families: zero-norm queries and corpus rows are dropped
+    up front (:func:`_nonzero_vec`), so a zero-norm query returns no
+    rows here exactly as it does after the sentinel-drop elsewhere —
+    the same degenerate input yields the same row count in every
+    family.
 
     Long-lived sessions: pass ``handle_out=[]`` to receive an
     :class:`AnnPrepHandle` covering the checkpoint blocks the training
@@ -1552,10 +1657,10 @@ def ann_topk_pq(
     """
     sc = corpus.sparkSession.sparkContext
     before = persistent_rdd_ids(sc) if handle_out is not None else set()
-    c_unit = corpus.select(
+    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
     )
-    q_unit = queries.select(
+    q_unit = queries.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
     )
     if codebooks is None:
@@ -1699,7 +1804,7 @@ def write_pq_index(
     exactly the same quantizer — which is what makes append == rebuild
     an identity rather than an approximation."""
     spark = corpus.sparkSession
-    c_unit = corpus.select(
+    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
     )
     if codebooks is None:
@@ -1736,7 +1841,7 @@ def append_pq_index(
     (Retrain only when the vector distribution drifts; then rewrite.)"""
     spark = new_vectors.sparkSession
     stored = spark.read.parquet(f"{path}/codebooks")
-    c_unit = new_vectors.select(
+    c_unit = new_vectors.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
     )
     pq_encode(c_unit, stored, m=m, id_col="cid", vec_col="cvec", dim=dim).write.mode(
@@ -1775,18 +1880,21 @@ def pq_index_topk(
     the already-normalized re-rank side as a ``(cid, cvec)`` frame
     (e.g. persisted across triggers) instead of paying the
     unit-normalization of the full corpus per call; when given,
-    ``corpus``/``id_col``/``vec_col`` are ignored for the corpus side."""
+    ``corpus``/``id_col``/``vec_col`` are ignored for the corpus side.
+    A caller-built ``corpus_unit`` should drop zero-norm rows first
+    (:func:`_nonzero_vec`) to keep the uniform zero-norm contract;
+    the default path and the streaming writer do."""
     codebooks = spark.read.parquet(f"{path}/codebooks")
     m, codes, dim = _pq_codebook_shape(codebooks)
     encoded = spark.read.parquet(f"{path}/codes")  # (id, codes)
     c_unit = (
         corpus_unit
         if corpus_unit is not None
-        else corpus.select(
+        else corpus.where(_nonzero_vec(vec_col)).select(
             F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
         )
     )
-    q_unit = queries.select(
+    q_unit = queries.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
     )
     return _pq_adc_topk(

@@ -86,7 +86,19 @@ def run_stream_to_df(
     ``rocksdb=True`` pins the RocksDB state store provider for this
     query — required by ``transformWithStateInPandas``, and the
     production-recommended provider for any large-state query (state
-    lives off-heap on local disk instead of the executor heap)."""
+    lives off-heap on local disk instead of the executor heap).
+
+    LIFETIME CONTRACT (driver ADVICE r8): the returned frame is backed
+    by ``localCheckpoint`` blocks and is NOT recomputable — its
+    lineage is truncated at the checkpoint.  Consume it (collect /
+    count / write / compare) BEFORE any blanket unpersist such as
+    bench's between-repeat ``release_rdds()``; after the blocks are
+    released, further actions raise lost-block errors instead of
+    recomputing.  A caller that needs a result durable across such a
+    release must copy it out (write+read parquet).  Within the repo
+    these harness results are always consumed inside the same repeat
+    (bench) or the same test before any release, which is why the
+    fast in-memory copy is the right default here."""
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
@@ -460,7 +472,7 @@ def foreach_batch_writer(sink) -> "callable":
 
 
 def stream_near_dedup_writer(
-    band_store: DataFrame,
+    band_store,
     sink,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -469,8 +481,8 @@ def stream_near_dedup_writer(
     shingle_n: int | None = 5,
     cache_store: bool = True,
 ) -> "callable":
-    """foreachBatch hook: near-dedup every micro-batch against a static
-    corpus band store, then write the survivors through the batch sink.
+    """foreachBatch hook: near-dedup every micro-batch against a corpus
+    band store, then write the survivors through the batch sink.
 
     The incremental-ingest shape at 100 TB: signatures are the
     ZERO-shuffle row-wise MinHash (a stateless projection — legal on a
@@ -481,13 +493,22 @@ def stream_near_dedup_writer(
     batch operator (:func:`~..llm.dedup.near_dedup_against_store`) runs
     unchanged — streaming and batch dedup cannot diverge.
 
-    ``cache_store`` (default) persists the band store on first use so a
+    ``band_store`` is a DataFrame or a parquet PATH (str).  A store
+    that is MUTATED between triggers (``corpus_band_store(delta)
+    .write.mode("append")``) must be handed in as a path with
+    ``cache_store=False``: a parquet path is
+    re-read — fresh file listing — per trigger, so appended bands are
+    visible to later batches.  A DataFrame captured at construction
+    can NEVER see rows appended to its backing files (Spark fixes the
+    file listing when the frame is created; verified — not even
+    ``refreshByPath`` re-lists it), which is why the path form exists
+    rather than documenting a frame that "picks up" appends (r9: the
+    old wording promised exactly that impossibility).
+
+    ``cache_store`` (default) persists the store on first use so a
     long-running query joins each micro-batch against the cached bands
     instead of rescanning the store's files per trigger; MEMORY_AND_DISK
     semantics keep it safe when the store outgrows executor memory.
-    Pass ``False`` when the store is mutated between triggers (appended
-    bands must be visible to later batches) — the per-trigger re-read
-    is then the point, not a cost.
 
     The returned callable carries a ``close()`` attribute that releases
     the cached store (a no-op when ``cache_store=False``).  Call it
@@ -496,15 +517,31 @@ def stream_near_dedup_writer(
     until session end."""
     from ..llm.dedup import near_dedup_against_store
 
+    store_path = band_store if isinstance(band_store, str) else None
+    cached = None
     if cache_store:
-        band_store = band_store.persist()
+        if store_path is not None:
+            # read once up front: under cache_store the snapshot IS the
+            # contract, so the listing time should be construction time
+            raise ValueError(
+                "stream_near_dedup_writer: a path-form band_store is for "
+                "per-trigger re-reads — pass cache_store=False, or read "
+                "the path yourself and pass the DataFrame to cache a "
+                "fixed snapshot."
+            )
+        cached = band_store.persist()
     base = foreach_batch_writer(sink)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        store = (
+            batch_df.sparkSession.read.parquet(store_path)
+            if store_path is not None
+            else (cached if cached is not None else band_store)
+        )
         base(
             near_dedup_against_store(
                 batch_df,
-                band_store,
+                store,
                 num_hashes=num_hashes,
                 rows_per_band=rows_per_band,
                 text_col=text_col,
@@ -515,7 +552,7 @@ def stream_near_dedup_writer(
         )
 
     _write.close = (
-        (lambda: band_store.unpersist()) if cache_store else (lambda: None)
+        (lambda: cached.unpersist()) if cached is not None else (lambda: None)
     )
     return _write
 
@@ -565,7 +602,7 @@ def stream_ann_topk_writer(
 
 def stream_pq_topk_writer(
     index_path: str,
-    corpus: DataFrame,
+    corpus,
     sink,
     k: int = 10,
     rerank: int = 16,
@@ -592,30 +629,55 @@ def stream_pq_topk_writer(
     the returned callable carries ``close()`` to release it (the
     :func:`stream_near_dedup_writer` hygiene contract).
 
-    Pass ``cache_corpus=False`` when the INDEX is appended between
-    triggers (``append_pq_index``) and ``corpus`` is a file-backed
-    frame that picks up the new vectors: a cached snapshot would be
-    missing the appended ids, and the exact-re-rank inner join would
-    silently drop them from every top-k (same trap — and same knob —
-    as :func:`stream_near_dedup_writer`'s mutated band store).  Inside
-    foreachBatch the micro-batch is a plain DataFrame, so the exact
-    batch operator runs unchanged — streaming and batch PQ ANN cannot
-    diverge."""
-    from ..llm.similarity import _unit, pq_index_topk
+    ``corpus`` is a DataFrame or a parquet PATH (str).  When the INDEX
+    is appended between triggers (``append_pq_index``), pass the
+    corpus as a PATH with ``cache_corpus=False``: the path is re-read
+    — fresh file listing — per trigger, so vectors appended alongside
+    the index become visible to the exact-re-rank join.  A DataFrame
+    captured at construction (cached or not) can NEVER see files
+    appended later — Spark fixes a frame's file listing at creation —
+    so with a stale frame the re-rank inner join would silently drop
+    every appended id from the top-k (same trap — and same fix — as
+    :func:`stream_near_dedup_writer`'s mutated band store; pinned in
+    tests/test_ann_index.py).  The codes side needs no such care:
+    :func:`~..llm.similarity.pq_index_topk` re-reads ``<index>/codes``
+    every call.  Inside foreachBatch the micro-batch is a plain
+    DataFrame, so the exact batch operator runs unchanged — streaming
+    and batch PQ ANN cannot diverge."""
+    from ..llm.similarity import _nonzero_vec, _unit, pq_index_topk
 
     base = foreach_batch_writer(sink)
+    corpus_path = corpus if isinstance(corpus, str) else None
     c_unit = None
     if cache_corpus:
-        c_unit = corpus.select(
-            F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
-        ).persist()
+        if corpus_path is not None:
+            raise ValueError(
+                "stream_pq_topk_writer: a path-form corpus is for "
+                "per-trigger re-reads (mutating index) — pass "
+                "cache_corpus=False, or read the path yourself and pass "
+                "the DataFrame to cache a fixed snapshot."
+            )
+        # zero-norm rows dropped up front — the uniform ANN contract
+        # (see similarity._nonzero_vec); the non-cached path gets the
+        # same filter inside pq_index_topk.
+        c_unit = (
+            corpus.where(_nonzero_vec(vec_col))
+            .select(F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec"))
+            .persist()
+        )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus_df = (
+            spark.read.parquet(corpus_path)
+            if corpus_path is not None
+            else corpus
+        )
         base(
             pq_index_topk(
-                batch_df.sparkSession,
+                spark,
                 index_path,
-                corpus,
+                corpus_df,
                 batch_df,
                 k=k,
                 rerank=rerank,

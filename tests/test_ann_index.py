@@ -340,3 +340,90 @@ def test_streaming_pq_probe_matches_batch_operator(spark, split):
             S.pq_index_topk(spark, path, corpus, queries, k=10).collect()
         )
         assert got == want and got
+
+
+def test_streaming_pq_probe_sees_index_appended_between_triggers(spark, split):
+    """The documented mutating-index serving contract, end-to-end:
+    append_pq_index between triggers with a PATH-form corpus and
+    cache_corpus=False must surface the appended ids in later
+    triggers' top-k (r8 verdict item — the LSH band-store twin had
+    this pin, the PQ writer didn't).  The delta vectors ARE the
+    trigger-2 query vectors, so if visible they MUST be each query's
+    rank-1 self-match; trigger 1 runs before the append and must not
+    see them.  A DataFrame-form corpus cannot pass this test: Spark
+    fixes a frame's file listing at creation, which is exactly why the
+    writer grew the path form."""
+    import shutil
+
+    from parquet_to_postgres_spark.etl import ParquetSink
+    from parquet_to_postgres_spark.streaming import ops
+
+    corpus, _ = split
+    old = corpus.where(F.col("vec_id") < 300)
+    # delta ids offset by +10000 so they collide with nothing
+    delta = corpus.where(F.col("vec_id") >= 300).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        idx = f"{d}/pqidx"
+        cdir = f"{d}/corpus"
+        old.select("vec_id", "embedding").write.parquet(cdir)
+        S.write_pq_index(spark.read.parquet(cdir), idx, max_iterations=2)
+
+        src = f"{d}/in"
+        os.makedirs(src)
+        schema = "vec_id long, embedding array<float>"
+        sink = ParquetSink(f"{d}/out", mode="append")
+        writer = ops.stream_pq_topk_writer(
+            idx, cdir, sink, k=5, cache_corpus=False
+        )
+
+        def run_trigger(qdf, fname):
+            qdf.coalesce(1).write.parquet(f"{d}/stage_{fname}")
+            part = [
+                f
+                for f in os.listdir(f"{d}/stage_{fname}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{d}/stage_{fname}/{part}", f"{src}/{fname}.parquet")
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .writeStream.foreachBatch(writer)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # trigger 1: query with the (future) delta vectors under their
+        # ORIGINAL ids — the delta ids must not appear anywhere yet
+        q1 = corpus.where(F.col("vec_id") >= 300).select(
+            "vec_id", "embedding"
+        )
+        run_trigger(q1, "batch1")
+        out1 = spark.read.parquet(f"{d}/out")
+        assert out1.where(F.col("neighbor_id") >= 10000).count() == 0
+        n1 = out1.count()
+        assert n1 > 0
+
+        # mutate: append codes to the index AND vectors to the corpus dir
+        S.append_pq_index(delta, idx)
+        delta.write.mode("append").parquet(cdir)
+
+        # trigger 2: same embeddings, delta ids — each must self-match
+        run_trigger(delta, "batch2")
+        out2 = spark.read.parquet(f"{d}/out").where(
+            F.col("query_id") >= 10000
+        )
+        self_hits = {
+            r["query_id"]
+            for r in out2.where(
+                (F.col("neighbor_id") == F.col("query_id"))
+                & (F.col("rank") == 1)
+            ).collect()
+        }
+        want_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+        assert self_hits == want_ids and want_ids
+        writer.close()  # no-op for cache_corpus=False, must not raise

@@ -71,12 +71,23 @@ def test_topk_paths_never_emit_zero_norm_sentinel(spark):
         .select("vec_id", "embedding", label)
         .repartition(4)
     )
+    from parquet_to_postgres_spark.llm.similarity import ann_topk_pq
+
+    def pq(corpus, queries, k):
+        # PQ pre-filters zero-norm rows (uniform contract, ADVICE r8)
+        # instead of sentinel-dropping — same observable row counts.
+        return ann_topk_pq(
+            corpus, queries, k=k, m=4, dim=16, max_iterations=2
+        )
+
+    pq.__name__ = "ann_topk_pq"
     for fn in (
         brute_force_topk,
         two_stage_topk,
         ann_topk_lsh,
         ann_topk_ivf,
         ann_topk_quantized,
+        pq,
     ):
         rows = fn(corpus, queries, k=5).collect()
         assert rows, fn.__name__  # the real queries still get results

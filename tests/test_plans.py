@@ -490,6 +490,34 @@ def test_pq_adc_scan_corpus_side_unshuffled(spark):
     assert "Exchange" not in pe and "Join" not in pe and "Aggregate" not in pe
 
 
+def test_pq_argmin_pipeline_compiles_under_janino(spark):
+    """r9 verdict item 2: the chunked argmin pipeline must actually
+    whole-stage-codegen-COMPILE, not fall back to the interpreted
+    projection.  codegen.fallback=false + factoryMode=CODEGEN_ONLY
+    turn any compile failure into a hard error, so this test fails
+    loudly if a future edit regrows a projection chunk past janino's
+    64 KB method limit (the failure mode of the former single-
+    projection 8x16x8 forest)."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm import similarity as S
+    from parquet_to_postgres_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    cb = S.pq_train(corpus, max_iterations=1).localCheckpoint(eager=True)
+    prev_fb = spark.conf.get("spark.sql.codegen.fallback")
+    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        n = S.pq_encode(corpus, cb).count()  # raises if codegen fails
+        assert n == corpus.count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev_fb)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
+
+
 def test_bpe_tokenize_adds_no_exchange(spark):
     """Tokenization is embarrassingly parallel: merge ranks ride the UDF
     closure, so the plan over a parquet scan must contain NO Exchange —
