@@ -427,3 +427,19 @@ def test_streaming_pq_probe_sees_index_appended_between_triggers(spark, split):
         want_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
         assert self_hits == want_ids and want_ids
         writer.close()  # no-op for cache_corpus=False, must not raise
+
+
+def test_streaming_pq_path_corpus_with_cache_is_rejected(spark):
+    """Path-form corpus under cache_corpus=True is a contract error —
+    the cached snapshot would silently defeat the per-trigger re-read
+    (same rule as the near-dedup writer's path-form store)."""
+    from parquet_to_postgres_spark.streaming import ops
+
+    class _NullSink:
+        mode = "append"
+
+        def write(self, df):
+            df.count()
+
+    with pytest.raises(ValueError, match="path-form"):
+        ops.stream_pq_topk_writer("/tmp/idx", "/tmp/corpus", _NullSink())

@@ -159,3 +159,96 @@ def test_stream_near_dedup_writer_uncached_close_is_noop(spark):
     assert not (store.storageLevel.useMemory or store.storageLevel.useDisk)
     writer.close()  # must not raise
     assert not (store.storageLevel.useMemory or store.storageLevel.useDisk)
+
+
+def test_stream_near_dedup_path_store_sees_bands_appended_between_triggers(
+    spark,
+):
+    """The mutating-store serving contract, end-to-end (r9): a PATH-form
+    band store with cache_store=False is re-read per trigger, so bands
+    appended between triggers drop later batches' matching docs.  The
+    same doc streamed in trigger 1 (store lacks its bands -> survives)
+    and again in trigger 2 after corpus_band_store(delta) was appended
+    (-> dropped) proves the re-read is real; a DataFrame-form store
+    cannot do this (file listing fixed at creation)."""
+    import os
+
+    docs = _docs(spark)
+    corpus_a = docs.where(F.col("doc_id") < 150)
+    corpus_b = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    probe = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+
+    with tempfile.TemporaryDirectory() as d:
+        store_path = f"{d}/bands"
+        D.corpus_band_store(corpus_a, num_hashes=N_HASHES).write.parquet(
+            store_path
+        )
+
+        src = f"{d}/in"
+        os.makedirs(src)
+        sink = ParquetSink(f"{d}/out", mode="append")
+        writer = ops.stream_near_dedup_writer(
+            store_path, sink, num_hashes=N_HASHES, cache_store=False
+        )
+
+        def run_trigger(df, fname):
+            df.coalesce(1).write.parquet(f"{d}/stage_{fname}")
+            part = [
+                f
+                for f in os.listdir(f"{d}/stage_{fname}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{d}/stage_{fname}/{part}", f"{src}/{fname}.parquet")
+            q = (
+                spark.readStream.schema(docs.schema)
+                .parquet(src)
+                .writeStream.foreachBatch(writer)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_trigger(probe, "batch1")
+        out1 = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{d}/out").select("doc_id").collect()
+        }
+        # trigger 1: corpus_b's bands are not in the store yet — the
+        # probe docs survive except any banded collision with corpus_a
+        assert out1, "expected survivors before the append"
+
+        # mutate: append the delta corpus's bands, stream the SAME docs
+        D.corpus_band_store(corpus_b, num_hashes=N_HASHES).write.mode(
+            "append"
+        ).parquet(store_path)
+        run_trigger(probe, "batch2")
+        out2 = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{d}/out").select("doc_id").collect()
+        }
+        # trigger 2 adds NOTHING: every probe doc now matches its own
+        # bands in the mutated store (self-match), so all are dropped
+        assert out2 == out1
+        writer.close()  # no-op, must not raise
+
+
+def test_stream_near_dedup_path_store_with_cache_is_rejected(spark):
+    """A path-form store under cache_store=True is a contract error —
+    the cached snapshot would silently defeat the per-trigger re-read
+    the path form exists for."""
+    import pytest
+
+    with pytest.raises(ValueError, match="path-form"):
+        ops.stream_near_dedup_writer("/tmp/nope", _sink(), cache_store=True)
+
+
+def _sink():
+    class _NullSink:
+        mode = "append"
+
+        def write(self, df):
+            df.count()
+
+    return _NullSink()
