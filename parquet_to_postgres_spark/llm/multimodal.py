@@ -659,6 +659,12 @@ def _jpeg_pixels(b):
             data_start = off + size
     if frame is None or scan is None:
         raise ValueError("missing SOF/SOS segment")
+    if len(scan) != len(frame["comps"]):
+        # legal baseline, but a different MCU geometry per scan — the
+        # interleaved walk below would silently mis-tile it
+        raise ValueError(
+            "non-interleaved (multi-scan) baseline JPEG unsupported"
+        )
 
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
@@ -739,7 +745,14 @@ def _jpeg_pixels(b):
         # assemble block grid into the component plane
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = np.clip(np.round(plane) + 128, 0, 255)
-        # upsample to full MCU-grid resolution
+        # upsample to full MCU-grid resolution — integral ratios only
+        # (3x1 luma over 2x1 chroma is legal per T.81 but would
+        # floor-divide into silent misalignment)
+        if vmax % c["v"] or hmax % c["h"]:
+            raise ValueError(
+                f"non-integral JPEG sampling ratio "
+                f"({c['h']}x{c['v']} vs {hmax}x{vmax} max) unsupported"
+            )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
@@ -770,10 +783,23 @@ def _dezigzag_q(q):
 
 def decode_jpeg(b: bytes) -> dict:
     """Decode a baseline JPEG natively (stdlib + numpy — see the
-    section comment for scope) into the shared stats dict."""
+    section comment for scope) into the shared stats dict.
+
+    EVERY decode failure surfaces as ValueError — untrusted crawl
+    bytes can hit any internal error shape (KeyError on a missing
+    quant table, the internal restart-marker signal on a stray 0xFFDn,
+    IndexError on truncation), and the dispatch contract (and the PIL
+    fallthrough) keys on ValueError (r9 review finding)."""
     import numpy as np
 
-    arr = _jpeg_pixels(b)
+    try:
+        arr = _jpeg_pixels(b)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(e).__name__}: {e})"
+        ) from e
     return {
         "fmt": "jpeg",
         "width": int(arr.shape[1]),
@@ -849,10 +875,14 @@ def decode_media_bytes(b: bytes) -> dict:
     if b[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
         try:
             return decode_jpeg(b)
-        except ValueError:
+        except ValueError as e:
             if pil_available():
                 return decode_with_pil(b)
-            raise
+            raise ValueError(
+                f"{e} — installing the optional Pillow dependency "
+                "(pip install pillow) enables decoding JPEGs the "
+                "native baseline tier refuses"
+            ) from e
     raise ValueError(f"unrecognized media payload (head={b[:4]!r})")
 
 

@@ -1295,68 +1295,57 @@ def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-# Max (codes x d) squared-diff terms per projection chunk.  janino's
-# hard per-method limit is 64 KB of bytecode; the full 8x16x8 forest
-# (1024 terms, ~30 KLoC generated) fails to compile and Spark falls
-# back to the interpreted projection — correct but ~5x slower AND a
-# repeated failed-compile stall per job (r8 BASELINE.md).  512 terms
-# (half the forest) verified compiling under
-# codegen.fallback=false/CODEGEN_ONLY (tools/argmin_codegen_probe.py,
-# r9); the budget leaves 2x headroom below the measured failure point.
+# Max squared-diff terms per projection chunk.  janino's hard
+# per-method limit is 64 KB of bytecode; the full 8x16x8 forest (1024
+# terms, ~30 KLoC generated) fails to compile and Spark falls back to
+# the interpreted projection — correct but ~5x slower AND a repeated
+# failed-compile stall per job (r8 BASELINE.md).  512 terms (half the
+# forest) verified compiling under codegen.fallback=false/CODEGEN_ONLY
+# (tools/argmin_codegen_probe.py, r9); the budget leaves 2x headroom
+# below the measured failure point.  _ARGMIN_SEG_TERMS separately
+# bounds one distance chain's length, for two reasons: (a) a
+# left-chained sum is a Column tree as DEEP as it is long, and the
+# JVM-side ColumnNode->Expression converter recursion overflows its
+# stack near 512 nodes (r9 measured — StackOverflowError at
+# select-analysis time, long before codegen); (b) each DISTINCT
+# element_at emits ~45 lines of null/bounds boilerplate vs ~8 for an
+# arithmetic term, so generated-method size tracks distinct elements
+# per chunk, not just terms — 128 distinct measured over the method
+# limit, 64 matches the density of the probe-verified 8x16x8 chunk.
+# _ARGMIN_LITERAL_MAX_TERMS / _ARGMIN_LITERAL_MAX_D gate the literal
+# pipeline as a whole: the generated class grows with m*codes*d, and
+# past ~8k terms (16 chunks) compile time and compiler heap dominate
+# (an 8192-term/16-chunk stage measured 21 s strict compile; a
+# 32-chunk chain OOM'd a 1 GB driver during janino's AST pass).
+# Models past the gate route to the broadcast-join + min_by argmin —
+# the representation that is CORRECT at that scale anyway, since a
+# model too big to embed as literals is also too big to want inlined
+# into every task's generated code.
 _ARGMIN_CHUNK_TERMS = 512
+_ARGMIN_SEG_TERMS = 64
+_ARGMIN_LITERAL_MAX_TERMS = 8192
+_ARGMIN_LITERAL_MAX_D = 256
 
 
-def _argmin_struct_expr(
-    cmap: dict, j: int, d: int, code_block: "list[int]"
-) -> Column:
-    """Min ``(dist, code)`` struct over one subspace's ``code_block``,
-    as a scalar element_at + arithmetic tree over the barrier column
-    ``__v`` (codegen'd, CSE'd — never interpreted higher-order folds);
-    struct ordering breaks dist ties to the lower code.  Left-to-right
-    + matches sq_dist's fold association, so the doubles are
-    bit-identical to scoring against the same centroids — and because
-    struct-min is associative with this tie rule, min-of-block-mins
-    equals the unblocked argmin exactly."""
-    bv = F.col("__v")
-    elems = [
-        F.element_at(bv, j * d + t + 1).cast("double") for t in range(d)
-    ]
-    cand = []
-    for c in code_block:
-        cent = cmap[(j, c)]
-        dist = None
-        for t in range(d):
-            term = (elems[t] - F.lit(float(cent[t]))) * (
-                elems[t] - F.lit(float(cent[t]))
-            )
-            dist = term if dist is None else dist + term
-        cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
-    return F.array_min(F.array(*cand))
+def _pack_units(units, weight, budget, key=None):
+    """Greedy in-order packing of units into chunks of at most
+    ``budget`` total weight (one oversized unit gets its own chunk).
 
-
-def _argmin_units(m: int, d: int, n_codes: int) -> "list[list[tuple]]":
-    """Pack the per-subspace argmin work into projection chunks of at
-    most :data:`_ARGMIN_CHUNK_TERMS` ``codes x d`` terms each.
-
-    A unit is ``(subspace, code_block)``; a subspace whose full block
-    exceeds the budget is split over code ranges (struct-min is
-    associative, see :func:`_argmin_struct_expr`).  Returns the chunk
-    list; every chunk compiles as ONE projection under janino's method
-    limit."""
-    block = max(1, _ARGMIN_CHUNK_TERMS // max(1, d))
-    units = [
-        (j, list(range(c0, min(c0 + block, n_codes))))
-        for j in range(m)
-        for c0 in range(0, n_codes, block)
-    ]
-    chunks, cur, cur_terms = [], [], 0
+    ``key`` (optional) marks units that continue one another: two
+    units with the same key can never share a chunk, because the later
+    one references the earlier one's value through a Generate barrier
+    that only exists BETWEEN chunks."""
+    chunks, cur, cur_w, cur_keys = [], [], 0, set()
     for u in units:
-        terms = len(u[1]) * d
-        if cur and cur_terms + terms > _ARGMIN_CHUNK_TERMS:
+        w = weight(u)
+        k = key(u) if key is not None else None
+        if cur and (cur_w + w > budget or (k is not None and k in cur_keys)):
             chunks.append(cur)
-            cur, cur_terms = [], 0
+            cur, cur_w, cur_keys = [], 0, set()
         cur.append(u)
-        cur_terms += terms
+        cur_w += w
+        if k is not None:
+            cur_keys.add(k)
     if cur:
         chunks.append(cur)
     return chunks
@@ -1373,57 +1362,254 @@ def _pq_codes_frame(
     """(id[, __v], codes array<int>) over a :func:`_pq_barrier` frame —
     the janino-BOUNDED argmin pipeline (r9, verdict item 2).
 
-    The forest is emitted as a chain of projection chunks
-    (:func:`_argmin_units`), each holding at most
+    The forest is emitted as a chain of projection chunks, each under
     :data:`_ARGMIN_CHUNK_TERMS` squared-diff terms and each bound
     behind its own Generate barrier (explode of a one-element array —
-    the forest itself stays in a PROJECT, which whole-stage-codegens
-    and CSEs the shared element_at accesses; the generator only
-    references the computed attribute).  All chunks fuse into ONE
+    the arithmetic stays in a PROJECT, which whole-stage-codegens and
+    CSEs the shared element_at accesses; the generator only references
+    the computed attribute).  All chunks fuse into ONE
     WholeStageCodegen stage, but each projection's consume lands in
     its own generated method, so every method stays under janino's
-    64 KB limit and the stage COMPILES — no more per-job failed
-    -compile stall, and the scan runs ~5x faster than the interpreted
-    fallback (probe: 200k x 64 dims, 36.4 s interpreted vs 7.2 s
-    compiled; verified strict under codegen.fallback=false).
+    64 KB limit and the stage COMPILES — no more per-job
+    failed-compile stall, and the scan runs ~5x faster than the
+    interpreted fallback (probe: 200k x 64 dims, 36.4 s interpreted vs
+    7.2 s compiled; verified strict under codegen.fallback=false).
+
+    The budget holds for EVERY (m, codes, d) shape (r9 review finding
+    — the first cut left a d > budget code's distance tree unsplit),
+    via a blob schedule with CONSTANT liveness:
+
+    - work is split into blobs = one segment level (≤
+      :data:`_ARGMIN_SEG_TERMS` elements) of one (subspace,
+      code-group), the group sized so one level fills one chunk;
+    - a code whose d spans several levels chains its partial sum into
+      the next chunk through an attribute ref, preserving sq_dist's
+      exact left-to-right association (the packing key guard keeps a
+      continuation out of its predecessor's chunk);
+    - each chunk that completes codes folds them into a RUNNING
+      (dist, code) struct-min array of ≤ m entries (struct-min with
+      the dist-then-code tie rule is associative, so any fold shape
+      equals the flat argmin), and the previous min/partial columns
+      are dropped the moment they are merged — the carried row stays
+      O(m + active partials) wide at every step, never O(chunks).
+
+    Models past :data:`_ARGMIN_LITERAL_MAX_TERMS` total terms (or
+    deeper than :data:`_ARGMIN_LITERAL_MAX_D` per subspace) take
+    :func:`_pq_codes_join` instead — broadcast-join + min_by, the
+    representation that scales when the model itself is big; both
+    paths share sq_dist's left-fold association, so a model near the
+    boundary gets the same codes either way.
 
     ``carry_vec`` keeps ``__v`` in the output (pq_train's mean-update
     stage slices it); pq_encode drops it."""
-    chunks = _argmin_units(m, d, n_codes)
+    if m * n_codes * d > _ARGMIN_LITERAL_MAX_TERMS or d > _ARGMIN_LITERAL_MAX_D:
+        return _pq_codes_join(base, cmap, m, d, n_codes, carry_vec)
+    seg_len = min(d, _ARGMIN_SEG_TERMS)
+    g = max(1, _ARGMIN_CHUNK_TERMS // seg_len)  # codes per group
+    levels = [(t0, min(t0 + seg_len, d)) for t0 in range(0, d, seg_len)]
+    # a blob = one segment level of one (subspace, code-group); the
+    # group is sized so one level fills one chunk's term budget
+    blobs = []
+    for j in range(m):
+        for c0 in range(0, n_codes, g):
+            grp = list(range(c0, min(c0 + g, n_codes)))
+            for li, (t0, t1) in enumerate(levels):
+                blobs.append(
+                    (j, grp, t0, t1, li == len(levels) - 1, (j, c0))
+                )
+    chunks = _pack_units(
+        blobs,
+        lambda b: len(b[1]) * (b[3] - b[2])
+        + (len(b[1]) * 2 if b[4] else 0),
+        _ARGMIN_CHUNK_TERMS,
+        key=lambda b: b[5],
+    )
+
     cur = base
-    bound = []  # bound chunk-array column names
+    step = [0]
+    partial_refs: dict = {}  # (j, c) -> Column (latest partial)
+    partial_home: dict = {}  # (j, c) -> column name holding it
+    min_ref = None  # Column ref to the running-min struct array
+    min_home = None  # column name holding it
+    min_order: list = []  # subspaces with an entry, in first-seen order
+
+    mins_t = "array<struct<dist:double,code:int>>"
+    n_chunks = len(chunks)
     for ci, ch in enumerate(chunks):
-        last = ci == len(chunks) - 1
-        keep = ["id"] + ([] if last and not carry_vec else ["__v"])
-        structs = F.array(
-            *[_argmin_struct_expr(cmap, j, d, blk) for (j, blk) in ch]
+        partial_exprs, partial_slots = [], []
+        min_cands: dict = {}  # j -> list of candidate structs
+        for (j, grp, t0, t1, final, _key) in ch:
+            for c in grp:
+                cent = cmap[(j, c)]
+                acc = partial_refs.get((j, c)) if t0 > 0 else None
+                for t in range(t0, t1):
+                    e = F.element_at(
+                        F.col("__v"), j * d + t + 1
+                    ).cast("double")
+                    term = (e - F.lit(float(cent[t]))) * (
+                        e - F.lit(float(cent[t]))
+                    )
+                    acc = term if acc is None else acc + term
+                if final:
+                    partial_refs.pop((j, c), None)
+                    partial_home.pop((j, c), None)
+                    min_cands.setdefault(j, []).append(
+                        F.struct(
+                            acc.alias("dist"), F.lit(c).alias("code")
+                        )
+                    )
+                else:
+                    partial_slots.append((j, c))
+                    partial_exprs.append(acc)
+        # running-min update: refs for untouched subspaces, merged
+        # array_min for the ones this chunk completed a group of
+        min_exprs = None
+        if min_cands:
+            order = min_order + [
+                j for j in sorted(min_cands) if j not in min_order
+            ]
+            min_exprs = []
+            for idx, j in enumerate(order):
+                prev = (
+                    F.element_at(min_ref, min_order.index(j) + 1)
+                    if j in min_order
+                    else None
+                )
+                cands = min_cands.get(j, [])
+                if not cands:
+                    min_exprs.append(prev)
+                elif prev is None and len(cands) == 1:
+                    min_exprs.append(cands[0])
+                else:
+                    min_exprs.append(
+                        F.array_min(
+                            F.array(*([prev] if prev is not None else []),
+                                    *cands)
+                        )
+                    )
+            min_order = order
+
+        # one barrier step: bind this chunk's outputs as a struct of
+        # (partials, mins); only the LIVE prior columns are carried, so
+        # the row stays O(m + current partials) wide at every step —
+        # never O(chunks)
+        name = f"__q{step[0]}"
+        step[0] += 1
+        last = ci == n_chunks - 1
+        vec_needed = carry_vec or not last
+        keep = ["id"] + (["__v"] if vec_needed else [])
+        live_set = set(partial_home.values())
+        if min_home is not None and min_exprs is None:
+            # the running-min column stays live only until the next
+            # chunk that merges it into a fresh array
+            live_set.add(min_home)
+        live = sorted(live_set)
+        payload = F.struct(
+            (
+                F.array(*partial_exprs)
+                if partial_exprs
+                else F.array().cast("array<double>")
+            ).alias("partials"),
+            (
+                F.array(*min_exprs)
+                if min_exprs is not None
+                else F.array().cast(mins_t)
+            ).alias("mins"),
         )
         proj = cur.select(
-            *keep, *[F.col(c) for c in bound], structs.alias(f"__s{ci}")
+            *keep, *[F.col(x) for x in live], payload.alias(name)
         )
         cur = proj.select(
             *keep,
-            *[F.col(c) for c in bound],
-            F.explode(F.array(f"__s{ci}")).alias(f"__sb{ci}"),
+            *[F.col(x) for x in live],
+            F.explode(F.array(name)).alias(f"{name}b"),
         )
-        bound.append(f"__sb{ci}")
-    # final cheap projection: per-subspace min over its (few) block
-    # structs, then the codes array — element_at refs only
-    pos = {}  # (chunk_idx, unit_idx) lookup per subspace
-    for ci, ch in enumerate(chunks):
-        for ui, (j, _blk) in enumerate(ch):
-            pos.setdefault(j, []).append((ci, ui))
-    per_sub = []
-    for j in range(m):
-        parts = [
-            F.element_at(F.col(f"__sb{ci}"), ui + 1) for ci, ui in pos[j]
-        ]
-        s = parts[0] if len(parts) == 1 else F.array_min(F.array(*parts))
-        per_sub.append(s["code"])
-    out_cols = ["id"] + (["__v"] if carry_vec else [])
-    return cur.select(
-        *out_cols, F.array(*per_sub).alias("codes")
+        bname = f"{name}b"
+        for si, (j, c) in enumerate(partial_slots):
+            partial_refs[(j, c)] = F.element_at(
+                F.col(bname)["partials"], si + 1
+            )
+            partial_home[(j, c)] = bname
+        if min_exprs is not None:
+            min_ref = F.col(bname)["mins"]
+            min_home = bname
+
+    # final ref-only projection: codes in subspace order
+    out_keep = ["id"] + (["__v"] if carry_vec else [])
+    per_sub = [
+        F.element_at(min_ref, min_order.index(j) + 1)["code"]
+        for j in range(m)
+    ]
+    return cur.select(*out_keep, F.array(*per_sub).alias("codes"))
+
+
+def _pq_codes_join(
+    base: DataFrame,
+    cmap: dict,
+    m: int,
+    d: int,
+    n_codes: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id[, __v], codes) via subvector-explode + broadcast codebook
+    join + struct-min aggregate — the argmin for models too big to
+    embed as literal expressions (see :func:`_pq_codes_frame`'s gate).
+
+    This shape pays two keyed aggregations over N*m rows, which is why
+    the literal pipeline wins for small models — but it is the one
+    that SCALES with the model: the codebook rides a broadcast, the
+    per-row cost is a zip_with fold (same left-to-right association as
+    the literal chains, so both paths agree bit-exactly), and the
+    struct-min (dist, code) is a map-side-combinable hash aggregate
+    with the same tie-to-lower-code rule."""
+    spark = base.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cmap[(j, c)]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, centroid array<double>",
     )
+    carry = ["id"] + (["__v"] if carry_vec else [])
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice(F.col("__v"), j * d + 1, d).alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    sub = base.select(*carry, F.explode(parts).alias("p")).select(
+        *carry, "p.subspace", "p.subvec"
+    )
+    scored = sub.join(F.broadcast(cb), "subspace").select(
+        *carry,
+        "subspace",
+        F.struct(
+            sq_dist("subvec", "centroid").alias("dist"),
+            F.col("code").alias("code"),
+        ).alias("dc"),
+    )
+    per_sub = scored.groupBy("id", "subspace").agg(
+        F.min("dc").alias("w"),
+        *([F.first("__v").alias("__v")] if carry_vec else []),
+    )
+    final_aggs = [
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("subspace", F.col("w.code").alias("code"))
+                )
+            ),
+            lambda s: s["code"],
+        ).alias("codes")
+    ]
+    if carry_vec:
+        final_aggs.append(F.first("__v").alias("__v"))
+    out = per_sub.groupBy("id").agg(*final_aggs)
+    return out.select(*carry, "codes")
 
 
 def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":

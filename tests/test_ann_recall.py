@@ -254,3 +254,82 @@ def test_pq_topk_infers_shape_from_caller_codebooks(spark):
         S.ann_topk_pq(corpus, queries, k=5, m=4, codes=8, codebooks=cb)
     )
     assert implicit == explicit and len(implicit) == 25
+
+
+def test_pq_argmin_budget_holds_for_every_shape(spark):
+    """r9 review finding: the janino budget must hold for ANY
+    (m, codes, d), not just the default — oversized models route to
+    the broadcast-join argmin, deep subspaces chain partials, and both
+    paths must equal the flat numpy argmin exactly.  Strict codegen
+    configs make a compile fallback a hard failure on the literal
+    path."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+
+    def make(m, codes, dim, n):
+        d = dim // m
+        cmap = {
+            (j, c): [rng.uniform(-1, 1) for _ in range(d)]
+            for j in range(m)
+            for c in range(codes)
+        }
+        vecs = spark.range(n).select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(F.col("id") * i),
+            ).alias("vec"),
+        )
+        base = vecs.select(
+            "id", F.explode(F.array("vec")).alias("__v")
+        ).localCheckpoint()
+        return d, cmap, base
+
+    # (shape, expects-literal-path): default, deep-chained, many-codes
+    shapes = [
+        ((8, 16, 64, 120), True),
+        ((2, 4, 2048, 40), False),  # d=1024 > depth gate -> join path
+        ((1, 300, 64, 40), False),  # 19200 terms > term gate -> join
+    ]
+    prev_fb = spark.conf.get("spark.sql.codegen.fallback")
+    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    try:
+        for (m, codes, dim, n), literal in shapes:
+            d, cmap, base = make(m, codes, dim, n)
+            gate = (
+                m * codes * d <= S._ARGMIN_LITERAL_MAX_TERMS
+                and d <= S._ARGMIN_LITERAL_MAX_D
+            )
+            assert gate == literal, (m, codes, dim)
+            df = S._pq_codes_frame(base, cmap, m, d, codes)
+            if literal:
+                spark.conf.set("spark.sql.codegen.fallback", "false")
+                spark.conf.set(
+                    "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
+                )
+            rows = df.collect()
+            spark.conf.set("spark.sql.codegen.fallback", prev_fb)
+            spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
+            vrows = {
+                r["id"]: np.array(r["__v"], dtype=float)
+                for r in base.collect()
+            }
+            assert len(rows) == n
+            for r in rows:
+                v = vrows[r["id"]]
+                for j in range(m):
+                    sub = v[j * d : (j + 1) * d]
+                    dists = [
+                        float(np.sum((sub - np.array(cmap[(j, c)])) ** 2))
+                        for c in range(codes)
+                    ]
+                    assert int(np.argmin(dists)) == r["codes"][j], (
+                        m, codes, dim, r["id"], j,
+                    )
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev_fb)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
