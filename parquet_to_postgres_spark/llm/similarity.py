@@ -1295,60 +1295,76 @@ def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-# Max squared-diff terms per projection chunk.  janino's hard
-# per-method limit is 64 KB of bytecode; the full 8x16x8 forest (1024
-# terms, ~30 KLoC generated) fails to compile and Spark falls back to
-# the interpreted projection — correct but ~5x slower AND a repeated
-# failed-compile stall per job (r8 BASELINE.md).  512 terms (half the
-# forest) verified compiling under codegen.fallback=false/CODEGEN_ONLY
-# (tools/argmin_codegen_probe.py, r9); the budget leaves 2x headroom
-# below the measured failure point.  _ARGMIN_SEG_TERMS separately
-# bounds one distance chain's length, for two reasons: (a) a
-# left-chained sum is a Column tree as DEEP as it is long, and the
-# JVM-side ColumnNode->Expression converter recursion overflows its
-# stack near 512 nodes (r9 measured — StackOverflowError at
-# select-analysis time, long before codegen); (b) each DISTINCT
-# element_at emits ~45 lines of null/bounds boilerplate vs ~8 for an
-# arithmetic term, so generated-method size tracks distinct elements
-# per chunk, not just terms — 128 distinct measured over the method
-# limit, 64 matches the density of the probe-verified 8x16x8 chunk.
-# _ARGMIN_LITERAL_MAX_TERMS / _ARGMIN_LITERAL_MAX_D gate the literal
-# pipeline as a whole: the generated class grows with m*codes*d, and
-# past ~8k terms (16 chunks) compile time and compiler heap dominate
-# (an 8192-term/16-chunk stage measured 21 s strict compile; a
-# 32-chunk chain OOM'd a 1 GB driver during janino's AST pass).
-# Models past the gate route to the broadcast-join + min_by argmin —
-# the representation that is CORRECT at that scale anyway, since a
-# model too big to embed as literals is also too big to want inlined
-# into every task's generated code.
-_ARGMIN_CHUNK_TERMS = 512
-_ARGMIN_SEG_TERMS = 64
+# Which argmin representation a PQ model gets, decided by MEASUREMENT
+# (r9; full A/B table in BASELINE.md "Argmin representation shootout"):
+#
+# - SMALL models (the default 8x16x8 family): ONE projection with the
+#   full literal forest, evaluated by Spark's INTERPRETED projection
+#   with subexpression elimination.  janino cannot compile the ~30
+#   KLoC class (64 KB method limit), and every compiled alternative we
+#   built LOST to the interpreted form on real data: chunked
+#   projections behind Generate barriers compiled fine but their big
+#   methods sit past HotSpot's DontCompileHugeMethods JIT threshold
+#   (~8 KB bytecode), so they run on the JVM *bytecode* interpreter —
+#   measured 23.9 s vs 11.9 s interpreted at 128k x 64 dims — and
+#   JIT-sized micro-chunks only reached parity (12.0 s) because per-
+#   barrier row overhead ate the win.  The interpreted projection's
+#   small, JIT-hot eval loops are the fastest local form; what we DO
+#   skip is the doomed whole-stage compile attempt: a no-op
+#   CodegenFallback term (:func:`_no_wsc`) keeps the operator out of
+#   WholeStageCodegen entirely (measured ~1.3 s/job saved at 128k,
+#   recurring per Lloyd round because fresh centroid literals defeat
+#   the code cache).
+# - BIG models (past the gates below) route to the broadcast-join +
+#   struct-min argmin (:func:`_pq_codes_join`) — the representation
+#   that scales when the model itself is big; a model too big to embed
+#   as literals is also too big to want inlined into every plan.
 _ARGMIN_LITERAL_MAX_TERMS = 8192
 _ARGMIN_LITERAL_MAX_D = 256
 
 
-def _pack_units(units, weight, budget, key=None):
-    """Greedy in-order packing of units into chunks of at most
-    ``budget`` total weight (one oversized unit gets its own chunk).
+def _no_wsc(col: Column) -> Column:
+    """Wrap a projection expression with a no-op CodegenFallback term
+    so Spark never ATTEMPTS whole-stage codegen for its operator.
 
-    ``key`` (optional) marks units that continue one another: two
-    units with the same key can never share a chunk, because the later
-    one references the earlier one's value through a Generate barrier
-    that only exists BETWEEN chunks."""
-    chunks, cur, cur_w, cur_keys = [], [], 0, set()
-    for u in units:
-        w = weight(u)
-        k = key(u) if key is not None else None
-        if cur and (cur_w + w > budget or (k is not None and k in cur_keys)):
-            chunks.append(cur)
-            cur, cur_w, cur_keys = [], 0, set()
-        cur.append(u)
-        cur_w += w
-        if k is not None:
-            cur_keys.add(k)
-    if cur:
-        chunks.append(cur)
-    return chunks
+    ``aggregate(array(0), 0, +)`` is a higher-order function — always
+    CodegenFallback, never foldable — evaluating to 0; riding it in
+    the element_at index leaves the value untouched for ~ns/row while
+    excluding the operator from WSCG, so the per-job janino attempt at
+    the giant argmin class (which ALWAYS fails) is skipped.  Pinned in
+    tests/test_plans.py (the argmin projection must sit outside every
+    WholeStageCodegen region)."""
+    zero = F.aggregate(F.array(F.lit(0)), F.lit(0), lambda a, x: a + x)
+    return F.element_at(F.array(col), (F.lit(1) + zero).cast("int"))
+
+
+def _argmin_code_exprs(
+    cmap: dict, m: int, d: int, n_codes: int
+) -> "list[Column]":
+    """Per-subspace nearest-code expressions over the barrier column
+    ``__v``: scalar element_at + arithmetic trees with ``array_min``
+    over ``(dist, code)`` structs for the argmin; ties go to the lower
+    code.  Left-to-right + matches sq_dist's fold association, so the
+    doubles are bit-identical to scoring against the same centroids
+    (and to :func:`_pq_codes_join`'s zip_with fold)."""
+    bv = F.col("__v")
+    per_sub = []
+    for j in range(m):
+        elems = [
+            F.element_at(bv, j * d + t + 1).cast("double") for t in range(d)
+        ]
+        cand = []
+        for c in range(n_codes):
+            cent = cmap[(j, c)]
+            dist = None
+            for t in range(d):
+                term = (elems[t] - F.lit(float(cent[t]))) * (
+                    elems[t] - F.lit(float(cent[t]))
+                )
+                dist = term if dist is None else dist + term
+            cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
+        per_sub.append(F.array_min(F.array(*cand))["code"])
+    return per_sub
 
 
 def _pq_codes_frame(
@@ -1359,188 +1375,30 @@ def _pq_codes_frame(
     n_codes: int,
     carry_vec: bool = False,
 ) -> DataFrame:
-    """(id[, __v], codes array<int>) over a :func:`_pq_barrier` frame —
-    the janino-BOUNDED argmin pipeline (r9, verdict item 2).
+    """(id[, __v], codes array<int>) over a :func:`_pq_barrier` frame.
 
-    The forest is emitted as a chain of projection chunks, each under
-    :data:`_ARGMIN_CHUNK_TERMS` squared-diff terms and each bound
-    behind its own Generate barrier (explode of a one-element array —
-    the arithmetic stays in a PROJECT, which whole-stage-codegens and
-    CSEs the shared element_at accesses; the generator only references
-    the computed attribute).  All chunks fuse into ONE
-    WholeStageCodegen stage, but each projection's consume lands in
-    its own generated method, so every method stays under janino's
-    64 KB limit and the stage COMPILES — no more per-job
-    failed-compile stall, and the scan runs ~5x faster than the
-    interpreted fallback (probe: 200k x 64 dims, 36.4 s interpreted vs
-    7.2 s compiled; verified strict under codegen.fallback=false).
-
-    The budget holds for EVERY (m, codes, d) shape (r9 review finding
-    — the first cut left a d > budget code's distance tree unsplit),
-    via a blob schedule with CONSTANT liveness:
-
-    - work is split into blobs = one segment level (≤
-      :data:`_ARGMIN_SEG_TERMS` elements) of one (subspace,
-      code-group), the group sized so one level fills one chunk;
-    - a code whose d spans several levels chains its partial sum into
-      the next chunk through an attribute ref, preserving sq_dist's
-      exact left-to-right association (the packing key guard keeps a
-      continuation out of its predecessor's chunk);
-    - each chunk that completes codes folds them into a RUNNING
-      (dist, code) struct-min array of ≤ m entries (struct-min with
-      the dist-then-code tie rule is associative, so any fold shape
-      equals the flat argmin), and the previous min/partial columns
-      are dropped the moment they are merged — the carried row stays
-      O(m + active partials) wide at every step, never O(chunks).
-
-    Models past :data:`_ARGMIN_LITERAL_MAX_TERMS` total terms (or
-    deeper than :data:`_ARGMIN_LITERAL_MAX_D` per subspace) take
-    :func:`_pq_codes_join` instead — broadcast-join + min_by, the
-    representation that scales when the model itself is big; both
-    paths share sq_dist's left-fold association, so a model near the
-    boundary gets the same codes either way.
+    Small models: one literal-forest projection (see the section
+    comment for why the interpreted projection is the measured-fastest
+    local form and how :func:`_no_wsc` skips the doomed compile
+    attempt), with the codes array bound once behind a Generate
+    barrier — downstream consumers (the ADC scan reads
+    element_at(codes, j+1) m times) would otherwise inline the whole
+    forest m times.  Models past :data:`_ARGMIN_LITERAL_MAX_TERMS`
+    total terms (or deeper than :data:`_ARGMIN_LITERAL_MAX_D` per
+    subspace) take :func:`_pq_codes_join`; both paths share sq_dist's
+    left-fold association, so a model near the boundary gets the same
+    codes either way.
 
     ``carry_vec`` keeps ``__v`` in the output (pq_train's mean-update
     stage slices it); pq_encode drops it."""
     if m * n_codes * d > _ARGMIN_LITERAL_MAX_TERMS or d > _ARGMIN_LITERAL_MAX_D:
         return _pq_codes_join(base, cmap, m, d, n_codes, carry_vec)
-    seg_len = min(d, _ARGMIN_SEG_TERMS)
-    g = max(1, _ARGMIN_CHUNK_TERMS // seg_len)  # codes per group
-    levels = [(t0, min(t0 + seg_len, d)) for t0 in range(0, d, seg_len)]
-    # a blob = one segment level of one (subspace, code-group); the
-    # group is sized so one level fills one chunk's term budget
-    blobs = []
-    for j in range(m):
-        for c0 in range(0, n_codes, g):
-            grp = list(range(c0, min(c0 + g, n_codes)))
-            for li, (t0, t1) in enumerate(levels):
-                blobs.append(
-                    (j, grp, t0, t1, li == len(levels) - 1, (j, c0))
-                )
-    chunks = _pack_units(
-        blobs,
-        lambda b: len(b[1]) * (b[3] - b[2])
-        + (len(b[1]) * 2 if b[4] else 0),
-        _ARGMIN_CHUNK_TERMS,
-        key=lambda b: b[5],
+    keep = ["id"] + (["__v"] if carry_vec else [])
+    codes = _no_wsc(F.array(*_argmin_code_exprs(cmap, m, d, n_codes)))
+    scored = base.select(*keep, codes.alias("__codes"))
+    return scored.select(
+        *keep, F.explode(F.array("__codes")).alias("codes")
     )
-
-    cur = base
-    step = [0]
-    partial_refs: dict = {}  # (j, c) -> Column (latest partial)
-    partial_home: dict = {}  # (j, c) -> column name holding it
-    min_ref = None  # Column ref to the running-min struct array
-    min_home = None  # column name holding it
-    min_order: list = []  # subspaces with an entry, in first-seen order
-
-    mins_t = "array<struct<dist:double,code:int>>"
-    n_chunks = len(chunks)
-    for ci, ch in enumerate(chunks):
-        partial_exprs, partial_slots = [], []
-        min_cands: dict = {}  # j -> list of candidate structs
-        for (j, grp, t0, t1, final, _key) in ch:
-            for c in grp:
-                cent = cmap[(j, c)]
-                acc = partial_refs.get((j, c)) if t0 > 0 else None
-                for t in range(t0, t1):
-                    e = F.element_at(
-                        F.col("__v"), j * d + t + 1
-                    ).cast("double")
-                    term = (e - F.lit(float(cent[t]))) * (
-                        e - F.lit(float(cent[t]))
-                    )
-                    acc = term if acc is None else acc + term
-                if final:
-                    partial_refs.pop((j, c), None)
-                    partial_home.pop((j, c), None)
-                    min_cands.setdefault(j, []).append(
-                        F.struct(
-                            acc.alias("dist"), F.lit(c).alias("code")
-                        )
-                    )
-                else:
-                    partial_slots.append((j, c))
-                    partial_exprs.append(acc)
-        # running-min update: refs for untouched subspaces, merged
-        # array_min for the ones this chunk completed a group of
-        min_exprs = None
-        if min_cands:
-            order = min_order + [
-                j for j in sorted(min_cands) if j not in min_order
-            ]
-            min_exprs = []
-            for idx, j in enumerate(order):
-                prev = (
-                    F.element_at(min_ref, min_order.index(j) + 1)
-                    if j in min_order
-                    else None
-                )
-                cands = min_cands.get(j, [])
-                if not cands:
-                    min_exprs.append(prev)
-                elif prev is None and len(cands) == 1:
-                    min_exprs.append(cands[0])
-                else:
-                    min_exprs.append(
-                        F.array_min(
-                            F.array(*([prev] if prev is not None else []),
-                                    *cands)
-                        )
-                    )
-            min_order = order
-
-        # one barrier step: bind this chunk's outputs as a struct of
-        # (partials, mins); only the LIVE prior columns are carried, so
-        # the row stays O(m + current partials) wide at every step —
-        # never O(chunks)
-        name = f"__q{step[0]}"
-        step[0] += 1
-        last = ci == n_chunks - 1
-        vec_needed = carry_vec or not last
-        keep = ["id"] + (["__v"] if vec_needed else [])
-        live_set = set(partial_home.values())
-        if min_home is not None and min_exprs is None:
-            # the running-min column stays live only until the next
-            # chunk that merges it into a fresh array
-            live_set.add(min_home)
-        live = sorted(live_set)
-        payload = F.struct(
-            (
-                F.array(*partial_exprs)
-                if partial_exprs
-                else F.array().cast("array<double>")
-            ).alias("partials"),
-            (
-                F.array(*min_exprs)
-                if min_exprs is not None
-                else F.array().cast(mins_t)
-            ).alias("mins"),
-        )
-        proj = cur.select(
-            *keep, *[F.col(x) for x in live], payload.alias(name)
-        )
-        cur = proj.select(
-            *keep,
-            *[F.col(x) for x in live],
-            F.explode(F.array(name)).alias(f"{name}b"),
-        )
-        bname = f"{name}b"
-        for si, (j, c) in enumerate(partial_slots):
-            partial_refs[(j, c)] = F.element_at(
-                F.col(bname)["partials"], si + 1
-            )
-            partial_home[(j, c)] = bname
-        if min_exprs is not None:
-            min_ref = F.col(bname)["mins"]
-            min_home = bname
-
-    # final ref-only projection: codes in subspace order
-    out_keep = ["id"] + (["__v"] if carry_vec else [])
-    per_sub = [
-        F.element_at(min_ref, min_order.index(j) + 1)["code"]
-        for j in range(m)
-    ]
-    return cur.select(*out_keep, F.array(*per_sub).alias("codes"))
 
 
 def _pq_codes_join(
@@ -1643,15 +1501,16 @@ def pq_train(
     dims; subspace ``j`` gets its own ``codes``-entry codebook.  The
     codebooks are a BOUNDED model (``m × codes`` rows), so each Lloyd
     round collects them to the driver and embeds them as literals in a
-    scan-level argmin (:func:`_pq_codes_frame` — the janino-bounded
-    chunk pipeline, whole-stage-codegen, no join, no window): per
-    round exactly one corpus scan + one (subspace, code, pos)-grain
+    scan-level argmin (:func:`_pq_codes_frame` — no join, no window):
+    per round exactly one corpus scan + one (subspace, code, pos)-grain
     map-side-combinable fixed-point mean.  (Round 8: the former
     broadcast-join + interpreted sq_dist fold assignment cost ~98 s/4
     rounds at 128k vectors; the literal-argmin form ran the same
-    rounds in ~12 s interpreted; round 9's chunked form actually
-    COMPILES, removing both the ~5x interpreted-eval tax on the scan
-    and the repeated failed-janino stall per round.)
+    rounds in ~12 s.  Round 9 MEASURED every compiled alternative and
+    kept the interpreted projection — see the section comment at
+    :data:`_ARGMIN_LITERAL_MAX_TERMS` — adding the `_no_wsc` poison
+    that skips the doomed per-round janino attempt, and the join-path
+    gate for oversized models.)
 
     Deterministic throughout: init assigns ``pmod(xxhash64(id,
     subspace), codes)`` (no RNG), means are order-independent int64
@@ -1686,13 +1545,12 @@ def pq_train(
         cmap[(r["subspace"], r["code"])] = list(r["centroid"])
     base = _pq_barrier(vectors, id_col, vec_col)
     for _ in range(max_iterations):
-        # Stage a: the argmin as the janino-bounded chunk pipeline
-        # (_pq_codes_frame — each projection chunk COMPILES, r9; the
-        # former single-projection forest fell back to the interpreted
-        # path plus a failed-compile stall per round).  Stage b:
-        # explode cheap attribute references (element_at/slice on
-        # columns) into the (subspace, code, subvec) grain the mean
-        # update needs.
+        # Stage a: the literal argmin scan (_pq_codes_frame — the
+        # measured-fastest interpreted projection, WSCG attempt
+        # skipped, join path for oversized models).  Stage b: explode
+        # cheap attribute references (element_at/slice on columns)
+        # into the (subspace, code, subvec) grain the mean update
+        # needs.
         scored = _pq_codes_frame(base, cmap, m, d, codes, carry_vec=True)
         parts = F.array(
             *[
@@ -1734,18 +1592,21 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors to their PQ codes: ``(id, codes array<int>)``.
 
-    ZERO-shuffle: the codebooks are a bounded model (``m × codes`` rows
-    — same collect discipline as every broadcast model here), so they
-    are embedded as literal arrays and the per-subspace argmin becomes
-    a pure scan expression (``array_min`` over ``(dist, code)`` structs
+    ZERO-shuffle for bounded models: the codebooks (``m × codes`` rows
+    — same collect discipline as every broadcast model here) are
+    embedded as literal arrays and the per-subspace argmin becomes a
+    pure scan expression (``array_min`` over ``(dist, code)`` structs
     — min dist, ties to the lower code, exactly the former
     join + min_by winner on the same IEEE fold).  Encode is the one
     pass that must touch EVERY corpus vector at 100 TB; as a scan it
-    whole-stage-codegens with no exchange, no aggregate, no join
-    (round-8: the previous explode+join+min_by shape pushed N·m·codes
-    rows through two aggregates — 151 s at 128k vectors; this form
-    measured 2.6 s for the same encode, and the gap widens with N
-    since the scan is shuffle-free).  ``dim``-dim floats become ``m``
+    has no exchange, no aggregate, no join (round-8: the previous
+    explode+join+min_by shape pushed N·m·codes rows through two
+    aggregates — 151 s at 128k vectors vs ~10 s for the scan form,
+    and the gap widens with N since the scan is shuffle-free; the r9
+    shootout in BASELINE.md is why the scan runs as an INTERPRETED
+    projection with the whole-stage compile attempt deliberately
+    skipped).  Models past the literal gate take the broadcast-join
+    argmin — see :func:`_pq_codes_frame`.  ``dim``-dim floats become ``m``
     small ints (64 doubles →
     8 bytes at m=8), the 64× footprint drop that lets a 100 TB
     corpus's index fit hot.  Null vectors are dropped (no codes can be
@@ -1784,9 +1645,9 @@ def pq_encode(
     # CollapseProject inlines the caller's vector expression (e.g. the
     # interpreted `_unit` transform) into every element_at of the
     # argmin forest (measured ~1 ms/row at 128k vectors).  The argmin
-    # itself is the janino-bounded chunk pipeline (_pq_codes_frame,
-    # r9): every generated method compiles, so the scan runs
-    # whole-stage-codegen'd instead of the interpreted fallback.
+    # itself is _pq_codes_frame: the measured-fastest interpreted
+    # literal projection (WSCG attempt skipped) or the broadcast-join
+    # path for oversized models.
     base = _pq_barrier(vectors, id_col, vec_col)
     return _pq_codes_frame(base, cb, m, d, n_codes, carry_vec=False)
 

