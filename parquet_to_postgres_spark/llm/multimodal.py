@@ -667,9 +667,27 @@ def _jpeg_pixels(b):
         )
 
     comps = frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is ONE data unit in raster order, and the declared
+        # sampling factors do not shape the walk (some encoders emit
+        # h=v=2 on stripped-chroma grayscale).  Forcing 1x1 makes the
+        # generic walk below exactly that raster order (r9 review
+        # finding: honoring the factors mis-tiled such streams).
+        comps[0]["h"] = comps[0]["v"] = 1
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # reject non-integral sampling ratios BEFORE the entropy walk
+        # (header-only check; 3x1 luma over 2x1 chroma is legal per
+        # T.81 but would floor-divide into silent misalignment, and an
+        # adversarial blob should fail before the O(pixels) decode)
+        if vmax % c["v"] or hmax % c["h"]:
+            raise ValueError(
+                f"non-integral JPEG sampling ratio "
+                f"({c['h']}x{c['v']} vs {hmax}x{vmax} max) unsupported"
+            )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (frame["w"] + mcu_w - 1) // mcu_w
     mcus_y = (frame["h"] + mcu_h - 1) // mcu_h
@@ -745,14 +763,8 @@ def _jpeg_pixels(b):
         # assemble block grid into the component plane
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = np.clip(np.round(plane) + 128, 0, 255)
-        # upsample to full MCU-grid resolution — integral ratios only
-        # (3x1 luma over 2x1 chroma is legal per T.81 but would
-        # floor-divide into silent misalignment)
-        if vmax % c["v"] or hmax % c["h"]:
-            raise ValueError(
-                f"non-integral JPEG sampling ratio "
-                f"({c['h']}x{c['v']} vs {hmax}x{vmax} max) unsupported"
-            )
+        # upsample to full MCU-grid resolution (ratios validated
+        # integral up front, before the entropy walk)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
@@ -877,7 +889,16 @@ def decode_media_bytes(b: bytes) -> dict:
             return decode_jpeg(b)
         except ValueError as e:
             if pil_available():
-                return decode_with_pil(b)
+                try:
+                    return decode_with_pil(b)
+                except Exception as pe:
+                    # PIL raises OSError/UnidentifiedImageError on bad
+                    # streams — the dispatch contract is ValueError
+                    # for EVERY decode failure (r9 review finding)
+                    raise ValueError(
+                        f"JPEG undecodable natively ({e}) and by "
+                        f"Pillow ({type(pe).__name__}: {pe})"
+                    ) from pe
             raise ValueError(
                 f"{e} — installing the optional Pillow dependency "
                 "(pip install pillow) enables decoding JPEGs the "

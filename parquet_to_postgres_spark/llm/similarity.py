@@ -1419,7 +1419,16 @@ def _pq_codes_join(
     per-row cost is a zip_with fold (same left-to-right association as
     the literal chains, so both paths agree bit-exactly), and the
     struct-min (dist, code) is a map-side-combinable hash aggregate
-    with the same tie-to-lower-code rule."""
+    with the same tie-to-lower-code rule.
+
+    Grouping runs on a per-ROW surrogate key, not ``id``: duplicate
+    ids (dirty upstream data) must each keep their own codes exactly
+    as the literal path preserves them — grouping on ``id`` would
+    blend subspace winners ACROSS the duplicate rows into a code
+    vector matching neither input (r9 review finding).  The surrogate
+    (monotonically_increasing_id) is only required to be unique within
+    the job; it never appears in the output, so the result multiset is
+    deterministic."""
     spark = base.sparkSession
     cb = spark.createDataFrame(
         [
@@ -1429,7 +1438,8 @@ def _pq_codes_join(
         ],
         "subspace int, code int, centroid array<double>",
     )
-    carry = ["id"] + (["__v"] if carry_vec else [])
+    keyed = base.withColumn("__rk", F.monotonically_increasing_id())
+    carry = ["__rk", "id"] + (["__v"] if carry_vec else [])
     parts = F.array(
         *[
             F.struct(
@@ -1439,7 +1449,7 @@ def _pq_codes_join(
             for j in range(m)
         ]
     )
-    sub = base.select(*carry, F.explode(parts).alias("p")).select(
+    sub = keyed.select(*carry, F.explode(parts).alias("p")).select(
         *carry, "p.subspace", "p.subvec"
     )
     scored = sub.join(F.broadcast(cb), "subspace").select(
@@ -1450,8 +1460,9 @@ def _pq_codes_join(
             F.col("code").alias("code"),
         ).alias("dc"),
     )
-    per_sub = scored.groupBy("id", "subspace").agg(
+    per_sub = scored.groupBy("__rk", "subspace").agg(
         F.min("dc").alias("w"),
+        F.first("id").alias("id"),
         *([F.first("__v").alias("__v")] if carry_vec else []),
     )
     final_aggs = [
@@ -1462,12 +1473,13 @@ def _pq_codes_join(
                 )
             ),
             lambda s: s["code"],
-        ).alias("codes")
+        ).alias("codes"),
+        F.first("id").alias("id"),
     ]
     if carry_vec:
         final_aggs.append(F.first("__v").alias("__v"))
-    out = per_sub.groupBy("id").agg(*final_aggs)
-    return out.select(*carry, "codes")
+    out = per_sub.groupBy("__rk").agg(*final_aggs)
+    return out.select("id", *(["__v"] if carry_vec else []), "codes")
 
 
 def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":

@@ -317,3 +317,47 @@ def test_pq_argmin_budget_holds_for_every_shape(spark):
                 assert int(np.argmin(dists)) == r["codes"][j], (
                     m, codes, dim, r["id"], j,
                 )
+
+
+def test_pq_join_argmin_preserves_duplicate_ids(spark):
+    """Dirty-input parity across the literal/join gate (r9 review
+    finding): duplicate vec_ids must each keep their OWN codes on the
+    join path, exactly as the literal path preserves them — grouping
+    on id would blend subspace winners across the duplicate rows."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    m, codes, d = 1, 300, 64  # 19200 terms -> join path
+    assert m * codes * d > S._ARGMIN_LITERAL_MAX_TERMS
+    cmap = {
+        (0, c): [rng.uniform(-1, 1) for _ in range(d)] for c in range(codes)
+    }
+    va = [rng.uniform(-1, 1) for _ in range(d)]
+    vb = [rng.uniform(-1, 1) for _ in range(d)]
+    base = spark.createDataFrame(
+        [(7, va), (7, vb)], "id long, __v array<double>"
+    )
+    rows = S._pq_codes_frame(base, cmap, m, d, codes).collect()
+    assert len(rows) == 2 and all(r["id"] == 7 for r in rows)
+    got = sorted(tuple(r["codes"]) for r in rows)
+    want = sorted(
+        (
+            int(
+                np.argmin(
+                    [
+                        float(
+                            np.sum(
+                                (np.array(v) - np.array(cmap[(0, c)])) ** 2
+                            )
+                        )
+                        for c in range(codes)
+                    ]
+                )
+            ),
+        )
+        for v in (va, vb)
+    )
+    assert got == want

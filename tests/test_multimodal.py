@@ -415,3 +415,26 @@ def test_decode_jpeg_progressive_raises_without_pil():
         pytest.skip("PIL present: dispatch would legitimately succeed")
     with pytest.raises(ValueError, match="progressive"):
         M.decode_media_bytes(bytes(b))
+
+
+def test_decode_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is NON-interleaved — one
+    8x8 data unit per MCU in raster order, whatever the SOF sampling
+    factors say.  Patching a grayscale stream's factors to 2x2 must
+    decode to the identical pixels (r9 review finding: honoring the
+    factors mis-tiled such streams)."""
+    np = _np()
+
+    from ._jpeg_ref import encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 16), dtype=np.uint8)
+    b = encode_jpeg(img)
+    want = M._jpeg_pixels(b)
+    patched = bytearray(b)
+    i = bytes(b).index(b"\xff\xc0")
+    assert patched[i + 4 + 7] == 0x11  # the component's HiVi byte
+    patched[i + 4 + 7] = 0x22
+    got = M._jpeg_pixels(bytes(patched))
+    assert got.shape == want.shape
+    assert (got == want).all()

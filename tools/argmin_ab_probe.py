@@ -1,6 +1,13 @@
-"""A/B the r9 chunk pipeline vs the r8 single-projection argmin on the
-REAL encode harness (replicated sf0.1 embeddings, _unit upstream,
-parquet write) to find where the 1M-probe regression comes from."""
+"""A/B the CURRENT pq_encode argmin against a frozen copy of the r8
+single-projection form on the REAL encode harness (replicated sf0.1
+embeddings, _unit upstream, parquet write).
+
+The frozen arm deliberately DUPLICATES the r8 expressions (rather
+than importing them) so it stays a fixed yardstick even as
+similarity.py evolves; the shipped r9 path is the same interpreted
+single projection plus the _no_wsc poison and the big-model join
+gate, so the two arms should now measure within noise of each other
+(BASELINE.md "Argmin representation shootout" for the full story)."""
 import os, sys, time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -51,14 +58,15 @@ def main():
     cmap = {(r["subspace"], r["code"]): list(r["centroid"]) for r in rows}
     m = max(r["subspace"] for r in rows) + 1
     n_codes = max(r["code"] for r in rows) + 1
-    d = 64 // m
+    dim = len(base.limit(1).collect()[0]["embedding"])
+    d = dim // m
 
     c_unit = emb.select(F.col("vec_id").alias("cid"), S._unit("embedding").alias("cvec"))
 
     import tempfile
     for tag, enc in (
-        ("r9-chunked", lambda: S.pq_encode(c_unit, cb, id_col="cid", vec_col="cvec")),
-        ("r8-single", lambda: encode_r8(c_unit, cmap, m, d, n_codes, "cid", "cvec")),
+        ("current-pq-encode", lambda: S.pq_encode(c_unit, cb, id_col="cid", vec_col="cvec")),
+        ("r8-frozen", lambda: encode_r8(c_unit, cmap, m, d, n_codes, "cid", "cvec")),
     ):
         for rep in range(2):
             with tempfile.TemporaryDirectory() as td:
@@ -67,8 +75,8 @@ def main():
                 print(f"{tag} rep{rep}: {time.time()-t0:7.2f}s", flush=True)
     # also encode-only (no write): count of first codes
     for tag, enc in (
-        ("r9-chunked-count", lambda: S.pq_encode(c_unit, cb, id_col="cid", vec_col="cvec")),
-        ("r8-single-count", lambda: encode_r8(c_unit, cmap, m, d, n_codes, "cid", "cvec")),
+        ("current-count", lambda: S.pq_encode(c_unit, cb, id_col="cid", vec_col="cvec")),
+        ("r8-frozen-count", lambda: encode_r8(c_unit, cmap, m, d, n_codes, "cid", "cvec")),
     ):
         for rep in range(2):
             t0 = time.time()
