@@ -184,6 +184,8 @@ def encode_jpeg(
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsampling == "444":
             sub = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "422":
+            sub = [(2, 1), (1, 1), (1, 1)]
         elif subsampling == "420":
             sub = [(2, 2), (1, 1), (1, 1)]
         else:

@@ -438,3 +438,26 @@ def test_decode_jpeg_single_component_ignores_sampling_factors():
     got = M._jpeg_pixels(bytes(patched))
     assert got.shape == want.shape
     assert (got == want).all()
+
+
+def test_decode_jpeg_422_horizontal_subsampling():
+    """4:2:2 (2x1 luma over 1x1 chroma) exercises the asymmetric MCU
+    walk (16x8 MCUs) and horizontal-only chroma upsampling — the third
+    standard sampling grid alongside the 4:4:4 and 4:2:0 tests."""
+    np = _np()
+
+    from ._jpeg_ref import encode_jpeg
+
+    h, w = 12, 22
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(30 + 5 * xx) % 256, (180 - 3 * yy) % 256, (70 + 2 * xx + 4 * yy) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    b = encode_jpeg(img, subsampling="422")
+    got = M.decode_media_bytes(b)
+    assert (got["width"], got["height"], got["channels"]) == (22, 12, 3)
+    pix = M._jpeg_pixels(b)
+    err = np.abs(pix.astype(int) - img.astype(int))
+    assert float(err.mean()) <= 5.0, err.mean()
+    assert err.max() <= 35, err.max()

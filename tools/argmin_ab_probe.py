@@ -58,8 +58,10 @@ def main():
     cmap = {(r["subspace"], r["code"]): list(r["centroid"]) for r in rows}
     m = max(r["subspace"] for r in rows) + 1
     n_codes = max(r["code"] for r in rows) + 1
-    dim = len(base.limit(1).collect()[0]["embedding"])
-    d = dim // m
+    # d from the trained codebooks themselves — always coherent with
+    # what pq_train produced (and no extra Spark job); note pq_train
+    # above uses its default dim=64, matching the sf fixtures
+    d = len(rows[0]["centroid"])
 
     c_unit = emb.select(F.col("vec_id").alias("cid"), S._unit("embedding").alias("cvec"))
 
