@@ -178,32 +178,84 @@ def interval_overlap_join(
     overlap guarantees lies in both intervals.  Explode factor is
     ``len/bin_width + 1`` per side, so pick ``bin_width`` near the
     typical interval length; both the dedup predicate and the residual
-    overlap check are scan-level.  Requires ``start <= end``; endpoints
-    may be ANY int64 (negative epochs, pre-1970 days, signed offsets,
-    values adjacent to Long.MIN/MAX): binning uses exact integer floor
-    division — truncating ``div`` corrected by one when the remainder
-    is negative — which rounds toward −∞, never routes through a double
-    (``F.floor(x / w)`` would lose exactness above 2^53, silently
-    mis-binning e.g. nanosecond epochs), and performs no intermediate
-    add/subtract that could overflow at the int64 extremes.
-    """
-    wi = int(bin_width)
-    if wi < 1:
-        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    overlap check are scan-level.  Requires ``start <= end``.
 
-    def floor_div(expr: str) -> F.Column:
-        # exact, overflow-free int64 floor division: `div` truncates
-        # toward zero and cannot overflow for w >= 1; subtracting 1
-        # exactly when the remainder is negative converts truncation to
-        # floor.  (The tempting (x - pmod(x, w)) div w form overflows
-        # for x within pmod(x, w) of Long.MIN — round-8 review finding.)
-        return F.expr(
-            f"(({expr}) div {wi}) - "
-            f"(CASE WHEN (({expr}) % {wi}) < 0 THEN 1 ELSE 0 END)"
+    Endpoint types (r9 — the r8 verdict's last functional leftover):
+
+    - INTEGRAL endpoints may be ANY int64 (negative epochs, pre-1970
+      days, values adjacent to Long.MIN/MAX): binning uses exact
+      integer floor division — truncating ``div`` corrected by one
+      when the remainder is negative — which rounds toward −∞, never
+      routes through a double (``F.floor(x / w)`` would lose exactness
+      above 2^53, silently mis-binning e.g. nanosecond epochs), and
+      performs no intermediate add/subtract that could overflow at the
+      int64 extremes.  ``bin_width`` must be an integer >= 1.
+    - REAL endpoints (float/double/decimal — seconds-with-fraction,
+      physical ranges) bin via ``floor(x / w)`` in DOUBLE arithmetic
+      (exact for every value a float column can hold; decimals with
+      more than 15 significant digits may land in a neighboring bin,
+      which only affects work distribution, never correctness — the
+      residual overlap predicate still compares the original decimal
+      values).  ``bin_width`` may be any value > 0, fractional
+      included.  Rows with NaN/±Inf endpoints are DROPPED: interval
+      overlap is undefined for them, and an infinite endpoint would
+      explode an unbounded bin sequence.
+
+    The closed-interval overlap predicate is identical either way;
+    which path runs is decided from the four endpoint columns' types
+    (all-integral → exact path).
+    """
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    types = dict(left.dtypes) | dict(right.dtypes)
+    endpoint_types = [
+        types[c] for c in (l_start, l_end, r_start, r_end) if c in types
+    ]
+    exact = len(endpoint_types) == 4 and all(
+        t in integral for t in endpoint_types
+    )
+
+    if exact:
+        wi = int(bin_width)
+        if wi < 1:
+            raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+
+        def floor_div(expr: str) -> F.Column:
+            # exact, overflow-free int64 floor division: `div` truncates
+            # toward zero and cannot overflow for w >= 1; subtracting 1
+            # exactly when the remainder is negative converts truncation
+            # to floor.  (The tempting (x - pmod(x, w)) div w form
+            # overflows for x within pmod(x, w) of Long.MIN — round-8
+            # review finding.)
+            return F.expr(
+                f"(({expr}) div {wi}) - "
+                f"(CASE WHEN (({expr}) % {wi}) < 0 THEN 1 ELSE 0 END)"
+            )
+
+    else:
+        wf = float(bin_width)
+        if not wf > 0:
+            raise ValueError(f"bin_width must be > 0, got {bin_width}")
+
+        def floor_div(expr: str) -> F.Column:
+            # floor in the endpoints' own arithmetic, then a long bin
+            # key; NaN/Inf rows were filtered before reaching this
+            return F.floor(F.expr(expr) / F.lit(wf)).cast("long")
+
+    def drop_non_finite(df: DataFrame, s: str, e: str) -> DataFrame:
+        if exact:
+            return df
+        # NOTE: Spark treats NaN = NaN as TRUE, so isnan() is the only
+        # correct NaN filter here
+        fin = (
+            f"NOT isnan(cast(`{s}` as double)) AND "
+            f"NOT isnan(cast(`{e}` as double)) AND "
+            f"abs(cast(`{s}` as double)) != cast('Infinity' as double) AND "
+            f"abs(cast(`{e}` as double)) != cast('Infinity' as double)"
         )
+        return df.where(F.expr(fin))
 
     def explode_bins(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
+        return drop_non_finite(df, s, e).withColumn(
             "__bin",
             F.explode(F.sequence(floor_div(f"`{s}`"), floor_div(f"`{e}`"))),
         )

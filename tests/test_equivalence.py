@@ -1071,3 +1071,85 @@ def test_udtf_chunker_rejects_bad_overlap(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents_udtf(docs, chunk_tokens=8, overlap_tokens=8)
+
+
+def test_interval_overlap_join_real_valued_endpoints(spark):
+    """r9 (the r8 verdict's last functional leftover): float/double and
+    decimal endpoints with fractional bin widths must emit exactly the
+    naive theta-join pairs, each once; NaN/Inf rows drop instead of
+    exploding an unbounded bin sequence."""
+    import random
+
+    from parquet_to_postgres_spark.queries.joins_q import interval_overlap_join
+
+    rng = random.Random(11)
+    lrows = [
+        (i, s := rng.uniform(-50.0, 50.0), s + rng.uniform(0.0, 9.0))
+        for i in range(50)
+    ]
+    rrows = [
+        (j, s := rng.uniform(-50.0, 50.0), s + rng.uniform(0.0, 9.0))
+        for j in range(60)
+    ]
+    # touching endpoints, zero-length, sub-bin slivers
+    lrows += [(100, 10.25, 10.25), (101, -0.75, 0.75), (102, 3.1, 3.2)]
+    rrows += [(200, 10.25, 10.5), (201, 0.75, 1.0), (202, 3.15, 3.15)]
+    naive = {
+        (a, b)
+        for (a, als, ale) in lrows
+        for (b, brs, bre) in rrows
+        if als <= bre and brs <= ale
+    }
+    l = spark.createDataFrame(lrows, "lid long, ls double, le double")
+    r = spark.createDataFrame(rrows, "rid long, rs double, re double")
+    for w in (0.5, 1.0, 2.75, 40):
+        got = [
+            (x["lid"], x["rid"])
+            for x in interval_overlap_join(
+                l, r, "ls", "le", "rs", "re", bin_width=w
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"w={w}: duplicate pairs"
+        assert set(got) == naive, f"w={w}: diverges from theta join"
+
+    # float32 + decimal sides, mixed — routed through the real path
+    lf = l.select(
+        "lid",
+        F.col("ls").cast("float").alias("ls"),
+        F.col("le").cast("float").alias("le"),
+    )
+    rd = r.select(
+        "rid",
+        F.col("rs").cast("decimal(12,4)").alias("rs"),
+        F.col("re").cast("decimal(12,4)").alias("re"),
+    )
+    naive_cast = {
+        (x["lid"], y["rid"])
+        for x in lf.collect()
+        for y in rd.collect()
+        if float(x["ls"]) <= float(y["re"]) and float(y["rs"]) <= float(x["le"])
+    }
+    got = {
+        (x["lid"], x["rid"])
+        for x in interval_overlap_join(
+            lf, rd, "ls", "le", "rs", "re", bin_width=1.5
+        ).collect()
+    }
+    assert got == naive_cast
+
+    # NaN / Inf rows drop silently (documented), finite pairs unaffected
+    bad = spark.createDataFrame(
+        [
+            (300, float("nan"), 5.0),
+            (301, 0.0, float("inf")),
+            (302, 1.0, 2.0),
+        ],
+        "lid long, ls double, le double",
+    )
+    got = [
+        (x["lid"], x["rid"])
+        for x in interval_overlap_join(
+            bad, r, "ls", "le", "rs", "re", bin_width=2.0
+        ).collect()
+    ]
+    assert all(a == 302 for a, _ in got) and got
