@@ -149,6 +149,13 @@ def _seg(marker, body):
 
 
 def _dqt(tid, q):
+    """8-bit table by default; emits a 16-bit (precision=1) table when
+    any entry exceeds 255 — exercising the decoder's prec=1 parse."""
+    if max(int(x) for x in q) > 255:
+        body = bytes([0x10 | tid]) + b"".join(
+            int(q[z]).to_bytes(2, "big") for z in ZZ
+        )
+        return _seg(0xDB, body)
     return _seg(0xDB, bytes([tid]) + bytes(int(q[z]) for z in ZZ))
 
 

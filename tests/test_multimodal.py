@@ -461,3 +461,24 @@ def test_decode_jpeg_422_horizontal_subsampling():
     err = np.abs(pix.astype(int) - img.astype(int))
     assert float(err.mean()) <= 5.0, err.mean()
     assert err.max() <= 35, err.max()
+
+
+def test_decode_jpeg_16bit_quant_tables():
+    """DQT precision=1 (16-bit entries, legal whenever a step exceeds
+    255) must parse and dequantize correctly.  Flat image + q[DC]=8
+    keeps the DC math exact, so the large AC steps change nothing and
+    the roundtrip must be EXACT — any table-offset parse bug shifts
+    every entry and breaks it."""
+    np = _np()
+
+    from ._jpeg_ref import encode_jpeg
+
+    q = np.full(64, 300, dtype=int)  # > 255 -> 16-bit table
+    q[0] = 8
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    b = encode_jpeg(img, q_luma=q)
+    assert b"\xff\xdb" in b
+    got = M.decode_media_bytes(b)
+    assert got["mean_value"] == 200.0
+    pix = M._jpeg_pixels(b)
+    assert int(pix.min()) == int(pix.max()) == 200
