@@ -194,25 +194,44 @@ def interval_overlap_join(
       physical ranges) bin via ``floor(x / w)`` in DOUBLE arithmetic
       (exact for every value a float column can hold; decimals with
       more than 15 significant digits may land in a neighboring bin,
-      which only affects work distribution, never correctness — the
-      residual overlap predicate still compares the original decimal
-      values).  ``bin_width`` may be any value > 0, fractional
-      included.  Rows with NaN/±Inf endpoints are DROPPED: interval
-      overlap is undefined for them, and an infinite endpoint would
-      explode an unbounded bin sequence.
+      which only affects work distribution, never the pair set — the
+      binning is monotone and consistent between explode and dedup,
+      and the residual overlap predicate compares the endpoint
+      columns themselves under Spark's usual comparison coercion).
+      ``bin_width`` may be any value > 0, fractional included.  Rows
+      with NaN/±Inf endpoints are DROPPED: interval overlap is
+      undefined for them, and an infinite endpoint would explode an
+      unbounded bin sequence.
 
-    The closed-interval overlap predicate is identical either way;
-    which path runs is decided from the four endpoint columns' types
-    (all-integral → exact path).
+    The closed-interval overlap predicate is identical either way —
+    and for MIXED endpoint types it is exactly the comparison Spark's
+    own theta join would make (e.g. a decimal side is promoted to
+    double against a double side); the "compares the original values"
+    guarantee is exact when all four endpoints share the decimal /
+    integral family.  Which path runs is decided from the endpoint
+    columns' types, resolved per side and case-insensitively (the same
+    laxity Spark's analyzer applies — a case-variant name must not
+    silently misroute int64 endpoints onto the double path); a name
+    missing from its side raises immediately.
     """
     integral = {"tinyint", "smallint", "int", "bigint"}
-    types = dict(left.dtypes) | dict(right.dtypes)
+
+    def _dtype(df: DataFrame, name: str, side: str) -> str:
+        for c, t in df.dtypes:
+            if c.lower() == name.lower():
+                return t
+        raise ValueError(
+            f"interval_overlap_join: column {name!r} not found on the "
+            f"{side} side (has {[c for c, _ in df.dtypes]})"
+        )
+
     endpoint_types = [
-        types[c] for c in (l_start, l_end, r_start, r_end) if c in types
+        _dtype(left, l_start, "left"),
+        _dtype(left, l_end, "left"),
+        _dtype(right, r_start, "right"),
+        _dtype(right, r_end, "right"),
     ]
-    exact = len(endpoint_types) == 4 and all(
-        t in integral for t in endpoint_types
-    )
+    exact = all(t in integral for t in endpoint_types)
 
     if exact:
         wi = int(bin_width)

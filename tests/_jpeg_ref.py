@@ -149,8 +149,12 @@ def _seg(marker, body):
 
 
 def _dqt(tid, q):
-    """8-bit table by default; emits a 16-bit (precision=1) table when
-    any entry exceeds 255 — exercising the decoder's prec=1 parse."""
+    """8-bit table by default; emits a 16-bit (Pq=1) table when any
+    entry exceeds 255.  NOTE: T.81 B.2.4.1 forbids 16-bit quant tables
+    in 8-bit (SOF0) processes, so such a stream is deliberately
+    NON-conformant — real-world lenient decoders (and ours) parse it
+    anyway, and the fixture exists precisely to pin that prec=1 parse
+    path; keep q <= 255 for conformant output."""
     if max(int(x) for x in q) > 255:
         body = bytes([0x10 | tid]) + b"".join(
             int(q[z]).to_bytes(2, "big") for z in ZZ

@@ -464,11 +464,13 @@ def test_decode_jpeg_422_horizontal_subsampling():
 
 
 def test_decode_jpeg_16bit_quant_tables():
-    """DQT precision=1 (16-bit entries, legal whenever a step exceeds
-    255) must parse and dequantize correctly.  Flat image + q[DC]=8
-    keeps the DC math exact, so the large AC steps change nothing and
-    the roundtrip must be EXACT — any table-offset parse bug shifts
-    every entry and breaks it."""
+    """DQT precision=1 (16-bit entries) must parse and dequantize
+    correctly.  T.81 forbids 16-bit tables in 8-bit baseline streams,
+    but lenient decoders accept them in the wild and ours pins that
+    parse path (the fixture encoder documents the non-conformance).
+    Flat image + q[DC]=8 keeps the DC math exact, so the large AC
+    steps change nothing and the roundtrip must be EXACT — any
+    table-offset parse bug shifts every entry and breaks it."""
     np = _np()
 
     from ._jpeg_ref import encode_jpeg
@@ -477,7 +479,9 @@ def test_decode_jpeg_16bit_quant_tables():
     q[0] = 8
     img = np.full((16, 16), 200, dtype=np.uint8)
     b = encode_jpeg(img, q_luma=q)
-    assert b"\xff\xdb" in b
+    # the 16-bit table really was emitted: DQT length 2+1+128=131
+    # (an 8-bit table would be 0x43) — pins the intended parse path
+    assert b"\xff\xdb\x00\x83" in b
     got = M.decode_media_bytes(b)
     assert got["mean_value"] == 200.0
     pix = M._jpeg_pixels(b)
