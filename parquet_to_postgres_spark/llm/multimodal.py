@@ -579,6 +579,12 @@ def _jpeg_segments(b):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip the run so conformant streams don't desync
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            return
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             return
@@ -625,6 +631,15 @@ def _jpeg_pixels(b):
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
+            # zero dims decode to an empty array (n_values=0,
+            # mean=NaN) instead of the every-failure-is-ValueError
+            # contract; this also honestly refuses the legal h=0+DNL
+            # deferred-height form (r9 ADVICE)
+            if h < 1 or w < 1 or ncomp < 1:
+                raise ValueError(
+                    f"JPEG SOF declares empty frame "
+                    f"({w}x{h}, {ncomp} components)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]

@@ -1421,14 +1421,27 @@ def _pq_codes_join(
     struct-min (dist, code) is a map-side-combinable hash aggregate
     with the same tie-to-lower-code rule.
 
-    Grouping runs on a per-ROW surrogate key, not ``id``: duplicate
-    ids (dirty upstream data) must each keep their own codes exactly
-    as the literal path preserves them — grouping on ``id`` would
-    blend subspace winners ACROSS the duplicate rows into a code
-    vector matching neither input (r9 review finding).  The surrogate
-    (monotonically_increasing_id) is only required to be unique within
-    the job; it never appears in the output, so the result multiset is
-    deterministic."""
+    Grouping runs on a CONTENT-DERIVED key, not ``id`` alone:
+    duplicate ids (dirty upstream data) must each keep their own codes
+    exactly as the literal path preserves them — grouping on ``id``
+    would blend subspace winners ACROSS the duplicate rows into a code
+    vector matching neither input (r9 review finding).  The key must
+    also be DETERMINISTIC: a monotonically_increasing_id surrogate is
+    reassigned when a map task retries over a nondeterministically
+    ordered upstream (e.g. post-shuffle), which can mispair subspace
+    minima between this function's two aggregations — the classic
+    nondeterministic-key-on-retry hazard on clusters (r9 ADVICE).  So
+    the key is ``(xxhash64(id, __v), murmur3(__v), id)`` — a pure
+    function of row content, identical on any retry.  Rows that are
+    EXACT duplicates (same id and vector) then share a key and
+    collapse in the first aggregation; that is harmless for the min
+    (their distances are identical) and the lost multiplicity is
+    counted there (``__dup``) and restored by one array_repeat explode
+    at the end, so the output multiset matches the literal path
+    row-for-row.  Distinct rows only merge on a simultaneous
+    64-bit + 32-bit hash collision WITHIN one id (~2^-96 per same-id
+    pair) — negligible against cluster retry rates, and cheaper than
+    carrying the full vector through both shuffles as the key."""
     spark = base.sparkSession
     cb = spark.createDataFrame(
         [
@@ -1438,8 +1451,10 @@ def _pq_codes_join(
         ],
         "subspace int, code int, centroid array<double>",
     )
-    keyed = base.withColumn("__rk", F.monotonically_increasing_id())
-    carry = ["__rk", "id"] + (["__v"] if carry_vec else [])
+    keyed = base.withColumn(
+        "__h1", F.xxhash64("id", "__v")
+    ).withColumn("__h2", F.hash("__v"))
+    carry = ["__h1", "__h2", "id"] + (["__v"] if carry_vec else [])
     parts = F.array(
         *[
             F.struct(
@@ -1460,9 +1475,13 @@ def _pq_codes_join(
             F.col("code").alias("code"),
         ).alias("dc"),
     )
-    per_sub = scored.groupBy("__rk", "subspace").agg(
+    per_sub = scored.groupBy("__h1", "__h2", "id", "subspace").agg(
         F.min("dc").alias("w"),
-        F.first("id").alias("id"),
+        # exact-duplicate input rows collapse into this group; count
+        # them here (each input row lands in every subspace group
+        # exactly n_codes times — once per codebook row it joined) so
+        # the final explode can restore the multiset
+        (F.count(F.lit(1)) / n_codes).cast("long").alias("__dup"),
         *([F.first("__v").alias("__v")] if carry_vec else []),
     )
     final_aggs = [
@@ -1474,12 +1493,19 @@ def _pq_codes_join(
             ),
             lambda s: s["code"],
         ).alias("codes"),
-        F.first("id").alias("id"),
+        F.first("__dup").alias("__dup"),
     ]
     if carry_vec:
         final_aggs.append(F.first("__v").alias("__v"))
-    out = per_sub.groupBy("__rk").agg(*final_aggs)
-    return out.select("id", *(["__v"] if carry_vec else []), "codes")
+    out = per_sub.groupBy("__h1", "__h2", "id").agg(*final_aggs)
+    return out.select(
+        "id",
+        *(["__v"] if carry_vec else []),
+        "codes",
+        F.explode(
+            F.array_repeat(F.lit(1), F.col("__dup").cast("int"))
+        ).alias("__e"),
+    ).drop("__e")
 
 
 def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":

@@ -361,3 +361,38 @@ def test_pq_join_argmin_preserves_duplicate_ids(spark):
         for v in (va, vb)
     )
     assert got == want
+
+
+def test_pq_join_argmin_restores_exact_duplicate_multiplicity(spark):
+    """r10 (r9 ADVICE): the join argmin's deterministic content key
+    collapses EXACT-duplicate rows (same id and vector) in its first
+    aggregation and restores them with a counted explode — three
+    identical input rows must yield three identical output rows, and
+    the carry_vec form must keep the vector on each."""
+    import random
+
+    rng = random.Random(11)
+    m, codes, d = 2, 3, 8
+    cmap = {
+        (j, c): [rng.uniform(-1, 1) for _ in range(d)]
+        for j in range(m)
+        for c in range(codes)
+    }
+    v = [rng.uniform(-1, 1) for _ in range(m * d)]
+    w = [rng.uniform(-1, 1) for _ in range(m * d)]
+    base = spark.createDataFrame(
+        [(7, v), (7, v), (7, v), (9, w)], "id long, __v array<double>"
+    )
+    for carry in (False, True):
+        rows = S._pq_codes_join(
+            base, cmap, m, d, codes, carry_vec=carry
+        ).collect()
+        assert sorted(r["id"] for r in rows) == [7, 7, 7, 9]
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["id"], []).append(tuple(r["codes"]))
+        assert len(set(by_id[7])) == 1 and len(by_id[7]) == 3
+        if carry:
+            assert all(
+                list(r["__v"]) == (v if r["id"] == 7 else w) for r in rows
+            )

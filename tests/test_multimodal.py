@@ -486,3 +486,46 @@ def test_decode_jpeg_16bit_quant_tables():
     assert got["mean_value"] == 200.0
     pix = M._jpeg_pixels(b)
     assert int(pix.min()) == int(pix.max()) == 200
+
+
+def test_decode_jpeg_zero_dims_raise():
+    """r9 ADVICE: an SOF declaring height or width 0 must surface the
+    uniform ValueError contract, not an empty array whose NaN mean
+    poisons downstream stat aggregates (this also honestly refuses the
+    legal h=0 + DNL deferred-height form)."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg
+
+    base = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8))
+    i = base.index(b"\xff\xc0")
+    # SOF payload: len(2) precision(1) h(2) w(2) ncomp(1)
+    for off in (5, 7):  # height bytes, width bytes
+        b = bytearray(base)
+        b[i + off] = b[i + off + 1] = 0
+        with pytest.raises(ValueError, match="empty frame"):
+            M.decode_jpeg(bytes(b))
+
+
+def test_decode_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes; a conformant stream padded that way must still decode
+    (r9 ADVICE — the segment walk used to desync on the fill run).
+    Exactness on a flat image pins that no segment was skipped."""
+    np = _np()
+
+    from ._jpeg_ref import encode_jpeg
+
+    base = encode_jpeg(np.full((8, 8), 200, dtype=np.uint8))
+    # insert fill runs before the DQT, DHT and SOS markers
+    out = bytearray()
+    i = 0
+    while i < len(base):
+        if base[i] == 0xFF and base[i + 1] in (0xDB, 0xC4, 0xDA):
+            out += b"\xff\xff\xff"  # fill run, then the real FF-marker
+        out.append(base[i])
+        i += 1
+    got = M.decode_media_bytes(bytes(out))
+    assert (got["width"], got["height"]) == (8, 8)
+    assert got["mean_value"] == 200.0
