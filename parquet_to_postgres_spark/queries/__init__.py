@@ -99,7 +99,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_stream_join",
     "minhash_near_dup",
     "near_dedup_corpus",
-    "multimodal_stub_decode",
+    "multimodal_real_decode",
 )
 
 

@@ -298,39 +298,74 @@ def interval_overlap_join(
 @register(
     "join_interval_overlap",
     oracle=f"""
-    WITH l AS (
+    WITH li AS (
       SELECT o_orderkey AS urgent_key,
              (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ls,
              (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
                + (o_orderkey % 7 + 1) AS le
       FROM orders WHERE o_orderpriority = '1-URGENT'
-    ), r AS (
+    ), ri AS (
       SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS rs,
              (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
                + (o_orderkey % 5 + 1) AS re,
              o_totalprice
       FROM orders WHERE o_orderpriority = '5-LOW'
+    ), lr AS (
+      SELECT o_orderkey AS urgent_key,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+               + CAST(o_orderkey % 10 AS DOUBLE) / 10 AS ls,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+               + CAST(o_orderkey % 10 AS DOUBLE) / 10
+               + CAST(o_orderkey % 7 + 1 AS DOUBLE) / 2 AS le
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), rr AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+               + CAST(o_orderkey % 9 AS DOUBLE) / 10 AS rs,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+               + CAST(o_orderkey % 9 AS DOUBLE) / 10
+               + CAST(o_orderkey % 5 + 1 AS DOUBLE) / 2 AS re,
+             o_totalprice
+      FROM orders WHERE o_orderpriority = '5-LOW'
     )
-    SELECT l.urgent_key,
+    SELECT 'int' AS path, li.urgent_key,
            COUNT(*) AS n_overlaps,
            {sql_dsum('o_totalprice', 'low_value')},
-           MAX(LEAST(l.le, r.re) - GREATEST(l.ls, r.rs) + 1) AS max_overlap_days
-    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
-    GROUP BY l.urgent_key
+           CAST(MAX(LEAST(li.le, ri.re) - GREATEST(li.ls, ri.rs) + 1)
+                AS DOUBLE) AS max_overlap
+    FROM li JOIN ri ON li.ls <= ri.re AND ri.rs <= li.le
+    GROUP BY li.urgent_key
+    UNION ALL
+    SELECT 'real' AS path, lr.urgent_key,
+           COUNT(*) AS n_overlaps,
+           {sql_dsum('o_totalprice', 'low_value')},
+           MAX(LEAST(lr.le, rr.re) - GREATEST(lr.ls, rr.rs)) AS max_overlap
+    FROM lr JOIN rr ON lr.ls <= rr.re AND rr.rs <= lr.le
+    GROUP BY lr.urgent_key
     """,
     tags=("J6",),
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 (letter form): raw interval-overlap theta join — urgent-order
     fulfillment windows against low-priority windows, per-urgent-order
-    overlap stats.  The oracle is the textbook non-equi
-    ``ON l.ls <= r.re AND r.rs <= l.le`` (DuckDB plans it as IEJoin);
-    the Spark side goes through :func:`interval_overlap_join`, whose
-    banding rewrite turns it into ONE shuffled equi-join on a bin key —
+    overlap stats — run through BOTH endpoint paths of
+    :func:`interval_overlap_join` and unioned under a ``path`` tag:
+
+    - ``'int'``: int64 day endpoints, integer bin width (the exact
+      floor-division binning);
+    - ``'real'`` (r10 — VERDICT r9 item 3): DOUBLE endpoints with
+      fractional day offsets and a FRACTIONAL bin width (7.5), the
+      float binning path that previously lived in pytest only.
+
+    The oracle is the textbook non-equi ``ON l.ls <= r.re AND r.rs <=
+    l.le`` (DuckDB plans it as IEJoin); the Spark side goes through the
+    banding rewrite — ONE shuffled equi-join on a bin key per path,
     never a nested-loop over the cross product (plan-pinned in
-    tests/test_plans.py).  Window lengths are keyed off ``o_orderkey``
-    so the data is deterministic and both engines derive it identically.
-    """
+    tests/test_plans.py).  Window bounds are keyed off ``o_orderkey``
+    so the data is deterministic, and the real endpoints are built from
+    small-integer/10 and /2 terms with explicit DOUBLE casts on both
+    engines — every derivation and comparison is the same IEEE
+    operation on the same bits, so the double ``max_overlap`` is
+    hash-exact."""
     t = Catalog(spark, sf_dir)
     day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01"))  # noqa: E731
     l = (
@@ -349,12 +384,46 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
     )
     pairs = interval_overlap_join(l, r, "ls", "le", "rs", "re", bin_width=16)
-    return pairs.groupBy("urgent_key").agg(
+    ints = pairs.groupBy("urgent_key").agg(
         F.count(F.lit(1)).alias("n_overlaps"),
         dsum("o_totalprice", "low_value"),
-        F.max(
-            F.least("le", "re") - F.greatest("ls", "rs") + F.lit(1)
-        ).cast("long").alias("max_overlap_days"),
+        (F.max(F.least("le", "re") - F.greatest("ls", "rs") + F.lit(1)))
+        .cast("double")
+        .alias("max_overlap"),
+    )
+
+    k = F.col("o_orderkey")
+    dd = day("o_orderdate").cast("double")
+    lreal = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        k.alias("urgent_key"),
+        (dd + (k % 10).cast("double") / F.lit(10)).alias("ls"),
+        (
+            dd
+            + (k % 10).cast("double") / F.lit(10)
+            + (k % 7 + 1).cast("double") / F.lit(2)
+        ).alias("le"),
+    )
+    rreal = t.orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        (dd + (k % 9).cast("double") / F.lit(10)).alias("rs"),
+        (
+            dd
+            + (k % 9).cast("double") / F.lit(10)
+            + (k % 5 + 1).cast("double") / F.lit(2)
+        ).alias("re"),
+        F.col("o_totalprice"),
+    )
+    rpairs = interval_overlap_join(
+        lreal, rreal, "ls", "le", "rs", "re", bin_width=7.5
+    )
+    reals = rpairs.groupBy("urgent_key").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        dsum("o_totalprice", "low_value"),
+        F.max(F.least("le", "re") - F.greatest("ls", "rs")).alias(
+            "max_overlap"
+        ),
+    )
+    return ints.select(F.lit("int").alias("path"), "*").unionByName(
+        reals.select(F.lit("real").alias("path"), "*")
     )
 
 

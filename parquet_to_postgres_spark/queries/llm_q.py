@@ -548,9 +548,7 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.unionByName(cent)
 
 
-@register(
-    "multimodal_stub_decode",
-    oracle="""
+MULTIMODAL_STUB_DECODE_ORACLE = """
     SELECT doc_id AS media_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
            ascii(text[1:1]) AS first_byte,
@@ -558,15 +556,87 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       i -> CAST(ascii(text[i:i]) AS BIGINT)),
                        (a, b) -> a + b) % 1000000007 AS byte_checksum
     FROM documents
-    """,
-    tags=("L7",),
-)
+    """
+
+
 def multimodal_stub_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: binary-column plumbing — documents as opaque bytes through the
     mapInPandas (stub) decoder.  The byte-derived metadata has an exact
-    SQL twin, so the Arrow-batch plumbing itself is hash-checked."""
+    SQL twin, so the Arrow-batch plumbing itself is hash-checked.
+
+    Rotated out of the registry in round 10 (slot given to
+    :func:`multimodal_real_decode` — VERDICT r9 item 2: the driver gate
+    must witness the NATIVE decoder, not the stub); full oracle coverage
+    continues in tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     return M.decode_media(M.documents_as_media(t.documents))
+
+
+def _real_decode_oracle() -> str:
+    """Literal-VALUES oracle for the frozen media fixtures: the decode
+    is deterministic, so the expected stats are pinned constants (see
+    media_fixtures.EXPECTED for which rows are analytic vs decoder-
+    pinned)."""
+    from ..llm import media_fixtures as MF
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return str(v)
+
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in MF.EXPECTED
+    )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(fmt AS VARCHAR) AS fmt,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_values AS BIGINT) AS n_values,
+           CAST(pixel_sum AS BIGINT) AS pixel_sum
+    FROM (VALUES
+      {rows}
+    ) AS t(media_id, fmt, width, height, channels, sample_rate,
+           n_values, pixel_sum)
+    """
+
+
+@register("multimodal_real_decode", oracle=_real_decode_oracle(), tags=("L7",))
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: the NATIVE media decoders on the driver-visible gate
+    (VERDICT r9 item 2) — the frozen deterministic fixtures (baseline
+    JPEG across flat/pattern/4:4:4/4:2:0+restarts/4:2:2/16-bit-DQT/
+    fill-byte variants, plus PNG/BMP/PPM/WAV and a null payload) go
+    through :func:`decode_media_real`'s mapInPandas Arrow plumbing, and
+    the exact per-payload stats are hash-checked against pinned
+    literals.  ``pixel_sum`` is ``round(mean * n)`` — an exact integer
+    (a uint8/int16 total stays far below 2^53), so the float mean never
+    touches the hash.  Fixture provenance + the analytic-vs-pinned
+    split is documented in llm/media_fixtures.py; decode ACCURACY vs
+    the independent encoder is pytest-pinned (tests/test_multimodal.py)
+    — this row witnesses determinism and the Spark-side plumbing."""
+    from ..llm import media_fixtures as MF
+
+    media = spark.createDataFrame(
+        MF.payloads(), "media_id long, content binary"
+    )
+    dec = M.decode_media_real(media)
+    return dec.select(
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_values",
+        F.round(F.col("mean_value") * F.col("n_values"))
+        .cast("long")
+        .alias("pixel_sum"),
+    )
 
 
 # ---------------------------------------------------------------- L8 ----

@@ -47,6 +47,24 @@ def test_driver_order_registry_consistency():
     assert all(SPECS[n].oracle is not None for n in DRIVER_ORDER)
 
 
+def test_rotated_out_multimodal_stub_decode_still_matches_oracle(spark, duck):
+    """multimodal_stub_decode gave its slot to multimodal_real_decode in
+    round 10 (VERDICT r9 item 2: the gate must witness the NATIVE
+    decoder); the stub's Arrow-batch plumbing keeps full oracle coverage
+    here."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        MULTIMODAL_STUB_DECODE_ORACLE,
+        multimodal_stub_decode,
+    )
+
+    assert_matches_oracle(
+        multimodal_stub_decode(spark, SF_SMOKE),
+        duck,
+        MULTIMODAL_STUB_DECODE_ORACLE,
+        "multimodal_stub_decode",
+    )
+
+
 def test_rotated_out_array_functions_still_matches_oracle(spark, duck):
     """array_functions lost its registry slot to profile_drift_report in
     round 5 but keeps full oracle coverage here (same check the gate
