@@ -1,4 +1,4 @@
-"""Test-side baseline JPEG ENCODER — the oracle for the native decoder.
+"""Test-side JPEG ENCODERS — the oracle for the native decoder.
 
 Deliberately independent of the decoder's internals: builds its own
 zigzag walk, its own (fixed-length) Huffman tables emitted via DHT, and
@@ -6,6 +6,23 @@ standard JFIF color/DCT math.  Fixed-length codes (every DC symbol 4
 bits, every AC symbol 8 bits) are valid canonical Huffman tables per
 ITU T.81 — terrible compression, zero table-memorization risk, and they
 exercise the decoder's DHT parsing exactly like optimized tables would.
+
+Three encoders share one coefficient pipeline (`_prep`):
+
+- :func:`encode_jpeg` — baseline sequential (SOF0), single interleaved
+  scan: the r9 oracle.
+- :func:`encode_jpeg_noninterleaved` — sequential (SOF0) with one
+  single-component scan per component (T.81 A.2.2 non-interleaved
+  order): multi-scan sequential streams.
+- :func:`encode_jpeg_progressive` — progressive (SOF2) with a
+  libjpeg-shaped default scan script (spectral selection + successive
+  approximation, cross-block EOB runs, AC refinement correction bits
+  per T.81 G.1.2), or any caller-supplied script.
+
+Because successive approximation is a LOSSLESS re-encoding of the same
+quantized coefficients, a full progressive script must decode to pixels
+IDENTICAL to the sequential encoding of the same image — the strongest
+oracle the progressive decoder can face (no tolerance to hide behind).
 
 Shared-bug risk is covered by the analytic tests in
 test_multimodal.py: flat images decode EXACTLY (DC-only path has no
@@ -42,6 +59,12 @@ _DC_SYMS = list(range(12))
 _AC_SYMS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
+# progressive AC table: EOBn (n = 0..14 run-length bits), ZRL, and the
+# run/size symbols (size capped at 10 as above) — 176 symbols, still a
+# valid fixed-8-bit canonical table
+_ACP_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
 
 
 def _fixed_table(symbols, length):
@@ -54,6 +77,7 @@ def _fixed_table(symbols, length):
 
 _DC_COUNTS, _, _DC_CODES = _fixed_table(_DC_SYMS, 4)
 _AC_COUNTS, _, _AC_CODES = _fixed_table(_AC_SYMS, 8)
+_ACP_COUNTS, _, _ACP_CODES = _fixed_table(_ACP_SYMS, 8)
 
 
 class _BitWriter:
@@ -91,13 +115,16 @@ def _category(v):
     return t
 
 
-def _encode_block(w, coefs_zz, pred, dc_codes, ac_codes):
-    diff = int(coefs_zz[0]) - pred
+def _put_dc_diff(w, diff, dc_codes):
     t = _category(diff)
     ln, code = dc_codes[t]
     w.put(code, ln)
     if t:
         w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _encode_block(w, coefs_zz, pred, dc_codes, ac_codes):
+    _put_dc_diff(w, int(coefs_zz[0]) - pred, dc_codes)
     run = 0
     last_nz = 0
     for k in range(63, 0, -1):
@@ -169,19 +196,15 @@ def _dht(cls, tid, counts, symbols):
     )
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    q_luma=None,
-    q_chroma=None,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG.  ``q_luma``/``q_chroma`` are 64-entry natural-
-    order quant tables (default all-ones = near-lossless)."""
+def _prep(arr, q_luma, q_chroma, subsampling):
+    """Shared pipeline: color convert, subsample, pad to the MCU grid,
+    and quantize every component into an (bh, bw, 64) zigzag coefficient
+    grid.  Returns the per-component metadata all three encoders walk."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
-    q_luma = np.ones(64, dtype=np.int32) if q_luma is None else np.asarray(q_luma)
+    q_luma = (
+        np.ones(64, dtype=np.int32) if q_luma is None else np.asarray(q_luma)
+    )
     q_chroma = q_luma if q_chroma is None else np.asarray(q_chroma)
     h, w = arr.shape[:2]
 
@@ -235,17 +258,60 @@ def encode_jpeg(
         coef_grids.append(
             _plane_blocks(p, q_luma if tq == 0 else q_chroma)
         )
+    return {
+        "h": h,
+        "w": w,
+        "gray": gray,
+        "q_luma": q_luma,
+        "q_chroma": q_chroma,
+        # (hs, vs, tq) per component, frame order
+        "comps": [(hs, vs, tq) for _n, _p, hs, vs, tq in comps],
+        "grids": coef_grids,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+    }
+
+
+def _sof(p, marker):
+    sof = bytes([8]) + p["h"].to_bytes(2, "big") + p["w"].to_bytes(2, "big")
+    sof += bytes([len(p["comps"])])
+    for i, (hs, vs, tq) in enumerate(p["comps"]):
+        sof += bytes([i + 1, (hs << 4) | vs, tq])
+    return _seg(marker, sof)
+
+
+def _comp_block_grid(p, ci):
+    """Non-interleaved walk dims (T.81 A.2.2): the component's OWN
+    ceil-dims block grid, which can be smaller than its padded
+    MCU-grid coefficient plane."""
+    hs, vs, _tq = p["comps"][ci]
+    cw = (p["w"] * hs + p["hmax"] - 1) // p["hmax"]
+    ch = (p["h"] * vs + p["vmax"] - 1) // p["vmax"]
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    q_luma=None,
+    q_chroma=None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG (single interleaved scan).  ``q_luma``/
+    ``q_chroma`` are 64-entry natural-order quant tables (default
+    all-ones = near-lossless)."""
+    p = _prep(arr, q_luma, q_chroma, subsampling)
+    gray = p["gray"]
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += _dqt(0, q_luma)
+    out += _dqt(0, p["q_luma"])
     if not gray:
-        out += _dqt(1, q_chroma)
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof += bytes([len(comps)])
-    for i, (_n, _p, hs, vs, tq) in enumerate(comps):
-        sof += bytes([i + 1, (hs << 4) | vs, tq])
-    out += _seg(0xC0, sof)
+        out += _dqt(1, p["q_chroma"])
+    out += _sof(p, 0xC0)
     out += _dht(0, 0, _DC_COUNTS, _DC_SYMS)
     out += _dht(1, 0, _AC_COUNTS, _AC_SYMS)
     if not gray:
@@ -253,28 +319,29 @@ def encode_jpeg(
         out += _dht(1, 1, _AC_COUNTS, _AC_SYMS)
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytes([len(comps)])
-    for i, (_n, _p, _hs, _vs, tq) in enumerate(comps):
+    ncomp = len(p["comps"])
+    sos = bytes([ncomp])
+    for i, (_hs, _vs, tq) in enumerate(p["comps"]):
         sos += bytes([i + 1, (tq << 4) | tq])  # table id == comp class
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
     wtr = _BitWriter()
-    pred = [0] * len(comps)
+    pred = [0] * ncomp
     mcu_count = 0
     rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    for my in range(p["mcus_y"]):
+        for mx in range(p["mcus_x"]):
             if restart_interval and mcu_count and (
                 mcu_count % restart_interval == 0
             ):
                 wtr.marker(0xD0 + (rst % 8))
                 rst += 1
-                pred = [0] * len(comps)
-            for ci, (_n, _p, hs, vs, _tq) in enumerate(comps):
+                pred = [0] * ncomp
+            for ci, (hs, vs, _tq) in enumerate(p["comps"]):
                 for v in range(vs):
                     for hsub in range(hs):
-                        zz = coef_grids[ci][my * vs + v, mx * hs + hsub]
+                        zz = p["grids"][ci][my * vs + v, mx * hs + hsub]
                         pred[ci] = _encode_block(
                             wtr, zz, pred[ci], _DC_CODES, _AC_CODES
                         )
@@ -282,4 +349,315 @@ def encode_jpeg(
     wtr.pad()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_noninterleaved(
+    arr: np.ndarray,
+    q_luma=None,
+    q_chroma=None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Sequential (SOF0) multi-scan stream: one single-component SOS
+    per component, each walked in the component's own block raster
+    order (T.81 A.2.2 non-interleaved).  Restart interval counts data
+    units; the RSTn sequence and DC predictor reset per scan."""
+    p = _prep(arr, q_luma, q_chroma, subsampling)
+    gray = p["gray"]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _dqt(0, p["q_luma"])
+    if not gray:
+        out += _dqt(1, p["q_chroma"])
+    out += _sof(p, 0xC0)
+    out += _dht(0, 0, _DC_COUNTS, _DC_SYMS)
+    out += _dht(1, 0, _AC_COUNTS, _AC_SYMS)
+    if not gray:
+        out += _dht(0, 1, _DC_COUNTS, _DC_SYMS)
+        out += _dht(1, 1, _AC_COUNTS, _AC_SYMS)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    for ci, (_hs, _vs, tq) in enumerate(p["comps"]):
+        sos = bytes([1, ci + 1, (tq << 4) | tq, 0, 63, 0])
+        out += _seg(0xDA, sos)
+        wtr = _BitWriter()
+        pred = 0
+        rst = 0
+        count = 0
+        nby, nbx = _comp_block_grid(p, ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and count and (
+                    count % restart_interval == 0
+                ):
+                    wtr.marker(0xD0 + (rst % 8))
+                    rst += 1
+                    pred = 0
+                pred = _encode_block(
+                    wtr, p["grids"][ci][by, bx], pred, _DC_CODES, _AC_CODES
+                )
+                count += 1
+        wtr.pad()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------ progressive (SOF2) --
+
+def default_progressive_scans(ncomp: int) -> list:
+    """A libjpeg-shaped script: DC initial at Al=1, luma AC split into
+    two spectral bands at Al=2 with a two-step refinement chain, chroma
+    AC at Al=1 with one refinement, DC refinement to Al=0.  Covers
+    every scan kind the decoder implements and is LOSSLESS (every
+    coefficient ends at Al=0)."""
+    if ncomp == 1:
+        return [
+            dict(comps=[0], ss=0, se=0, ah=0, al=1),
+            dict(comps=[0], ss=1, se=5, ah=0, al=2),
+            dict(comps=[0], ss=6, se=63, ah=0, al=2),
+            dict(comps=[0], ss=1, se=63, ah=2, al=1),
+            dict(comps=[0], ss=0, se=0, ah=1, al=0),
+            dict(comps=[0], ss=1, se=63, ah=1, al=0),
+        ]
+    return [
+        dict(comps=[0, 1, 2], ss=0, se=0, ah=0, al=1),
+        dict(comps=[0], ss=1, se=5, ah=0, al=2),
+        dict(comps=[1], ss=1, se=63, ah=0, al=1),
+        dict(comps=[2], ss=1, se=63, ah=0, al=1),
+        dict(comps=[0], ss=6, se=63, ah=0, al=2),
+        dict(comps=[0], ss=1, se=63, ah=2, al=1),
+        dict(comps=[0, 1, 2], ss=0, se=0, ah=1, al=0),
+        dict(comps=[0], ss=1, se=63, ah=1, al=0),
+        dict(comps=[1], ss=1, se=63, ah=1, al=0),
+        dict(comps=[2], ss=1, se=63, ah=1, al=0),
+    ]
+
+
+def _flush_eobrun(wtr, ac_codes, state):
+    """Emit the pending EOBn symbol (nbits run-length bits + low-bit
+    extension, T.81 G.1.2.2) followed by the correction bits buffered
+    for the run's blocks (G.1.2.3)."""
+    run = state["eobrun"]
+    if run:
+        nbits = run.bit_length() - 1
+        ln, code = ac_codes[nbits << 4]
+        wtr.put(code, ln)
+        if nbits:
+            wtr.put(run & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+    if state["pending"]:
+        for bit in state["pending"]:
+            wtr.put(bit, 1)
+        state["pending"] = []
+
+
+def _encode_ac_first_block(wtr, zz, ss, se, al, ac_codes, state):
+    """AC initial scan for one block: point-transformed (truncate
+    toward zero by 2^Al) coefficients, ZRL runs, deferred cross-block
+    EOB runs."""
+    vals = []
+    last = ss - 1
+    for k in range(ss, se + 1):
+        x = int(zz[k])
+        v = (abs(x) >> al) * (1 if x >= 0 else -1)
+        vals.append(v)
+        if v:
+            last = k
+    if last < ss:  # whole band zero at this precision: join the run
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, state)
+        return
+    _flush_eobrun(wtr, ac_codes, state)
+    r = 0
+    for k in range(ss, last + 1):
+        v = vals[k - ss]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            ln, code = ac_codes[0xF0]
+            wtr.put(code, ln)
+            r -= 16
+        s = _category(v)
+        ln, code = ac_codes[(r << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last < se:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, state)
+
+
+def _encode_ac_refine_block(wtr, zz, ss, se, al, ac_codes, state):
+    """AC refinement for one block (T.81 G.1.2.3, the libjpeg
+    formulation): newly-significant coefficients (|v|>>Al == 1) emit a
+    run/1 symbol + sign bit; already-significant ones buffer their next
+    magnitude bit, emitted after the next symbol; trailing zero-history
+    positions and their buffered corrections fold into the cross-block
+    EOB run."""
+    temp = []
+    sign = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        x = int(zz[k])
+        t = abs(x) >> al
+        temp.append(t)
+        sign.append(1 if x >= 0 else 0)
+        if t == 1:
+            eob = k
+    r = 0
+    br = []
+    for k in range(ss, se + 1):
+        t = temp[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # ZRL only when another newly-significant coefficient follows;
+        # otherwise the zeros fold into the EOB run
+        while r > 15 and k <= eob:
+            _flush_eobrun(wtr, ac_codes, state)
+            ln, code = ac_codes[0xF0]
+            wtr.put(code, ln)
+            r -= 16
+            for bit in br:
+                wtr.put(bit, 1)
+            br = []
+        if t > 1:
+            # already significant: next magnitude bit rides behind the
+            # next emitted symbol
+            br.append(t & 1)
+            continue
+        _flush_eobrun(wtr, ac_codes, state)
+        ln, code = ac_codes[(r << 4) | 1]
+        wtr.put(code, ln)
+        wtr.put(sign[k - ss], 1)
+        for bit in br:
+            wtr.put(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, state)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    q_luma=None,
+    q_chroma=None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode as a progressive (SOF2) JFIF JPEG.  ``scans`` is a list
+    of ``dict(comps=[frame indexes], ss, se, ah, al)`` in emission
+    order (default :func:`default_progressive_scans`).  DHT segments
+    are emitted lazily immediately before the first scan that needs
+    each table, so multi-scan table (re)definition is exercised.
+    Restart interval counts MCUs (interleaved DC scans) or data units
+    (single-component scans); EOB runs never cross a restart."""
+    p = _prep(arr, q_luma, q_chroma, subsampling)
+    ncomp = len(p["comps"])
+    if scans is None:
+        scans = default_progressive_scans(ncomp)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _dqt(0, p["q_luma"])
+    if not p["gray"]:
+        out += _dqt(1, p["q_chroma"])
+    out += _sof(p, 0xC2)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    emitted = set()
+    for scan in scans:
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        cis = scan["comps"]
+        # lazily emit the Huffman tables this scan decodes with
+        need = []
+        if ss == 0 and ah == 0:
+            need += [(0, p["comps"][ci][2]) for ci in cis]
+        if ss > 0:
+            need += [(1, p["comps"][ci][2]) for ci in cis]
+        for cls, tid in need:
+            if (cls, tid) in emitted:
+                continue
+            emitted.add((cls, tid))
+            if cls == 0:
+                out += _dht(0, tid, _DC_COUNTS, _DC_SYMS)
+            else:
+                out += _dht(1, tid, _ACP_COUNTS, _ACP_SYMS)
+
+        sos = bytes([len(cis)])
+        for ci in cis:
+            tq = p["comps"][ci][2]
+            sos += bytes([ci + 1, (tq << 4) | tq])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+
+        wtr = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        pred = [0] * ncomp
+        rst = 0
+        count = 0
+
+        def unit(ci, by, bx):
+            zz = p["grids"][ci][by, bx]
+            if ss == 0 and ah == 0:  # DC initial (arithmetic shift)
+                v = int(zz[0]) >> al
+                _put_dc_diff(wtr, v - pred[ci], _DC_CODES)
+                pred[ci] = v
+            elif ss == 0:  # DC refinement: one raw bit
+                wtr.put((int(zz[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _encode_ac_first_block(
+                    wtr, zz, ss, se, al, _ACP_CODES, state
+                )
+            else:
+                _encode_ac_refine_block(
+                    wtr, zz, ss, se, al, _ACP_CODES, state
+                )
+
+        def maybe_restart():
+            nonlocal rst
+            if restart_interval and count and (
+                count % restart_interval == 0
+            ):
+                _flush_eobrun(wtr, _ACP_CODES, state)
+                wtr.marker(0xD0 + (rst % 8))
+                rst += 1
+                for i in range(ncomp):
+                    pred[i] = 0
+
+        if len(cis) == 1:
+            ci = cis[0]
+            nby, nbx = _comp_block_grid(p, ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart()
+                    unit(ci, by, bx)
+                    count += 1
+        else:
+            for my in range(p["mcus_y"]):
+                for mx in range(p["mcus_x"]):
+                    maybe_restart()
+                    for ci in cis:
+                        hs, vs, _tq = p["comps"][ci]
+                        for v in range(vs):
+                            for hsub in range(hs):
+                                unit(ci, my * vs + v, mx * hs + hsub)
+                    count += 1
+        _flush_eobrun(wtr, _ACP_CODES, state)
+        wtr.pad()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)

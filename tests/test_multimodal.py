@@ -400,9 +400,11 @@ def test_decode_jpeg_420_restart_odd_dims():
     assert err.max() <= 40, err.max()
 
 
-def test_decode_jpeg_progressive_raises_without_pil():
-    """SOF2 must raise the honest refusal (this sandbox has no PIL);
-    flipping the SOF marker on a valid baseline stream is enough."""
+def test_decode_jpeg_progressive_full_band_scan_rejected():
+    """r10: SOF2 now decodes natively, but a full-band (Ss=0,Se=63)
+    scan inside a progressive frame is invalid (T.81 G.1.1.1.1 —
+    progressive scans carry DC xor AC) and must raise.  Flipping the
+    SOF marker on a valid baseline stream produces exactly that."""
     np = _np()
     import pytest
 
@@ -411,10 +413,157 @@ def test_decode_jpeg_progressive_raises_without_pil():
     b = bytearray(encode_jpeg(np.full((8, 8), 99, dtype=np.uint8)))
     i = bytes(b).index(b"\xff\xc0")
     b[i + 1] = 0xC2
-    if M.pil_available():
-        pytest.skip("PIL present: dispatch would legitimately succeed")
-    with pytest.raises(ValueError, match="progressive"):
-        M.decode_media_bytes(bytes(b))
+    with pytest.raises(ValueError, match="progressive|mixes"):
+        M._jpeg_pixels(bytes(b))
+
+
+def test_decode_jpeg_progressive_matches_sequential_exactly():
+    """Successive approximation is a LOSSLESS re-encoding of the same
+    quantized coefficients, so the progressive decode must be pixel-
+    IDENTICAL to the sequential decode of the same image — across
+    gray, 4:4:4 / 4:2:2 / 4:2:0, odd dims, and restart markers.  No
+    tolerance: any EOB-run, refinement-bit, or band-walk bug is a hard
+    mismatch."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (rng.randint(0, 256, (16, 16), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (13, 21), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (24, 17, 3), dtype=np.uint8),
+         dict(subsampling="444")),
+        (rng.randint(0, 256, (20, 18, 3), dtype=np.uint8),
+         dict(subsampling="420")),
+        (rng.randint(0, 256, (16, 8, 3), dtype=np.uint8),
+         dict(subsampling="422")),
+        (rng.randint(0, 256, (33, 34, 3), dtype=np.uint8),
+         dict(subsampling="420", restart_interval=2)),
+    ]
+    for img, kw in cases:
+        seq = M._jpeg_pixels(encode_jpeg(img, **kw))
+        prog = M._jpeg_pixels(encode_jpeg_progressive(img, **kw))
+        assert prog.shape == seq.shape, (img.shape, kw)
+        assert (prog == seq).all(), (img.shape, kw)
+
+
+def test_decode_jpeg_progressive_eob_runs_and_refinement():
+    """Adversarial entropy shapes: a near-flat sparse image drives
+    long cross-block EOB runs (with correction bits inside the run);
+    high-contrast stripes under coarse quant drive multi-bit
+    refinements and ZRL-in-refinement; a deep Al=3 chain exercises
+    repeated DC+AC refinement.  All must stay exactly equal to the
+    sequential decode."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+
+    sparse = np.full((64, 64), 128, dtype=np.uint8)
+    sparse[5, 7] = 255
+    sparse[40, 40] = 0
+    sparse[63, 1] = 77
+    assert (
+        M._jpeg_pixels(encode_jpeg_progressive(sparse))
+        == M._jpeg_pixels(encode_jpeg(sparse))
+    ).all()
+
+    q = np.full(64, 16, dtype=np.int32)
+    q[0] = 8
+    stripes = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    stripes[::2] = 255
+    stripes[1::4] = 0
+    kw = dict(q_luma=q, subsampling="420")
+    assert (
+        M._jpeg_pixels(encode_jpeg_progressive(stripes, **kw))
+        == M._jpeg_pixels(encode_jpeg(stripes, **kw))
+    ).all()
+
+    deep = [
+        dict(comps=[0], ss=0, se=0, ah=0, al=3),
+        dict(comps=[0], ss=1, se=63, ah=0, al=3),
+        dict(comps=[0], ss=0, se=0, ah=3, al=2),
+        dict(comps=[0], ss=1, se=63, ah=3, al=2),
+        dict(comps=[0], ss=0, se=0, ah=2, al=1),
+        dict(comps=[0], ss=1, se=63, ah=2, al=1),
+        dict(comps=[0], ss=0, se=0, ah=1, al=0),
+        dict(comps=[0], ss=1, se=63, ah=1, al=0),
+    ]
+    img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    assert (
+        M._jpeg_pixels(encode_jpeg_progressive(img, scans=deep))
+        == M._jpeg_pixels(encode_jpeg(img))
+    ).all()
+
+    # restarts interleaved with EOB runs (runs must not cross RSTn)
+    sp2 = np.full((48, 48), 200, dtype=np.uint8)
+    sp2[10:12, 10:30] = 0
+    assert (
+        M._jpeg_pixels(encode_jpeg_progressive(sp2, restart_interval=3))
+        == M._jpeg_pixels(encode_jpeg(sp2, restart_interval=3))
+    ).all()
+
+
+def test_decode_jpeg_progressive_truncated_script_decodes():
+    """A script that stops before Al reaches 0 is a legal (lower
+    quality) progressive stream — real encoders emit these and real
+    decoders render them.  Must decode without error, with every pixel
+    within the coarser quantization's bound of the full decode."""
+    np = _np()
+    from ._jpeg_ref import (
+        default_progressive_scans,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    full = M._jpeg_pixels(encode_jpeg(img))
+    scans = default_progressive_scans(1)
+    # keep DC initial + both AC initial bands only (coefficients stay
+    # at Al=2 for AC / Al=1 for DC)
+    trunc = M._jpeg_pixels(encode_jpeg_progressive(img, scans=scans[:3]))
+    assert trunc.shape == full.shape
+    err = np.abs(trunc.astype(int) - full.astype(int))
+    # DC off by <2^1, AC by <2^2 per coefficient; IDCT spreads it
+    assert err.max() <= 40, err.max()
+
+
+def test_decode_jpeg_sequential_noninterleaved_matches_interleaved():
+    """SOF0 with one single-component scan per component (T.81 A.2.2
+    non-interleaved order, multi-scan sequential) decodes identically
+    to the interleaved single-scan stream — including subsampled
+    chroma walking its OWN ceil-dims block grid (w=17 luma: 3-block
+    rows vs the 4-block padded plane) and per-scan restart numbering."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg, encode_jpeg_noninterleaved
+
+    rng = np.random.RandomState(17)
+    for shape, kw in [
+        ((16, 16), {}),
+        ((24, 17, 3), dict(subsampling="444")),
+        ((20, 18, 3), dict(subsampling="420")),
+        ((13, 21, 3), dict(subsampling="420", restart_interval=2)),
+    ]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        seq = M._jpeg_pixels(encode_jpeg(img, **kw))
+        ni = M._jpeg_pixels(encode_jpeg_noninterleaved(img, **kw))
+        assert (ni == seq).all(), (shape, kw)
+
+
+def test_decode_jpeg_progressive_flat_is_exact():
+    """Progressive DC-only path has the same no-rounding property as
+    sequential: flat images decode EXACTLY, so the DC initial+refine
+    bit plumbing cannot hide a scale error."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg_progressive
+
+    for v in (0, 17, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        got = M.decode_media_bytes(encode_jpeg_progressive(img))
+        assert (got["fmt"], got["width"], got["height"], got["channels"]) \
+            == ("jpeg", 24, 16, 1)
+        assert got["mean_value"] == float(v), (v, got["mean_value"])
 
 
 def test_decode_jpeg_single_component_ignores_sampling_factors():
@@ -529,3 +678,26 @@ def test_decode_jpeg_fill_bytes_before_markers():
     got = M.decode_media_bytes(bytes(out))
     assert (got["width"], got["height"]) == (8, 8)
     assert got["mean_value"] == 200.0
+
+
+def test_media_fixtures_expected_matches_decode():
+    """The frozen driver-gate fixtures (llm/media_fixtures.py) must
+    decode to exactly their pinned EXPECTED stats — the same identity
+    the CORRECTNESS gate hashes, checked here so a decoder change that
+    shifts any deterministic output is caught at pytest time, not at
+    the round gate."""
+    from parquet_to_postgres_spark.llm import media_fixtures as MF
+
+    rows = dict(MF.payloads())
+    assert len(rows) == len(MF.EXPECTED)
+    for (mid, fmt, w, h, ch, sr, n, psum) in MF.EXPECTED:
+        content = rows[mid]
+        if content is None:
+            assert fmt is None
+            continue
+        got = M.decode_media_bytes(content)
+        assert got["fmt"] == fmt, mid
+        assert (got["width"], got["height"], got["channels"]) == (w, h, ch), mid
+        assert got["sample_rate"] == sr, mid
+        assert got["n_values"] == n, mid
+        assert round(got["mean_value"] * got["n_values"]) == psum, mid
