@@ -508,22 +508,31 @@ class _BitReader:
 
     def _fill(self):
         d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy stream")
-        byte = d[self.pos]
-        if byte == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
+        n = len(d)
+        while True:
+            if self.pos >= n:
+                raise ValueError("truncated JPEG entropy stream")
+            byte = d[self.pos]
+            if byte != 0xFF:
+                self.pos += 1
+                break
+            nxt = d[self.pos + 1] if self.pos + 1 < n else None
+            if nxt == 0x00:  # stuffed data 0xFF
                 self.pos += 2
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                break
+            if nxt == 0xFF:
+                # fill byte before a marker (T.81 B.1.1.2) — legal
+                # INSIDE entropy data too, e.g. before an RSTn (r10
+                # review finding: the walk used to end the scan here)
+                self.pos += 1
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
                 raise _RestartMarker(nxt)
-            else:
-                # marker (EOI / next segment): pad with zero bits, the
-                # spec's defined end-of-scan behavior
-                byte = 0
-                self.pos = len(d)
-        else:
-            self.pos += 1
+            # marker (EOI / next segment): pad with zero bits, the
+            # spec's defined end-of-scan behavior
+            byte = 0
+            self.pos = n
+            break
         self.bits = (self.bits << 8) | byte
         self.nbits += 8
 
@@ -1060,8 +1069,9 @@ def _dezigzag_q(q):
 
 
 def decode_jpeg(b: bytes) -> dict:
-    """Decode a baseline JPEG natively (stdlib + numpy — see the
-    section comment for scope) into the shared stats dict.
+    """Decode a sequential (SOF0/1) or progressive (SOF2) JPEG
+    natively (stdlib + numpy — see the section comment for scope)
+    into the shared stats dict.
 
     EVERY decode failure surfaces as ValueError — untrusted crawl
     bytes can hit any internal error shape (KeyError on a missing

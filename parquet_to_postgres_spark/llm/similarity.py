@@ -1315,10 +1315,13 @@ def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 #   WholeStageCodegen entirely (measured ~1.3 s/job saved at 128k,
 #   recurring per Lloyd round because fresh centroid literals defeat
 #   the code cache).
-# - BIG models (past the gates below) route to the broadcast-join +
-#   struct-min argmin (:func:`_pq_codes_join`) — the representation
-#   that scales when the model itself is big; a model too big to embed
-#   as literals is also too big to want inlined into every plan.
+# - BIG models (past the gates below) route to the broadcast-DATA
+#   scan argmin (:func:`_pq_codes_bcast`): the codebooks ride one
+#   single-row broadcast as a nested array column and the argmin stays
+#   a per-row expression — a model too big to embed as literals is
+#   also too big to want inlined into every plan, but it is never too
+#   big to broadcast as data (r10: this replaced an explode + join +
+#   two-keyed-aggregation form whose shuffle was corpus-linear).
 _ARGMIN_LITERAL_MAX_TERMS = 8192
 _ARGMIN_LITERAL_MAX_D = 256
 
@@ -1346,7 +1349,7 @@ def _argmin_code_exprs(
     over ``(dist, code)`` structs for the argmin; ties go to the lower
     code.  Left-to-right + matches sq_dist's fold association, so the
     doubles are bit-identical to scoring against the same centroids
-    (and to :func:`_pq_codes_join`'s zip_with fold)."""
+    (and to :func:`_pq_codes_bcast`'s zip_with fold)."""
     bv = F.col("__v")
     per_sub = []
     for j in range(m):
@@ -1385,14 +1388,14 @@ def _pq_codes_frame(
     element_at(codes, j+1) m times) would otherwise inline the whole
     forest m times.  Models past :data:`_ARGMIN_LITERAL_MAX_TERMS`
     total terms (or deeper than :data:`_ARGMIN_LITERAL_MAX_D` per
-    subspace) take :func:`_pq_codes_join`; both paths share sq_dist's
+    subspace) take :func:`_pq_codes_bcast`; both paths share sq_dist's
     left-fold association, so a model near the boundary gets the same
     codes either way.
 
     ``carry_vec`` keeps ``__v`` in the output (pq_train's mean-update
     stage slices it); pq_encode drops it."""
     if m * n_codes * d > _ARGMIN_LITERAL_MAX_TERMS or d > _ARGMIN_LITERAL_MAX_D:
-        return _pq_codes_join(base, cmap, m, d, n_codes, carry_vec)
+        return _pq_codes_bcast(base, cmap, m, d, n_codes, carry_vec)
     keep = ["id"] + (["__v"] if carry_vec else [])
     codes = _no_wsc(F.array(*_argmin_code_exprs(cmap, m, d, n_codes)))
     scored = base.select(*keep, codes.alias("__codes"))
@@ -1401,7 +1404,7 @@ def _pq_codes_frame(
     )
 
 
-def _pq_codes_join(
+def _pq_codes_bcast(
     base: DataFrame,
     cmap: dict,
     m: int,
@@ -1409,103 +1412,69 @@ def _pq_codes_join(
     n_codes: int,
     carry_vec: bool = False,
 ) -> DataFrame:
-    """(id[, __v], codes) via subvector-explode + broadcast codebook
-    join + struct-min aggregate — the argmin for models too big to
-    embed as literal expressions (see :func:`_pq_codes_frame`'s gate).
+    """(id[, __v], codes) via ONE broadcast of the codebooks as DATA —
+    the argmin for models too big to embed as literal expressions (see
+    :func:`_pq_codes_frame`'s gate).
 
-    This shape pays two keyed aggregations over N*m rows, which is why
-    the literal pipeline wins for small models — but it is the one
-    that SCALES with the model: the codebook rides a broadcast, the
-    per-row cost is a zip_with fold (same left-to-right association as
-    the literal chains, so both paths agree bit-exactly), and the
-    struct-min (dist, code) is a map-side-combinable hash aggregate
-    with the same tie-to-lower-code rule.
+    The whole model rides a single-row broadcast crossJoin as a nested
+    ``array<array<array<double>>>`` column (``[subspace][code] ->
+    centroid``, m·codes·d doubles — a few MB at the gate boundary) and
+    the per-subspace argmin is a pure per-row expression:
+    ``array_min`` over ``transform(model[j], (cent, c) ->
+    (sq_dist, c))`` — the same zip_with left-fold and tie-to-lower-code
+    struct-min as the literal forest, so both gate sides agree
+    bit-exactly.  ZERO shuffle, no grouping, no surrogate keys: the
+    r10 big-model probe measured the previous explode + broadcast-join
+    + two-keyed-aggregation form at 737 MB of corpus-LINEAR shuffle
+    for a 16k×d512 train (it re-shuffled ``__v`` — d doubles per row —
+    through both aggregations each Lloyd round; walls in BASELINE.md);
+    this scan form does the identical flops in place, needs none of
+    the r9 content-key/duplicate-multiplicity machinery (rows are
+    never grouped, so duplicate ids and exact-duplicate rows pass
+    through untouched and nothing depends on a retry-stable surrogate),
+    and leaves the mean-update aggregate as the round's ONLY exchange —
+    m·codes·d cells, model-bounded (BASELINE.md r10 big-model row).
 
-    Grouping runs on a CONTENT-DERIVED key, not ``id`` alone:
-    duplicate ids (dirty upstream data) must each keep their own codes
-    exactly as the literal path preserves them — grouping on ``id``
-    would blend subspace winners ACROSS the duplicate rows into a code
-    vector matching neither input (r9 review finding).  The key must
-    also be DETERMINISTIC: a monotonically_increasing_id surrogate is
-    reassigned when a map task retries over a nondeterministically
-    ordered upstream (e.g. post-shuffle), which can mispair subspace
-    minima between this function's two aggregations — the classic
-    nondeterministic-key-on-retry hazard on clusters (r9 ADVICE).  So
-    the key is ``(xxhash64(id, __v), murmur3(__v), id)`` — a pure
-    function of row content, identical on any retry.  Rows that are
-    EXACT duplicates (same id and vector) then share a key and
-    collapse in the first aggregation; that is harmless for the min
-    (their distances are identical) and the lost multiplicity is
-    counted there (``__dup``) and restored by one array_repeat explode
-    at the end, so the output multiset matches the literal path
-    row-for-row.  Distinct rows only merge on a simultaneous
-    64-bit + 32-bit hash collision WITHIN one id (~2^-96 per same-id
-    pair) — negligible against cluster retry rates, and cheaper than
-    carrying the full vector through both shuffles as the key."""
+    The codes array is bound behind the same Generate barrier as the
+    literal path so downstream ``element_at(codes, j+1)`` consumers
+    cannot re-inline the argmin m times."""
     spark = base.sparkSession
-    cb = spark.createDataFrame(
-        [
-            (j, c, [float(x) for x in cmap[(j, c)]])
-            for j in range(m)
-            for c in range(n_codes)
-        ],
-        "subspace int, code int, centroid array<double>",
-    )
-    keyed = base.withColumn(
-        "__h1", F.xxhash64("id", "__v")
-    ).withColumn("__h2", F.hash("__v"))
-    carry = ["__h1", "__h2", "id"] + (["__v"] if carry_vec else [])
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("subspace"),
-                F.slice(F.col("__v"), j * d + 1, d).alias("subvec"),
-            )
-            for j in range(m)
-        ]
-    )
-    sub = keyed.select(*carry, F.explode(parts).alias("p")).select(
-        *carry, "p.subspace", "p.subvec"
-    )
-    scored = sub.join(F.broadcast(cb), "subspace").select(
-        *carry,
-        "subspace",
-        F.struct(
-            sq_dist("subvec", "centroid").alias("dist"),
-            F.col("code").alias("code"),
-        ).alias("dc"),
-    )
-    per_sub = scored.groupBy("__h1", "__h2", "id", "subspace").agg(
-        F.min("dc").alias("w"),
-        # exact-duplicate input rows collapse into this group; count
-        # them here (each input row lands in every subspace group
-        # exactly n_codes times — once per codebook row it joined) so
-        # the final explode can restore the multiset
-        (F.count(F.lit(1)) / n_codes).cast("long").alias("__dup"),
-        *([F.first("__v").alias("__v")] if carry_vec else []),
-    )
-    final_aggs = [
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("subspace", F.col("w.code").alias("code"))
-                )
-            ),
-            lambda s: s["code"],
-        ).alias("codes"),
-        F.first("__dup").alias("__dup"),
+    model = [
+        [[float(x) for x in cmap[(j, c)]] for c in range(n_codes)]
+        for j in range(m)
     ]
-    if carry_vec:
-        final_aggs.append(F.first("__v").alias("__v"))
-    out = per_sub.groupBy("__h1", "__h2", "id").agg(*final_aggs)
-    return out.select(
-        "id",
-        *(["__v"] if carry_vec else []),
-        "codes",
-        F.explode(
-            F.array_repeat(F.lit(1), F.col("__dup").cast("int"))
-        ).alias("__e"),
-    ).drop("__e")
+    mdf = spark.createDataFrame(
+        [(model,)], "__model array<array<array<double>>>"
+    )
+    keep = ["id"] + (["__v"] if carry_vec else [])
+
+    def sub_code(j: int) -> Column:
+        subvec = F.slice(F.col("__v"), j * d + 1, d)
+        cands = F.transform(
+            F.element_at(F.col("__model"), j + 1),
+            lambda cent, c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        subvec,
+                        cent,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("dist"),
+                c.alias("code"),
+            ),
+        )
+        return F.array_min(cands)["code"]
+
+    codes = F.array(*[sub_code(j) for j in range(m)])
+    scored = base.crossJoin(F.broadcast(mdf)).select(
+        *keep, codes.alias("__codes")
+    )
+    return scored.select(
+        *keep, F.explode(F.array("__codes")).alias("codes")
+    )
 
 
 def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":
@@ -1547,8 +1516,9 @@ def pq_train(
     rounds in ~12 s.  Round 9 MEASURED every compiled alternative and
     kept the interpreted projection — see the section comment at
     :data:`_ARGMIN_LITERAL_MAX_TERMS` — adding the `_no_wsc` poison
-    that skips the doomed per-round janino attempt, and the join-path
-    gate for oversized models.)
+    that skips the doomed per-round janino attempt.  Round 10 probed
+    the oversized-model gate at d=512 and replaced its join form with
+    the zero-shuffle broadcast-data scan :func:`_pq_codes_bcast`.)
 
     Deterministic throughout: init assigns ``pmod(xxhash64(id,
     subspace), codes)`` (no RNG), means are order-independent int64
@@ -1585,7 +1555,8 @@ def pq_train(
     for _ in range(max_iterations):
         # Stage a: the literal argmin scan (_pq_codes_frame — the
         # measured-fastest interpreted projection, WSCG attempt
-        # skipped, join path for oversized models).  Stage b: explode
+        # skipped, broadcast-data scan for oversized models).  Stage b:
+        # explode
         # cheap attribute references (element_at/slice on columns)
         # into the (subspace, code, subvec) grain the mean update
         # needs.

@@ -290,7 +290,7 @@ def test_pq_argmin_budget_holds_for_every_shape(spark):
     # (shape, expects-literal-path): default, deep-chained, many-codes
     shapes = [
         ((8, 16, 64, 120), True),
-        ((2, 4, 2048, 40), False),  # d=1024 > depth gate -> join path
+        ((2, 4, 2048, 40), False),  # d=1024 > depth gate -> bcast path
         ((1, 300, 64, 40), False),  # 19200 terms > term gate -> join
     ]
     for (m, codes, dim, n), literal in shapes:
@@ -319,18 +319,19 @@ def test_pq_argmin_budget_holds_for_every_shape(spark):
                 )
 
 
-def test_pq_join_argmin_preserves_duplicate_ids(spark):
+def test_pq_bigmodel_argmin_preserves_duplicate_ids(spark):
     """Dirty-input parity across the literal/join gate (r9 review
     finding): duplicate vec_ids must each keep their OWN codes on the
-    join path, exactly as the literal path preserves them — grouping
-    on id would blend subspace winners across the duplicate rows."""
+    big-model path, exactly as the literal path preserves them (r10:
+    the broadcast-data scan never groups, so this holds structurally —
+    the pin guards any future re-grouping)."""
     import random
 
     import numpy as np
     from pyspark.sql import functions as F
 
     rng = random.Random(5)
-    m, codes, d = 1, 300, 64  # 19200 terms -> join path
+    m, codes, d = 1, 300, 64  # 19200 terms -> bcast path
     assert m * codes * d > S._ARGMIN_LITERAL_MAX_TERMS
     cmap = {
         (0, c): [rng.uniform(-1, 1) for _ in range(d)] for c in range(codes)
@@ -363,12 +364,14 @@ def test_pq_join_argmin_preserves_duplicate_ids(spark):
     assert got == want
 
 
-def test_pq_join_argmin_restores_exact_duplicate_multiplicity(spark):
-    """r10 (r9 ADVICE): the join argmin's deterministic content key
-    collapses EXACT-duplicate rows (same id and vector) in its first
-    aggregation and restores them with a counted explode — three
-    identical input rows must yield three identical output rows, and
-    the carry_vec form must keep the vector on each."""
+def test_pq_bcast_argmin_preserves_exact_duplicate_multiplicity(spark):
+    """r10: the big-model argmin is now a zero-shuffle broadcast-data
+    scan (_pq_codes_bcast) — rows are never grouped, so EXACT-duplicate
+    rows (same id and vector) must pass through as-is: three identical
+    input rows yield three identical output rows, and the carry_vec
+    form keeps the vector on each.  (The r9 join form needed content
+    keys + counted-explode restoration for this; the scan form gets it
+    structurally.)"""
     import random
 
     rng = random.Random(11)
@@ -384,7 +387,7 @@ def test_pq_join_argmin_restores_exact_duplicate_multiplicity(spark):
         [(7, v), (7, v), (7, v), (9, w)], "id long, __v array<double>"
     )
     for carry in (False, True):
-        rows = S._pq_codes_join(
+        rows = S._pq_codes_bcast(
             base, cmap, m, d, codes, carry_vec=carry
         ).collect()
         assert sorted(r["id"] for r in rows) == [7, 7, 7, 9]
@@ -396,3 +399,40 @@ def test_pq_join_argmin_restores_exact_duplicate_multiplicity(spark):
             assert all(
                 list(r["__v"]) == (v if r["id"] == 7 else w) for r in rows
             )
+
+
+def test_pq_bcast_argmin_plan_is_shuffle_free(spark):
+    """r10 scale pin: the big-model assignment must add NO Exchange —
+    the model rides a single-row broadcast and the argmin is a per-row
+    expression.  Any Exchange here means the corpus (including the
+    carried d-double vector) is being re-shuffled every Lloyd round —
+    the 737 MB/16k-vector regression the r10 probe caught in the old
+    join form."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    m, codes, d = 1, 300, 64  # 19200 terms -> big-model gate
+    assert m * codes * d > S._ARGMIN_LITERAL_MAX_TERMS
+    cmap = {
+        (0, c): [rng.uniform(-1, 1) for _ in range(d)] for c in range(codes)
+    }
+    base = (
+        spark.range(50)
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(d)),
+                lambda i: F.sin(F.col("id") * i),
+            ).alias("__v"),
+        )
+        .localCheckpoint()
+    )
+    out = S._pq_codes_frame(base, cmap, m, d, codes)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the model's single-row BroadcastExchange is the point; any OTHER
+    # exchange is a corpus shuffle and fails the pin
+    assert "Exchange" not in p.replace("BroadcastExchange", "BX"), p[:800]
+    assert "BroadcastExchange" in p
+    assert out.count() == 50

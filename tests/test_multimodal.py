@@ -701,3 +701,33 @@ def test_media_fixtures_expected_matches_decode():
         assert got["sample_rate"] == sr, mid
         assert got["n_values"] == n, mid
         assert round(got["mean_value"] * got["n_values"]) == psum, mid
+
+
+def test_decode_jpeg_fill_bytes_before_restart_markers():
+    """T.81 B.1.1.2 allows fill 0xFF bytes before ANY marker —
+    including RSTn inside the entropy stream (r10 review finding: the
+    bit reader used to treat the fill run as end-of-scan).  Inserting
+    fills before every restart marker must not change a single pixel,
+    sequential or progressive."""
+    np = _np()
+
+    from ._jpeg_ref import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (33, 34, 3), dtype=np.uint8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        b = enc(img, subsampling="420", restart_interval=2)
+        want = M._jpeg_pixels(b)
+        out = bytearray()
+        i = 0
+        sos_seen = False
+        while i < len(b):
+            if b[i] == 0xFF and i + 1 < len(b):
+                if b[i + 1] == 0xDA:
+                    sos_seen = True
+                if sos_seen and 0xD0 <= b[i + 1] <= 0xD7:
+                    out += b"\xff\xff"  # fill run before the RSTn
+            out.append(b[i])
+            i += 1
+        got = M._jpeg_pixels(bytes(out))
+        assert (got == want).all(), enc.__name__

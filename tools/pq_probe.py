@@ -153,6 +153,110 @@ def pq_probe(spark) -> list[dict]:
     return rows
 
 
+def widen(emb, dim: int = 64, factor: int = 8):
+    """d = dim*factor vectors by concatenating ``factor`` circular
+    rotations of the base embedding — deterministic, float-typed, each
+    64-dim block the same point cloud at a distinct rotation, so the
+    widened corpus keeps the base set's near-uniform geometry in every
+    PQ subspace."""
+    rots = [
+        F.concat(
+            F.slice(F.col("embedding"), r + 1, dim - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+        for r in range(factor)
+    ]
+    return emb.select("vec_id", F.concat(*rots).alias("embedding"))
+
+
+def bigmodel_probe(spark) -> list[dict]:
+    """VERDICT r9 item 5: probe the BIG-model argmin route.
+
+    m=16, codes=64, d=512 puts the model at m*codes*d = 524,288 floats
+    and d > _ARGMIN_LITERAL_MAX_D, so every assignment (each Lloyd
+    round, the encode pass, and the store-side encode in
+    write_pq_index) routes to the big-model argmin that the 1M-vector
+    r8 table never touched (it ran the literal-forest path).  The
+    probe's first r10 run measured the then-current explode +
+    broadcast-join + two-keyed-aggregation form (``_pq_codes_join``)
+    at 773 s train / 737 MB corpus-LINEAR shuffle for 16k×d512 — which
+    drove its replacement by the zero-shuffle broadcast-data scan
+    ``_pq_codes_bcast``.  Passing now = train/encode walls grow
+    ~linearly with N while train shuffle stays MODEL-bounded (the
+    mean-update aggregate's m*codes*(d/m) cells are the only
+    exchange) and encode/query shuffle ~0."""
+    import tempfile
+
+    from dedup_scale_probe import _shuffle_write_bytes
+
+    base = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mults = [
+        int(x)
+        for x in os.environ.get("PQ_BIGMODEL_MULTIPLIERS", "8,64").split(",")
+    ]
+    rows = []
+    for mult in mults:
+        # repartition BEFORE the eager checkpoint (and before the first
+        # shuffle-bytes snapshot): the sf0.1 parquet is a single file,
+        # and the broadcast crossJoin preserves left partitioning — so
+        # without this every timed phase would run its scan on ONE
+        # task/core, which is neither the cluster shape nor the local
+        # box's (first r10 run: the whole 128k x d512 argmin serialized
+        # on one thread)
+        emb = (
+            widen(replicate(base, mult))
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        n = emb.count()
+        corpus = emb.where(F.col("vec_id") >= 5)
+        queries = emb.where(F.col("vec_id") < 5)
+        with tempfile.TemporaryDirectory() as index_path:
+            sb0 = _shuffle_write_bytes()
+            t0 = time.time()
+            cb = S.pq_train(
+                corpus, m=16, codes=64, max_iterations=4, dim=512
+            ).localCheckpoint(eager=True)
+            cb.count()
+            t_train = time.time() - t0
+            sb1 = _shuffle_write_bytes()
+            t0 = time.time()
+            S.write_pq_index(
+                corpus, index_path, m=16, codebooks=cb, dim=512
+            )
+            t_encode = time.time() - t0
+            sb2 = _shuffle_write_bytes()
+            t0 = time.time()
+            got = S.pq_index_topk(
+                spark, index_path, corpus, queries, k=10, dim=512
+            )
+            n_out = got.count()
+            t_query = time.time() - t0
+            sb3 = _shuffle_write_bytes()
+        mb = lambda a, b: round((b - a) / 1e6, 1) if a >= 0 and b >= 0 else None  # noqa: E731
+        rows.append(
+            {
+                "mult": mult,
+                "n_vectors": n,
+                "d": 512,
+                "m": 16,
+                "codes": 64,
+                "train_s": round(t_train, 2),
+                "encode_s": round(t_encode, 2),
+                "query_s": round(t_query, 2),
+                "train_shuffle_mb": mb(sb0, sb1),
+                "encode_shuffle_mb": mb(sb1, sb2),
+                "query_shuffle_mb": mb(sb2, sb3),
+                "rows_out": n_out,
+            }
+        )
+        print(json.dumps({"pq_bigmodel": rows[-1]}), flush=True)
+        emb.unpersist()
+    return rows
+
+
 def xonce_probe(spark) -> dict:
     src = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -186,7 +290,14 @@ def xonce_probe(spark) -> dict:
 def main() -> int:
     # UI on: the per-phase shuffle-write bytes come from the stage API
     spark = get_spark("pq_probe", extra_conf={"spark.ui.enabled": "true"})
-    result = {"sf_dir": SF_DIR, "pq": pq_probe(spark), "xonce": xonce_probe(spark)}
+    if os.environ.get("PQ_BIGMODEL"):
+        result = {"sf_dir": SF_DIR, "pq_bigmodel": bigmodel_probe(spark)}
+    else:
+        result = {
+            "sf_dir": SF_DIR,
+            "pq": pq_probe(spark),
+            "xonce": xonce_probe(spark),
+        }
     print(json.dumps(result))
     return 0
 
