@@ -1003,10 +1003,11 @@ def kmeans_lloyd(
     init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Lloyd's k-means, fully declarative — the iterative-algorithm
-    shape on Spark: per round ONE broadcast-join assignment pass and ONE
-    fixed-point mean aggregation, a driver-side scalar for convergence,
-    :func:`..checkpoint.stable_checkpoint` to stop per-iteration
-    lineage growth (reliable on a cluster with a checkpoint dir set).
+    shape on Spark: per round ONE zero-shuffle scan assignment pass and
+    ONE fixed-point mean aggregation, a driver-side scalar for
+    convergence, :func:`..checkpoint.stable_checkpoint` to stop
+    per-iteration lineage growth (reliable on a cluster with a
+    checkpoint dir set).
 
     Returns ``(assignments(id, cell, dist), centroids(cell, centroid),
     n_iterations)``.
@@ -1015,9 +1016,13 @@ def kmeans_lloyd(
       centroids (:func:`label_centroids` — k = distinct labels); pass
       ``init`` as a ``(cell, centroid array<double>)`` frame to seed
       differently.  No RNG anywhere, so runs are bit-reproducible.
-    - **Assignment** broadcasts the (tiny, k×dim) centroid set and takes
-      the min-distance cell with total-order tie breaks (dist, cell) —
-      the corpus never shuffles for assignment.
+    - **Assignment** broadcasts the (tiny, k×dim) centroid set as a
+      single-row array column and takes the min-distance cell per row
+      with total-order tie breaks (dist, cell) — a pure scan
+      expression (:func:`_nearest_cell`, r10).  The former N·k
+      crossJoin + min_by aggregate was the same winner but re-shuffled
+      every row's vector once per round; the corpus now truly never
+      shuffles for assignment.
     - **Update** is the one shuffle per round: posexplode → per
       (cell, pos) fixed-point int64 sums (order-independent — the same
       determinism contract as :func:`label_centroids`) → arrays.  An
@@ -1051,28 +1056,12 @@ def kmeans_lloyd(
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        scored = v.crossJoin(F.broadcast(cents)).select(
-            "id", "vec", "cell", sq_dist("vec", "centroid").alias("dist")
-        )
-        # argmin by (dist, cell) as a map-side-combinable min_by hash
-        # aggregate — same winner as the former row_number window
-        # (cell is unique per group: no ordering ties), but no sort of
-        # N·k rows per round (round-8 scale fix, twin of pq_train's)
-        assigned = (
-            scored.groupBy("id")
-            .agg(
-                F.min_by(
-                    F.struct("cell", "vec", "dist"),
-                    F.struct("dist", "cell"),
-                ).alias("__b")
-            )
-            .select(
-                "id",
-                F.col("__b.vec").alias("vec"),
-                F.col("__b.cell").alias("cell"),
-                F.col("__b.dist").alias("dist"),
-            )
-        )
+        # nearest-centroid as a ZERO-shuffle scan (r10, twin of
+        # _pq_codes_bcast): the former N·k crossJoin + min_by hash
+        # aggregate re-shuffled every row (vector included) once per
+        # round even after map-side combine — corpus-linear bytes the
+        # scan form simply never produces
+        assigned = _nearest_cell(v, cents)
         ex = assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
         new0 = ex.groupBy("cell", "pos").agg(
             (
@@ -1118,25 +1107,45 @@ def kmeans_lloyd(
     # returned `cents` whenever the loop exits via max_iterations.
     # Recompute once against the final set so (assignments, centroids)
     # are mutually consistent: every point's cell IS its nearest
-    # returned centroid.  One extra broadcast-assign pass; the min_by
-    # aggregate shuffles only the per-id winner structs.
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .select("id", "cell", sq_dist("vec", "centroid").alias("dist"))
-        .groupBy("id")
-        .agg(
-            F.min_by(
-                F.struct("cell", "dist"), F.struct("dist", "cell")
-            ).alias("__b")
-        )
-        .select(
-            "id",
-            F.col("__b.cell").alias("cell"),
-            F.col("__b.dist").alias("dist"),
-        )
-    )
+    # returned centroid.  One extra zero-shuffle scan pass.
+    assigned = _nearest_cell(v, cents)
     out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
     return out, cents, iterations
+
+
+def _nearest_cell(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, vec, cell, dist): nearest centroid per row as a zero-shuffle
+    scan.  The centroid set rides ONE single-row broadcast
+    (``array<struct<cell, centroid>>`` — the same bounded-model
+    discipline as every broadcast model here, but WITHOUT a driver
+    collect: the array is built by a distributed ``collect_list``
+    aggregate) and the argmin is a per-row ``array_min`` over
+    ``(dist, cell)`` structs — the same :func:`sq_dist` fold and the
+    same min-by-``(dist, cell)`` winner as the former N·k
+    crossJoin + min_by aggregate, bit-identically, with no exchange on
+    the corpus side.  ``array_sort`` on the centroid list is for plan
+    stability only; ``array_min`` is order-independent and ties break
+    on the cell VALUE either way."""
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+        ).alias("__cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                sq_dist(F.col("vec"), s["centroid"]).alias("dist"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+    return v.crossJoin(F.broadcast(cent_row)).select(
+        "id",
+        "vec",
+        best["cell"].alias("cell"),
+        best["dist"].alias("dist"),
+    )
 
 
 def semantic_dedup(

@@ -670,3 +670,31 @@ def test_predict_lang_model_joins_broadcast(spark):
     p = plan(predict_lang(docs, model), mode="simple")
     assert p.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_kmeans_assignment_plan_is_shuffle_free(spark):
+    """r10 scale pin (twin of the PQ big-model pin): the Lloyd
+    assignment pass must put NO exchange on the corpus side — the
+    centroid set rides a single-row BroadcastExchange and the argmin
+    is a per-row expression.  Any other Exchange means assignment is
+    re-shuffling the corpus (vectors included) every round — the shape
+    the r10 rewrite removed."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm import similarity as S
+    from parquet_to_postgres_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = S._centroid_arrays(emb, "label", "embedding").select(
+        F.col("label").cast("int").alias("cell"), "centroid"
+    )
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    out = S._nearest_cell(v, cents.localCheckpoint())
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the centroid list's own tiny aggregate may exchange; the corpus
+    # side may not — strip the broadcast subtree marker and require the
+    # only Exchange nodes to be broadcast ones
+    assert "Exchange" not in p.replace("BroadcastExchange", "BX").replace(
+        "Exchange SinglePartition", "SP-agg", 1
+    ), p[:800]
+    assert out.count() == emb.count()
