@@ -382,17 +382,10 @@ def ann_topk_ivf(
     def assign(
         df: DataFrame, id_alias: str, vec_alias: str, probes: int
     ) -> DataFrame:
-        scored = df.select(
+        pre = df.select(
             F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
-        ).crossJoin(F.broadcast(cents))
-        w = Window.partitionBy(id_alias).orderBy(
-            (dot(vec_alias, "centroid") / norm("centroid")).desc(), "cell"
         )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= probes)
-            .select(id_alias, vec_alias, "cell")
-        )
+        return _nearest_cells(pre, cents, probes, vec_alias)
 
     c = assign(corpus, "neighbor_id", "cvec", 1).withColumn("cnrm", norm("cvec"))
     q = assign(queries, "query_id", "qvec", n_probes).withColumn(
@@ -408,6 +401,51 @@ def ann_topk_ivf(
     )
     return _drop_zero_norm(scored).withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def _nearest_cells(
+    df: DataFrame, cents: DataFrame, probes: int, vec_alias: str
+) -> DataFrame:
+    """Append ``cell``: each row exploded to its ``probes`` nearest
+    coarse cells by cosine-to-centroid (score desc, ties to the lower
+    cell) as a pure scan — the r10 audit twin of :func:`_nearest_cell`
+    and :func:`_pq_codes_bcast` for the IVF assignment.
+
+    The centroid set rides ONE single-row broadcast array (distributed
+    ``collect_list``, no driver collect) and the per-row top-``probes``
+    is ``slice(array_sort(struct(-score, cell)), 1, probes)`` — the
+    former ``row_number`` window hash-partitioned AND sorted all N·k
+    scored rows (vectors riding along) for what is a per-row
+    selection.  Negating the score for the ascending sort is exact in
+    IEEE, so the (score desc, cell asc) winner order is bit-identical
+    for every comparable score; the one divergence is a zero-norm
+    centroid's NaN score, which the window's desc order put FIRST
+    (every row would probe that degenerate cell) and the ascending
+    -score sort puts LAST — the new behavior is the defensible one,
+    and a mean-of-unit-vectors centroid is zero only on exact
+    cancellation.  All incoming columns pass through."""
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+        ).alias("__cents")
+    )
+    vec = F.col(vec_alias)
+    cands = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            (-(dot(vec, s["centroid"]) / norm(s["centroid"]))).alias(
+                "nscore"
+            ),
+            s["cell"].alias("cell"),
+        ),
+    )
+    cols = list(df.columns)
+    top = F.slice(F.array_sort(cands), 1, probes)
+    return (
+        df.crossJoin(F.broadcast(cent_row))
+        .select(*cols, F.explode(top).alias("__t"))
+        .select(*cols, F.col("__t.cell").alias("cell"))
     )
 
 
@@ -673,19 +711,12 @@ def ann_topk_all_methods(
     ).select(F.col(by).alias("cell"), "centroid")
 
     def assign(prep: DataFrame, id_alias: str, vec_alias: str, probes: int):
-        scored = prep.select(
+        pre = prep.select(
             F.col("id").alias(id_alias),
             F.col("vec").alias(vec_alias),
             F.col("nrm").alias("__nrm"),
-        ).crossJoin(F.broadcast(cents))
-        w = Window.partitionBy(id_alias).orderBy(
-            (dot(vec_alias, "centroid") / norm("centroid")).desc(), "cell"
         )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= probes)
-            .select(id_alias, vec_alias, "__nrm", "cell")
-        )
+        return _nearest_cells(pre, cents, probes, vec_alias)
 
     c_ivf = assign(cprep, "neighbor_id", "cvec", 1).withColumnRenamed(
         "__nrm", "cnrm"

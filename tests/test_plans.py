@@ -698,3 +698,33 @@ def test_kmeans_assignment_plan_is_shuffle_free(spark):
         "Exchange SinglePartition", "SP-agg", 1
     ), p[:800]
     assert out.count() == emb.count()
+
+
+def test_ivf_assignment_plan_has_no_window(spark):
+    """r10 scale pin: IVF cell assignment must be a pure scan — the
+    former row_number window hash-partitioned AND sorted all N·k
+    scored rows (vectors riding along).  The executed plan of the
+    assignment side may contain no Window and no non-broadcast
+    Exchange."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm import similarity as S
+    from parquet_to_postgres_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = S._centroid_arrays(emb, "label", "embedding").select(
+        F.col("label").cast("int").alias("cell"), "centroid"
+    ).localCheckpoint()
+    pre = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    out = S._nearest_cells(pre, cents, 2, "cvec")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p[:500]
+    # allowed exchanges: the model BroadcastExchange and the k-row
+    # centroid-list SinglePartition aggregate; a hash/range exchange
+    # would mean the CORPUS is being shuffled for a per-row selection
+    assert "Exchange hashpartitioning" not in p, p[:800]
+    assert "Exchange rangepartitioning" not in p, p[:800]
+    assert out.count() == emb.count() * 2
