@@ -425,26 +425,39 @@ def _nearest_cells(
     -score sort puts LAST — the new behavior is the defensible one,
     and a mean-of-unit-vectors centroid is zero only on exact
     cancellation.  All incoming columns pass through."""
-    cent_row = cents.agg(
+    # the centroid norm is a property of the centroid — compute it ONCE
+    # per cell here, not once per (row, cell) inside the scan (the old
+    # window form recomputed it per scored row; same double either way:
+    # sqrt(dot(c, c)) is deterministic)
+    cent_row = cents.select(
+        "cell", "centroid", norm("centroid").alias("cnrm")
+    ).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            F.collect_list(
+                F.struct(F.col("cell"), F.col("centroid"), F.col("cnrm"))
+            )
         ).alias("__cents")
     )
     vec = F.col(vec_alias)
     cands = F.transform(
         F.col("__cents"),
         lambda s: F.struct(
-            (-(dot(vec, s["centroid"]) / norm(s["centroid"]))).alias(
-                "nscore"
-            ),
+            (-(dot(vec, s["centroid"]) / s["cnrm"])).alias("nscore"),
             s["cell"].alias("cell"),
         ),
     )
     cols = list(df.columns)
+    joined = df.crossJoin(F.broadcast(cent_row))
+    if probes == 1:
+        # the corpus side (the N-row side) always takes this branch:
+        # array_min is one O(k) pass with no sorted-copy allocation and
+        # no Generate — same winner as slice(array_sort(...), 1, 1)
+        return joined.select(
+            *cols, F.array_min(cands)["cell"].alias("cell")
+        )
     top = F.slice(F.array_sort(cands), 1, probes)
     return (
-        df.crossJoin(F.broadcast(cent_row))
-        .select(*cols, F.explode(top).alias("__t"))
+        joined.select(*cols, F.explode(top).alias("__t"))
         .select(*cols, F.col("__t.cell").alias("cell"))
     )
 
