@@ -459,6 +459,10 @@ def decode_png(b: bytes) -> dict:
 # IDCT, upsample, YCbCr->RGB) is vectorized numpy over all blocks at
 # once; mapInPandas is the decode boundary exactly as for PNG.
 
+# decode cap for header-declared dims (see the SOF parse): untrusted
+# bytes must not drive allocation beyond what a real crawl image needs
+_JPEG_MAX_PIXELS = 1 << 26
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -675,6 +679,19 @@ def _jpeg_parse(b):
                 raise ValueError(
                     f"JPEG SOF declares empty frame "
                     f"({w}x{h}, {ncomp} components)"
+                )
+            # unlike the lossless decoders (which bind allocation to
+            # the actual payload bytes), JPEG allocates coefficient
+            # planes from HEADER dims before any entropy data is read
+            # — a 300-byte adversarial SOF claiming 65535x65535 would
+            # try ~17 GB per component (r10 review finding).  Cap the
+            # declared pixel count; 2^26 (67 MP) clears any plausible
+            # crawl image while bounding the planes to ~1.1 GB worst
+            # case.
+            if h * w > _JPEG_MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the "
+                    f"{_JPEG_MAX_PIXELS}-pixel decode cap"
                 )
             comps = []
             for i in range(ncomp):

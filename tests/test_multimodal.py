@@ -731,3 +731,22 @@ def test_decode_jpeg_fill_bytes_before_restart_markers():
             i += 1
         got = M._jpeg_pixels(bytes(out))
         assert (got == want).all(), enc.__name__
+
+
+def test_decode_jpeg_oversized_header_dims_rejected():
+    """JPEG allocates coefficient planes from HEADER dims before any
+    entropy data is read (the lossless decoders bind allocation to
+    actual payload bytes) — so a tiny adversarial payload declaring
+    65535x65535 must be refused by the pixel cap, not attempted (r10
+    review finding: ~17 GB/component allocation DoS)."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg
+
+    base = bytearray(encode_jpeg(np.full((8, 8), 50, dtype=np.uint8)))
+    i = bytes(base).index(b"\xff\xc0")
+    base[i + 5 : i + 7] = (65535).to_bytes(2, "big")  # height
+    base[i + 7 : i + 9] = (65535).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="pixel decode cap"):
+        M.decode_jpeg(bytes(base))
