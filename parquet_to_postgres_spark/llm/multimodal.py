@@ -451,10 +451,12 @@ def decode_png(b: bytes) -> dict:
 # non-interleaved multi-scan sequential streams; 8-bit, 1- or
 # 3-component, any JFIF sampling grid (4:4:4 / 4:2:2 / 4:2:0 fall out
 # of the generic Hi x Vi MCU walk), restart markers, 0xFF00 byte
-# stuffing, Huffman tables redefined between scans.  Arithmetic
-# coding, 12-bit, lossless/hierarchical, and CMYK raise — the
-# honest-refusal contract — and decode_media_bytes falls through to
-# PIL for those only when it is installed.  Entropy decoding is
+# stuffing, Huffman tables redefined between scans; 8-bit AND — r10 —
+# 12-bit samples (extended sequential SOF1 / progressive SOF2 per
+# T.81 B.2.2; 12-bit decodes to uint16 with the 2^(P-1) level shift).
+# Arithmetic coding, lossless/hierarchical, 12-bit-in-SOF0, and CMYK
+# raise — the honest-refusal contract — and decode_media_bytes falls
+# through to PIL for those only when it is installed.  Entropy decoding is
 # per-symbol Python (inherent to Huffman), the block math (dequant,
 # IDCT, upsample, YCbCr->RGB) is vectorized numpy over all blocks at
 # once; mapInPandas is the decode boundary exactly as for PNG.
@@ -666,8 +668,16 @@ def _jpeg_parse(b):
             if frame is not None:
                 raise ValueError("multiple JPEG frames unsupported")
             precision = body[0]
-            if precision != 8:
+            # r10: 12-bit samples decode natively (extended sequential
+            # SOF1 / progressive SOF2 — T.81 B.2.2 allows 8 or 12
+            # there; baseline SOF0 is 8-bit ONLY, refused honestly)
+            if precision not in (8, 12):
                 raise ValueError(f"{precision}-bit JPEG unsupported")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError(
+                    "12-bit precision in a baseline (SOF0) frame is "
+                    "non-conformant (T.81 B.2.2: baseline is 8-bit)"
+                )
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -704,6 +714,7 @@ def _jpeg_parse(b):
                 "w": w,
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "precision": precision,
             }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
@@ -1042,7 +1053,14 @@ def _jpeg_pixels(b):
         _jpeg_decode_scan(b, scan, frame, planes, hmax, vmax,
                           mcus_x, mcus_y)
 
-    # dequantize + IDCT, all blocks of each component at once
+    # dequantize + IDCT, all blocks of each component at once.  Level
+    # shift, clip ceiling, chroma center, and output dtype all follow
+    # the sample precision (8-bit -> uint8, 12-bit -> uint16; T.81 A.3.1
+    # defines the level shift as 2^(P-1))
+    prec = frame["precision"]
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
     idct = _idct_matrix()
     out_comps = []
     for c in comps:
@@ -1054,7 +1072,7 @@ def _jpeg_pixels(b):
                         idct)
         # assemble block grid into the component plane
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        plane = np.clip(np.round(plane) + 128, 0, 255)
+        plane = np.clip(np.round(plane) + center, 0, maxval)
         # upsample to full MCU-grid resolution (ratios validated
         # integral up front, before the entropy walk)
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -1063,15 +1081,15 @@ def _jpeg_pixels(b):
         out_comps.append(plane[: frame["h"], : frame["w"]])
 
     if len(out_comps) == 1:
-        return out_comps[0].astype(np.uint8)[:, :, None]
+        return out_comps[0].astype(out_dtype)[:, :, None]
     if len(out_comps) != 3:
         raise ValueError(f"{len(out_comps)}-component JPEG unsupported")
     y, cb, cr = out_comps
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bl = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxval).astype(out_dtype)
 
 
 def _dezigzag_q(q):
@@ -1170,9 +1188,9 @@ def decode_media_bytes(b: bytes) -> dict:
     """Dispatch one payload to its real decoder by magic bytes.
 
     Dependency-free tier first (BMP/PPM/WAV headers + raw samples, PNG
-    via zlib, sequential AND progressive JPEG via the native
-    Huffman+IDCT path — r9/r10); JPEGs the native tier refuses
-    (12-bit, arithmetic-coded, lossless/hierarchical) fall through to
+    via zlib, sequential AND progressive JPEG — 8- and 12-bit — via
+    the native Huffman+IDCT path, r9/r10); JPEGs the native tier
+    refuses (arithmetic-coded, lossless/hierarchical) fall through to
     the optional PIL branch when Pillow is installed, and re-raise the
     native error otherwise."""
     for magic, dec in _MAGIC_DECODERS:

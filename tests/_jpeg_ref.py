@@ -65,6 +65,16 @@ _AC_SYMS = [0x00, 0xF0] + [
 _ACP_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
+# 12-bit variants: DC categories reach 15 (diffs to +-4095 after the
+# wider level shift), AC sizes reach 14 — 16 DC symbols at 5 bits,
+# 226 / 240 AC symbols at 8 bits
+_DC12_SYMS = list(range(16))
+_AC12_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_ACP12_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
 
 
 def _fixed_table(symbols, length):
@@ -78,6 +88,21 @@ def _fixed_table(symbols, length):
 _DC_COUNTS, _, _DC_CODES = _fixed_table(_DC_SYMS, 4)
 _AC_COUNTS, _, _AC_CODES = _fixed_table(_AC_SYMS, 8)
 _ACP_COUNTS, _, _ACP_CODES = _fixed_table(_ACP_SYMS, 8)
+_DC12_COUNTS, _, _DC12_CODES = _fixed_table(_DC12_SYMS, 5)
+_AC12_COUNTS, _, _AC12_CODES = _fixed_table(_AC12_SYMS, 8)
+_ACP12_COUNTS, _, _ACP12_CODES = _fixed_table(_ACP12_SYMS, 8)
+
+
+def _tables(precision):
+    """(dc_counts, dc_syms, dc_codes, ac_counts, ac_syms, ac_codes,
+    acp_counts, acp_syms, acp_codes) for the sample precision."""
+    if precision == 12:
+        return (_DC12_COUNTS, _DC12_SYMS, _DC12_CODES,
+                _AC12_COUNTS, _AC12_SYMS, _AC12_CODES,
+                _ACP12_COUNTS, _ACP12_SYMS, _ACP12_CODES)
+    return (_DC_COUNTS, _DC_SYMS, _DC_CODES,
+            _AC_COUNTS, _AC_SYMS, _AC_CODES,
+            _ACP_COUNTS, _ACP_SYMS, _ACP_CODES)
 
 
 class _BitWriter:
@@ -151,13 +176,13 @@ def _encode_block(w, coefs_zz, pred, dc_codes, ac_codes):
     return int(coefs_zz[0])
 
 
-def _plane_blocks(plane, q):
+def _plane_blocks(plane, q, center=128.0):
     """(bh, bw, 64) quantized zigzag coefficients for an 8-aligned plane."""
     h, w = plane.shape
     bh, bw = h // 8, w // 8
     blocks = (
         plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
-        - 128.0
+        - center
     )
     coefs = np.einsum("ux,yrxc,vc->yruv", _DCT, blocks, _DCT)
     qz = np.round(coefs.reshape(bh, bw, 64)[:, :, ZZ] / np.asarray(q)[ZZ])
@@ -196,12 +221,16 @@ def _dht(cls, tid, counts, symbols):
     )
 
 
-def _prep(arr, q_luma, q_chroma, subsampling):
+def _prep(arr, q_luma, q_chroma, subsampling, precision=8):
     """Shared pipeline: color convert, subsample, pad to the MCU grid,
     and quantize every component into an (bh, bw, 64) zigzag coefficient
-    grid.  Returns the per-component metadata all three encoders walk."""
+    grid.  Returns the per-component metadata all three encoders walk.
+    ``precision`` 8 or 12 sets the level shift (2^(P-1)), clip ceiling,
+    and chroma center per T.81 A.3.1."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
+    center = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     q_luma = (
         np.ones(64, dtype=np.int32) if q_luma is None else np.asarray(q_luma)
     )
@@ -214,8 +243,8 @@ def _prep(arr, q_luma, q_chroma, subsampling):
     else:
         r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsampling == "444":
             sub = [(1, 1), (1, 1), (1, 1)]
         elif subsampling == "422":
@@ -249,19 +278,20 @@ def _prep(arr, q_luma, q_chroma, subsampling):
     coef_grids = []
     for _name, plane, hs, vs, tq in comps:
         target_h, target_w = mcus_y * vs * 8, mcus_x * hs * 8
-        p = np.clip(np.round(plane), 0, 255)
+        p = np.clip(np.round(plane), 0, maxval)
         p = np.pad(
             p,
             ((0, target_h - p.shape[0]), (0, target_w - p.shape[1])),
             mode="edge",
         )
         coef_grids.append(
-            _plane_blocks(p, q_luma if tq == 0 else q_chroma)
+            _plane_blocks(p, q_luma if tq == 0 else q_chroma, center)
         )
     return {
         "h": h,
         "w": w,
         "gray": gray,
+        "precision": precision,
         "q_luma": q_luma,
         "q_chroma": q_chroma,
         # (hs, vs, tq) per component, frame order
@@ -275,7 +305,11 @@ def _prep(arr, q_luma, q_chroma, subsampling):
 
 
 def _sof(p, marker):
-    sof = bytes([8]) + p["h"].to_bytes(2, "big") + p["w"].to_bytes(2, "big")
+    sof = (
+        bytes([p["precision"]])
+        + p["h"].to_bytes(2, "big")
+        + p["w"].to_bytes(2, "big")
+    )
     sof += bytes([len(p["comps"])])
     for i, (hs, vs, tq) in enumerate(p["comps"]):
         sof += bytes([i + 1, (hs << 4) | vs, tq])
@@ -298,25 +332,30 @@ def encode_jpeg(
     q_chroma=None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG (single interleaved scan).  ``q_luma``/
+    """Encode an (h, w) grayscale or (h, w, 3) RGB array as a
+    sequential JFIF JPEG (single interleaved scan): uint8 input under
+    SOF0 at the default precision, or uint16 0..4095 input under SOF1
+    when ``precision=12`` (T.81 extended sequential).  ``q_luma``/
     ``q_chroma`` are 64-entry natural-order quant tables (default
     all-ones = near-lossless)."""
-    p = _prep(arr, q_luma, q_chroma, subsampling)
+    p = _prep(arr, q_luma, q_chroma, subsampling, precision)
     gray = p["gray"]
+    dc_counts, dc_syms, dc_codes, ac_counts, ac_syms, ac_codes, _, _, _ = \
+        _tables(precision)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _dqt(0, p["q_luma"])
     if not gray:
         out += _dqt(1, p["q_chroma"])
-    out += _sof(p, 0xC0)
-    out += _dht(0, 0, _DC_COUNTS, _DC_SYMS)
-    out += _dht(1, 0, _AC_COUNTS, _AC_SYMS)
+    out += _sof(p, 0xC0 if precision == 8 else 0xC1)
+    out += _dht(0, 0, dc_counts, dc_syms)
+    out += _dht(1, 0, ac_counts, ac_syms)
     if not gray:
-        out += _dht(0, 1, _DC_COUNTS, _DC_SYMS)
-        out += _dht(1, 1, _AC_COUNTS, _AC_SYMS)
+        out += _dht(0, 1, dc_counts, dc_syms)
+        out += _dht(1, 1, ac_counts, ac_syms)
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     ncomp = len(p["comps"])
@@ -343,7 +382,7 @@ def encode_jpeg(
                     for hsub in range(hs):
                         zz = p["grids"][ci][my * vs + v, mx * hs + hsub]
                         pred[ci] = _encode_block(
-                            wtr, zz, pred[ci], _DC_CODES, _AC_CODES
+                            wtr, zz, pred[ci], dc_codes, ac_codes
                         )
             mcu_count += 1
     wtr.pad()
@@ -358,25 +397,29 @@ def encode_jpeg_noninterleaved(
     q_chroma=None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Sequential (SOF0) multi-scan stream: one single-component SOS
-    per component, each walked in the component's own block raster
-    order (T.81 A.2.2 non-interleaved).  Restart interval counts data
-    units; the RSTn sequence and DC predictor reset per scan."""
-    p = _prep(arr, q_luma, q_chroma, subsampling)
+    """Sequential (SOF0; SOF1 at precision=12) multi-scan stream: one
+    single-component SOS per component, each walked in the component's
+    own block raster order (T.81 A.2.2 non-interleaved).  Restart
+    interval counts data units; the RSTn sequence and DC predictor
+    reset per scan."""
+    p = _prep(arr, q_luma, q_chroma, subsampling, precision)
     gray = p["gray"]
+    dc_counts, dc_syms, dc_codes, ac_counts, ac_syms, ac_codes, _, _, _ = \
+        _tables(precision)
 
     out = bytearray()
     out += b"\xff\xd8"
     out += _dqt(0, p["q_luma"])
     if not gray:
         out += _dqt(1, p["q_chroma"])
-    out += _sof(p, 0xC0)
-    out += _dht(0, 0, _DC_COUNTS, _DC_SYMS)
-    out += _dht(1, 0, _AC_COUNTS, _AC_SYMS)
+    out += _sof(p, 0xC0 if precision == 8 else 0xC1)
+    out += _dht(0, 0, dc_counts, dc_syms)
+    out += _dht(1, 0, ac_counts, ac_syms)
     if not gray:
-        out += _dht(0, 1, _DC_COUNTS, _DC_SYMS)
-        out += _dht(1, 1, _AC_COUNTS, _AC_SYMS)
+        out += _dht(0, 1, dc_counts, dc_syms)
+        out += _dht(1, 1, ac_counts, ac_syms)
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
 
@@ -397,7 +440,7 @@ def encode_jpeg_noninterleaved(
                     rst += 1
                     pred = 0
                 pred = _encode_block(
-                    wtr, p["grids"][ci][by, bx], pred, _DC_CODES, _AC_CODES
+                    wtr, p["grids"][ci][by, bx], pred, dc_codes, ac_codes
                 )
                 count += 1
         wtr.pad()
@@ -555,6 +598,7 @@ def encode_jpeg_progressive(
     subsampling: str = "444",
     restart_interval: int = 0,
     scans=None,
+    precision: int = 8,
 ) -> bytes:
     """Encode as a progressive (SOF2) JFIF JPEG.  ``scans`` is a list
     of ``dict(comps=[frame indexes], ss, se, ah, al)`` in emission
@@ -562,8 +606,12 @@ def encode_jpeg_progressive(
     are emitted lazily immediately before the first scan that needs
     each table, so multi-scan table (re)definition is exercised.
     Restart interval counts MCUs (interleaved DC scans) or data units
-    (single-component scans); EOB runs never cross a restart."""
-    p = _prep(arr, q_luma, q_chroma, subsampling)
+    (single-component scans); EOB runs never cross a restart.
+    ``precision=12`` emits a 12-bit SOF2 stream (uint16 0..4095
+    input)."""
+    p = _prep(arr, q_luma, q_chroma, subsampling, precision)
+    dc_counts, dc_syms, dc_codes, _, _, _, acp_counts, acp_syms, \
+        acp_codes = _tables(precision)
     ncomp = len(p["comps"])
     if scans is None:
         scans = default_progressive_scans(ncomp)
@@ -593,9 +641,9 @@ def encode_jpeg_progressive(
                 continue
             emitted.add((cls, tid))
             if cls == 0:
-                out += _dht(0, tid, _DC_COUNTS, _DC_SYMS)
+                out += _dht(0, tid, dc_counts, dc_syms)
             else:
-                out += _dht(1, tid, _ACP_COUNTS, _ACP_SYMS)
+                out += _dht(1, tid, acp_counts, acp_syms)
 
         sos = bytes([len(cis)])
         for ci in cis:
@@ -614,17 +662,17 @@ def encode_jpeg_progressive(
             zz = p["grids"][ci][by, bx]
             if ss == 0 and ah == 0:  # DC initial (arithmetic shift)
                 v = int(zz[0]) >> al
-                _put_dc_diff(wtr, v - pred[ci], _DC_CODES)
+                _put_dc_diff(wtr, v - pred[ci], dc_codes)
                 pred[ci] = v
             elif ss == 0:  # DC refinement: one raw bit
                 wtr.put((int(zz[0]) >> al) & 1, 1)
             elif ah == 0:
                 _encode_ac_first_block(
-                    wtr, zz, ss, se, al, _ACP_CODES, state
+                    wtr, zz, ss, se, al, acp_codes, state
                 )
             else:
                 _encode_ac_refine_block(
-                    wtr, zz, ss, se, al, _ACP_CODES, state
+                    wtr, zz, ss, se, al, acp_codes, state
                 )
 
         def maybe_restart():
@@ -632,7 +680,7 @@ def encode_jpeg_progressive(
             if restart_interval and count and (
                 count % restart_interval == 0
             ):
-                _flush_eobrun(wtr, _ACP_CODES, state)
+                _flush_eobrun(wtr, acp_codes, state)
                 wtr.marker(0xD0 + (rst % 8))
                 rst += 1
                 for i in range(ncomp):
@@ -656,7 +704,7 @@ def encode_jpeg_progressive(
                             for hsub in range(hs):
                                 unit(ci, my * vs + v, mx * hs + hsub)
                     count += 1
-        _flush_eobrun(wtr, _ACP_CODES, state)
+        _flush_eobrun(wtr, acp_codes, state)
         wtr.pad()
         out += wtr.out
     out += b"\xff\xd9"

@@ -750,3 +750,70 @@ def test_decode_jpeg_oversized_header_dims_rejected():
     base[i + 7 : i + 9] = (65535).to_bytes(2, "big")  # width
     with pytest.raises(ValueError, match="pixel decode cap"):
         M.decode_jpeg(bytes(base))
+
+
+def test_decode_jpeg_12bit_flat_is_exact():
+    """r10: 12-bit samples decode natively (SOF1 extended sequential /
+    SOF2 progressive).  Flat 12-bit frames have the same no-rounding
+    DC-only property as 8-bit, so the wider level shift (2048) and
+    uint16 output path are pinned EXACTLY."""
+    np = _np()
+    from ._jpeg_ref import encode_jpeg
+
+    for v in (0, 17, 2048, 3000, 4095):
+        img = np.full((16, 24), v, dtype=np.uint16)
+        got = M.decode_media_bytes(encode_jpeg(img, precision=12))
+        assert (got["fmt"], got["width"], got["height"], got["channels"]) \
+            == ("jpeg", 24, 16, 1)
+        assert got["mean_value"] == float(v), (v, got["mean_value"])
+        pix = M._jpeg_pixels(encode_jpeg(img, precision=12))
+        assert pix.dtype == np.uint16
+        assert int(pix.min()) == int(pix.max()) == v
+
+
+def test_decode_jpeg_12bit_all_stream_kinds_agree():
+    """12-bit noise: q=1 decode within ±2 of the source at 12-bit
+    scale, and the progressive and non-interleaved encodings of the
+    same image decode EXACTLY equal to the sequential one (the
+    successive-approximation chain now walks DC categories up to 15
+    and AC sizes up to 14)."""
+    np = _np()
+    from ._jpeg_ref import (
+        encode_jpeg,
+        encode_jpeg_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(29)
+    g = rng.randint(0, 4096, (24, 40)).astype(np.uint16)
+    pix = M._jpeg_pixels(encode_jpeg(g, precision=12))
+    err = np.abs(pix[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 2, err.max()
+
+    img = rng.randint(0, 4096, (20, 18, 3)).astype(np.uint16)
+    kw = dict(subsampling="420", restart_interval=2, precision=12)
+    seq = M._jpeg_pixels(encode_jpeg(img, **kw))
+    assert seq.dtype == np.uint16
+    assert (M._jpeg_pixels(encode_jpeg_progressive(img, **kw)) == seq).all()
+    ni = M._jpeg_pixels(
+        encode_jpeg_noninterleaved(img, subsampling="420", precision=12)
+    )
+    assert (ni == M._jpeg_pixels(
+        encode_jpeg(img, subsampling="420", precision=12))).all()
+
+
+def test_decode_jpeg_12bit_in_sof0_refused():
+    """T.81 B.2.2: baseline (SOF0) is 8-bit only — a 12-bit SOF0 frame
+    must raise, not decode leniently (the honest-conformance line;
+    12-bit is accepted under SOF1/SOF2)."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg
+
+    b = bytearray(encode_jpeg(np.full((8, 8), 99, dtype=np.uint16),
+                              precision=12))
+    i = bytes(b).index(b"\xff\xc1")
+    b[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="baseline"):
+        M.decode_jpeg(bytes(b))
