@@ -9,15 +9,17 @@ exercise the decoder's DHT parsing exactly like optimized tables would.
 
 Three encoders share one coefficient pipeline (`_prep`):
 
-- :func:`encode_jpeg` — baseline sequential (SOF0), single interleaved
-  scan: the r9 oracle.
-- :func:`encode_jpeg_noninterleaved` — sequential (SOF0) with one
+- :func:`encode_jpeg` — sequential single interleaved scan: SOF0 at
+  the default 8-bit precision (the r9 oracle), SOF1 extended
+  sequential at ``precision=12`` (uint16 input, 2048 level shift, DC
+  categories to 15 / AC sizes to 14 on 5-/8-bit fixed codes).
+- :func:`encode_jpeg_noninterleaved` — sequential with one
   single-component scan per component (T.81 A.2.2 non-interleaved
   order): multi-scan sequential streams.
 - :func:`encode_jpeg_progressive` — progressive (SOF2) with a
   libjpeg-shaped default scan script (spectral selection + successive
   approximation, cross-block EOB runs, AC refinement correction bits
-  per T.81 G.1.2), or any caller-supplied script.
+  per T.81 G.1.2), or any caller-supplied script; 8- or 12-bit.
 
 Because successive approximation is a LOSSLESS re-encoding of the same
 quantized coefficients, a full progressive script must decode to pixels
