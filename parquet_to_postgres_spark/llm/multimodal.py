@@ -1004,6 +1004,18 @@ def _jpeg_validate_scans(frame, scans):
                 raise ValueError(
                     "progressive JPEG AC scan precedes DC scan"
                 )
+    if not progressive:
+        # a sequential multi-scan stream that omits a component entirely
+        # would otherwise decode with an all-zero coefficient plane
+        # (mid-gray channel) — plausible-but-wrong stats on truncated
+        # crawl files.  Honest refusal is the decoder's contract.
+        # Progressive partial scan scripts stay legitimately lenient.
+        missing = {c["id"] for c in frame["comps"]} - dc_seen
+        if missing:
+            raise ValueError(
+                "sequential JPEG stream omits scan data for component(s) "
+                + ",".join(str(i) for i in sorted(missing))
+            )
 
 
 def _jpeg_pixels(b):
@@ -1066,7 +1078,12 @@ def _jpeg_pixels(b):
     for c in comps:
         grid = planes[c["id"]]
         bh, bw = grid.shape[:2]
-        deq = grid * _dezigzag_q(qt[c["tq"]])
+        # int64 before the multiply: a 12-bit progressive stream can
+        # legally reconstruct a coefficient near 2^27 (size-14 at
+        # Al=13), and a 16-bit quant value pushes the product past
+        # int32 — silent wraparound would corrupt stats with no error
+        deq = grid.astype(np.int64) * _dezigzag_q(qt[c["tq"]]).astype(
+            np.int64)
         blocks = deq.reshape(bh, bw, 8, 8)
         pix = np.einsum("ux,yruv,vc->yrxc", idct, blocks.astype(np.float64),
                         idct)

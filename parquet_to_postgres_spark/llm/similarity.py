@@ -437,6 +437,14 @@ def _nearest_cells(
                 F.struct(F.col("cell"), F.col("centroid"), F.col("cnrm"))
             )
         ).alias("__cents")
+    ).where(
+        # the single-row agg emits one row even over ZERO centroids;
+        # unfiltered, probes==1 would assign NULL cell to every corpus
+        # row (nulls into downstream joins) while probes>1's explode
+        # drops all rows.  Dropping the empty-array row makes both
+        # branches match the prior crossJoin form: zero output rows on
+        # a degenerate centroid set.
+        F.size("__cents") > 0
     )
     vec = F.col(vec_alias)
     cands = F.transform(
@@ -1174,6 +1182,12 @@ def _nearest_cell(v: DataFrame, cents: DataFrame) -> DataFrame:
         F.array_sort(
             F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
         ).alias("__cents")
+    ).where(
+        # drop the always-emitted single agg row when the centroid set
+        # is empty — otherwise array_min over an empty array assigns
+        # NULL cell to every row, where the former crossJoin + min_by
+        # form produced zero rows (same rationale as _nearest_cells)
+        F.size("__cents") > 0
     )
     best = F.array_min(
         F.transform(

@@ -291,7 +291,7 @@ def test_pq_argmin_budget_holds_for_every_shape(spark):
     shapes = [
         ((8, 16, 64, 120), True),
         ((2, 4, 2048, 40), False),  # d=1024 > depth gate -> bcast path
-        ((1, 300, 64, 40), False),  # 19200 terms > term gate -> join
+        ((1, 300, 64, 40), False),  # 19200 terms > term gate -> bcast path
     ]
     for (m, codes, dim, n), literal in shapes:
         d, cmap, base = make(m, codes, dim, n)

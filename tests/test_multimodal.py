@@ -817,3 +817,64 @@ def test_decode_jpeg_12bit_in_sof0_refused():
     b[i + 1] = 0xC0
     with pytest.raises(ValueError, match="baseline"):
         M.decode_jpeg(bytes(b))
+
+
+def test_decode_jpeg_sequential_missing_component_scan_refused():
+    """r10 ADVICE: a sequential multi-scan stream that omits a
+    component's scan entirely must refuse, not decode the missing
+    channel as an all-zero coefficient plane (mid-gray) — a truncated
+    multi-scan crawl file would otherwise yield plausible-but-wrong
+    stats.  Progressive partial scripts stay lenient (pinned by
+    test_decode_jpeg_progressive_truncated_script_decodes)."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg_noninterleaved
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    b = encode_jpeg_noninterleaved(img)
+    # entropy bytes are FF-stuffed and restart markers are D0-D7, so
+    # FF DA occurs exactly at the three real SOS headers
+    second = b.index(b"\xff\xda", b.index(b"\xff\xda") + 2)
+    third = b.index(b"\xff\xda", second + 2)
+    with pytest.raises(ValueError, match="omits scan data"):
+        M._jpeg_pixels(b[:third] + b"\xff\xd9")
+    # dropping two scans names both missing components
+    with pytest.raises(ValueError, match="omits scan data"):
+        M._jpeg_pixels(b[:second] + b"\xff\xd9")
+    # the full stream still decodes
+    assert M._jpeg_pixels(b).shape == (16, 16, 3)
+
+
+def test_decode_jpeg_12bit_dequant_no_int32_overflow():
+    """r10 ADVICE: dequantization must not wrap int32.  A 12-bit
+    progressive stream can legally carry a DC coefficient of
+    8192 << 13 = 2^26 (size-14 diff at Al=13); against a 16-bit quant
+    value of 65535 the product is (2^16-1)*2^26 = 2^42 - 2^26, whose
+    low 32 bits are NEGATIVE as int32 — the block would clip to black
+    instead of the correct full-scale white.  No real encoder emits
+    this (quantized = coeff/q keeps the product ~coeff), so the stream
+    is hand-assembled from the reference encoder's primitives."""
+    np = _np()
+
+    from ._jpeg_ref import _BitWriter, _dht, _dqt, _put_dc_diff, _seg, _tables
+
+    dc_counts, dc_syms, dc_codes = _tables(12)[:3]
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, [65535] * 64)  # forces the 16-bit (Pq=1) table
+    # SOF2: precision 12, 8x8, one component (id=1, 1x1 sampling, tq=0)
+    out += _seg(0xC2, bytes([12, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    out += _dht(0, 0, dc_counts, dc_syms)
+    # SOS: DC initial scan at Al=13 (Ss=Se=0, Ah=0)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 13]))
+    w = _BitWriter()
+    _put_dc_diff(w, 8192, dc_codes)  # coeff = 8192 << 13 = 2^26
+    w.pad()
+    out += w.out + b"\xff\xd9"
+
+    px = M._jpeg_pixels(bytes(out))
+    assert px.shape == (8, 8, 1)
+    assert px.dtype == np.uint16
+    # int64 dequant: hugely positive DC -> every sample clips to 4095
+    assert (px == 4095).all()

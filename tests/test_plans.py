@@ -728,3 +728,37 @@ def test_ivf_assignment_plan_has_no_window(spark):
     assert "Exchange hashpartitioning" not in p, p[:800]
     assert "Exchange rangepartitioning" not in p, p[:800]
     assert out.count() == emb.count() * 2
+
+
+def test_cell_assignment_empty_centroids_yield_zero_rows(spark):
+    """r10 ADVICE: the single-row collect_list aggregate emits one row
+    even over ZERO centroids; unguarded, _nearest_cell(s) assigned a
+    NULL cell to every corpus row on the probes==1 array_min branch
+    (nulls leaking into downstream joins) while the probes>1 explode
+    dropped all rows.  Both helpers must match the prior crossJoin
+    form: zero output rows on a degenerate centroid set — and the
+    OUTPUT SCHEMA must be unchanged so downstream selects still bind."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm import similarity as S
+    from parquet_to_postgres_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    no_cents = (
+        S._centroid_arrays(emb, "label", "embedding")
+        .select(F.col("label").cast("int").alias("cell"), "centroid")
+        .where(F.lit(False))
+        .localCheckpoint()
+    )
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    out1 = S._nearest_cell(v, no_cents)
+    assert out1.columns == ["id", "vec", "cell", "dist"]
+    assert out1.count() == 0
+
+    pre = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    for probes in (1, 2):
+        out = S._nearest_cells(pre, no_cents, probes, "cvec")
+        assert out.columns == ["neighbor_id", "cvec", "cell"], probes
+        assert out.count() == 0, probes
