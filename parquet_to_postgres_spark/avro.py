@@ -1,0 +1,631 @@
+"""Avro Object Container File source/sink, pure Python, distributed.
+
+The reference reads only Parquet (``/root/reference/src/main.rs:52``);
+``etl.read_source`` generalizes the source matrix (E4).  ORC rides
+Spark's built-in datasource, but the ``spark-avro`` module is an
+EXTERNAL jar that is not shipped in this environment and installs are
+off-limits — so Avro OCF (spec 1.11.x, a public format) is implemented
+here against the stdlib only (``zlib`` for the deflate codec) and run
+THROUGH Spark's execution model:
+
+- **read**: ``spark.read.format("binaryFile")`` lists and ships the
+  container files; each file's blocks are decoded executor-side in an
+  Arrow-batched ``mapInPandas``.  The unit of parallelism is the FILE
+  (no sync-marker splitting — corpora written by this sink, Spark, or
+  any sane pipeline are many-files, so file granularity is the same
+  granularity Spark uses for gzip'd text).  Only the ONE header needed
+  for the schema is read on the driver, not the data.
+- **write**: one container file per partition via ``mapPartitions``
+  (the standard custom-sink shape; the returned manifest is
+  partition-count-bounded).  Timestamps/dates cross the Python
+  boundary as ``unix_micros``/``unix_date`` integers converted
+  JVM-side, so no Python timezone arithmetic can drift the values.
+
+Type surface: boolean, int, long, float, double, string, bytes,
+date (int/``date``), timestamp (long/``timestamp-micros``), arrays,
+maps (string keys), and nested records — nullability as the canonical
+``["null", T]`` union.  Temporal types are supported at the TOP level
+only (nested temporal fields raise — honest refusal, same contract as
+the media decoders).  Decimal/fixed/enum are refused with a clear
+error; the sink is posix-path local (a cluster deployment would wrap
+the same encoder in a DataSource V2 writer).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from hashlib import md5
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MAGIC = b"Obj\x01"
+
+# ------------------------------------------------------------------ codec --
+
+_SPARK_TO_AVRO_PRIM = {
+    T.BooleanType: "boolean",
+    T.ByteType: "int",
+    T.ShortType: "int",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+_AVRO_TO_SPARK_PRIM = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def spark_to_avro_schema(
+    schema: T.StructType, name: str = "row", _top: bool = True
+) -> dict:
+    """Spark StructType -> Avro record schema (dict, json-dumpable).
+
+    Nullable fields become ``["null", T]`` unions (null FIRST, the
+    canonical order, so a null value encodes as index 0)."""
+    fields = []
+    for f in schema.fields:
+        t = _avro_type(f.dataType, f"{name}_{f.name}", _top)
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_type(dt: T.DataType, name: str, top: bool):
+    for cls, prim in _SPARK_TO_AVRO_PRIM.items():
+        if isinstance(dt, cls):
+            return prim
+    if isinstance(dt, T.TimestampType):
+        if not top:
+            raise ValueError(
+                "avro sink: nested timestamp fields unsupported (the "
+                "JVM-side unix_micros conversion is top-level only)"
+            )
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        if not top:
+            raise ValueError(
+                "avro sink: nested timestamp_ntz fields unsupported (the "
+                "JVM-side epoch conversion is top-level only)"
+            )
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        if not top:
+            raise ValueError(
+                "avro sink: nested date fields unsupported (the JVM-side "
+                "unix_date conversion is top-level only)"
+            )
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.ArrayType):
+        item = _avro_type(dt.elementType, name + "_item", False)
+        return {
+            "type": "array",
+            "items": ["null", item] if dt.containsNull else item,
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError("avro maps require string keys")
+        val = _avro_type(dt.valueType, name + "_value", False)
+        return {
+            "type": "map",
+            "values": ["null", val] if dt.valueContainsNull else val,
+        }
+    if isinstance(dt, T.StructType):
+        return spark_to_avro_schema(dt, name, _top=False)
+    raise ValueError(f"avro: unsupported Spark type {dt.simpleString()}")
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    """Avro record schema -> Spark StructType.  Temporal logical types
+    map to their WIRE types (long/int) — :func:`read_avro` restores
+    Timestamp/Date JVM-side after the Python decode."""
+    if avro.get("type") != "record":
+        raise ValueError("avro: top-level schema must be a record")
+    fields = []
+    for f in avro["fields"]:
+        dt, nullable = _spark_type(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+def _spark_type(t) -> "tuple[T.DataType, bool]":
+    if isinstance(t, list):  # union
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"avro: only [null, T] unions supported: {t}")
+        dt, _ = _spark_type(branches[0])
+        return dt, True
+    if isinstance(t, str):
+        if t not in _AVRO_TO_SPARK_PRIM:
+            raise ValueError(f"avro: unsupported primitive {t!r}")
+        return _AVRO_TO_SPARK_PRIM[t], False
+    kind = t["type"]
+    if kind in _AVRO_TO_SPARK_PRIM and "logicalType" not in t:
+        return _AVRO_TO_SPARK_PRIM[kind], False
+    if kind in ("long", "int"):  # logical temporal rides its wire type
+        return _AVRO_TO_SPARK_PRIM[kind], False
+    if kind == "array":
+        dt, nullable = _spark_type(t["items"])
+        return T.ArrayType(dt, nullable), False
+    if kind == "map":
+        dt, nullable = _spark_type(t["values"])
+        return T.MapType(T.StringType(), dt, nullable), False
+    if kind == "record":
+        fields = []
+        for f in t["fields"]:
+            dt, nullable = _spark_type(f["type"])
+            fields.append(T.StructField(f["name"], dt, nullable))
+        return T.StructType(fields), False
+    raise ValueError(f"avro: unsupported schema node {t!r}")
+
+
+# -------------------------------------------------------- binary encoding --
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def long(self) -> int:
+        buf, pos = self.buf, self.pos
+        shift = z = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return (z >> 1) ^ -(z & 1)
+
+    def raw(self, n: int) -> bytes:
+        p = self.pos
+        self.pos = p + n
+        return self.buf[p : p + n]
+
+
+def _encoder(t):
+    """Schema node -> value encoder ``fn(out: bytearray, v)``."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        inner = _encoder(branches[0])
+        null_idx = t.index("null")
+        val_idx = 1 - null_idx
+
+        def enc_union(out, v):
+            if v is None:
+                _write_long(out, null_idx)
+            else:
+                _write_long(out, val_idx)
+                inner(out, v)
+
+        return enc_union
+    kind = t if isinstance(t, str) else t["type"]
+    if kind == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if kind in ("int", "long"):
+        return lambda out, v: _write_long(out, int(v))
+    if kind == "float":
+        return lambda out, v: out.extend(struct.pack("<f", float(v)))
+    if kind == "double":
+        return lambda out, v: out.extend(struct.pack("<d", float(v)))
+    if kind == "string":
+
+        def enc_str(out, v):
+            b = v.encode("utf-8")
+            _write_long(out, len(b))
+            out.extend(b)
+
+        return enc_str
+    if kind == "bytes":
+
+        def enc_bytes(out, v):
+            v = bytes(v)
+            _write_long(out, len(v))
+            out.extend(v)
+
+        return enc_bytes
+    if kind == "array":
+        item = _encoder(t["items"])
+
+        def enc_arr(out, v):
+            v = list(v)
+            if v:
+                _write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            _write_long(out, 0)
+
+        return enc_arr
+    if kind == "map":
+        val = _encoder(t["values"])
+
+        def enc_map(out, v):
+            items = list(v.items())
+            if items:
+                _write_long(out, len(items))
+                for k, x in items:
+                    kb = k.encode("utf-8")
+                    _write_long(out, len(kb))
+                    out.extend(kb)
+                    val(out, x)
+            _write_long(out, 0)
+
+        return enc_map
+    if kind == "record":
+        fields = [_encoder(f["type"]) for f in t["fields"]]
+        names = [f["name"] for f in t["fields"]]
+
+        def enc_rec(out, v):
+            # v: Row/dict/tuple in field order
+            if isinstance(v, dict):
+                for name, enc in zip(names, fields):
+                    enc(out, v[name])
+            else:
+                for x, enc in zip(v, fields):
+                    enc(out, x)
+
+        return enc_rec
+    raise ValueError(f"avro: unsupported schema node {t!r}")
+
+
+def _decoder(t):
+    """Schema node -> value decoder ``fn(r: _Reader) -> value``."""
+    if isinstance(t, list):
+        branch = {i: (None if b == "null" else _decoder(b)) for i, b in enumerate(t)}
+
+        def dec_union(r):
+            d = branch[r.long()]
+            return None if d is None else d(r)
+
+        return dec_union
+    kind = t if isinstance(t, str) else t["type"]
+    if kind == "boolean":
+        return lambda r: r.raw(1) == b"\x01"
+    if kind in ("int", "long"):
+        return lambda r: r.long()
+    if kind == "float":
+        return lambda r: struct.unpack("<f", r.raw(4))[0]
+    if kind == "double":
+        return lambda r: struct.unpack("<d", r.raw(8))[0]
+    if kind == "string":
+        return lambda r: r.raw(r.long()).decode("utf-8")
+    if kind == "bytes":
+        return lambda r: bytes(r.raw(r.long()))
+    if kind == "array":
+        item = _decoder(t["items"])
+
+        def dec_arr(r):
+            out = []
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:  # block-size form: size prefix, then |n| items
+                    r.long()
+                    n = -n
+                for _ in range(n):
+                    out.append(item(r))
+
+        return dec_arr
+    if kind == "map":
+        val = _decoder(t["values"])
+
+        def dec_map(r):
+            out = {}
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    r.long()
+                    n = -n
+                for _ in range(n):
+                    k = r.raw(r.long()).decode("utf-8")
+                    out[k] = val(r)
+
+        return dec_map
+    if kind == "record":
+        fields = [(f["name"], _decoder(f["type"])) for f in t["fields"]]
+
+        def dec_rec(r):
+            return {name: dec(r) for name, dec in fields}
+
+        return dec_rec
+    raise ValueError(f"avro: unsupported schema node {t!r}")
+
+
+# ------------------------------------------------------------- container --
+
+
+def _header(avro_schema: dict, codec: str, sync: bytes) -> bytes:
+    out = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.extend(kb)
+        _write_long(out, len(v))
+        out.extend(v)
+    _write_long(out, 0)
+    out.extend(sync)
+    return bytes(out)
+
+
+def parse_header(buf: bytes) -> "tuple[dict, str, bytes, int]":
+    """(schema, codec, sync, data_offset) from an OCF header."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    r = _Reader(buf, 4)
+    meta = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            r.long()
+            n = -n
+        for _ in range(n):
+            k = r.raw(r.long()).decode()
+            meta[k] = bytes(r.raw(r.long()))
+    sync = bytes(r.raw(16))
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro codec {codec!r} unsupported (null/deflate)")
+    return schema, codec, sync, r.pos
+
+
+def decode_container(buf: bytes) -> "tuple[dict, list[dict]]":
+    """(schema, rows) — whole-file decode, the executor-side kernel."""
+    schema, codec, sync, pos = parse_header(buf)
+    dec = _decoder(schema)
+    r = _Reader(buf, pos)
+    rows: "list[dict]" = []
+    end = len(buf)
+    while r.pos < end:
+        count = r.long()
+        size = r.long()
+        block = r.raw(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        if bytes(r.raw(16)) != sync:
+            raise ValueError("avro: sync marker mismatch (corrupt block)")
+        br = _Reader(block)
+        for _ in range(count):
+            rows.append(dec(br))
+    return schema, rows
+
+
+def encode_container(
+    avro_schema: dict,
+    rows,
+    codec: str = "deflate",
+    sync: bytes | None = None,
+    block_rows: int = 4096,
+) -> bytes:
+    """Rows (tuples/dicts in field order) -> OCF bytes."""
+    if sync is None:
+        sync = md5(json.dumps(avro_schema).encode()).digest()
+    enc = _encoder(avro_schema)
+    out = bytearray(_header(avro_schema, codec, sync))
+    batch = bytearray()
+    n = 0
+
+    def flush():
+        nonlocal batch, n
+        if not n:
+            return
+        data = bytes(batch)
+        if codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = c.compress(data) + c.flush()
+        _write_long(out, n)
+        _write_long(out, len(data))
+        out.extend(data)
+        out.extend(sync)
+        batch = bytearray()
+        n = 0
+
+    for row in rows:
+        enc(batch, row)
+        n += 1
+        if n >= block_rows:
+            flush()
+    flush()
+    return bytes(out)
+
+
+# ----------------------------------------------------------- spark glue --
+
+
+# NTZ <-> epoch micros via pure timestamp arithmetic from the NTZ epoch
+# literal: timestampdiff/timestampadd on TIMESTAMP_NTZ never consult the
+# session timezone (an NTZ has no zone to interpret), unlike
+# to_utc_timestamp/cast, which coerce through the session zone and would
+# shift wall-clock values on any non-UTC session.
+_NTZ_EPOCH = "timestamp_ntz'1970-01-01 00:00:00'"
+
+
+def _temporal_cols(
+    schema: T.StructType,
+) -> "tuple[list[str], list[str], list[str]]":
+    ts = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
+    ntz = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    dt = [f.name for f in schema.fields if isinstance(f.dataType, T.DateType)]
+    return ts, ntz, dt
+
+
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate", block_rows: int = 4096
+) -> dict:
+    """Write ``df`` as one Avro OCF per partition under ``path``
+    (posix-local demo sink; see module docstring).  Returns a manifest
+    ``{files, rows}`` — partition-count-bounded, never data-bounded."""
+    import os
+
+    avro_schema = spark_to_avro_schema(df.schema)
+    ts_cols, ntz_cols, date_cols = _temporal_cols(df.schema)
+    wire = df
+    for c in ts_cols:  # JVM-side epoch conversion: tz-exact, no Python dates
+        wire = wire.withColumn(c, F.unix_micros(F.col(c)))
+    for c in ntz_cols:
+        wire = wire.withColumn(
+            c, F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{c}`)")
+        )
+    for c in date_cols:
+        wire = wire.withColumn(c, F.unix_date(F.col(c)))
+    os.makedirs(path, exist_ok=True)
+    schema_json = json.dumps(avro_schema)
+
+    def write_part(rows) -> "Iterator[tuple[int, int, str]]":
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition -> no file
+        import itertools
+
+        schema = json.loads(schema_json)
+        sync = md5((schema_json + str(pid)).encode()).digest()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        total = 0
+
+        def counted():
+            nonlocal total
+            for r in itertools.chain([first], it):
+                total += 1
+                yield tuple(r)
+
+        buf = encode_container(
+            schema, counted(), codec=codec, sync=sync, block_rows=block_rows
+        )
+        with open(fname, "wb") as fh:
+            fh.write(buf)
+        yield pid, total, fname
+
+    manifest = wire.rdd.mapPartitions(write_part).collect()
+    if not manifest:  # all-empty frame: header-only file keeps the schema
+        with open(os.path.join(path, "part-00000.avro"), "wb") as fh:
+            fh.write(encode_container(avro_schema, [], codec=codec))
+        manifest = [(0, 0, os.path.join(path, "part-00000.avro"))]
+    return {
+        "files": len(manifest),
+        "rows": sum(m[1] for m in manifest),
+    }
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Distributed Avro OCF read: binaryFile listing + per-file
+    ``mapInPandas`` decode.  Self-describing — no inference pass, so
+    ``etl.read_source``'s CSV/JSON infer guard does not apply.  The
+    driver reads ONE file header for the schema (``spark.read`` does
+    the same for Parquet footers); block data never hits the driver."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+    head = files.select("content").head()
+    if head is None:
+        raise ValueError(f"read_avro: no files under {path}")
+    avro_schema, _, _, _ = parse_header(head["content"])
+    wire_schema = avro_to_spark_schema(avro_schema)
+    if schema is not None:
+        want = {f.name for f in schema.fields}
+        have = {f.name for f in wire_schema.fields}
+        if not want <= have:
+            raise ValueError(
+                f"read_avro: requested columns {sorted(want - have)} "
+                "absent from the container schema"
+            )
+
+    names = [f.name for f in wire_schema.fields]
+
+    def decode_files(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for content in pdf["content"]:
+                got_schema, rows = decode_container(bytes(content))
+                if got_schema != avro_schema:
+                    raise ValueError(
+                        "read_avro: container schema drift between files"
+                    )
+                yield pd.DataFrame(
+                    {n: [r[n] for r in rows] for n in names},
+                    columns=names,
+                )
+
+    out = files.select("content").mapInPandas(decode_files, wire_schema)
+    # restore temporal logical types JVM-side
+    logical = {
+        f["name"]: f["type"]
+        for f in avro_schema["fields"]
+        if isinstance(f["type"], (dict, list))
+    }
+
+    def lt(node):
+        if isinstance(node, list):
+            node = [b for b in node if b != "null"][0]
+        return node.get("logicalType") if isinstance(node, dict) else None
+
+    for name, node in logical.items():
+        kind = lt(node)
+        if kind == "timestamp-micros":
+            out = out.withColumn(name, F.timestamp_micros(F.col(name)))
+        elif kind == "local-timestamp-micros":
+            out = out.withColumn(
+                name,
+                F.expr(f"timestampadd(MICROSECOND, `{name}`, {_NTZ_EPOCH})"),
+            )
+        elif kind == "date":
+            out = out.withColumn(name, F.date_from_unix_date(F.col(name)))
+        elif kind is not None:
+            raise ValueError(f"avro logical type {kind!r} unsupported")
+    if schema is not None:
+        out = out.select(*[f.name for f in schema.fields])
+    return out

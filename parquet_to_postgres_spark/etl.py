@@ -517,7 +517,28 @@ def read_source(
     production guard: a ``UserWarning`` always (inference doubles the
     scan), and a hard error when the input exceeds ``max_infer_bytes``
     (set ``max_infer_bytes=0`` to disable the size check for
-    deliberately schema-less exploration)."""
+    deliberately schema-less exploration).
+
+    Self-describing columnar/row formats need no guard: ``orc`` rides
+    Spark's built-in datasource; ``avro`` routes to the pure-Python
+    distributed OCF reader (the external ``spark-avro`` jar is not
+    shipped here — see avro.py)."""
+    if fmt == "avro":
+        from . import avro as _avro
+
+        if options:
+            raise ValueError(
+                f"read_source(avro): options {sorted(options)} unsupported "
+                "by the OCF reader"
+            )
+        sch = None
+        if schema is not None:
+            sch = (
+                T._parse_datatype_string(schema)
+                if isinstance(schema, str)
+                else schema
+            )
+        return _avro.read_avro(spark, path, schema=sch)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
