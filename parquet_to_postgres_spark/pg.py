@@ -228,9 +228,12 @@ def run_psql(
     sql: str,
     tuples_only: bool = True,
     stdin: str | None = None,
+    stdin_bytes: bytes | None = None,
 ) -> str:
     """Client-side psql call — used from the driver (DDL) AND from
-    executor tasks (COPY), so it depends only on the conninfo dict."""
+    executor tasks (COPY), so it depends only on the conninfo dict.
+    ``stdin_bytes`` feeds COPY FROM STDIN (FORMAT BINARY) — psql
+    forwards the stream to the server unaltered while in copy mode."""
     cmd = [
         "psql",
         "-h",
@@ -247,6 +250,16 @@ def run_psql(
     if tuples_only:
         cmd.append("-At")
     cmd += ["-c", sql]
+    if stdin_bytes is not None:
+        r = subprocess.run(
+            cmd, input=stdin_bytes, capture_output=True, cwd="/"
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"psql failed ({sql[:120]!r}): "
+                f"{r.stderr.decode('utf-8', 'replace')[-2000:]}"
+            )
+        return r.stdout.decode("utf-8", "replace")
     r = subprocess.run(
         cmd, input=stdin, capture_output=True, text=True, cwd="/"
     )
@@ -304,6 +317,106 @@ def prepare_for_copy(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+# -------------------------------------------------------- binary wire ----
+
+# COPY (FORMAT BINARY) per the public protocol docs: signature + flags +
+# extension-length header, per-tuple int16 field count then per-field
+# int32 byte length (-1 = NULL) + payload in each type's binary send
+# format, int16 -1 trailer.  Temporal epochs are 2000-01-01 based.
+_PGCOPY_HEADER = b"PGCOPY\n\xff\r\n\x00" + b"\x00" * 8
+_PGCOPY_TRAILER = b"\xff\xff"
+_PGCOPY_NULL = b"\xff\xff\xff\xff"
+_PG_EPOCH_MICROS = 946_684_800_000_000  # 2000-01-01 minus 1970-01-01
+_PG_EPOCH_DAYS = 10_957
+_NTZ_EPOCH_SQL = "timestamp_ntz'1970-01-01 00:00:00'"
+
+
+def _be(col: "F.Column", nbytes: int) -> "F.Column":
+    """A long-valued column as its low ``nbytes`` big-endian bytes.
+    hex() of a negative long is already the 16-digit two's complement,
+    so the byte slice is exact for int2/int4/int8 alike — and the whole
+    chain (hex/lpad/unhex/substring) stays inside whole-stage codegen."""
+    h = F.unhex(F.lpad(F.hex(col.cast("long")), 16, "0"))
+    return F.substring(h, 9 - nbytes, nbytes)
+
+
+def _len_prefixed(payload: "F.Column") -> "F.Column":
+    return F.concat(_be(F.octet_length(payload), 4), payload)
+
+
+def _binary_cell(f: T.StructField) -> "F.Column":
+    """One field of a PGCOPY tuple: int32 length + binary-send payload,
+    or the -1 NULL marker.  Everything below except the float-bits
+    reflect() call runs in codegen; reflect is still JVM-side (no
+    Python boundary), which the e2e A/B in BASELINE.md prices."""
+    c = F.col(f.name)
+    dt = f.dataType
+    fixed = None  # (nbytes, payload) for fixed-width sends
+    if isinstance(dt, T.LongType):
+        fixed = (8, _be(c, 8))
+    elif isinstance(dt, T.IntegerType):
+        fixed = (4, _be(c, 4))
+    elif isinstance(dt, (T.ShortType, T.ByteType)):  # DDL: SMALLINT
+        fixed = (2, _be(c, 2))
+    elif isinstance(dt, T.BooleanType):
+        fixed = (1, F.when(c, F.lit(b"\x01")).otherwise(F.lit(b"\x00")))
+    elif isinstance(dt, T.DoubleType):
+        bits = F.expr(
+            "reflect('java.lang.Double','doubleToRawLongBits', "
+            f"coalesce(`{f.name}`, 0.0d))"
+        ).cast("long")
+        fixed = (8, _be(bits, 8))
+    elif isinstance(dt, T.FloatType):
+        bits = F.expr(
+            "reflect('java.lang.Float','floatToRawIntBits', "
+            f"coalesce(`{f.name}`, cast(0.0 as float)))"
+        ).cast("long")
+        fixed = (4, _be(bits, 4))
+    elif isinstance(dt, T.TimestampType):
+        # match the CSV path's rendering: the SESSION-LOCAL wall time
+        # lands in the tz-less TIMESTAMP column (cast to NTZ first)
+        micros = F.expr(
+            f"timestampdiff(MICROSECOND, {_NTZ_EPOCH_SQL}, "
+            f"cast(`{f.name}` as timestamp_ntz))"
+        )
+        fixed = (8, _be(micros - F.lit(_PG_EPOCH_MICROS), 8))
+    elif isinstance(dt, T.TimestampNTZType):
+        micros = F.expr(
+            f"timestampdiff(MICROSECOND, {_NTZ_EPOCH_SQL}, `{f.name}`)"
+        )
+        fixed = (8, _be(micros - F.lit(_PG_EPOCH_MICROS), 8))
+    elif isinstance(dt, T.DateType):
+        fixed = (4, _be(F.unix_date(c) - F.lit(_PG_EPOCH_DAYS), 4))
+    elif isinstance(dt, T.StringType):
+        cell = _len_prefixed(F.encode(c, "UTF-8"))
+    elif isinstance(dt, T.BinaryType):
+        cell = _len_prefixed(c)
+    elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        # jsonb binary send format: version byte 0x01 + the JSON text
+        cell = _len_prefixed(
+            F.concat(F.lit(b"\x01"), F.encode(F.to_json(c), "UTF-8"))
+        )
+    else:
+        raise ValueError(
+            f"COPY BINARY has no send format mapped for "
+            f"{dt.simpleString()} (use wire_format='csv')"
+        )
+    if fixed is not None:
+        nbytes, payload = fixed
+        cell = F.concat(F.lit(nbytes.to_bytes(4, "big")), payload)
+    return F.when(c.isNull(), F.lit(_PGCOPY_NULL)).otherwise(cell)
+
+
+def binary_copy_tuples(df: DataFrame) -> DataFrame:
+    """(rowbytes binary): each row as one complete PGCOPY tuple —
+    field-count prefix plus every cell — built entirely JVM-side."""
+    n = len(df.schema.fields)
+    cells = [_binary_cell(f) for f in df.schema.fields]
+    return df.select(
+        F.concat(F.lit(n.to_bytes(2, "big")), *cells).alias("rowbytes")
+    )
+
+
 @dataclass
 class PostgresCopySink:
     """Bulk sink into a live PostgreSQL via per-partition COPY.
@@ -329,6 +442,11 @@ class PostgresCopySink:
     # task-retry exposure as any plain INSERT/COPY appender (disable
     # spark.speculation for it, and prefer write_batch for guarantees).
     partition_tag: bool = False
+    # COPY wire format: 'csv' (F.to_csv lines) or 'binary' (PGCOPY
+    # tuples, also built JVM-side — binary_copy_tuples).  The e2e A/B
+    # at sf0.1 is recorded in BASELINE.md; 'binary' ships as default
+    # there iff measured faster.  Decimal columns require 'csv'.
+    wire_format: str = "csv"
 
     def write(self, df: DataFrame) -> str:
         schema_df = (
@@ -339,21 +457,33 @@ class PostgresCopySink:
             run_psql(self.conninfo, f"DROP TABLE IF EXISTS {self.table};")
         elif self.mode != "append":
             raise ValueError(f"mode must be append/overwrite, got {self.mode!r}")
+        if self.wire_format not in ("csv", "binary"):
+            raise ValueError(
+                f"wire_format must be csv/binary, got {self.wire_format!r}"
+            )
         run_psql(self.conninfo, ddl)
+        binary = self.wire_format == "binary"
 
-        prepared = prepare_for_copy(df)
         # range-partition on the first column: every COPY connection gets
         # an evenly sized, internally sorted slice (JdbcSink.prepare's
         # contract), and partition count == connection cap.
-        prepared = prepared.repartitionByRange(
-            self.num_partitions, prepared.columns[0]
-        )
+        if binary:
+            prepared = df.repartitionByRange(
+                self.num_partitions, df.columns[0]
+            )
+        else:
+            prepared = prepare_for_copy(df).repartitionByRange(
+                self.num_partitions, df.columns[0]
+            )
         if self.partition_tag:
             prepared = prepared.withColumn("__part", F.spark_partition_id())
         col_list = ", ".join(prepared.columns)
-        lines = prepared.select(
-            F.to_csv(F.struct(*prepared.columns), _CSV_OPTS).alias("line")
-        )
+        if binary:
+            lines = binary_copy_tuples(prepared)
+        else:
+            lines = prepared.select(
+                F.to_csv(F.struct(*prepared.columns), _CSV_OPTS).alias("line")
+            )
         conninfo, table = dict(self.conninfo), self.table
         tagged = self.partition_tag
 
@@ -362,16 +492,17 @@ class PostgresCopySink:
             from pyspark import TaskContext
 
             n = 0
-            chunks: list[str] = []
+            chunks: list = []
             for pdf in batches:
                 if len(pdf):
                     n += len(pdf)
-                    chunks.append("\n".join(pdf["line"]))
+                    if binary:
+                        chunks.extend(bytes(b) for b in pdf["rowbytes"])
+                    else:
+                        chunks.append("\n".join(pdf["line"]))
             if n:
-                copy = (
-                    f"COPY {table} ({col_list}) "
-                    "FROM STDIN (FORMAT CSV, NULL '')"
-                )
+                fmt = "BINARY" if binary else "CSV, NULL ''"
+                copy = f"COPY {table} ({col_list}) FROM STDIN (FORMAT {fmt})"
                 if tagged:
                     # one -c string = one implicit transaction: the
                     # delete and the copy commit or roll back together
@@ -380,7 +511,13 @@ class PostgresCopySink:
                         f"DELETE FROM {table} WHERE __part = {pid}; "
                         + copy
                     )
-                run_psql(conninfo, copy, stdin="\n".join(chunks) + "\n")
+                if binary:
+                    payload = (
+                        _PGCOPY_HEADER + b"".join(chunks) + _PGCOPY_TRAILER
+                    )
+                    run_psql(conninfo, copy, stdin_bytes=payload)
+                else:
+                    run_psql(conninfo, copy, stdin="\n".join(chunks) + "\n")
             yield pd.DataFrame({"n": [n]})
 
         # the aggregate is the action that runs the COPY tasks; its value

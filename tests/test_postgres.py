@@ -281,3 +281,125 @@ def test_partition_tagged_copy_is_task_retry_idempotent(spark, pgsrv):
     sink.write(docs)  # every task re-runs: delete-own-partition + copy
     second = int(run_psql(pgsrv.conninfo(), "SELECT count(*) FROM retry_tagged;"))
     assert first == docs.count() == second
+
+
+def _binary_tricky_df(spark):
+    """The tricky frame minus decimal (COPY BINARY refuses NUMERIC —
+    documented) plus the IEEE/integer edge values binary must carry
+    bit-exactly: NaN, +-Inf, -0.0, Long.MIN/MAX, pre-2000 temporals."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("small", T.ShortType(), True),
+            T.StructField("big", T.LongType(), True),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("ratio", T.DoubleType(), True),
+            T.StructField("r4", T.FloatType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("at", T.TimestampNTZType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    rows = [
+        (1, 7, 2**63 - 1, True, float("nan"), -2.25, 'comma, "quote"',
+         b"\x00\xff", datetime.date(1999, 12, 31),
+         datetime.datetime(1969, 12, 31, 23, 59, 59, 999999), ["a", "b"]),
+        (2, -32768, -(2**63), False, float("inf"), None, "line1\nline2",
+         b"", datetime.date(2000, 1, 1),
+         datetime.datetime(2024, 6, 15, 2, 30, 0, 123456), []),
+        (3, 32767, 0, None, -0.0, float("-inf"), "", None, None, None,
+         ["été", "中文"]),
+        (4, None, None, True, 3.14159, 0.0, None, b"\xde\xad", None,
+         datetime.datetime(2000, 1, 1, 0, 0, 0), None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_copy_binary_matches_csv_wire(spark, pgsrv):
+    """VERDICT r10 item 4: the PGCOPY binary wire lands the SAME table
+    contents as the CSV wire — checked server-side with EXCEPT ALL over
+    every edge value (IEEE specials, integer extremes, NULL vs empty
+    string, unicode, bytea, jsonb, both sides of the 2000-01-01 binary
+    temporal epoch).  The A/B wall numbers live in BASELINE.md; csv
+    stays the shipped default (faster end-to-end on this topology),
+    binary is the option for server-CPU-bound deployments (measured
+    2.1x cheaper server-side parse)."""
+    df = _binary_tricky_df(spark)
+    for wire in ("csv", "binary"):
+        P.PostgresCopySink(
+            pgsrv.conninfo(),
+            f"wire_{wire}",
+            mode="overwrite",
+            num_partitions=2,
+            wire_format=wire,
+        ).write(df)
+    diff = P.run_psql(
+        pgsrv.conninfo(),
+        """
+        SELECT count(*) FROM (
+          SELECT id, small, big, flag, ratio::text, r4::text, name,
+                 blob, day, at, tags FROM wire_csv
+          EXCEPT ALL
+          SELECT id, small, big, flag, ratio::text, r4::text, name,
+                 blob, day, at, tags FROM wire_binary
+          UNION ALL
+          SELECT id, small, big, flag, ratio::text, r4::text, name,
+                 blob, day, at, tags FROM wire_binary
+          EXCEPT ALL
+          SELECT id, small, big, flag, ratio::text, r4::text, name,
+                 blob, day, at, tags FROM wire_csv) x;
+        """,
+    ).strip()
+    assert diff == "0", diff
+    n = P.run_psql(
+        pgsrv.conninfo(), "SELECT count(*) FROM wire_binary;"
+    ).strip()
+    assert n == "4"
+    # jsonb payload is real jsonb through the binary wire too
+    j = P.run_psql(
+        pgsrv.conninfo(),
+        "SELECT tags->>1 FROM wire_binary WHERE id = 3;",
+    ).strip()
+    assert j == "中文"
+
+
+def test_copy_binary_roundtrip_read_back(spark, pgsrv):
+    """Binary-written rows read back value-exact through the bounded
+    parallel COPY-out path (same assertion family as the csv twin)."""
+    df = _binary_tricky_df(spark).where("id <> 1")  # NaN != NaN in Row eq
+    P.PostgresCopySink(
+        pgsrv.conninfo(),
+        "wire_rt",
+        mode="overwrite",
+        num_partitions=2,
+        wire_format="binary",
+    ).write(df)
+    back = P.read_back(
+        spark,
+        pgsrv.conninfo(),
+        "wire_rt",
+        df.schema,
+        partition_column="id",
+        lower=2,
+        upper=4,
+        num_partitions=2,
+    )
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert got == want
+
+
+def test_copy_binary_refuses_decimal(spark, pgsrv):
+    df = spark.createDataFrame(
+        [(1, Decimal("1.25"))], "id long, price decimal(10,2)"
+    )
+    sink = P.PostgresCopySink(
+        pgsrv.conninfo(),
+        "wire_dec",
+        mode="overwrite",
+        wire_format="binary",
+    )
+    with pytest.raises(ValueError, match="no send format"):
+        sink.write(df)
