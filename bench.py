@@ -153,20 +153,30 @@ def run_composite(spark, sf_dir: str) -> dict:
         from parquet_to_postgres_spark.tables import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        with tempfile.TemporaryDirectory() as d:
-            t0 = time.perf_counter()
-            cur, report = curate_corpus(docs, out_path=d, max_bpc=8.0)
-            sec = time.perf_counter() - t0
-        out = {
-            "sec": round(sec, 3),
-            "stages": dict(report.stages),
+        # FIXED-WARMTH protocol (r11, VERDICT r10 item 6): the funnel
+        # is ~60% Python-worker + JIT warmth, so a single reading
+        # varies 33-137 s with whatever ran before it in the session.
+        # Run it TWICE and report the second — every round's number is
+        # then "one full funnel of warmth" regardless of prior
+        # registry passes; the first reading rides along as context.
+        walls = []
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as d:
+                t0 = time.perf_counter()
+                cur, report = curate_corpus(docs, out_path=d, max_bpc=8.0)
+                walls.append(round(time.perf_counter() - t0, 3))
+                stages = dict(report.stages)
+                shards = sum(
+                    m["__total__"] for m in (report.manifest or {}).values()
+                )
+                report.release()
+        return {
+            "sec": walls[1],
+            "first_pass_sec": walls[0],
+            "stages": stages,
             # manifest is per-split: {"train": {..., "__total__": n}, ...}
-            "shards_total": sum(
-                m["__total__"] for m in (report.manifest or {}).values()
-            ),
+            "shards_total": shards,
         }
-        report.release()
-        return out
     except Exception as exc:  # noqa: BLE001 — never fail the whole bench
         return {"error": f"{type(exc).__name__}: {exc}"[:300]}
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..checkpoint import persistent_rdd_ids, release_rdds, stable_checkpoint
 from ..tables import spread
@@ -404,7 +405,35 @@ def ann_topk_ivf(
     )
 
 
+def _first_dim(df: DataFrame, col: str) -> int:
+    """Dimension of the frame's vector column — ONE-row limit scan (a
+    single tiny task; array lengths are not in the schema)."""
+    r = df.select(F.size(col).alias("d")).first()
+    return int(r["d"]) if r is not None and r["d"] is not None else 0
+
+
 def _nearest_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    probes: int,
+    vec_alias: str,
+    dim: int | None = None,
+) -> DataFrame:
+    """Route the IVF cell assignment by vector depth (VERDICT r10
+    item 1): shallow vectors keep the expression scan (no driver
+    collect, no Python boundary); past :data:`_ARGMIN_LITERAL_MAX_D`
+    the interpreted fold is compute-bound (~2 GFLOP per pass at d=512)
+    and the numpy ``mapInPandas`` twin does the identical arithmetic in
+    C — bit-identical cells, zero shuffle either way (parity pinned in
+    tests/test_ann_recall.py; walls in BASELINE.md r11)."""
+    if dim is None:
+        dim = _first_dim(df, vec_alias)
+    if dim > _ARGMIN_LITERAL_MAX_D and _BIG_ARGMIN_IMPL == "numpy":
+        return _nearest_cells_np(df, cents, probes, vec_alias)
+    return _nearest_cells_expr(df, cents, probes, vec_alias)
+
+
+def _nearest_cells_expr(
     df: DataFrame, cents: DataFrame, probes: int, vec_alias: str
 ) -> DataFrame:
     """Append ``cell``: each row exploded to its ``probes`` nearest
@@ -468,6 +497,82 @@ def _nearest_cells(
         joined.select(*cols, F.explode(top).alias("__t"))
         .select(*cols, F.col("__t.cell").alias("cell"))
     )
+
+
+def _collect_cells(cents: DataFrame) -> "list[tuple]":
+    """(cell, centroid) rows sorted ascending by cell — the numpy
+    twins' model collect.  Bounded by the same discipline that lets
+    the expression paths broadcast the model: k·d doubles, never
+    corpus-proportional."""
+    return sorted(
+        (r["cell"], list(r["centroid"])) for r in cents.collect()
+    )
+
+
+def _nearest_cells_np(
+    df: DataFrame, cents: DataFrame, probes: int, vec_alias: str
+) -> DataFrame:
+    """Numpy twin of :func:`_nearest_cells_expr` — identical cells by
+    construction: the negated-cosine is the SAME left-fold dot (one
+    multiply + one add per dimension in ascending order over float64),
+    the same per-cell ``sqrt(dot(c, c))`` norm, division then
+    negation; candidates are laid out cell-ascending so ``argmin``
+    (first minimum) and the stable argsort both break score ties to
+    the LOWER cell; numpy sorts NaN scores last exactly like Spark's
+    ascending struct sort, and the probes==1 argmin masks NaN to +inf
+    (struct-min's NaN-loses rule)."""
+    import numpy as np
+
+    rows = _collect_cells(cents)
+    cols = list(df.columns)
+    cell_field = T.StructField(
+        "cell", cents.schema["cell"].dataType, False
+    )
+    out_schema = T.StructType(list(df.schema.fields) + [cell_field])
+    if not rows:
+        # degenerate centroid set -> zero rows, same as the expression
+        # branches (r10 ADVICE semantics)
+        return df.select(
+            *cols, F.lit(0).cast(cell_field.dataType).alias("cell")
+        ).where(F.lit(False))
+    cells_np = np.array([c for c, _ in rows])
+    C = np.array([cen for _, cen in rows], dtype=np.float64)
+    k, d = C.shape
+    cn = np.zeros(k, dtype=np.float64)
+    for t in range(d):  # left-fold: parity with norm()'s aggregate
+        cn += C[:, t] * C[:, t]
+    cnrm = np.sqrt(cn)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_alias].to_numpy()).astype(np.float64)
+            n = X.shape[0]
+            dots = np.zeros((n, k), dtype=np.float64)
+            for t in range(d):
+                dots += X[:, t, None] * C[None, :, t]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nscore = -(dots / cnrm[None, :])
+            if probes == 1:
+                masked = np.where(np.isnan(nscore), np.inf, nscore)
+                out = pdf.copy()
+                out["cell"] = cells_np[masked.argmin(axis=1)]
+                yield out
+            else:
+                order = np.argsort(nscore, axis=1, kind="stable")[
+                    :, :probes
+                ]
+                reps = order.shape[1]
+                out = pdf.iloc[np.repeat(np.arange(n), reps)].reset_index(
+                    drop=True
+                )
+                out["cell"] = cells_np[order.reshape(-1)]
+                yield out
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def int_dot(a: Column | str, b: Column | str) -> Column:
@@ -1104,16 +1209,18 @@ def kmeans_lloyd(
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
+    dim = _first_dim(v, "vec")  # probe ONCE, not per round
     assigned = None
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
         # nearest-centroid as a ZERO-shuffle scan (r10, twin of
-        # _pq_codes_bcast): the former N·k crossJoin + min_by hash
-        # aggregate re-shuffled every row (vector included) once per
-        # round even after map-side combine — corpus-linear bytes the
-        # scan form simply never produces
-        assigned = _nearest_cell(v, cents)
+        # _pq_codes_bcast; r11: numpy mapInPandas past d=256): the
+        # former N·k crossJoin + min_by hash aggregate re-shuffled
+        # every row (vector included) once per round even after
+        # map-side combine — corpus-linear bytes the scan form simply
+        # never produces
+        assigned = _nearest_cell(v, cents, dim=dim)
         ex = assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
         new0 = ex.groupBy("cell", "pos").agg(
             (
@@ -1160,12 +1267,85 @@ def kmeans_lloyd(
     # Recompute once against the final set so (assignments, centroids)
     # are mutually consistent: every point's cell IS its nearest
     # returned centroid.  One extra zero-shuffle scan pass.
-    assigned = _nearest_cell(v, cents)
+    assigned = _nearest_cell(v, cents, dim=dim)
     out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
     return out, cents, iterations
 
 
-def _nearest_cell(v: DataFrame, cents: DataFrame) -> DataFrame:
+def _nearest_cell(
+    v: DataFrame, cents: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """Route the Lloyd assignment by vector depth — the
+    :func:`_nearest_cells` twin (VERDICT r10 item 1): expression scan
+    for shallow vectors, numpy ``mapInPandas`` past
+    :data:`_ARGMIN_LITERAL_MAX_D`, bit-identical (cell, dist) either
+    way (parity pinned in tests/test_ann_recall.py)."""
+    if dim is None:
+        dim = _first_dim(v, "vec")
+    if dim > _ARGMIN_LITERAL_MAX_D and _BIG_ARGMIN_IMPL == "numpy":
+        return _nearest_cell_np(v, cents)
+    return _nearest_cell_expr(v, cents)
+
+
+def _nearest_cell_np(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Numpy twin of :func:`_nearest_cell_expr`: the same
+    :func:`sq_dist` left-fold per dimension in ascending order over
+    float64 (subtract, multiply, add — IEEE-deterministic), centroids
+    laid out cell-ascending so the first-minimum argmin IS the
+    tie-to-lower-cell struct-min, NaN distances masked to +inf (an
+    all-NaN row keeps its NaN dist and cell 0, exactly the struct-min
+    outcome).  The returned ``dist`` is the winning fold double,
+    bit-identical to the expression path's."""
+    import numpy as np
+
+    rows = _collect_cells(cents)
+    cell_dt = cents.schema["cell"].dataType
+    out_schema = T.StructType(
+        [
+            v.schema["id"],
+            v.schema["vec"],
+            T.StructField("cell", cell_dt, False),
+            T.StructField("dist", T.DoubleType(), True),
+        ]
+    )
+    if not rows:
+        return v.select(
+            "id",
+            "vec",
+            F.lit(0).cast(cell_dt).alias("cell"),
+            F.lit(0.0).alias("dist"),
+        ).where(F.lit(False))
+    cells_np = np.array([c for c, _ in rows])
+    C = np.array([cen for _, cen in rows], dtype=np.float64)
+    k, d = C.shape
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            n = X.shape[0]
+            acc = np.zeros((n, k), dtype=np.float64)
+            for t in range(d):  # left-fold order: bit-parity
+                diff = X[:, t, None] - C[None, :, t]
+                acc += diff * diff
+            masked = np.where(np.isnan(acc), np.inf, acc)
+            idx = masked.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                    "cell": cells_np[idx],
+                    "dist": acc[np.arange(n), idx],
+                }
+            )
+
+    return v.select("id", "vec").mapInPandas(assign, out_schema)
+
+
+def _nearest_cell_expr(v: DataFrame, cents: DataFrame) -> DataFrame:
     """(id, vec, cell, dist): nearest centroid per row as a zero-shuffle
     scan.  The centroid set rides ONE single-row broadcast
     (``array<struct<cell, centroid>>`` — the same bounded-model
@@ -1382,13 +1562,17 @@ def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 #   WholeStageCodegen entirely (measured ~1.3 s/job saved at 128k,
 #   recurring per Lloyd round because fresh centroid literals defeat
 #   the code cache).
-# - BIG models (past the gates below) route to the broadcast-DATA
-#   scan argmin (:func:`_pq_codes_bcast`): the codebooks ride one
-#   single-row broadcast as a nested array column and the argmin stays
-#   a per-row expression — a model too big to embed as literals is
-#   also too big to want inlined into every plan, but it is never too
-#   big to broadcast as data (r10: this replaced an explode + join +
-#   two-keyed-aggregation form whose shuffle was corpus-linear).
+# - BIG models (past the gates below) route to the numpy mapInPandas
+#   argmin (:func:`_pq_codes_np`, r11): same zero-shuffle scan shape,
+#   but the identical left-fold arithmetic runs in C instead of
+#   Spark's interpreted expression evaluator — train 11.7× / encode
+#   11.1× faster at 512k×d512 with bit-identical codes (BASELINE.md
+#   r11 table; parity pinned across all three routes in
+#   tests/test_ann_recall.py).  The r10 broadcast-DATA expression scan
+#   (:func:`_pq_codes_bcast`) remains as the measurable A/B twin
+#   (`_BIG_ARGMIN_IMPL='bcast'`); it had already replaced the r9
+#   explode + join + two-keyed-aggregation form whose shuffle was
+#   corpus-linear.
 _ARGMIN_LITERAL_MAX_TERMS = 8192
 _ARGMIN_LITERAL_MAX_D = 256
 
@@ -1462,7 +1646,9 @@ def _pq_codes_frame(
     ``carry_vec`` keeps ``__v`` in the output (pq_train's mean-update
     stage slices it); pq_encode drops it."""
     if m * n_codes * d > _ARGMIN_LITERAL_MAX_TERMS or d > _ARGMIN_LITERAL_MAX_D:
-        return _pq_codes_bcast(base, cmap, m, d, n_codes, carry_vec)
+        if _BIG_ARGMIN_IMPL == "bcast":  # probe/A-B escape hatch
+            return _pq_codes_bcast(base, cmap, m, d, n_codes, carry_vec)
+        return _pq_codes_np(base, cmap, m, d, n_codes, carry_vec)
     keep = ["id"] + (["__v"] if carry_vec else [])
     codes = _no_wsc(F.array(*_argmin_code_exprs(cmap, m, d, n_codes)))
     scored = base.select(*keep, codes.alias("__codes"))
@@ -1542,6 +1728,101 @@ def _pq_codes_bcast(
     return scored.select(
         *keep, F.explode(F.array("__codes")).alias("codes")
     )
+
+
+# Big-model argmin implementation: 'numpy' (Arrow-batched mapInPandas,
+# the r11 default) or 'bcast' (the r10 broadcast-data expression scan,
+# kept as the A/B twin the parity tests and probes compare against).
+_BIG_ARGMIN_IMPL = "numpy"
+
+
+def _pq_codes_np(
+    base: DataFrame,
+    cmap: dict,
+    m: int,
+    d: int,
+    n_codes: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id[, __v], codes) via an Arrow-batched numpy argmin — the
+    big-model assignment path (VERDICT r10 item 1).
+
+    Same shuffle story as :func:`_pq_codes_bcast` — ZERO: the model
+    rides the task closure (PySpark ships large closures via its own
+    broadcast), rows are never grouped, and the scan stays a per-batch
+    map.  What changes is the FLOP engine: Spark's interpreted
+    expression evaluator walks ~2 GFLOP of zip_with folds per
+    assignment pass at d=512, where numpy does the identical
+    arithmetic in C (measured order-of-magnitude train/encode wall
+    drop — BASELINE.md r11 big-model table).
+
+    Bit-parity with both expression paths is engineered, not hoped:
+
+    - the distance is the SAME left-fold — ``acc += diff * diff`` per
+      dimension in ascending order over float64 operands (one subtract,
+      one multiply, one add per term, IEEE-deterministic), never
+      ``np.sum`` (pairwise association) or the matmul identity
+      (different rounding);
+    - inputs are widened float->double BEFORE arithmetic, matching the
+      fold's per-element cast;
+    - ties go to the LOWER code: ``np.argmin`` returns the first
+      minimum and codes are laid out ascending — the struct-min rule;
+    - NaN distances sort AFTER every finite/infinite distance (Spark
+      orders NaN greatest): NaNs are masked to +inf before the argmin,
+      so an all-NaN row yields code 0 exactly like the struct-min of
+      all-NaN structs.  The one undetectable divergence is a genuine
+      +inf distance tying against a masked NaN at a lower code — both
+      sides need squared terms overflowing 1e308, unreachable for unit
+      or near-unit embeddings.
+
+    Codes-level equality across all three routes is pinned in
+    tests/test_ann_recall.py (adversarial ties included)."""
+    import numpy as np
+
+    model = np.array(
+        [
+            [[float(x) for x in cmap[(j, c)]] for c in range(n_codes)]
+            for j in range(m)
+        ],
+        dtype=np.float64,
+    )  # (m, codes, d)
+    keep = ["id"] + (["__v"] if carry_vec else [])
+    id_field = base.schema["id"]
+    out_fields = [id_field]
+    if carry_vec:
+        out_fields.append(base.schema["__v"])
+    out_fields.append(
+        T.StructField("codes", T.ArrayType(T.IntegerType(), False), False)
+    )
+    out_schema = T.StructType(out_fields)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n = vs.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = vs[:, j * d : (j + 1) * d]
+                cents = model[j]
+                acc = np.zeros((n, n_codes), dtype=np.float64)
+                for t in range(d):  # left-fold order: bit-parity
+                    diff = sub[:, t, None] - cents[None, :, t]
+                    acc += diff * diff
+                np.copyto(acc, np.inf, where=np.isnan(acc))
+                codes[:, j] = np.argmin(acc, axis=1)
+            out = {"id": pdf["id"]}
+            if carry_vec:
+                out["__v"] = pdf["__v"]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out, columns=keep + ["codes"])
+
+    # the INPUT always ships __v (the argmin reads it); carry_vec only
+    # controls whether it survives into the output schema
+    return base.select("id", "__v").mapInPandas(assign, out_schema)
 
 
 def _pq_codebook_shape(codebooks: DataFrame) -> "tuple[int, int, int]":

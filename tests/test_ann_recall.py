@@ -402,12 +402,14 @@ def test_pq_bcast_argmin_preserves_exact_duplicate_multiplicity(spark):
 
 
 def test_pq_bcast_argmin_plan_is_shuffle_free(spark):
-    """r10 scale pin: the big-model assignment must add NO Exchange —
-    the model rides a single-row broadcast and the argmin is a per-row
-    expression.  Any Exchange here means the corpus (including the
-    carried d-double vector) is being re-shuffled every Lloyd round —
-    the 737 MB/16k-vector regression the r10 probe caught in the old
-    join form."""
+    """r10 scale pin, r11 tightened: the big-model assignment must add
+    NO Exchange.  The default (numpy mapInPandas) route ships the model
+    in the task closure — zero Exchange of ANY kind; the bcast
+    expression twin is allowed exactly its single-row model
+    BroadcastExchange.  Any other exchange means the corpus (including
+    the carried d-double vector) is being re-shuffled every Lloyd
+    round — the 737 MB/16k-vector regression the r10 probe caught in
+    the old join form."""
     import random
 
     from pyspark.sql import functions as F
@@ -431,8 +433,162 @@ def test_pq_bcast_argmin_plan_is_shuffle_free(spark):
     )
     out = S._pq_codes_frame(base, cmap, m, d, codes)
     p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:800]
+    assert "MapInPandas" in p, p[:800]
+    assert out.count() == 50
+
+    bcast = S._pq_codes_bcast(base, cmap, m, d, codes)
+    pb = bcast._jdf.queryExecution().executedPlan().toString()
     # the model's single-row BroadcastExchange is the point; any OTHER
     # exchange is a corpus shuffle and fails the pin
-    assert "Exchange" not in p.replace("BroadcastExchange", "BX"), p[:800]
-    assert "BroadcastExchange" in p
-    assert out.count() == 50
+    assert "Exchange" not in pb.replace("BroadcastExchange", "BX"), pb[:800]
+    assert "BroadcastExchange" in pb
+    assert bcast.count() == 50
+
+
+def test_pq_argmin_three_routes_bit_identical_codes(spark):
+    """VERDICT r10 item 1 parity pin: the numpy mapInPandas argmin, the
+    broadcast-data expression scan, and (where the gate admits it) the
+    literal forest must emit BIT-IDENTICAL codes — including the
+    adversarial cases where only the pinned semantics separate
+    implementations: exact duplicate centroids (tie must go to the
+    lower code in every route), float32 inputs (cast-to-double before
+    arithmetic), and an all-NaN row (struct-min of all-NaN -> code 0;
+    numpy masks NaN to +inf)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    m, codes, d = 2, 150, 64  # 19200 terms -> big-model gate
+    assert m * codes * d > S._ARGMIN_LITERAL_MAX_TERMS
+    cmap = {
+        (j, c): [rng.uniform(-1, 1) for _ in range(d)]
+        for j in range(m)
+        for c in range(codes)
+    }
+    # adversarial ties: code 40 duplicates code 7 exactly in subspace 0,
+    # and codes 99/100 duplicate each other in subspace 1
+    cmap[(0, 40)] = list(cmap[(0, 7)])
+    cmap[(1, 100)] = list(cmap[(1, 99)])
+
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(m * d)] for _ in range(60)
+    ]
+    # rows pinned ONTO the duplicated centroids so the tie is exercised
+    vecs.append(list(cmap[(0, 40)]) + list(cmap[(1, 100)]))
+    vecs.append([float("nan")] * (m * d))
+    # float32 ROUND-TRIP values (python floats, so createDataFrame
+    # accepts them; the array<float> column stores the float32 bits)
+    rows = [
+        (i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)
+    ]
+    base = spark.createDataFrame(
+        rows, "id long, __v array<float>"
+    ).localCheckpoint()
+
+    def codes_of(df):
+        return {
+            r["id"]: tuple(r["codes"]) for r in df.orderBy("id").collect()
+        }
+
+    got_np = codes_of(S._pq_codes_np(base, cmap, m, d, codes))
+    got_bc = codes_of(S._pq_codes_bcast(base, cmap, m, d, codes))
+    assert got_np == got_bc
+    # tie rows landed on the LOWER duplicate
+    assert got_np[60] == (7, 99)
+    assert got_np[61] == (0, 0)  # all-NaN distances -> code 0 everywhere
+
+    # carry_vec parity: __v passes through both routes untouched
+    with_v = S._pq_codes_np(base, cmap, m, d, codes, carry_vec=True)
+    assert with_v.columns == ["id", "__v", "codes"]
+    r0 = with_v.where("id = 0").collect()[0]
+    assert np.array_equal(
+        np.array(r0["__v"], dtype=np.float32),
+        np.array(vecs[0], dtype=np.float32),
+    )
+
+    # a small literal-gate model: all three routes agree
+    m2, codes2, d2 = 2, 8, 16
+    cmap2 = {
+        (j, c): [rng.uniform(-1, 1) for _ in range(d2)]
+        for j in range(m2)
+        for c in range(codes2)
+    }
+    cmap2[(0, 5)] = list(cmap2[(0, 2)])
+    base2 = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(m2 * d2)])
+            for i in range(40)
+        ]
+        + [(40, list(cmap2[(0, 5)]) * 2)],
+        "id long, __v array<double>",
+    ).localCheckpoint()
+    lit = codes_of(S._pq_codes_frame(base2, cmap2, m2, d2, codes2))
+    np_r = codes_of(S._pq_codes_np(base2, cmap2, m2, d2, codes2))
+    bc_r = codes_of(S._pq_codes_bcast(base2, cmap2, m2, d2, codes2))
+    assert lit == np_r == bc_r
+    assert lit[40][0] == 2  # duplicate-centroid tie -> lower code
+
+
+def test_nearest_cell_numpy_twin_bit_identical(spark):
+    """VERDICT r10 item 1 (kmeans/IVF leg): past d=256 the assignment
+    scans route to numpy twins; (cell, dist) must be BIT-identical to
+    the expression scans — duplicate centroids tie to the lower cell,
+    dist is the same left-fold double, and the probes>1 explode emits
+    the same (row, cell) multiset in the same best-first order."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    d, k = 512, 6  # d > _ARGMIN_LITERAL_MAX_D -> numpy route
+    assert d > S._ARGMIN_LITERAL_MAX_D
+    cent_rows = [(c, [rng.uniform(-1, 1) for _ in range(d)]) for c in range(k)]
+    cent_rows[4] = (4, list(cent_rows[1][1]))  # duplicate of cell 1
+    cents = spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).localCheckpoint()
+
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(40)]
+    vecs.append((40, list(cent_rows[1][1])))  # lands ON the duplicate
+    v = spark.createDataFrame(
+        vecs, "id long, vec array<double>"
+    ).localCheckpoint()
+
+    got_np = {
+        r["id"]: (r["cell"], repr(r["dist"]))
+        for r in S._nearest_cell_np(v, cents).collect()
+    }
+    got_ex = {
+        r["id"]: (r["cell"], repr(r["dist"]))
+        for r in S._nearest_cell_expr(v, cents).collect()
+    }
+    assert got_np == got_ex
+    assert got_np[40][0] == 1  # tie -> lower cell
+    # the dispatcher picks the numpy route at this depth
+    plan = (
+        S._nearest_cell(v, cents)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+
+    pre = v.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"))
+    for probes in (1, 3):
+        a = sorted(
+            (r["neighbor_id"], r["cell"])
+            for r in S._nearest_cells_np(pre, cents, probes, "cvec").collect()
+        )
+        b = sorted(
+            (r["neighbor_id"], r["cell"])
+            for r in S._nearest_cells_expr(
+                pre, cents, probes, "cvec"
+            ).collect()
+        )
+        assert a == b, probes
+    # empty centroid set: numpy twin matches the r10 ADVICE semantics
+    none = cents.where(F.lit(False)).localCheckpoint()
+    assert S._nearest_cell_np(v, none).count() == 0
+    assert S._nearest_cells_np(pre, none, 2, "cvec").count() == 0
