@@ -53,20 +53,36 @@ def _scratch(name: str) -> str:
            COUNT(*) AS n_rows,
            {sql_dsum("c_acctbal", "total")}
     FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'orc' AS src, p_brand AS grp,
+           COUNT(*) AS n_rows,
+           {sql_dsum("p_retailprice", "total")}
+    FROM part GROUP BY p_brand
+    UNION ALL
+    SELECT 'avro' AS src, CAST(s_nationkey AS VARCHAR) AS grp,
+           COUNT(*) AS n_rows,
+           {sql_dsum("s_acctbal", "total")}
+    FROM supplier GROUP BY s_nationkey
     """,
     tags=("E4",),
 )
 def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: both non-parquet sources in one declared query — orders goes
-    parquet → CSV → read_source(schema) and customer goes parquet → JSON
-    lines → read_source(schema); each is aggregated and the tagged
-    results unioned.  The oracle aggregates the ORIGINAL parquet, so any
-    corruption in either format round-trip (type collapse, precision
-    loss, null mangling) breaks the hash-match.
+    """E4: every non-parquet source in one declared query — orders goes
+    parquet → CSV → read_source(schema), customer goes parquet → JSON
+    lines → read_source(schema), part goes parquet → ORC (Spark's
+    built-in self-describing datasource), and supplier goes parquet →
+    Avro OCF through the pure-Python distributed reader/writer
+    (avro.py — r11, VERDICT r10 item 3); each is aggregated and the
+    tagged results unioned.  The oracle aggregates the ORIGINAL
+    parquet, so any corruption in any format round-trip (type
+    collapse, precision loss, null mangling, OCF codec bugs) breaks
+    the hash-match.
 
-    Doubles survive because Spark writes round-trippable decimal text;
-    the explicit read schemas replace inference (a full extra data pass
-    at 100 TB)."""
+    Doubles survive CSV/JSON because Spark writes round-trippable
+    decimal text, and ORC/Avro because both wires carry IEEE doubles
+    bit-exactly; the explicit read schemas replace inference (a full
+    extra data pass at 100 TB) and ORC/Avro need none (self-describing
+    footers/headers)."""
     t = Catalog(spark, sf_dir)
     csv_path = _scratch("e4/orders_csv")
     t.orders.select(
@@ -104,7 +120,39 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     ).select(F.lit("json").alias("src"), "grp", "n_rows", "total")
-    return csv_agg.unionByName(json_agg)
+
+    orc_path = _scratch("e4/part_orc")
+    t.part.select("p_partkey", "p_brand", "p_retailprice").write.mode(
+        "overwrite"
+    ).orc(orc_path)
+    orc_back = read_source(spark, orc_path, fmt="orc")
+    orc_agg = orc_back.groupBy(F.col("p_brand").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+    ).select(F.lit("orc").alias("src"), "grp", "n_rows", "total")
+
+    from ..avro import write_avro
+
+    avro_path = _scratch("e4/supplier_avro")
+    write_avro(
+        t.supplier.select("s_suppkey", "s_nationkey", "s_acctbal"),
+        avro_path,
+    )
+    avro_back = read_source(spark, avro_path, fmt="avro")
+    avro_agg = avro_back.groupBy(
+        F.col("s_nationkey").cast("string").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+    ).select(F.lit("avro").alias("src"), "grp", "n_rows", "total")
+
+    return csv_agg.unionByName(json_agg).unionByName(orc_agg).unionByName(
+        avro_agg
+    )
 
 
 # --------------------------------------------------------------- E1–E3 ----
