@@ -130,24 +130,31 @@ def _avro_type(dt: T.DataType, name: str, top: bool):
 
 
 def avro_to_spark_schema(avro: dict) -> T.StructType:
-    """Avro record schema -> Spark StructType.  Temporal logical types
-    map to their WIRE types (long/int) — :func:`read_avro` restores
-    Timestamp/Date JVM-side after the Python decode."""
+    """Avro record schema -> Spark StructType.  TOP-LEVEL temporal
+    logical types map to their WIRE types (long/int) —
+    :func:`read_avro` restores Timestamp/Date JVM-side after the
+    Python decode.  NESTED temporal logicals are refused (the restore
+    loop only rewrites top-level columns; decoding them silently as
+    raw longs would be plausible-but-wrong data — the same
+    honest-refusal contract as the write side)."""
     if avro.get("type") != "record":
         raise ValueError("avro: top-level schema must be a record")
     fields = []
     for f in avro["fields"]:
-        dt, nullable = _spark_type(f["type"])
+        dt, nullable = _spark_type(f["type"], top=True)
         fields.append(T.StructField(f["name"], dt, nullable))
     return T.StructType(fields)
 
 
-def _spark_type(t) -> "tuple[T.DataType, bool]":
+_TEMPORAL_LOGICALS = ("timestamp-micros", "local-timestamp-micros", "date")
+
+
+def _spark_type(t, top: bool = False) -> "tuple[T.DataType, bool]":
     if isinstance(t, list):  # union
         branches = [b for b in t if b != "null"]
         if len(branches) != 1:
             raise ValueError(f"avro: only [null, T] unions supported: {t}")
-        dt, _ = _spark_type(branches[0])
+        dt, _ = _spark_type(branches[0], top=top)
         return dt, True
     if isinstance(t, str):
         if t not in _AVRO_TO_SPARK_PRIM:
@@ -157,6 +164,11 @@ def _spark_type(t) -> "tuple[T.DataType, bool]":
     if kind in _AVRO_TO_SPARK_PRIM and "logicalType" not in t:
         return _AVRO_TO_SPARK_PRIM[kind], False
     if kind in ("long", "int"):  # logical temporal rides its wire type
+        if not top and t.get("logicalType") in _TEMPORAL_LOGICALS:
+            raise ValueError(
+                f"avro: nested {t['logicalType']!r} unsupported (the "
+                "temporal restore is top-level only)"
+            )
         return _AVRO_TO_SPARK_PRIM[kind], False
     if kind == "array":
         dt, nullable = _spark_type(t["items"])
@@ -506,6 +518,8 @@ def write_avro(
     ``{files, rows}`` — partition-count-bounded, never data-bounded."""
     import os
 
+    import shutil
+
     avro_schema = spark_to_avro_schema(df.schema)
     ts_cols, ntz_cols, date_cols = _temporal_cols(df.schema)
     wire = df
@@ -517,6 +531,12 @@ def write_avro(
         )
     for c in date_cols:
         wire = wire.withColumn(c, F.unix_date(F.col(c)))
+    # OVERWRITE semantics, like every DataFrameWriter sibling: a re-run
+    # with fewer partitions must not leave stale part files behind for
+    # read_avro's directory listing to silently include (r11 review
+    # finding — the sf0.1 bench would have poisoned the sf0.01 gate).
+    if os.path.isdir(path):
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     schema_json = json.dumps(avro_schema)
 
@@ -571,10 +591,21 @@ def read_avro(
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
-    head = files.select("content").head()
+    # schema discovery: a 64 KiB PREFIX of one file, not its whole
+    # content (r11 review finding: head() on `content` materialized
+    # entire multi-GB containers on the driver).  A header larger than
+    # the prefix (pathological schema JSON) falls back to the full
+    # read.
+    head = files.select(
+        F.substring("content", 1, 65536).alias("prefix")
+    ).head()
     if head is None:
         raise ValueError(f"read_avro: no files under {path}")
-    avro_schema, _, _, _ = parse_header(head["content"])
+    try:
+        avro_schema, _, _, _ = parse_header(bytes(head["prefix"]))
+    except (IndexError, ValueError, KeyError):
+        full = files.select("content").head()
+        avro_schema, _, _, _ = parse_header(bytes(full["content"]))
     wire_schema = avro_to_spark_schema(avro_schema)
     if schema is not None:
         want = {f.name for f in schema.fields}
@@ -627,5 +658,10 @@ def read_avro(
         elif kind is not None:
             raise ValueError(f"avro logical type {kind!r} unsupported")
     if schema is not None:
-        out = out.select(*[f.name for f in schema.fields])
+        # read_source's contract: schema both PROJECTS and sets types
+        # (r11 review finding — it used to project by name only,
+        # silently keeping the wire types)
+        out = out.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
     return out

@@ -379,6 +379,7 @@ def ann_topk_ivf(
     cents = _centroid_arrays(corpus, by).select(
         F.col(by).alias("cell"), "centroid"
     )
+    dim = _first_dim(corpus, vec_col)  # probe ONCE for both assigns
 
     def assign(
         df: DataFrame, id_alias: str, vec_alias: str, probes: int
@@ -386,7 +387,7 @@ def ann_topk_ivf(
         pre = df.select(
             F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
         )
-        return _nearest_cells(pre, cents, probes, vec_alias)
+        return _nearest_cells(pre, cents, probes, vec_alias, dim=dim)
 
     c = assign(corpus, "neighbor_id", "cvec", 1).withColumn("cnrm", norm("cvec"))
     q = assign(queries, "query_id", "qvec", n_probes).withColumn(
@@ -549,13 +550,22 @@ def _nearest_cells_np(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf[vec_alias].to_numpy()).astype(np.float64)
+            # degenerate rows (NULL vector or wrong length) must match
+            # the expression twin, which null-propagates the fold into
+            # a null nscore for EVERY candidate — null sorts first in
+            # Spark's struct ordering, so such a row probes the LOWEST
+            # cells (r11 review finding; parity-pinned against the
+            # expression twin on dirty frames)
+            X, _ = _stack_padded(np, pdf[vec_alias].to_numpy(), d)
             n = X.shape[0]
             dots = np.zeros((n, k), dtype=np.float64)
             for t in range(d):
                 dots += X[:, t, None] * C[None, :, t]
             with np.errstate(divide="ignore", invalid="ignore"):
                 nscore = -(dots / cnrm[None, :])
+            # NaN rows (from the NaN padding of degenerate vectors, or
+            # genuine NaN elements) collapse to "all candidates equal"
+            # -> lowest cells, the same winners as the null-first sort
             if probes == 1:
                 masked = np.where(np.isnan(nscore), np.inf, nscore)
                 out = pdf.copy()
@@ -573,6 +583,50 @@ def _nearest_cells_np(
                 yield out
 
     return df.mapInPandas(assign, out_schema)
+
+
+def _stack_padded(np, vals, d: int, mode: str = "exact"):
+    """(n, d) float64 from a column of per-row arrays, tolerating the
+    dirty shapes the expression twins tolerate, with the twins' OWN
+    degeneracy rules:
+
+    - ``mode='exact'`` (the zip_with folds in the nearest-cell twins):
+      ``zip_with`` pads the SHORTER side with null, so ANY length
+      mismatch — longer or shorter — null-propagates into the whole
+      fold; such rows become all-NaN here, which the NaN masking
+      resolves to the same lowest-cell winners.
+    - ``mode='slice'`` (the PQ twin): the expression path slices the
+      first m·d elements, so LONGER rows are normal and only the
+      subspaces touching a SHORT row's missing tail degenerate —
+      truncate long rows, NaN-pad short ones.
+
+    Returns ``(X, degenerate)`` — the mask marks rows whose fold the
+    expression twin would NULL (callers that emit a dist/score column
+    surface null there, not the padding NaN)."""
+    clean = True
+    for x in vals:
+        if x is None or len(x) != d:
+            clean = False
+            break
+    if clean:
+        return (
+            np.stack(vals).astype(np.float64),
+            np.zeros(len(vals), dtype=bool),
+        )
+    out = np.full((len(vals), d), np.nan, dtype=np.float64)
+    degenerate = np.zeros(len(vals), dtype=bool)
+    for i, x in enumerate(vals):
+        if x is None:
+            degenerate[i] = True
+            continue
+        if len(x) == d or (mode == "slice" and len(x) > d):
+            out[i, :] = np.asarray(x[:d], dtype=np.float64)
+        elif mode == "slice":  # short row: real prefix, NaN tail
+            out[i, : len(x)] = np.asarray(x, dtype=np.float64)
+            degenerate[i] = True
+        else:
+            degenerate[i] = True
+    return out, degenerate
 
 
 def int_dot(a: Column | str, b: Column | str) -> Column:
@@ -835,6 +889,7 @@ def ann_topk_all_methods(
     cents = _centroid_arrays(
         cprep.select(F.col(by), F.col("vec").alias("embedding")), by
     ).select(F.col(by).alias("cell"), "centroid")
+    ivf_dim = _first_dim(cprep, "vec")  # probe ONCE for both assigns
 
     def assign(prep: DataFrame, id_alias: str, vec_alias: str, probes: int):
         pre = prep.select(
@@ -842,7 +897,7 @@ def ann_topk_all_methods(
             F.col("vec").alias(vec_alias),
             F.col("nrm").alias("__nrm"),
         )
-        return _nearest_cells(pre, cents, probes, vec_alias)
+        return _nearest_cells(pre, cents, probes, vec_alias, dim=ivf_dim)
 
     c_ivf = assign(cprep, "neighbor_id", "cvec", 1).withColumnRenamed(
         "__nrm", "cnrm"
@@ -1325,7 +1380,7 @@ def _nearest_cell_np(v: DataFrame, cents: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            X, degenerate = _stack_padded(np, pdf["vec"].to_numpy(), d)
             n = X.shape[0]
             acc = np.zeros((n, k), dtype=np.float64)
             for t in range(d):  # left-fold order: bit-parity
@@ -1333,12 +1388,17 @@ def _nearest_cell_np(v: DataFrame, cents: DataFrame) -> DataFrame:
                 acc += diff * diff
             masked = np.where(np.isnan(acc), np.inf, acc)
             idx = masked.argmin(axis=1)
+            # a NULL/wrong-length vector's fold is NULL in the
+            # expression twin (zip_with null padding), not NaN — lowest
+            # cell wins either way, but the dist column must say null
+            dist = acc[np.arange(n), idx].astype(object)
+            dist[degenerate] = None
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "vec": pdf["vec"],
                     "cell": cells_np[idx],
-                    "dist": acc[np.arange(n), idx],
+                    "dist": dist,
                 }
             )
 
@@ -1802,7 +1862,12 @@ def _pq_codes_np(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vs = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            # mode='slice': longer rows truncate like the expression
+            # slice, shorter rows NaN-pad (their tail subspaces fold to
+            # all-equal -> code 0, exactly the null-propagated winner)
+            vs, _ = _stack_padded(
+                np, pdf["__v"].to_numpy(), m * d, mode="slice"
+            )
             n = vs.shape[0]
             codes = np.empty((n, m), dtype=np.int32)
             for j in range(m):

@@ -250,22 +250,20 @@ def run_psql(
     if tuples_only:
         cmd.append("-At")
     cmd += ["-c", sql]
-    if stdin_bytes is not None:
-        r = subprocess.run(
-            cmd, input=stdin_bytes, capture_output=True, cwd="/"
-        )
-        if r.returncode != 0:
-            raise RuntimeError(
-                f"psql failed ({sql[:120]!r}): "
-                f"{r.stderr.decode('utf-8', 'replace')[-2000:]}"
-            )
-        return r.stdout.decode("utf-8", "replace")
+    binary = stdin_bytes is not None
     r = subprocess.run(
-        cmd, input=stdin, capture_output=True, text=True, cwd="/"
+        cmd,
+        input=stdin_bytes if binary else stdin,
+        capture_output=True,
+        text=not binary,
+        cwd="/",
+    )
+    err = (
+        r.stderr.decode("utf-8", "replace") if binary else r.stderr
     )
     if r.returncode != 0:
-        raise RuntimeError(f"psql failed ({sql[:120]!r}): {r.stderr[-2000:]}")
-    return r.stdout
+        raise RuntimeError(f"psql failed ({sql[:120]!r}): {err[-2000:]}")
+    return r.stdout.decode("utf-8", "replace") if binary else r.stdout
 
 
 # ----------------------------------------------------------- CSV wire ----
@@ -497,7 +495,10 @@ class PostgresCopySink:
                 if len(pdf):
                     n += len(pdf)
                     if binary:
-                        chunks.extend(bytes(b) for b in pdf["rowbytes"])
+                        # ONE bytes object per Arrow batch, like the
+                        # CSV twin's per-batch join — not one PyObject
+                        # per row
+                        chunks.append(b"".join(pdf["rowbytes"]))
                     else:
                         chunks.append("\n".join(pdf["line"]))
             if n:

@@ -592,3 +592,84 @@ def test_nearest_cell_numpy_twin_bit_identical(spark):
     none = cents.where(F.lit(False)).localCheckpoint()
     assert S._nearest_cell_np(v, none).count() == 0
     assert S._nearest_cells_np(pre, none, 2, "cvec").count() == 0
+
+
+def test_numpy_twins_tolerate_dirty_vectors(spark):
+    """r11 review finding: the numpy twins must not crash on — and
+    must MATCH the expression twins over — dirty frames: NULL vectors
+    and wrong-length vectors.  zip_with pads the shorter side with
+    null, so ANY length mismatch null-propagates the fold; the winner
+    is the lowest cell and the dist/score surfaces as null."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    d, k = 300, 4  # d > 256 -> numpy route
+    cents = spark.createDataFrame(
+        [(c, [rng.uniform(-1, 1) for _ in range(d)]) for c in range(k)],
+        "cell int, centroid array<double>",
+    ).localCheckpoint()
+    rows = [
+        (0, [rng.uniform(-1, 1) for _ in range(d)]),  # clean
+        (1, None),                                    # NULL vector
+        (2, [1.0] * (d - 5)),                         # short
+        (3, [1.0] * (d + 5)),                         # long
+    ]
+    v = spark.createDataFrame(
+        rows, "id long, vec array<double>"
+    ).localCheckpoint()
+
+    def canon(df):
+        return sorted(
+            (r["id"], r["cell"], repr(r["dist"])) for r in df.collect()
+        )
+
+    got_np = canon(S._nearest_cell_np(v, cents))
+    got_ex = canon(S._nearest_cell_expr(v, cents))
+    assert got_np == got_ex, (got_np, got_ex)
+    by_id = {i: (c, dist) for i, c, dist in got_np}
+    for i in (1, 2, 3):
+        assert by_id[i][1] == "None", by_id  # degenerate -> null dist
+
+    pre = v.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"))
+    for probes in (1, 2):
+        a = sorted(
+            (r["neighbor_id"], r["cell"])
+            for r in S._nearest_cells_np(pre, cents, probes, "cvec").collect()
+        )
+        b = sorted(
+            (r["neighbor_id"], r["cell"])
+            for r in S._nearest_cells_expr(
+                pre, cents, probes, "cvec"
+            ).collect()
+        )
+        assert a == b, (probes, a, b)
+
+    # PQ twin: slice semantics — longer rows are NORMAL, short rows
+    # degrade only the subspaces their missing tail touches
+    m, codes, dsub = 2, 150, 32  # 9600 terms -> big-model gate
+    assert m * codes * dsub > S._ARGMIN_LITERAL_MAX_TERMS
+    cmap = {
+        (j, c): [rng.uniform(-1, 1) for _ in range(dsub)]
+        for j in range(m)
+        for c in range(codes)
+    }
+    base = spark.createDataFrame(
+        [
+            (0, [rng.uniform(-1, 1) for _ in range(m * dsub)]),
+            (1, [rng.uniform(-1, 1) for _ in range(m * dsub + 7)]),  # long
+            (2, [rng.uniform(-1, 1) for _ in range(dsub + 3)]),      # short
+        ],
+        "id long, __v array<double>",
+    ).localCheckpoint()
+    got_np2 = {
+        r["id"]: tuple(r["codes"])
+        for r in S._pq_codes_np(base, cmap, m, dsub, codes).collect()
+    }
+    got_bc2 = {
+        r["id"]: tuple(r["codes"])
+        for r in S._pq_codes_bcast(base, cmap, m, dsub, codes).collect()
+    }
+    assert got_np2 == got_bc2, (got_np2, got_bc2)
+    assert got_np2[2][1] == 0  # the tail subspace of the short row

@@ -10,6 +10,7 @@ through ``etl.read_source``.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -185,3 +186,105 @@ def test_codec_sync_marker_mismatch_detected():
     buf[-1] ^= 0xFF  # corrupt the trailing sync marker
     with pytest.raises(ValueError, match="sync marker"):
         A.decode_container(bytes(buf))
+
+
+def test_write_avro_overwrites_stale_part_files(spark):
+    """r11 review finding: a re-run with FEWER partitions must not
+    leave stale part files for read_avro's directory listing to
+    silently include — write_avro owns overwrite semantics exactly
+    like DataFrameWriter.mode('overwrite')."""
+    with tempfile.TemporaryDirectory() as d:
+        big = spark.range(100).select("id", F.lit("x").alias("s"))
+        A.write_avro(big.repartition(4), f"{d}/avro")
+        small = spark.range(7).select("id", F.lit("y").alias("s"))
+        A.write_avro(small.repartition(1), f"{d}/avro")
+        back = read_source(spark, f"{d}/avro", "avro")
+        assert back.count() == 7
+        assert set(r["s"] for r in back.collect()) == {"y"}
+
+
+def test_read_avro_schema_casts_types(spark):
+    """read_source's contract: schema both projects AND sets types
+    (r11 review finding — it used to project by name only)."""
+    src = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        A.write_avro(src.select("s_suppkey", "s_acctbal"), f"{d}/avro")
+        back = read_source(
+            spark, f"{d}/avro", "avro",
+            schema="s_suppkey int, s_acctbal float",
+        )
+        assert back.schema.simpleString() == (
+            "struct<s_suppkey:int,s_acctbal:float>"
+        )
+        assert back.count() == src.count()
+
+
+def test_avro_nested_logical_temporal_refused():
+    """r11 review finding: an externally-written container with a
+    NESTED temporal logical type must refuse, not decode the field as
+    a plausible-but-wrong raw long (the restore loop is top-level
+    only — same honest-refusal contract as the write side)."""
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "s",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {
+                            "name": "ts",
+                            "type": {
+                                "type": "long",
+                                "logicalType": "timestamp-micros",
+                            },
+                        }
+                    ],
+                },
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="nested 'timestamp-micros'"):
+        A.avro_to_spark_schema(bad)
+    # top-level temporal logicals still map to their wire type
+    ok = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    assert A.avro_to_spark_schema(ok)["ts"].dataType == T.LongType()
+
+
+def test_read_avro_header_prefix_and_giant_header_fallback(spark):
+    """r11 review finding: schema discovery reads a 64 KiB PREFIX, not
+    the whole first file; a pathological header larger than the prefix
+    still works through the full-content fallback."""
+    import json as _json
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.range(20).select("id")
+        A.write_avro(df, f"{d}/small")
+        assert read_source(spark, f"{d}/small", "avro").count() == 20
+
+        # hand-build a container whose header alone exceeds 64 KiB via
+        # a giant doc-free field-name record (still valid JSON schema)
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "x" * 70000, "type": "long"}],
+        }
+        buf = A.encode_container(schema, [(1,), (2,)], codec="null")
+        assert len(A._header(schema, "null", b"\x00" * 16)) > 65536
+        os.makedirs(f"{d}/big")
+        with open(f"{d}/big/part-00000.avro", "wb") as fh:
+            fh.write(buf)
+        back = A.read_avro(spark, f"{d}/big")
+        assert back.count() == 2
+        assert _json.loads(_json.dumps(schema)) == schema  # sanity
