@@ -234,6 +234,11 @@ def _encoder(t):
     """Schema node -> value encoder ``fn(out: bytearray, v)``."""
     if isinstance(t, list):
         branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            # refuse like the decode side: coercing a multi-branch
+            # union's value through the first branch's encoder would
+            # silently corrupt data (r11 second-pass review finding)
+            raise ValueError(f"avro: only [null, T] unions supported: {t}")
         inner = _encoder(branches[0])
         null_idx = t.index("null")
         val_idx = 1 - null_idx
@@ -455,6 +460,12 @@ def encode_container(
     block_rows: int = 4096,
 ) -> bytes:
     """Rows (tuples/dicts in field order) -> OCF bytes."""
+    if codec not in ("null", "deflate"):
+        # refuse at WRITE time: labeling raw blocks with an unknown
+        # codec (e.g. 'snappy') would produce a container every
+        # spec-compliant reader rejects or mis-decompresses (r11
+        # second-pass review finding)
+        raise ValueError(f"avro codec {codec!r} unsupported (null/deflate)")
     if sync is None:
         sync = md5(json.dumps(avro_schema).encode()).digest()
     enc = _encoder(avro_schema)

@@ -408,8 +408,16 @@ def ann_topk_ivf(
 
 def _first_dim(df: DataFrame, col: str) -> int:
     """Dimension of the frame's vector column — ONE-row limit scan (a
-    single tiny task; array lengths are not in the schema)."""
-    r = df.select(F.size(col).alias("d")).first()
+    single tiny task; array lengths are not in the schema).  NULL
+    vectors are filtered BEFORE the probe: .first() returns an
+    arbitrary row, and a null first vector would return 0 and silently
+    route a deep corpus down the interpreted expression path (r11
+    second-pass review finding)."""
+    r = (
+        df.where(F.col(col).isNotNull())
+        .select(F.size(col).alias("d"))
+        .first()
+    )
     return int(r["d"]) if r is not None and r["d"] is not None else 0
 
 
@@ -1389,14 +1397,19 @@ def _nearest_cell_np(v: DataFrame, cents: DataFrame) -> DataFrame:
             masked = np.where(np.isnan(acc), np.inf, acc)
             idx = masked.argmin(axis=1)
             # a NULL/wrong-length vector's fold is NULL in the
-            # expression twin (zip_with null padding), not NaN — lowest
-            # cell wins either way, but the dist column must say null
-            dist = acc[np.arange(n), idx].astype(object)
-            dist[degenerate] = None
+            # expression twin (zip_with null padding) — but a genuine
+            # NaN ELEMENT's fold is NaN, and the two must stay
+            # distinct through Arrow: an explicit-mask FloatingArray
+            # nulls ONLY the degenerate rows (an object column would
+            # fold NaN into null — r11 second-pass review finding,
+            # confirmed by repro)
+            dist = pd.arrays.FloatingArray(
+                acc[np.arange(n), idx], degenerate.copy()
+            )
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "vec": pdf["vec"],
+                    "id": pdf["id"].reset_index(drop=True),
+                    "vec": pdf["vec"].reset_index(drop=True),
                     "cell": cells_np[idx],
                     "dist": dist,
                 }

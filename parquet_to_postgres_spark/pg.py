@@ -451,16 +451,23 @@ class PostgresCopySink:
             df.withColumn("__part", F.lit(0)) if self.partition_tag else df
         )
         ddl = schema_to_pg_ddl(self.table, schema_df.schema)
-        if self.mode == "overwrite":
-            run_psql(self.conninfo, f"DROP TABLE IF EXISTS {self.table};")
-        elif self.mode != "append":
+        if self.mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append/overwrite, got {self.mode!r}")
         if self.wire_format not in ("csv", "binary"):
             raise ValueError(
                 f"wire_format must be csv/binary, got {self.wire_format!r}"
             )
-        run_psql(self.conninfo, ddl)
         binary = self.wire_format == "binary"
+        if binary:
+            # validate EVERY column's send format BEFORE the
+            # destructive DROP — otherwise a refused type (decimal)
+            # would leave an empty shell where the populated table was
+            # (r11 second-pass review finding)
+            for f_ in schema_df.schema.fields:
+                _binary_cell(f_)
+        if self.mode == "overwrite":
+            run_psql(self.conninfo, f"DROP TABLE IF EXISTS {self.table};")
+        run_psql(self.conninfo, ddl)
 
         # range-partition on the first column: every COPY connection gets
         # an evenly sized, internally sorted slice (JdbcSink.prepare's

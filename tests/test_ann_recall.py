@@ -632,6 +632,20 @@ def test_numpy_twins_tolerate_dirty_vectors(spark):
     for i in (1, 2, 3):
         assert by_id[i][1] == "None", by_id  # degenerate -> null dist
 
+    # NaN ELEMENT (correct length) is NOT degenerate: the fold is NaN
+    # in both twins, and null-vs-NaN must stay distinct through Arrow
+    # (r11 second-pass review finding, repro'd pre-fix)
+    import math
+
+    nanv = spark.createDataFrame(
+        [(9, [1.0, float("nan")] + [1.0] * (d - 2))],
+        "id long, vec array<double>",
+    ).localCheckpoint()
+    rn = S._nearest_cell_np(nanv, cents).collect()[0]
+    re_ = S._nearest_cell_expr(nanv, cents).collect()[0]
+    assert rn["cell"] == re_["cell"]
+    assert math.isnan(rn["dist"]) and math.isnan(re_["dist"])
+
     pre = v.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"))
     for probes in (1, 2):
         a = sorted(

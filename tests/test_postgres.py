@@ -299,20 +299,28 @@ def _binary_tricky_df(spark):
             T.StructField("blob", T.BinaryType(), True),
             T.StructField("day", T.DateType(), True),
             T.StructField("at", T.TimestampNTZType(), True),
+            # session-tz TimestampType exercises the one _binary_cell
+            # branch where timezone semantics enter the wire (cast
+            # through timestamp_ntz to match CSV's session-local
+            # render) — r11 second-pass review finding
+            T.StructField("attz", T.TimestampType(), True),
             T.StructField("tags", T.ArrayType(T.StringType()), True),
         ]
     )
     rows = [
         (1, 7, 2**63 - 1, True, float("nan"), -2.25, 'comma, "quote"',
          b"\x00\xff", datetime.date(1999, 12, 31),
+         datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
          datetime.datetime(1969, 12, 31, 23, 59, 59, 999999), ["a", "b"]),
         (2, -32768, -(2**63), False, float("inf"), None, "line1\nline2",
          b"", datetime.date(2000, 1, 1),
+         datetime.datetime(2024, 6, 15, 2, 30, 0, 123456),
          datetime.datetime(2024, 6, 15, 2, 30, 0, 123456), []),
         (3, 32767, 0, None, -0.0, float("-inf"), "", None, None, None,
-         ["été", "中文"]),
+         None, ["été", "中文"]),
         (4, None, None, True, 3.14159, 0.0, None, b"\xde\xad", None,
-         datetime.datetime(2000, 1, 1, 0, 0, 0), None),
+         datetime.datetime(2000, 1, 1, 0, 0, 0),
+         datetime.datetime(2000, 2, 29, 12, 0, 0), None),
     ]
     return spark.createDataFrame(rows, schema)
 
@@ -340,16 +348,16 @@ def test_copy_binary_matches_csv_wire(spark, pgsrv):
         """
         SELECT count(*) FROM (
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, tags FROM wire_csv
+                 blob, day, at, attz, tags FROM wire_csv
           EXCEPT ALL
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, tags FROM wire_binary
+                 blob, day, at, attz, tags FROM wire_binary
           UNION ALL
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, tags FROM wire_binary
+                 blob, day, at, attz, tags FROM wire_binary
           EXCEPT ALL
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, tags FROM wire_csv) x;
+                 blob, day, at, attz, tags FROM wire_csv) x;
         """,
     ).strip()
     assert diff == "0", diff
@@ -391,7 +399,15 @@ def test_copy_binary_roundtrip_read_back(spark, pgsrv):
     assert got == want
 
 
-def test_copy_binary_refuses_decimal(spark, pgsrv):
+def test_copy_binary_refuses_decimal_without_dropping(spark, pgsrv):
+    """The refusal must be NON-destructive: type validation runs before
+    the overwrite DROP, so a populated table survives a refused binary
+    write (r11 second-pass review finding — the old order left an
+    empty shell)."""
+    seed = spark.createDataFrame([(1, "keep")], "id long, note string")
+    P.PostgresCopySink(
+        pgsrv.conninfo(), "wire_dec", mode="overwrite", num_partitions=1
+    ).write(seed)
     df = spark.createDataFrame(
         [(1, Decimal("1.25"))], "id long, price decimal(10,2)"
     )
@@ -403,3 +419,7 @@ def test_copy_binary_refuses_decimal(spark, pgsrv):
     )
     with pytest.raises(ValueError, match="no send format"):
         sink.write(df)
+    out = P.run_psql(
+        pgsrv.conninfo(), "SELECT id, note FROM wire_dec;"
+    ).strip()
+    assert out == "1|keep"
