@@ -394,6 +394,8 @@ def _binary_cell(f: T.StructField) -> "F.Column":
         cell = _len_prefixed(
             F.concat(F.lit(b"\x01"), F.encode(F.to_json(c), "UTF-8"))
         )
+    elif isinstance(dt, T.DecimalType):
+        cell = _numeric_cell(f.name, dt.precision, dt.scale)
     else:
         raise ValueError(
             f"COPY BINARY has no send format mapped for "
@@ -403,6 +405,52 @@ def _binary_cell(f: T.StructField) -> "F.Column":
         nbytes, payload = fixed
         cell = F.concat(F.lit(nbytes.to_bytes(4, "big")), payload)
     return F.when(c.isNull(), F.lit(_PGCOPY_NULL)).otherwise(cell)
+
+
+def _numeric_cell(name: str, p: int, s: int) -> "F.Column":
+    """NUMERIC(p, s) in the numeric binary send format: int16 ndigits /
+    weight / sign / dscale header then base-10000 digit groups, most
+    significant first, aligned so a group boundary sits on the decimal
+    point (the wire's invariant — hence the fractional pad to a
+    multiple of 4 decimal digits).
+
+    Exactness discipline: Spark decimal DIVISION rounds HALF_UP before
+    any floor() could run (measured: 99999999.99 picked up a phantom
+    leading digit), so digits come from exact ``pmod`` remainder
+    differences — subtraction and the final dividing-out of a known
+    multiple are exact.  Leading zero groups ride along (numeric_recv
+    accepts them; they contribute 0), which keeps ndigits/weight
+    compile-time constants and the whole cell inside codegen."""
+    from decimal import Decimal as _D
+
+    dpad = (4 - s % 4) % 4
+    if p + dpad > 38:
+        raise ValueError(
+            f"COPY BINARY: decimal({p},{s}) needs {p + dpad} unscaled "
+            "digits after point-alignment (>38, Spark's decimal cap) — "
+            "use wire_format='csv'"
+        )
+    frac_groups = (s + dpad) // 4
+    int_groups = max(1, -(-(p - s) // 4))
+    ndigits = int_groups + frac_groups
+    weight = int_groups - 1
+    c = F.col(name)
+    u = (F.abs(c) * F.lit(10 ** (s + dpad))).cast(T.DecimalType(38, 0))
+    parts = [
+        F.lit((8 + 2 * ndigits).to_bytes(4, "big")),  # field length
+        F.lit(ndigits.to_bytes(2, "big")),
+        F.lit((weight & 0xFFFF).to_bytes(2, "big")),
+        F.when(c < 0, F.lit((0x4000).to_bytes(2, "big"))).otherwise(
+            F.lit(b"\x00\x00")
+        ),
+        F.lit(s.to_bytes(2, "big")),
+    ]
+    for i in range(ndigits):
+        k = 4 * (ndigits - 1 - i)
+        r_i = F.pmod(u, F.lit(_D(10 ** (k + 4))).cast(T.DecimalType(38, 0)))
+        r_next = F.pmod(u, F.lit(_D(10**k)).cast(T.DecimalType(38, 0)))
+        parts.append(_be(((r_i - r_next) / F.lit(_D(10**k))).cast("int"), 2))
+    return F.concat(*parts)
 
 
 def binary_copy_tuples(df: DataFrame) -> DataFrame:
@@ -442,8 +490,11 @@ class PostgresCopySink:
     partition_tag: bool = False
     # COPY wire format: 'csv' (F.to_csv lines) or 'binary' (PGCOPY
     # tuples, also built JVM-side — binary_copy_tuples).  The e2e A/B
-    # at sf0.1 is recorded in BASELINE.md; 'binary' ships as default
-    # there iff measured faster.  Decimal columns require 'csv'.
+    # at sf0.1 is in BASELINE.md: csv ships as the default (faster
+    # end-to-end on a shared box); binary is the option for
+    # server-CPU-bound topologies (2.1x cheaper parse).  All DDL types
+    # are supported on both wires except decimals whose point-aligned
+    # width exceeds 38 digits (binary refuses those up front).
     wire_format: str = "csv"
 
     def write(self, df: DataFrame) -> str:

@@ -284,9 +284,9 @@ def test_partition_tagged_copy_is_task_retry_idempotent(spark, pgsrv):
 
 
 def _binary_tricky_df(spark):
-    """The tricky frame minus decimal (COPY BINARY refuses NUMERIC —
-    documented) plus the IEEE/integer edge values binary must carry
-    bit-exactly: NaN, +-Inf, -0.0, Long.MIN/MAX, pre-2000 temporals."""
+    """The tricky frame plus the IEEE/integer edge values binary must
+    carry bit-exactly: NaN, +-Inf, -0.0, Long.MIN/MAX, pre-2000
+    temporals, and NUMERIC at precision/scale edges."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -304,6 +304,11 @@ def _binary_tricky_df(spark):
             # through timestamp_ntz to match CSV's session-local
             # render) — r11 second-pass review finding
             T.StructField("attz", T.TimestampType(), True),
+            # NUMERIC binary send format (base-10000 groups): precision
+            # edges, negative, zero, and a high-scale column whose
+            # point-alignment needs a fractional pad digit
+            T.StructField("price", T.DecimalType(12, 2), True),
+            T.StructField("fine", T.DecimalType(20, 11), True),
             T.StructField("tags", T.ArrayType(T.StringType()), True),
         ]
     )
@@ -311,16 +316,20 @@ def _binary_tricky_df(spark):
         (1, 7, 2**63 - 1, True, float("nan"), -2.25, 'comma, "quote"',
          b"\x00\xff", datetime.date(1999, 12, 31),
          datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
-         datetime.datetime(1969, 12, 31, 23, 59, 59, 999999), ["a", "b"]),
+         datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+         Decimal("99999999.99"), Decimal("123456789.12345678901"),
+         ["a", "b"]),
         (2, -32768, -(2**63), False, float("inf"), None, "line1\nline2",
          b"", datetime.date(2000, 1, 1),
          datetime.datetime(2024, 6, 15, 2, 30, 0, 123456),
-         datetime.datetime(2024, 6, 15, 2, 30, 0, 123456), []),
+         datetime.datetime(2024, 6, 15, 2, 30, 0, 123456),
+         Decimal("-0.01"), Decimal("-0.00000000001"), []),
         (3, 32767, 0, None, -0.0, float("-inf"), "", None, None, None,
-         None, ["été", "中文"]),
+         None, Decimal("0.00"), None, ["été", "中文"]),
         (4, None, None, True, 3.14159, 0.0, None, b"\xde\xad", None,
          datetime.datetime(2000, 1, 1, 0, 0, 0),
-         datetime.datetime(2000, 2, 29, 12, 0, 0), None),
+         datetime.datetime(2000, 2, 29, 12, 0, 0),
+         None, Decimal("999999999.99999999999"), None),
     ]
     return spark.createDataFrame(rows, schema)
 
@@ -348,16 +357,16 @@ def test_copy_binary_matches_csv_wire(spark, pgsrv):
         """
         SELECT count(*) FROM (
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, attz, tags FROM wire_csv
+                 blob, day, at, attz, price, fine, tags FROM wire_csv
           EXCEPT ALL
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, attz, tags FROM wire_binary
+                 blob, day, at, attz, price, fine, tags FROM wire_binary
           UNION ALL
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, attz, tags FROM wire_binary
+                 blob, day, at, attz, price, fine, tags FROM wire_binary
           EXCEPT ALL
           SELECT id, small, big, flag, ratio::text, r4::text, name,
-                 blob, day, at, attz, tags FROM wire_csv) x;
+                 blob, day, at, attz, price, fine, tags FROM wire_csv) x;
         """,
     ).strip()
     assert diff == "0", diff
@@ -399,17 +408,20 @@ def test_copy_binary_roundtrip_read_back(spark, pgsrv):
     assert got == want
 
 
-def test_copy_binary_refuses_decimal_without_dropping(spark, pgsrv):
-    """The refusal must be NON-destructive: type validation runs before
-    the overwrite DROP, so a populated table survives a refused binary
-    write (r11 second-pass review finding — the old order left an
-    empty shell)."""
+def test_copy_binary_refuses_unalignable_decimal_without_dropping(
+    spark, pgsrv
+):
+    """Supported decimals ride the NUMERIC send format; a decimal whose
+    point-alignment pad exceeds Spark's 38-digit cap is refused — and
+    NON-destructively: type validation runs before the overwrite DROP,
+    so a populated table survives (r11 second-pass review finding —
+    the old order left an empty shell)."""
     seed = spark.createDataFrame([(1, "keep")], "id long, note string")
     P.PostgresCopySink(
         pgsrv.conninfo(), "wire_dec", mode="overwrite", num_partitions=1
     ).write(seed)
     df = spark.createDataFrame(
-        [(1, Decimal("1.25"))], "id long, price decimal(10,2)"
+        [(1, Decimal("1.250"))], "id long, price decimal(38,3)"
     )
     sink = P.PostgresCopySink(
         pgsrv.conninfo(),
@@ -417,7 +429,7 @@ def test_copy_binary_refuses_decimal_without_dropping(spark, pgsrv):
         mode="overwrite",
         wire_format="binary",
     )
-    with pytest.raises(ValueError, match="no send format"):
+    with pytest.raises(ValueError, match="use wire_format='csv'"):
         sink.write(df)
     out = P.run_psql(
         pgsrv.conninfo(), "SELECT id, note FROM wire_dec;"
