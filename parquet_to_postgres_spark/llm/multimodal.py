@@ -448,15 +448,18 @@ def decode_png(b: bytes) -> dict:
 # progressive DCT (SOF2) with full spectral selection + successive
 # approximation (T.81 G.1.2: DC initial/refinement, AC initial with
 # cross-block EOB runs, AC refinement with correction bits), plus
-# non-interleaved multi-scan sequential streams; 8-bit, 1- or
-# 3-component, any JFIF sampling grid (4:4:4 / 4:2:2 / 4:2:0 fall out
-# of the generic Hi x Vi MCU walk), restart markers, 0xFF00 byte
-# stuffing, Huffman tables redefined between scans; 8-bit AND — r10 —
-# 12-bit samples (extended sequential SOF1 / progressive SOF2 per
-# T.81 B.2.2; 12-bit decodes to uint16 with the 2^(P-1) level shift).
-# Arithmetic coding, lossless/hierarchical, 12-bit-in-SOF0, and CMYK
-# raise — the honest-refusal contract — and decode_media_bytes falls
-# through to PIL for those only when it is installed.  Entropy decoding is
+# non-interleaved multi-scan sequential streams; 1-, 3- or — r11 —
+# 4-component (CMYK as stored / Adobe YCCK via the APP14 transform
+# flag, plus transform-0 RGB-as-stored 3-component streams), any JFIF
+# sampling grid (4:4:4 / 4:2:2 / 4:2:0 fall out of the generic
+# Hi x Vi MCU walk), restart markers, 0xFF00 byte stuffing, Huffman
+# tables redefined between scans; 8-bit AND — r10 — 12-bit samples
+# (extended sequential SOF1 / progressive SOF2 per T.81 B.2.2; 12-bit
+# decodes to uint16 with the 2^(P-1) level shift).
+# Arithmetic coding, lossless/hierarchical, 12-bit-in-SOF0, and >4
+# components raise — the honest-refusal contract — and
+# decode_media_bytes falls through to PIL for those only when it is
+# installed.  Entropy decoding is
 # per-symbol Python (inherent to Huffman), the block math (dequant,
 # IDCT, upsample, YCbCr->RGB) is vectorized numpy over all blocks at
 # once; mapInPandas is the decode boundary exactly as for PNG.
@@ -623,6 +626,7 @@ def _jpeg_parse(b):
     huff_ac = {}
     frame = None
     restart_interval = 0
+    adobe = None
     scans = []
     pos = 2
     n = len(b)
@@ -690,6 +694,14 @@ def _jpeg_parse(b):
                     f"JPEG SOF declares empty frame "
                     f"({w}x{h}, {ncomp} components)"
                 )
+            # gray/RGB/CMYK is the whole color surface; refusing here
+            # also keeps the per-component plane allocation (pixel-cap
+            # bounded below) from being multiplied by an adversarial
+            # 255-component SOF
+            if ncomp > 4:
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported"
+                )
             # unlike the lossless decoders (which bind allocation to
             # the actual payload bytes), JPEG allocates coefficient
             # planes from HEADER dims before any entropy data is read
@@ -732,6 +744,11 @@ def _jpeg_parse(b):
                 p += 17 + cnt
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            # 'Adobe' + version(2) + flags0(2) + flags1(2) + transform:
+            # 0 = none (RGB/CMYK as stored), 1 = YCbCr, 2 = YCCK
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe = body[11]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
@@ -757,6 +774,8 @@ def _jpeg_parse(b):
                 }
             )
             pos = _skip_entropy(b, pos)
+    if frame is not None:
+        frame["adobe"] = adobe
     return frame, qt, scans
 
 
@@ -1097,16 +1116,43 @@ def _jpeg_pixels(b):
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         out_comps.append(plane[: frame["h"], : frame["w"]])
 
+    def ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        bl = y + 1.772 * (cb - center)
+        return r, g, bl
+
+    adobe = frame.get("adobe")
     if len(out_comps) == 1:
         return out_comps[0].astype(out_dtype)[:, :, None]
-    if len(out_comps) != 3:
-        raise ValueError(f"{len(out_comps)}-component JPEG unsupported")
-    y, cb, cr = out_comps
-    r = y + 1.402 * (cr - center)
-    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
-    bl = y + 1.772 * (cb - center)
-    rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, maxval).astype(out_dtype)
+    if len(out_comps) == 3:
+        if adobe == 0:
+            # Adobe transform 0 with 3 components: the planes are RGB
+            # as stored — no YCbCr de-correlation was applied
+            rgb = np.stack(out_comps, axis=2)
+        else:
+            rgb = np.stack(ycc_to_rgb(*out_comps), axis=2)
+        return np.clip(np.round(rgb), 0, maxval).astype(out_dtype)
+    if len(out_comps) == 4:
+        # CMYK family (r11 — closes the documented CMYK refusal).
+        # Adobe transform 2 (YCCK) de-correlates the first three
+        # channels through the YCbCr transform; K never transforms.
+        # Output is the POST-TRANSFORM sample planes exactly as stored
+        # (libjpeg's convention — Adobe writers store ink values
+        # inverted; ICC ink->RGB mapping is color management, out of
+        # scope for a stats decoder), so channels=4 in the stats row.
+        if adobe == 2:
+            a, b_, c_ = ycc_to_rgb(*out_comps[:3])
+            arr = np.stack([a, b_, c_, out_comps[3]], axis=2)
+        elif adobe in (0, None):
+            arr = np.stack(out_comps, axis=2)
+        else:
+            raise ValueError(
+                f"4-component JPEG with Adobe transform {adobe} "
+                "unsupported"
+            )
+        return np.clip(np.round(arr), 0, maxval).astype(out_dtype)
+    raise ValueError(f"{len(out_comps)}-component JPEG unsupported")
 
 
 def _dezigzag_q(q):

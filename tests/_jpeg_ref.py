@@ -223,12 +223,16 @@ def _dht(cls, tid, counts, symbols):
     )
 
 
-def _prep(arr, q_luma, q_chroma, subsampling, precision=8):
+def _prep(arr, q_luma, q_chroma, subsampling, precision=8,
+          cmyk_transform=None):
     """Shared pipeline: color convert, subsample, pad to the MCU grid,
     and quantize every component into an (bh, bw, 64) zigzag coefficient
     grid.  Returns the per-component metadata all three encoders walk.
     ``precision`` 8 or 12 sets the level shift (2^(P-1)), clip ceiling,
-    and chroma center per T.81 A.3.1."""
+    and chroma center per T.81 A.3.1.  A 4-channel array encodes as
+    CMYK: ``cmyk_transform`` 0 stores the planes untouched, 2 (YCCK)
+    YCbCr-transforms the first three; the flag is emitted in an Adobe
+    APP14 segment."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     center = float(1 << (precision - 1))
@@ -239,7 +243,33 @@ def _prep(arr, q_luma, q_chroma, subsampling, precision=8):
     q_chroma = q_luma if q_chroma is None else np.asarray(q_chroma)
     h, w = arr.shape[:2]
 
-    if gray:
+    if not gray and arr.shape[2] == 3 and cmyk_transform == 0:
+        # Adobe transform 0 with 3 components: RGB stored untouched
+        comps = [
+            (f"C{i}", arr[:, :, i].astype(np.float64), 1, 1, 0)
+            for i in range(3)
+        ]
+        hmax = vmax = 1
+    elif not gray and arr.shape[2] == 4:
+        if cmyk_transform not in (0, 2):
+            raise ValueError("4-channel input needs cmyk_transform 0 or 2")
+        chans = [arr[:, :, i].astype(np.float64) for i in range(4)]
+        if cmyk_transform == 2:
+            a, b2, c2 = chans[:3]
+            y = 0.299 * a + 0.587 * b2 + 0.114 * c2
+            cb = center - 0.168736 * a - 0.331264 * b2 + 0.5 * c2
+            cr = center + 0.5 * a - 0.418688 * b2 - 0.081312 * c2
+            planes4 = [y, cb, cr, chans[3]]
+            tqs = [0, 1, 1, 0]
+        else:
+            planes4 = chans
+            tqs = [0, 0, 0, 0]
+        comps = [
+            (f"C{i}", pl, 1, 1, tq)
+            for i, (pl, tq) in enumerate(zip(planes4, tqs))
+        ]
+        hmax = vmax = 1
+    elif gray:
         comps = [("Y", arr.astype(np.float64), 1, 1, 0)]
         hmax = vmax = 1
     else:
@@ -293,6 +323,7 @@ def _prep(arr, q_luma, q_chroma, subsampling, precision=8):
         "h": h,
         "w": w,
         "gray": gray,
+        "adobe": cmyk_transform,
         "precision": precision,
         "q_luma": q_luma,
         "q_chroma": q_chroma,
@@ -335,20 +366,29 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     precision: int = 8,
+    cmyk_transform: int | None = None,
 ) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB array as a
-    sequential JFIF JPEG (single interleaved scan): uint8 input under
-    SOF0 at the default precision, or uint16 0..4095 input under SOF1
-    when ``precision=12`` (T.81 extended sequential).  ``q_luma``/
-    ``q_chroma`` are 64-entry natural-order quant tables (default
-    all-ones = near-lossless)."""
-    p = _prep(arr, q_luma, q_chroma, subsampling, precision)
+    """Encode an (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) CMYK
+    array as a sequential JFIF JPEG (single interleaved scan): uint8
+    input under SOF0 at the default precision, or uint16 0..4095 input
+    under SOF1 when ``precision=12`` (T.81 extended sequential).
+    ``q_luma``/``q_chroma`` are 64-entry natural-order quant tables
+    (default all-ones = near-lossless).  4-channel input requires
+    ``cmyk_transform`` (0 = planes as stored, 2 = Adobe YCCK) and
+    emits the matching APP14 segment."""
+    p = _prep(arr, q_luma, q_chroma, subsampling, precision,
+              cmyk_transform)
     gray = p["gray"]
     dc_counts, dc_syms, dc_codes, ac_counts, ac_syms, ac_codes, _, _, _ = \
         _tables(precision)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
+    if p["adobe"] is not None:
+        out += _seg(
+            0xEE,
+            b"Adobe" + bytes([0, 100, 0, 0, 0, 0]) + bytes([p["adobe"]]),
+        )
     out += _dqt(0, p["q_luma"])
     if not gray:
         out += _dqt(1, p["q_chroma"])
@@ -467,6 +507,21 @@ def default_progressive_scans(ncomp: int) -> list:
             dict(comps=[0], ss=1, se=63, ah=2, al=1),
             dict(comps=[0], ss=0, se=0, ah=1, al=0),
             dict(comps=[0], ss=1, se=63, ah=1, al=0),
+        ]
+    if ncomp == 4:  # CMYK/YCCK: the 3-comp script + K as a luma-like comp
+        return [
+            dict(comps=[0, 1, 2, 3], ss=0, se=0, ah=0, al=1),
+            dict(comps=[0], ss=1, se=5, ah=0, al=2),
+            dict(comps=[1], ss=1, se=63, ah=0, al=1),
+            dict(comps=[2], ss=1, se=63, ah=0, al=1),
+            dict(comps=[3], ss=1, se=63, ah=0, al=1),
+            dict(comps=[0], ss=6, se=63, ah=0, al=2),
+            dict(comps=[0], ss=1, se=63, ah=2, al=1),
+            dict(comps=[0, 1, 2, 3], ss=0, se=0, ah=1, al=0),
+            dict(comps=[0], ss=1, se=63, ah=1, al=0),
+            dict(comps=[1], ss=1, se=63, ah=1, al=0),
+            dict(comps=[2], ss=1, se=63, ah=1, al=0),
+            dict(comps=[3], ss=1, se=63, ah=1, al=0),
         ]
     return [
         dict(comps=[0, 1, 2], ss=0, se=0, ah=0, al=1),
@@ -601,6 +656,7 @@ def encode_jpeg_progressive(
     restart_interval: int = 0,
     scans=None,
     precision: int = 8,
+    cmyk_transform: int | None = None,
 ) -> bytes:
     """Encode as a progressive (SOF2) JFIF JPEG.  ``scans`` is a list
     of ``dict(comps=[frame indexes], ss, se, ah, al)`` in emission
@@ -610,8 +666,10 @@ def encode_jpeg_progressive(
     Restart interval counts MCUs (interleaved DC scans) or data units
     (single-component scans); EOB runs never cross a restart.
     ``precision=12`` emits a 12-bit SOF2 stream (uint16 0..4095
-    input)."""
-    p = _prep(arr, q_luma, q_chroma, subsampling, precision)
+    input).  4-channel input requires ``cmyk_transform`` (0 or 2,
+    Adobe APP14)."""
+    p = _prep(arr, q_luma, q_chroma, subsampling, precision,
+              cmyk_transform)
     dc_counts, dc_syms, dc_codes, _, _, _, acp_counts, acp_syms, \
         acp_codes = _tables(precision)
     ncomp = len(p["comps"])
@@ -620,6 +678,11 @@ def encode_jpeg_progressive(
 
     out = bytearray()
     out += b"\xff\xd8"
+    if p["adobe"] is not None:
+        out += _seg(
+            0xEE,
+            b"Adobe" + bytes([0, 100, 0, 0, 0, 0]) + bytes([p["adobe"]]),
+        )
     out += _dqt(0, p["q_luma"])
     if not p["gray"]:
         out += _dqt(1, p["q_chroma"])

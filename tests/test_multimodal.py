@@ -878,3 +878,78 @@ def test_decode_jpeg_12bit_dequant_no_int32_overflow():
     assert px.dtype == np.uint16
     # int64 dequant: hugely positive DC -> every sample clips to 4095
     assert (px == 4095).all()
+
+
+def test_decode_jpeg_cmyk_and_ycck():
+    """r11 (closes the documented CMYK refusal): 4-component JPEG —
+    CMYK as stored (Adobe transform 0) and YCCK (transform 2, the
+    Adobe-writer default) — round-trips near-losslessly at q=1 in
+    sequential AND progressive streams, at 8- and 12-bit precision;
+    a full progressive script decodes IDENTICALLY to sequential.
+    Unknown transforms and >4 components refuse."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, (20, 14, 4), dtype=np.uint8)
+    for t in (0, 2):
+        seq = M._jpeg_pixels(encode_jpeg(img, cmyk_transform=t))
+        assert seq.shape == (20, 14, 4)
+        err = np.abs(seq.astype(int) - img.astype(int)).max()
+        assert err <= 3, (t, err)
+        prog = M._jpeg_pixels(
+            encode_jpeg_progressive(img, cmyk_transform=t)
+        )
+        assert (prog == seq).all(), t
+
+    img12 = rng.randint(0, 4096, (12, 10, 4)).astype(np.uint16)
+    px12 = M._jpeg_pixels(
+        encode_jpeg(img12, precision=12, cmyk_transform=2)
+    )
+    assert px12.dtype == np.uint16
+    assert np.abs(px12.astype(int) - img12.astype(int)).max() <= 3
+
+    # stats surface: channels=4
+    got = M.decode_media_bytes(encode_jpeg(img, cmyk_transform=2))
+    assert (got["channels"], got["n_values"]) == (4, 20 * 14 * 4)
+
+    # unknown Adobe transform refuses; missing APP14 decodes as stored
+    b = bytearray(encode_jpeg(img, cmyk_transform=2))
+    i = bytes(b).index(b"Adobe") + 11
+    b[i] = 7
+    with pytest.raises(ValueError, match="Adobe transform 7"):
+        M._jpeg_pixels(bytes(b))
+    raw = encode_jpeg(img, cmyk_transform=0)
+    j = raw.index(b"\xff\xee")
+    seglen = int.from_bytes(raw[j + 2 : j + 4], "big")
+    stripped = raw[:j] + raw[j + 2 + seglen :]  # drop APP14 entirely
+    assert (
+        M._jpeg_pixels(stripped) == M._jpeg_pixels(raw)
+    ).all()  # 4-comp sans APP14 = CMYK as stored
+
+    # >4 components refuse before any plane allocation
+    five = bytearray(encode_jpeg(img, cmyk_transform=0))
+    k = bytes(five).index(b"\xff\xc0")
+    # SOF body: len(2) prec(1) h(2) w(2) ncomp(1) comps...
+    five[k + 9] = 5
+    with pytest.raises(ValueError, match="5-component"):
+        M._jpeg_pixels(bytes(five))
+
+
+def test_decode_jpeg_rgb_as_stored_transform0():
+    """Adobe transform 0 with THREE components means RGB stored
+    untouched — applying the YCbCr de-correlation there would garble
+    colors (r11; pinned against the encoder's as-stored path)."""
+    np = _np()
+
+    from ._jpeg_ref import encode_jpeg
+
+    rng = np.random.RandomState(43)
+    rgb = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    px = M._jpeg_pixels(encode_jpeg(rgb, cmyk_transform=0))
+    assert np.abs(px.astype(int) - rgb.astype(int)).max() <= 1
+    # and the normal (no-APP14) path still YCbCr-converts
+    px2 = M._jpeg_pixels(encode_jpeg(rgb))
+    assert np.abs(px2.astype(int) - rgb.astype(int)).max() <= 3
