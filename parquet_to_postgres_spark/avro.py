@@ -591,14 +591,99 @@ def write_avro(
     }
 
 
+def _decode_file_range(
+    local_path: str, start: int, end: int, want_schema: dict
+) -> "list[dict]":
+    """Decode the blocks of ONE byte range of an OCF file — the
+    executor-side kernel of split reads.
+
+    Ownership rule (the standard Avro split convention): a block
+    belongs to the range in which its first byte — the byte after the
+    previous sync marker — falls.  Range 0 starts at the header's data
+    offset; every other range seeks to ``start`` and scans forward to
+    the next sync marker.  A block that BEGINS inside the range is
+    decoded to completion even when its bytes run past ``end``."""
+    with open(local_path, "rb") as fh:
+        head = fh.read(65536)
+        try:
+            got_schema, codec, sync, data_off = parse_header(head)
+        except (IndexError, ValueError, KeyError):
+            fh.seek(0)
+            got_schema, codec, sync, data_off = parse_header(fh.read())
+        if got_schema != want_schema:
+            raise ValueError(
+                "read_avro: container schema drift between files"
+            )
+        # Ownership (Avro's own pastSync convention): the range owns
+        # blocks whose preceding sync STARTS inside [start, end) —
+        # i.e. blockStart in [start+16, end+16).  Using plain `end`
+        # on both sides orphans any block whose sync straddles the
+        # boundary (observed: 2 blocks lost at a 1000-byte split).
+        if start == 0:
+            pos = data_off
+        else:
+            fh.seek(start)
+            window = fh.read(end - start + len(sync))
+            hit = window.find(sync)
+            if hit < 0:
+                return []
+            pos = start + hit + len(sync)
+            if pos >= end + len(sync):
+                return []  # that sync starts in the NEXT range
+        dec = _decoder(got_schema)
+        rows: "list[dict]" = []
+        fh.seek(0, 2)
+        fsize = fh.tell()
+        fh.seek(pos)
+        while pos < end + len(sync) and pos < fsize:
+            # block header: two varints (<= 20 bytes), then the data
+            hdr = fh.read(20)
+            if not hdr:
+                break
+            r = _Reader(hdr)
+            try:
+                count = r.long()
+                size = r.long()
+            except IndexError:
+                break  # trailing bytes shorter than a block header
+            body_off = pos + r.pos
+            fh.seek(body_off)
+            block = fh.read(size)
+            tail = fh.read(len(sync))
+            if tail != sync:
+                raise ValueError("avro: sync marker mismatch (corrupt block)")
+            if codec == "deflate":
+                block = zlib.decompress(block, wbits=-15)
+            br = _Reader(block)
+            for _ in range(count):
+                rows.append(dec(br))
+            pos = body_off + size + len(sync)
+            fh.seek(pos)
+        return rows
+
+
 def read_avro(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed Avro OCF read: binaryFile listing + per-file
     ``mapInPandas`` decode.  Self-describing — no inference pass, so
     ``etl.read_source``'s CSV/JSON infer guard does not apply.  The
     driver reads ONE file header for the schema (``spark.read`` does
-    the same for Parquet footers); block data never hits the driver."""
+    the same for Parquet footers); block data never hits the driver.
+
+    ``split_bytes`` turns on SYNC-MARKER INPUT SPLITTING (the classic
+    Avro split algorithm): each file is carved into byte ranges of
+    roughly that size, a task seeks to its range start, scans forward
+    to the next 16-byte sync marker, and decodes blocks whose start
+    falls inside its range — so one multi-GB container parallelizes
+    across the cluster instead of serializing on one core (a
+    2^-128-per-byte false-sync probability is the standard Avro
+    assumption).  Splitting opens files with ``open()`` — posix/NFS
+    paths only, like :func:`write_avro`; the default unsplit path
+    stays Hadoop-FS-safe via binaryFile."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
@@ -642,7 +727,46 @@ def read_avro(
                     columns=names,
                 )
 
-    out = files.select("content").mapInPandas(decode_files, wire_schema)
+    if split_bytes is not None:
+        if split_bytes < 1:
+            raise ValueError("read_avro: split_bytes must be positive")
+        listing = [
+            (r["path"], int(r["length"]))
+            for r in files.select("path", "length").collect()
+        ]
+        ranges = []
+        for fpath, length in listing:
+            start = 0
+            while start < length:
+                ranges.append(
+                    (fpath, start, min(start + split_bytes, length))
+                )
+                start += split_bytes
+        schema_json = json.dumps(avro_schema)
+
+        def decode_ranges(batches) -> "Iterator[pd.DataFrame]":
+            import pandas as pd
+
+            want = json.loads(schema_json)
+            for pdf in batches:
+                for fpath, start, end in zip(
+                    pdf["path"], pdf["start"], pdf["end"]
+                ):
+                    local = fpath.removeprefix("file:")
+                    rows = _decode_file_range(
+                        local, int(start), int(end), want
+                    )
+                    yield pd.DataFrame(
+                        {n: [r[n] for r in rows] for n in names},
+                        columns=names,
+                    )
+
+        rdf = spark.createDataFrame(
+            ranges, "path string, start long, end long"
+        ).repartition(max(len(ranges), 1))
+        out = rdf.mapInPandas(decode_ranges, wire_schema)
+    else:
+        out = files.select("content").mapInPandas(decode_files, wire_schema)
     # restore temporal logical types JVM-side
     logical = {
         f["name"]: f["type"]

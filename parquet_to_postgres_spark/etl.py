@@ -526,10 +526,11 @@ def read_source(
     if fmt == "avro":
         from . import avro as _avro
 
+        split = options.pop("split_bytes", None)
         if options:
             raise ValueError(
                 f"read_source(avro): options {sorted(options)} unsupported "
-                "by the OCF reader"
+                "by the OCF reader (only split_bytes)"
             )
         sch = None
         if schema is not None:
@@ -538,7 +539,12 @@ def read_source(
                 if isinstance(schema, str)
                 else schema
             )
-        return _avro.read_avro(spark, path, schema=sch)
+        return _avro.read_avro(
+            spark,
+            path,
+            schema=sch,
+            split_bytes=int(split) if split is not None else None,
+        )
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

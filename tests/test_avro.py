@@ -288,3 +288,38 @@ def test_read_avro_header_prefix_and_giant_header_fallback(spark):
         back = A.read_avro(spark, f"{d}/big")
         assert back.count() == 2
         assert _json.loads(_json.dumps(schema)) == schema  # sanity
+
+
+def test_read_avro_sync_marker_splitting(spark):
+    """r11 scale path: one large container parallelizes across byte
+    ranges via the sync-marker split algorithm.  The ownership rule is
+    Avro's own pastSync convention — a range owns blocks whose
+    preceding sync STARTS inside it — pinned here with adversarial
+    split sizes smaller than one block and off-by-one around the block
+    size (the straddling-sync case lost blocks pre-fix)."""
+    df = spark.range(20000).select(
+        "id", (F.col("id") * 3).alias("x"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    want = _multiset(df)
+    with tempfile.TemporaryDirectory() as d:
+        for codec in ("deflate", "null"):
+            A.write_avro(
+                df.coalesce(1), f"{d}/{codec}", codec=codec, block_rows=400
+            )
+            size = os.path.getsize(f"{d}/{codec}/part-00000.avro")
+            one_block = size * 400 // 20000  # ~ bytes per block
+            for sb in (size + 10, size // 7, one_block + 1, one_block - 1,
+                       97):
+                got = A.read_avro(spark, f"{d}/{codec}", split_bytes=sb)
+                assert _multiset(got) == want, (codec, sb)
+            many = A.read_avro(spark, f"{d}/{codec}", split_bytes=size // 7)
+            assert many.rdd.getNumPartitions() >= 7
+        # read_source plumbs the option through (string-typed, as all
+        # datasource options are)
+        from parquet_to_postgres_spark.etl import read_source as rs
+
+        got = rs(spark, f"{d}/deflate", "avro", split_bytes="5000")
+        assert _multiset(got) == want
+        with pytest.raises(ValueError, match="only split_bytes"):
+            rs(spark, f"{d}/deflate", "avro", bogus="1")
