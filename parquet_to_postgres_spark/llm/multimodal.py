@@ -456,10 +456,13 @@ def decode_png(b: bytes) -> dict:
 # tables redefined between scans; 8-bit AND — r10 — 12-bit samples
 # (extended sequential SOF1 / progressive SOF2 per T.81 B.2.2; 12-bit
 # decodes to uint16 with the 2^(P-1) level shift).
-# Arithmetic coding, lossless/hierarchical, 12-bit-in-SOF0, and >4
-# components raise — the honest-refusal contract — and
-# decode_media_bytes falls through to PIL for those only when it is
-# installed.  Entropy decoding is
+# LOSSLESS (SOF3, T.81 Annex H) also decodes natively (r11): Huffman
+# DPCM with all 7 predictors, 2-16 bit, point transform, interleaved
+# or per-component scans — bit-exact by construction.
+# Arithmetic coding, hierarchical, 12-bit-in-SOF0, >4 components,
+# subsampled/restart-interval lossless raise — the honest-refusal
+# contract — and decode_media_bytes falls through to PIL for those
+# only when it is installed.  Entropy decoding is
 # per-symbol Python (inherent to Huffman), the block math (dequant,
 # IDCT, upsample, YCbCr->RGB) is vectorized numpy over all blocks at
 # once; mapInPandas is the decode boundary exactly as for PNG.
@@ -668,20 +671,30 @@ def _jpeg_parse(b):
                     ).astype(np.int32)
                     p += 128
                 qt[tid] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (r11)
             if frame is not None:
                 raise ValueError("multiple JPEG frames unsupported")
             precision = body[0]
-            # r10: 12-bit samples decode natively (extended sequential
-            # SOF1 / progressive SOF2 — T.81 B.2.2 allows 8 or 12
-            # there; baseline SOF0 is 8-bit ONLY, refused honestly)
-            if precision not in (8, 12):
-                raise ValueError(f"{precision}-bit JPEG unsupported")
-            if precision == 12 and marker == 0xC0:
-                raise ValueError(
-                    "12-bit precision in a baseline (SOF0) frame is "
-                    "non-conformant (T.81 B.2.2: baseline is 8-bit)"
-                )
+            lossless = marker == 0xC3
+            if lossless:
+                # T.81 B.2.2: lossless allows any precision 2..16
+                if not 2 <= precision <= 16:
+                    raise ValueError(
+                        f"{precision}-bit lossless JPEG unsupported"
+                    )
+            else:
+                # r10: 12-bit samples decode natively (extended
+                # sequential SOF1 / progressive SOF2 — T.81 B.2.2
+                # allows 8 or 12 there; baseline SOF0 is 8-bit ONLY,
+                # refused honestly)
+                if precision not in (8, 12):
+                    raise ValueError(f"{precision}-bit JPEG unsupported")
+                if precision == 12 and marker == 0xC0:
+                    raise ValueError(
+                        "12-bit precision in a baseline (SOF0) frame is "
+                        "non-conformant (T.81 B.2.2: baseline is 8-bit)"
+                    )
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -726,9 +739,10 @@ def _jpeg_parse(b):
                 "w": w,
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "lossless": lossless,
                 "precision": precision,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise ValueError("non-baseline JPEG coding unsupported")
         elif marker == 0xC4:  # DHT
@@ -992,10 +1006,22 @@ def _jpeg_validate_scans(frame, scans):
     single-component with 1<=Ss<=Se<=63 and must FOLLOW the
     component's DC initial scan; refinements step one bit."""
     progressive = frame["progressive"]
+    lossless = frame.get("lossless")
     dc_seen = set()
     for scan in scans:
         ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
         ids = [c["id"] for c in scan["comps"]]
+        if lossless:
+            # T.81 H: Ss = predictor selector 1..7, Se = 0, Ah = 0,
+            # Al = point transform (0..P-1)
+            if not (1 <= ss <= 7) or se != 0 or ah != 0:
+                raise ValueError("invalid lossless JPEG scan header")
+            if al >= frame["precision"]:
+                raise ValueError(
+                    "lossless JPEG point transform exceeds precision"
+                )
+            dc_seen.update(ids)
+            continue
         if not progressive:
             if (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("invalid sequential JPEG scan header")
@@ -1024,11 +1050,11 @@ def _jpeg_validate_scans(frame, scans):
                     "progressive JPEG AC scan precedes DC scan"
                 )
     if not progressive:
-        # a sequential multi-scan stream that omits a component entirely
-        # would otherwise decode with an all-zero coefficient plane
-        # (mid-gray channel) — plausible-but-wrong stats on truncated
-        # crawl files.  Honest refusal is the decoder's contract.
-        # Progressive partial scan scripts stay legitimately lenient.
+        # a sequential/lossless multi-scan stream that omits a
+        # component entirely would otherwise decode with an all-zero
+        # plane — plausible-but-wrong stats on truncated crawl files.
+        # Honest refusal is the decoder's contract.  Progressive
+        # partial scan scripts stay legitimately lenient.
         missing = {c["id"] for c in frame["comps"]} - dc_seen
         if missing:
             raise ValueError(
@@ -1046,6 +1072,8 @@ def _jpeg_pixels(b):
     if frame is None or not scans:
         raise ValueError("missing SOF/SOS segment")
     _jpeg_validate_scans(frame, scans)
+    if frame.get("lossless"):
+        return _jpeg_lossless_pixels(b, frame, scans)
 
     comps = frame["comps"]
     if len(comps) == 1:
@@ -1153,6 +1181,96 @@ def _jpeg_pixels(b):
             )
         return np.clip(np.round(arr), 0, maxval).astype(out_dtype)
     raise ValueError(f"{len(out_comps)}-component JPEG unsupported")
+
+
+def _jpeg_lossless_pixels(b, frame, scans):
+    """Decode a LOSSLESS (SOF3, T.81 Annex H) frame: Huffman-coded
+    predictive DPCM, no DCT/quantization — 7 spatial predictors over
+    (Ra=left, Rb=above, Rc=above-left), mod-2^16 reconstruction, DC
+    category 16 meaning diff=32768, first-row/first-column fallbacks to
+    Ra/Rb, and the scan-start default prediction 2^(P-1-Pt).  Output =
+    Rx << Pt per H.2.3 (r11 — closes the lossless line of the
+    documented-refusals list; accuracy pinned EXACT vs the reference
+    encoder, the point of the mode).  Sampling factors other than 1x1
+    and restart intervals are refused honestly."""
+    import numpy as np
+
+    comps = frame["comps"]
+    prec = frame["precision"]
+    h, w = frame["h"], frame["w"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise ValueError("subsampled lossless JPEG unsupported")
+    planes = {c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps}
+    by_id = {c["id"]: c for c in comps}
+
+    pt = None
+    for scan in scans:
+        if scan["ri"]:
+            raise ValueError(
+                "restart intervals in lossless JPEG unsupported"
+            )
+        if pt is None:
+            pt = scan["al"]
+        elif pt != scan["al"]:
+            raise ValueError(
+                "lossless JPEG scans disagree on the point transform"
+            )
+        psel = scan["ss"]
+        huff_dc = scan["huff_dc"]
+        order = []
+        for sc in scan["comps"]:
+            if sc["id"] not in by_id:
+                raise ValueError("JPEG scan references unknown component")
+            if sc["dc"] not in huff_dc:
+                raise ValueError("missing JPEG DC Huffman table")
+            order.append((planes[sc["id"]], huff_dc[sc["dc"]]))
+        reader = _BitReader(b, scan["data_start"])
+        default = 1 << (prec - 1 - scan["al"])
+        for y in range(h):
+            up = y - 1
+            for x in range(w):
+                for plane, tab in order:
+                    t = reader.decode_huff(tab)
+                    if t == 16:  # T.81 H.1.2.2: SSSS=16 -> diff 32768
+                        diff = 32768
+                    elif t > 16:
+                        raise ValueError(
+                            "invalid lossless JPEG DIFF category"
+                        )
+                    else:
+                        diff = _jpeg_extend(reader.read_bits(t), t)
+                    if y == 0 and x == 0:
+                        px = default
+                    elif y == 0:
+                        px = plane[0, x - 1]
+                    elif x == 0:
+                        px = plane[up, 0]
+                    else:
+                        ra = plane[y, x - 1]
+                        rb = plane[up, x]
+                        rc = plane[up, x - 1]
+                        if psel == 1:
+                            px = ra
+                        elif psel == 2:
+                            px = rb
+                        elif psel == 3:
+                            px = rc
+                        elif psel == 4:
+                            px = ra + rb - rc
+                        elif psel == 5:
+                            px = ra + ((rb - rc) >> 1)
+                        elif psel == 6:
+                            px = rb + ((ra - rc) >> 1)
+                        else:  # 7
+                            px = (ra + rb) >> 1
+                    plane[y, x] = (int(px) + diff) & 0xFFFF
+
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec <= 8 else np.uint16
+    out = np.stack(
+        [np.clip(planes[c["id"]] << pt, 0, maxval) for c in comps], axis=2
+    )
+    return out.astype(out_dtype)
 
 
 def _dezigzag_q(q):

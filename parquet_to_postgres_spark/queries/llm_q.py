@@ -613,7 +613,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill-byte variants plus two PROGRESSIVE (SOF2) streams, a
     12-BIT SOF1 stream — r10, VERDICT r9 item 4 and beyond — a
     12-bit PROGRESSIVE 4:2:0-with-restarts stream (r11, VERDICT r10
-    item 2), and a 4-component CMYK/YCCK stream (r11) — plus
+    item 2), a 4-component CMYK/YCCK stream (r11), and a 16-bit
+    LOSSLESS (SOF3) stream pinned to its ANALYTIC input sums (r11) —
+    plus
     PNG/BMP/PPM/WAV and a null payload) go
     through :func:`decode_media_real`'s mapInPandas Arrow plumbing, and
     the exact per-payload stats are hash-checked against pinned

@@ -93,6 +93,10 @@ _ACP_COUNTS, _, _ACP_CODES = _fixed_table(_ACP_SYMS, 8)
 _DC12_COUNTS, _, _DC12_CODES = _fixed_table(_DC12_SYMS, 5)
 _AC12_COUNTS, _, _AC12_CODES = _fixed_table(_AC12_SYMS, 8)
 _ACP12_COUNTS, _, _ACP12_CODES = _fixed_table(_ACP12_SYMS, 8)
+# lossless (SOF3): DIFF categories 0..16 (SSSS=16 = diff 32768, no
+# appended bits) — 17 symbols on a fixed 5-bit table
+_DCL_SYMS = list(range(17))
+_DCL_COUNTS, _, _DCL_CODES = _fixed_table(_DCL_SYMS, 5)
 
 
 def _tables(precision):
@@ -772,5 +776,95 @@ def encode_jpeg_progressive(
         _flush_eobrun(wtr, acp_codes, state)
         wtr.pad()
         out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    precision: int | None = None,
+    interleaved: bool = True,
+) -> bytes:
+    """Encode as a LOSSLESS (SOF3, T.81 Annex H) JPEG: predictive DPCM
+    with the selected predictor (1..7), Huffman DIFF categories on a
+    fixed 5-bit table (0..16; SSSS=16 encodes diff 32768 with no
+    appended bits), mod-2^16 differences, first-row/column fallbacks,
+    and ``point_transform`` right-shifting samples before coding (the
+    decoder re-shifts, so decode == (input >> Pt) << Pt — EXACT at
+    Pt=0).  (h, w) or (h, w, C<=4) input, any precision 2..16
+    (default: 8 for uint8 input, 16 otherwise); ``interleaved=False``
+    emits one scan per component instead of one multi-component
+    scan."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    samples = (arr.astype(np.int64) >> point_transform)
+    default = 1 << (precision - 1 - point_transform)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])  # 1x1 sampling; Tq unused (=0)
+    out += _seg(0xC3, sof)
+    out += _dht(0, 0, _DCL_COUNTS, _DCL_SYMS)
+
+    def put_diff(wtr, diff):
+        d = diff & 0xFFFF
+        if d == 32768:
+            ln, code = _DCL_CODES[16]
+            wtr.put(code, ln)
+            return
+        signed = d - 65536 if d > 32768 else d
+        t = _category(signed)
+        ln, code = _DCL_CODES[t]
+        wtr.put(code, ln)
+        if t:
+            wtr.put(signed if signed >= 0 else signed + (1 << t) - 1, t)
+
+    def scan_bytes(comp_ids):
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])  # DC table 0
+        sos += bytes([predictor, 0, point_transform])
+        wtr = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for ci in comp_ids:
+                    plane = samples[:, :, ci]
+                    if y == 0 and x == 0:
+                        px = default
+                    elif y == 0:
+                        px = plane[0, x - 1]
+                    elif x == 0:
+                        px = plane[y - 1, 0]
+                    else:
+                        ra, rb, rc = (
+                            plane[y, x - 1],
+                            plane[y - 1, x],
+                            plane[y - 1, x - 1],
+                        )
+                        px = [
+                            None, ra, rb, rc, ra + rb - rc,
+                            ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1,
+                        ][predictor]
+                    put_diff(wtr, int(plane[y, x]) - int(px))
+        wtr.pad()
+        return _seg(0xDA, sos) + bytes(wtr.out)
+
+    if interleaved:
+        out += scan_bytes(list(range(ncomp)))
+    else:
+        for ci in range(ncomp):
+            out += scan_bytes([ci])
     out += b"\xff\xd9"
     return bytes(out)

@@ -953,3 +953,62 @@ def test_decode_jpeg_rgb_as_stored_transform0():
     # and the normal (no-APP14) path still YCbCr-converts
     px2 = M._jpeg_pixels(encode_jpeg(rgb))
     assert np.abs(px2.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_decode_jpeg_lossless_sof3_exact():
+    """r11 (closes the lossless line of the documented-refusals list):
+    SOF3 predictive DPCM decodes EXACTLY — all 7 predictors, 8/12/16
+    bit, gray and 3-channel, interleaved and one-scan-per-component,
+    mod-2^16 wraparound at extreme neighbors, and the point transform
+    (decode == (input >> Pt) << Pt).  Restart intervals and subsampled
+    lossless refuse honestly."""
+    np = _np()
+    import pytest
+
+    from ._jpeg_ref import encode_jpeg_lossless
+
+    rng = np.random.RandomState(55)
+    for shape, dtype, prec in [
+        ((13, 9), np.uint8, 8),
+        ((10, 7, 3), np.uint8, 8),
+        ((8, 6, 3), np.uint16, 16),
+        ((6, 5), np.uint16, 12),
+    ]:
+        img = rng.randint(0, (1 << prec), shape).astype(dtype)
+        want = img[:, :, None] if img.ndim == 2 else img
+        for pred in range(1, 8):
+            for inter in (True, False):
+                px = M._jpeg_pixels(
+                    encode_jpeg_lossless(
+                        img, predictor=pred, precision=prec,
+                        interleaved=inter,
+                    )
+                )
+                assert (
+                    px.astype(np.int64) == want.astype(np.int64)
+                ).all(), (shape, prec, pred, inter)
+
+    edge = np.array([[0, 65535], [65535, 0]], dtype=np.uint16)
+    px = M._jpeg_pixels(encode_jpeg_lossless(edge, predictor=1))
+    assert (px[:, :, 0] == edge).all()
+
+    img = rng.randint(0, 256, (9, 9), dtype=np.uint8)
+    px = M._jpeg_pixels(
+        encode_jpeg_lossless(img, predictor=7, point_transform=3)
+    )
+    assert (px[:, :, 0] == (img >> 3) << 3).all()
+
+    # refusals: predictor 0, truncated component coverage, restarts
+    b = bytearray(encode_jpeg_lossless(img, predictor=3))
+    i = bytes(b).index(b"\xff\xda")
+    ln = int.from_bytes(b[i + 2 : i + 4], "big")
+    b[i + 2 + ln - 3] = 0  # Ss (predictor) byte -> 0
+    with pytest.raises(ValueError, match="lossless JPEG scan header"):
+        M._jpeg_pixels(bytes(b))
+    tri = encode_jpeg_lossless(
+        rng.randint(0, 256, (6, 6, 3), dtype=np.uint8), interleaved=False
+    )
+    second = tri.index(b"\xff\xda", tri.index(b"\xff\xda") + 2)
+    third = tri.index(b"\xff\xda", second + 2)
+    with pytest.raises(ValueError, match="omits scan data"):
+        M._jpeg_pixels(tri[:third] + b"\xff\xd9")
