@@ -643,14 +643,31 @@ def _decode_file_range(
         if start == 0:
             pos = data_off
         else:
-            fh.seek(start)
-            window = fh.read(end - start + len(sync))
-            hit = window.find(sync)
-            if hit < 0:
-                return []
-            pos = start + hit + len(sync)
-            if pos >= end + len(sync):
-                return []  # that sync starts in the NEXT range
+            # bounded chunked scan for the sync: 64 KiB windows with a
+            # 15-byte overlap, never materializing the whole range (r11
+            # third-pass review finding — a 512 MB split allocated a
+            # 512 MB bytes object per task just to find a marker that
+            # sits at most one block past `start`)
+            pos = None
+            chunk = 65536
+            scan_at = start
+            limit = end + len(sync)
+            carry = b""
+            while scan_at < limit:
+                fh.seek(scan_at)
+                window = carry + fh.read(
+                    min(chunk, limit - scan_at)
+                )
+                hit = window.find(sync)
+                if hit >= 0:
+                    pos = (
+                        scan_at - len(carry) + hit + len(sync)
+                    )
+                    break
+                carry = window[-(len(sync) - 1):]
+                scan_at += min(chunk, limit - scan_at)
+            if pos is None or pos >= end + len(sync):
+                return []  # no owned sync, or it starts in the NEXT range
         dec = _decoder(got_schema)
         rows: "list[dict]" = []
         fh.seek(0, 2)
@@ -708,21 +725,33 @@ def read_avro(
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
-    # schema discovery: a 64 KiB PREFIX of one file, not its whole
-    # content (r11 review finding: head() on `content` materialized
-    # entire multi-GB containers on the driver).  A header larger than
-    # the prefix (pathological schema JSON) falls back to the full
-    # read.
-    head = files.select(
-        F.substring("content", 1, 65536).alias("prefix")
-    ).head()
-    if head is None:
-        raise ValueError(f"read_avro: no files under {path}")
-    try:
-        avro_schema, _, _, _ = parse_header(bytes(head["prefix"]))
-    except (IndexError, ValueError, KeyError):
-        full = files.select("content").head()
-        avro_schema, _, _, _ = parse_header(bytes(full["content"]))
+    if split_bytes is not None:
+        # split mode already requires posix paths (open() in
+        # _decode_file_range), so the schema comes from a driver-side
+        # 64 KiB open() of the first listed file — binaryFile's
+        # `content` column hard-fails past 2 GiB, which is exactly the
+        # file size split reads exist for (r11 third-pass finding)
+        first = files.select("path").orderBy("path").head()
+        if first is None:
+            raise ValueError(f"read_avro: no files under {path}")
+        with open(_strip_file(first["path"]), "rb") as fh:
+            avro_schema = _header_of(fh)
+    else:
+        # schema discovery: a 64 KiB PREFIX of one file, not its whole
+        # content (r11 review finding: head() on `content` materialized
+        # entire multi-GB containers on the driver).  A header larger
+        # than the prefix (pathological schema JSON) falls back to the
+        # full read.
+        head = files.select(
+            F.substring("content", 1, 65536).alias("prefix")
+        ).head()
+        if head is None:
+            raise ValueError(f"read_avro: no files under {path}")
+        try:
+            avro_schema, _, _, _ = parse_header(bytes(head["prefix"]))
+        except (IndexError, ValueError, KeyError):
+            full = files.select("content").head()
+            avro_schema, _, _, _ = parse_header(bytes(full["content"]))
     wire_schema = avro_to_spark_schema(avro_schema)
     if schema is not None:
         want = {f.name for f in schema.fields}
@@ -795,13 +824,8 @@ def read_avro(
         if isinstance(f["type"], (dict, list))
     }
 
-    def lt(node):
-        if isinstance(node, list):
-            node = [b for b in node if b != "null"][0]
-        return node.get("logicalType") if isinstance(node, dict) else None
-
     for name, node in logical.items():
-        kind = lt(node)
+        kind = _logical_of(node)
         if kind == "timestamp-micros":
             out = out.withColumn(name, F.timestamp_micros(F.col(name)))
         elif kind == "local-timestamp-micros":
@@ -840,7 +864,28 @@ def read_avro(
 # Paths are posix/NFS like write_avro (a Python data source executes
 # Python-side by definition).
 
-_EPOCH_NAIVE = None  # lazy datetime imports keep module import light
+def _header_of(fh) -> dict:
+    """Parse the container schema from an OPEN file: 64 KiB prefix
+    first, full read only when the header is pathologically large."""
+    head = fh.read(65536)
+    try:
+        avro_schema, _, _, _ = parse_header(head)
+    except (IndexError, ValueError, KeyError):
+        fh.seek(0)
+        avro_schema, _, _, _ = parse_header(fh.read())
+    return avro_schema
+
+
+def _first_header(root: str) -> dict:
+    """Container schema from the first file under ``root`` (posix)."""
+    import os
+
+    for name in sorted(os.listdir(root)):
+        fpath = os.path.join(root, name)
+        if os.path.isfile(fpath):
+            with open(fpath, "rb") as fh:
+                return _header_of(fh)
+    raise ValueError(f"avro_ocf: no files under {root}")
 
 
 def _temporal_codecs(avro_schema: dict):
@@ -986,8 +1031,17 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             buf = encode_container(
                 self.avro_schema, wire_rows(), codec=self.codec, sync=sync
             )
+            # taskAttemptId uniquifies the file across JOBS: append
+            # mode must not clobber part-00000.avro from an earlier
+            # write into the same directory (r11 third-pass review
+            # finding — deterministic names silently replaced instead
+            # of appending)
+            attempt = TaskContext.get().taskAttemptId()
             with open(
-                os.path.join(self.path, f"part-{pid:05d}.avro"), "wb"
+                os.path.join(
+                    self.path, f"part-{pid:05d}-{attempt}.avro"
+                ),
+                "wb",
             ) as fh:
                 fh.write(buf)
             return _OCFCommit()
@@ -1008,53 +1062,27 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             return "avro_ocf"
 
         def schema(self):
-            root = _strip_file(self.options["path"])
-            import os
-
-            for name in sorted(os.listdir(root)):
-                fpath = os.path.join(root, name)
-                if os.path.isfile(fpath):
-                    with open(fpath, "rb") as fh:
-                        head = fh.read(65536)
-                        try:
-                            avro_schema, _, _, _ = parse_header(head)
-                        except (IndexError, ValueError, KeyError):
-                            fh.seek(0)
-                            avro_schema, _, _, _ = parse_header(fh.read())
-                    return avro_to_spark_schema(
-                        avro_schema, logical_as_temporal=True
-                    )
-            raise ValueError(f"avro_ocf: no files under {root}")
+            avro_schema = _first_header(_strip_file(self.options["path"]))
+            return avro_to_spark_schema(
+                avro_schema, logical_as_temporal=True
+            )
 
         def reader(self, schema: T.StructType) -> "_OCFReader":
-            # re-derive the avro schema from the DECLARED Spark schema
-            # so user-supplied .schema(...) projections/types bind to
-            # the wire by NAME (extra wire fields are decoded then
-            # dropped by position below — keep it simple: require the
-            # container schema; read() decodes every field)
-            root = _strip_file(self.options["path"])
-            import os
-
-            avro_schema = None
-            for name in sorted(os.listdir(root)):
-                fpath = os.path.join(root, name)
-                if os.path.isfile(fpath):
-                    with open(fpath, "rb") as fh:
-                        head = fh.read(65536)
-                        try:
-                            avro_schema, _, _, _ = parse_header(head)
-                        except (IndexError, ValueError, KeyError):
-                            fh.seek(0)
-                            avro_schema, _, _, _ = parse_header(fh.read())
-                    break
-            if avro_schema is None:
-                raise ValueError(f"avro_ocf: no files under {root}")
-            want = [f.name for f in schema.fields]
-            have = [f["name"] for f in avro_schema["fields"]]
-            if want != have:
+            # read() decodes every container field and emits
+            # temporal objects per the CONTAINER schema, so the
+            # declared schema must equal the inferred one — names AND
+            # types (a name-only check let .schema('ts long') pass and
+            # then die deep in Arrow conversion; r11 third-pass review
+            # finding).  Project/cast after load.
+            avro_schema = _first_header(_strip_file(self.options["path"]))
+            inferred = avro_to_spark_schema(
+                avro_schema, logical_as_temporal=True
+            )
+            if schema != inferred:
                 raise ValueError(
-                    "avro_ocf: reader schema must match the container "
-                    f"field list {have} (got {want}) — project after load"
+                    "avro_ocf: reader schema must equal the container "
+                    f"schema {inferred.simpleString()} (got "
+                    f"{schema.simpleString()}) — project/cast after load"
                 )
             return _OCFReader(dict(self.options), avro_schema)
 

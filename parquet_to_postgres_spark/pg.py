@@ -414,15 +414,23 @@ def _numeric_cell(name: str, p: int, s: int) -> "F.Column":
     point (the wire's invariant — hence the fractional pad to a
     multiple of 4 decimal digits).
 
-    Exactness discipline: Spark decimal DIVISION rounds HALF_UP before
-    any floor() could run (measured: 99999999.99 picked up a phantom
-    leading digit), so digits come from exact ``pmod`` remainder
-    differences — subtraction and the final dividing-out of a known
-    multiple are exact.  Leading zero groups ride along (numeric_recv
-    accepts them; they contribute 0), which keeps ndigits/weight
-    compile-time constants and the whole cell inside codegen."""
-    from decimal import Decimal as _D
+    Exactness discipline: the digit groups come from the decimal's
+    canonical STRING form — lpad/rpad/substring, all codegen, all
+    trivially exact.  Three arithmetic forms were tried first and each
+    REPRODUCED a corruption: floor(u/10^k) (decimal division rounds
+    HALF_UP before floor — 99999999.99 grew a phantom digit), an
+    unscaling multiply (the decimal(38,s) x decimal(m+1,0) TYPE rule
+    overflows precision 38 and ANSI-errors at runtime for p+m+2 > 38
+    even when the VALUE fits — decimal(38,0) died after the pre-DROP
+    validation passed), and fractional-modulus pmod chains (the
+    capped division result type silently rounded decimal(36,19)'s low
+    groups).  Spark's decimal-to-string cast always prints plain
+    notation with exactly ``s`` fraction digits, so string slicing is
+    the one representation with no numeric type rules to fight.
 
+    Leading zero groups ride along (numeric_recv accepts them; they
+    contribute 0), which keeps ndigits/weight compile-time constants
+    and the whole cell inside codegen."""
     dpad = (4 - s % 4) % 4
     if p + dpad > 38:
         raise ValueError(
@@ -435,7 +443,20 @@ def _numeric_cell(name: str, p: int, s: int) -> "F.Column":
     ndigits = int_groups + frac_groups
     weight = int_groups - 1
     c = F.col(name)
-    u = (F.abs(c) * F.lit(10 ** (s + dpad))).cast(T.DecimalType(38, 0))
+    # the sign comes off the STRING too: even F.abs() is unsafe here —
+    # measured corrupting decimal(36,19) (…0123456 -> …0123500, a
+    # 17-significant-digit rounding inside the abs/type chain)
+    txt = F.regexp_replace(c.cast("string"), "^-", "")
+    if s > 0:
+        int_str = F.substring_index(txt, ".", 1)
+        frac_str = F.substring_index(txt, ".", -1)
+    else:
+        int_str = txt
+        frac_str = F.lit("")
+    digits_str = F.concat(
+        F.lpad(int_str, 4 * int_groups, "0"),
+        F.rpad(frac_str, 4 * frac_groups, "0"),
+    )
     parts = [
         F.lit((8 + 2 * ndigits).to_bytes(4, "big")),  # field length
         F.lit(ndigits.to_bytes(2, "big")),
@@ -446,10 +467,9 @@ def _numeric_cell(name: str, p: int, s: int) -> "F.Column":
         F.lit(s.to_bytes(2, "big")),
     ]
     for i in range(ndigits):
-        k = 4 * (ndigits - 1 - i)
-        r_i = F.pmod(u, F.lit(_D(10 ** (k + 4))).cast(T.DecimalType(38, 0)))
-        r_next = F.pmod(u, F.lit(_D(10**k)).cast(T.DecimalType(38, 0)))
-        parts.append(_be(((r_i - r_next) / F.lit(_D(10**k))).cast("int"), 2))
+        parts.append(
+            _be(F.substring(digits_str, 4 * i + 1, 4).cast("int"), 2)
+        )
     return F.concat(*parts)
 
 

@@ -388,3 +388,27 @@ def test_avro_python_data_source_roundtrip(spark):
         assert _multiset(read_source(spark, f"{d}/y", "avro")) == (
             _multiset(df.limit(2))
         )
+
+
+def test_avro_data_source_append_and_schema_refusal(spark):
+    """r11 third-pass findings: append must ACCUMULATE (task-attempt
+    uniquified filenames, not deterministic part-NNNNN names that a
+    later job clobbers), and a declared reader schema that differs
+    from the container schema — by TYPE, not just name — refuses up
+    front instead of dying in Arrow conversion."""
+    spark.dataSource.register(A.AvroOCFDataSource)
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.range(10).select("id", F.lit("a").alias("s"))
+        df.repartition(2).write.format("avro_ocf").mode("overwrite").save(
+            f"{d}/t"
+        )
+        df.repartition(2).write.format("avro_ocf").mode("append").save(
+            f"{d}/t"
+        )
+        got = spark.read.format("avro_ocf").load(f"{d}/t")
+        assert got.count() == 20
+
+        with pytest.raises(Exception, match="project/cast after load"):
+            spark.read.format("avro_ocf").schema("id string, s string").load(
+                f"{d}/t"
+            ).collect()

@@ -435,3 +435,61 @@ def test_copy_binary_refuses_unalignable_decimal_without_dropping(
         pgsrv.conninfo(), "SELECT id, note FROM wire_dec;"
     ).strip()
     assert out == "1|keep"
+
+
+def test_copy_binary_decimal_edge_widths(spark, pgsrv):
+    """r11 third-pass findings, all reproduced pre-fix: decimal(38,0)
+    passed validation then died at COPY runtime (destroying the
+    overwritten table), decimal(20,19) threw NumberFormatException
+    from an int64-overflowing literal, and decimal(36,19) was silently
+    CORRUPTED by Spark's own abs() (…0123456 -> …0123500).  The
+    string-slicing digit extraction ships because every arithmetic
+    form failed one of these; this pins the full-width/high-scale
+    matrix value-equal to the CSV wire."""
+    import random
+
+    rng = random.Random(77)
+
+    def rnd(p, s):
+        digs = "".join(rng.choice("0123456789") for _ in range(p))
+        v = Decimal(digs) / (Decimal(10) ** s)
+        return -v if rng.random() < 0.5 else v
+
+    rows = [
+        (
+            1,
+            Decimal("99999999999999999999999999999999999999"),
+            Decimal("0.9999999999999999999"),
+            Decimal("-12345678901234567.8901234567890123456"),
+        ),
+        (2, Decimal(-(10**37)), Decimal("0.0000000000000000001"), None),
+        (
+            3,
+            Decimal(0),
+            Decimal("-0.5000000000000000000"),
+            Decimal("17.0000000000000000001"),
+        ),
+    ] + [(10 + i, rnd(38, 0), rnd(20, 19), rnd(36, 19)) for i in range(25)]
+    df = spark.createDataFrame(
+        rows,
+        "id long, big decimal(38,0), fine decimal(20,19), mid decimal(36,19)",
+    )
+    for wire in ("csv", "binary"):
+        P.PostgresCopySink(
+            pgsrv.conninfo(),
+            f"dedge_{wire}",
+            mode="overwrite",
+            num_partitions=2,
+            wire_format=wire,
+        ).write(df)
+    diff = P.run_psql(
+        pgsrv.conninfo(),
+        """
+        SELECT count(*) FROM (
+          SELECT * FROM dedge_csv EXCEPT ALL SELECT * FROM dedge_binary
+          UNION ALL
+          SELECT * FROM dedge_binary EXCEPT ALL SELECT * FROM dedge_csv
+        ) x;
+        """,
+    ).strip()
+    assert diff == "0", diff
