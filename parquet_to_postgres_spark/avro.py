@@ -730,11 +730,16 @@ def read_avro(
         # _decode_file_range), so the schema comes from a driver-side
         # 64 KiB open() of the first listed file — binaryFile's
         # `content` column hard-fails past 2 GiB, which is exactly the
-        # file size split reads exist for (r11 third-pass finding)
-        first = files.select("path").orderBy("path").head()
-        if first is None:
+        # file size split reads exist for (r11 third-pass finding).
+        # ONE listing collect serves both discovery and the range
+        # build below (no extra sort job — fourth-pass finding).
+        listing = sorted(
+            (r["path"], int(r["length"]))
+            for r in files.select("path", "length").collect()
+        )
+        if not listing:
             raise ValueError(f"read_avro: no files under {path}")
-        with open(_strip_file(first["path"]), "rb") as fh:
+        with open(_strip_file(listing[0][0]), "rb") as fh:
             avro_schema = _header_of(fh)
     else:
         # schema discovery: a 64 KiB PREFIX of one file, not its whole
@@ -780,10 +785,6 @@ def read_avro(
     if split_bytes is not None:
         if split_bytes < 1:
             raise ValueError("read_avro: split_bytes must be positive")
-        listing = [
-            (r["path"], int(r["length"]))
-            for r in files.select("path", "length").collect()
-        ]
         ranges = []
         for fpath, length in listing:
             start = 0
@@ -881,6 +882,8 @@ def _first_header(root: str) -> dict:
     import os
 
     for name in sorted(os.listdir(root)):
+        if name.startswith((".", "_")):
+            continue  # hidden/temp files (Hadoop convention)
         fpath = os.path.join(root, name)
         if os.path.isfile(fpath):
             with open(fpath, "rb") as fh:
@@ -952,6 +955,8 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             split = int(split) if split is not None else None
             parts = []
             for name in sorted(os.listdir(root)):
+                if name.startswith((".", "_")):
+                    continue  # hidden/temp files (Hadoop convention)
                 fpath = os.path.join(root, name)
                 if not os.path.isfile(fpath):
                     continue
@@ -987,8 +992,12 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
                         vals[i] = fn(vals[i])
                 yield tuple(vals)
 
+    import dataclasses
+
+    @dataclasses.dataclass
     class _OCFCommit(WriterCommitMessage):
-        pass
+        tmp: str
+        final: str
 
     class _OCFWriter(DataSourceWriter):
         def __init__(self, options: dict, schema: T.StructType,
@@ -1010,7 +1019,16 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             os.makedirs(self.path, exist_ok=True)
 
         def write(self, rows) -> "_OCFCommit":
+            # Two-phase commit (r11 fourth-pass review findings): the
+            # task writes a HIDDEN temp file (uuid-named — unique
+            # across applications, unlike taskAttemptId, so append
+            # from a fresh run can never clobber) and only the
+            # driver-side commit() renames the files of SUCCESSFUL
+            # attempts to their visible names.  A retried/speculative
+            # attempt's orphan temp is ignored by the reader (hidden
+            # files are excluded from listings) and swept by abort().
             import os
+            import uuid
 
             from pyspark import TaskContext
 
@@ -1031,20 +1049,31 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             buf = encode_container(
                 self.avro_schema, wire_rows(), codec=self.codec, sync=sync
             )
-            # taskAttemptId uniquifies the file across JOBS: append
-            # mode must not clobber part-00000.avro from an earlier
-            # write into the same directory (r11 third-pass review
-            # finding — deterministic names silently replaced instead
-            # of appending)
-            attempt = TaskContext.get().taskAttemptId()
-            with open(
-                os.path.join(
-                    self.path, f"part-{pid:05d}-{attempt}.avro"
-                ),
-                "wb",
-            ) as fh:
+            token = uuid.uuid4().hex
+            final = f"part-{pid:05d}-{token}.avro"
+            tmp = f"._tmp-{final}"
+            with open(os.path.join(self.path, tmp), "wb") as fh:
                 fh.write(buf)
-            return _OCFCommit()
+            return _OCFCommit(tmp=tmp, final=final)
+
+        def commit(self, messages) -> None:
+            import os
+
+            for m in messages:
+                os.replace(
+                    os.path.join(self.path, m.tmp),
+                    os.path.join(self.path, m.final),
+                )
+
+        def abort(self, messages) -> None:
+            import os
+
+            for name in os.listdir(self.path):
+                if name.startswith("._tmp-"):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     class AvroOCFDataSource(DataSource):
         """`avro_ocf` — the OCF codec as a first-class Spark 4 Python
@@ -1078,7 +1107,13 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             inferred = avro_to_spark_schema(
                 avro_schema, logical_as_temporal=True
             )
-            if schema != inferred:
+            # names AND types, but NOT nullability: a DDL-parsed user
+            # schema is all-nullable while inferred non-union fields
+            # are not, and refusing over that printed two identical
+            # simpleString()s (r11 fourth-pass review finding)
+            got = [(f.name, f.dataType) for f in schema.fields]
+            want = [(f.name, f.dataType) for f in inferred.fields]
+            if got != want:
                 raise ValueError(
                     "avro_ocf: reader schema must equal the container "
                     f"schema {inferred.simpleString()} (got "

@@ -430,14 +430,12 @@ def _numeric_cell(name: str, p: int, s: int) -> "F.Column":
 
     Leading zero groups ride along (numeric_recv accepts them; they
     contribute 0), which keeps ndigits/weight compile-time constants
-    and the whole cell inside codegen."""
+    and the whole cell inside codegen.  EVERY decimal(p, s) is
+    supported: the string pipeline never builds a point-aligned
+    numeric intermediate, so the p+dpad <= 38 refusal the arithmetic
+    forms needed is gone (r11 fourth-pass review finding — the guard
+    cited deleted code)."""
     dpad = (4 - s % 4) % 4
-    if p + dpad > 38:
-        raise ValueError(
-            f"COPY BINARY: decimal({p},{s}) needs {p + dpad} unscaled "
-            "digits after point-alignment (>38, Spark's decimal cap) — "
-            "use wire_format='csv'"
-        )
     frac_groups = (s + dpad) // 4
     int_groups = max(1, -(-(p - s) // 4))
     ndigits = int_groups + frac_groups

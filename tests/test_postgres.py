@@ -408,20 +408,21 @@ def test_copy_binary_roundtrip_read_back(spark, pgsrv):
     assert got == want
 
 
-def test_copy_binary_refuses_unalignable_decimal_without_dropping(
-    spark, pgsrv
-):
-    """Supported decimals ride the NUMERIC send format; a decimal whose
-    point-alignment pad exceeds Spark's 38-digit cap is refused — and
-    NON-destructively: type validation runs before the overwrite DROP,
-    so a populated table survives (r11 second-pass review finding —
-    the old order left an empty shell)."""
+def test_copy_binary_refusal_is_non_destructive(spark, pgsrv):
+    """An unsupported column type must refuse BEFORE the overwrite
+    DROP, so a populated table survives (r11 second-pass review
+    finding — the old order left an empty shell).  Every DDL-mapped
+    type now has a binary send format (the r11 fourth-pass review
+    lifted the last decimal-width refusal: the string-slicing pipeline
+    never builds a point-aligned numeric intermediate), so the trigger
+    here is a type with NO Postgres mapping at all — which fails in
+    DDL generation, still before the DROP."""
     seed = spark.createDataFrame([(1, "keep")], "id long, note string")
     P.PostgresCopySink(
         pgsrv.conninfo(), "wire_dec", mode="overwrite", num_partitions=1
     ).write(seed)
-    df = spark.createDataFrame(
-        [(1, Decimal("1.250"))], "id long, price decimal(38,3)"
+    df = spark.range(1).select(
+        "id", F.expr("interval '1' day").alias("iv")
     )
     sink = P.PostgresCopySink(
         pgsrv.conninfo(),
@@ -429,7 +430,7 @@ def test_copy_binary_refuses_unalignable_decimal_without_dropping(
         mode="overwrite",
         wire_format="binary",
     )
-    with pytest.raises(ValueError, match="use wire_format='csv'"):
+    with pytest.raises(TypeError, match="no Postgres mapping"):
         sink.write(df)
     out = P.run_psql(
         pgsrv.conninfo(), "SELECT id, note FROM wire_dec;"
@@ -451,8 +452,12 @@ def test_copy_binary_decimal_edge_widths(spark, pgsrv):
     rng = random.Random(77)
 
     def rnd(p, s):
+        # scaleb, NOT division: the default decimal context rounds the
+        # quotient to 28 significant digits, silently zeroing the low
+        # base-10000 groups this test exists to pin (r11 fourth-pass
+        # review finding, reproduced with this very seed)
         digs = "".join(rng.choice("0123456789") for _ in range(p))
-        v = Decimal(digs) / (Decimal(10) ** s)
+        v = Decimal(digs).scaleb(-s)
         return -v if rng.random() < 0.5 else v
 
     rows = [
@@ -469,10 +474,17 @@ def test_copy_binary_decimal_edge_widths(spark, pgsrv):
             Decimal("-0.5000000000000000000"),
             Decimal("17.0000000000000000001"),
         ),
-    ] + [(10 + i, rnd(38, 0), rnd(20, 19), rnd(36, 19)) for i in range(25)]
+    ] + [
+        (10 + i, rnd(38, 0), rnd(20, 19), rnd(36, 19))
+        for i in range(25)
+    ]
+    rows = [r + (rnd(38, 3), rnd(38, 38)) for r in rows[:3]] + [
+        r + (rnd(38, 3), rnd(38, 38)) for r in rows[3:]
+    ]
     df = spark.createDataFrame(
         rows,
-        "id long, big decimal(38,0), fine decimal(20,19), mid decimal(36,19)",
+        "id long, big decimal(38,0), fine decimal(20,19), "
+        "mid decimal(36,19), wide3 decimal(38,3), allfrac decimal(38,38)",
     )
     for wire in ("csv", "binary"):
         P.PostgresCopySink(
