@@ -410,6 +410,162 @@ def _decoder(t):
 # ------------------------------------------------------------- container --
 
 
+# ------------------------------------------------- schema resolution --
+
+
+_PROMOTIONS = {
+    # writer -> allowed reader primitives (Avro spec "Schema Resolution")
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _plain(t):
+    """Schema node stripped to its primitive name where applicable."""
+    if isinstance(t, dict) and t["type"] in _AVRO_TO_SPARK_PRIM:
+        return t["type"]  # logical types resolve by their wire type
+    return t
+
+
+def _resolving_decoder(writer, reader):
+    """Decoder for data WRITTEN with ``writer`` producing values shaped
+    by ``reader`` — the Avro spec's schema-resolution rules: records
+    match fields by NAME (writer-only fields are decoded and
+    discarded; reader-only fields take their ``default``, or null for
+    a [null, T] union), primitives follow the promotion lattice
+    (int→long→float→double, string↔bytes), arrays/maps resolve their
+    element/value schemas, and unions resolve branch-wise.  Raises
+    ``ValueError`` at BUILD time for unresolvable pairs — never
+    mid-stream."""
+    w, r = _plain(writer), _plain(reader)
+    if isinstance(w, list) or isinstance(r, list):
+        w_branches = w if isinstance(w, list) else [w]
+        r_branches = r if isinstance(r, list) else [r]
+        subs = {}
+        for i, wb in enumerate(w_branches):
+            if wb == "null":
+                if "null" not in r_branches:
+                    raise ValueError(
+                        f"avro: writer null branch unresolvable to {r!r}"
+                    )
+                subs[i] = None
+                continue
+            sub = None
+            for rb in r_branches:
+                if rb == "null":
+                    continue
+                try:
+                    sub = _resolving_decoder(wb, rb)
+                    break
+                except ValueError:
+                    continue
+            if sub is None:
+                raise ValueError(
+                    f"avro: union branch {wb!r} unresolvable to {r!r}"
+                )
+            subs[i] = sub
+
+        def dec_union(rd):
+            d = subs[rd.long()]
+            return None if d is None else d(rd)
+
+        return dec_union
+    if isinstance(w, str) and isinstance(r, str):
+        if r not in _PROMOTIONS.get(w, ()):
+            raise ValueError(f"avro: cannot resolve {w!r} to {r!r}")
+        base = _decoder(w)
+        if w == r:
+            return base
+        if r in ("float", "double"):
+            return lambda rd: float(base(rd))
+        if w == "string" and r == "bytes":
+            return lambda rd: base(rd).encode("utf-8")
+        if w == "bytes" and r == "string":
+            return lambda rd: base(rd).decode("utf-8")
+        return base  # int -> long: same Python int
+    if isinstance(w, dict) and isinstance(r, dict):
+        wk, rk = w["type"], r["type"]
+        if wk == "array" and rk == "array":
+            item = _resolving_decoder(w["items"], r["items"])
+
+            def dec_arr(rd):
+                out = []
+                while True:
+                    n = rd.long()
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        rd.long()
+                        n = -n
+                    for _ in range(n):
+                        out.append(item(rd))
+
+            return dec_arr
+        if wk == "map" and rk == "map":
+            val = _resolving_decoder(w["values"], r["values"])
+
+            def dec_map(rd):
+                out = {}
+                while True:
+                    n = rd.long()
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        rd.long()
+                        n = -n
+                    for _ in range(n):
+                        k = rd.raw(rd.long()).decode("utf-8")
+                        out[k] = val(rd)
+
+            return dec_map
+        if wk == "record" and rk == "record":
+            w_by_name = {f["name"]: f for f in w["fields"]}
+            steps = []  # (writer-order) decode steps
+            for f in w["fields"]:
+                name = f["name"]
+                rf = next(
+                    (g for g in r["fields"] if g["name"] == name), None
+                )
+                if rf is None:
+                    steps.append((None, _decoder(f["type"])))  # discard
+                else:
+                    steps.append(
+                        (name, _resolving_decoder(f["type"], rf["type"]))
+                    )
+            fills = []  # reader-only fields -> defaults
+            for g in r["fields"]:
+                if g["name"] in w_by_name:
+                    continue
+                if "default" in g:
+                    fills.append((g["name"], g["default"]))
+                elif isinstance(g["type"], list) and "null" in g["type"]:
+                    fills.append((g["name"], None))
+                else:
+                    raise ValueError(
+                        f"avro: reader field {g['name']!r} absent from "
+                        "the writer schema and has no default"
+                    )
+
+            def dec_rec(rd):
+                out = {}
+                for name, dec in steps:
+                    v = dec(rd)
+                    if name is not None:
+                        out[name] = v
+                for name, v in fills:
+                    out[name] = v
+                return out
+
+            return dec_rec
+    raise ValueError(f"avro: cannot resolve {w!r} to {r!r}")
+
+
 def _header(avro_schema: dict, codec: str, sync: bytes) -> bytes:
     out = bytearray(MAGIC)
     meta = {
@@ -452,10 +608,18 @@ def parse_header(buf: bytes) -> "tuple[dict, str, bytes, int]":
     return schema, codec, sync, r.pos
 
 
-def decode_container(buf: bytes) -> "tuple[dict, list[dict]]":
-    """(schema, rows) — whole-file decode, the executor-side kernel."""
+def decode_container(
+    buf: bytes, reader_schema: dict | None = None
+) -> "tuple[dict, list[dict]]":
+    """(schema, rows) — whole-file decode, the executor-side kernel.
+    With ``reader_schema``, rows are schema-RESOLVED to it (Avro spec
+    rules — see :func:`_resolving_decoder`)."""
     schema, codec, sync, pos = parse_header(buf)
-    dec = _decoder(schema)
+    dec = (
+        _resolving_decoder(schema, reader_schema)
+        if reader_schema is not None
+        else _decoder(schema)
+    )
     r = _Reader(buf, pos)
     rows: "list[dict]" = []
     end = len(buf)
@@ -613,7 +777,11 @@ def write_avro(
 
 
 def _decode_file_range(
-    local_path: str, start: int, end: int, want_schema: dict
+    local_path: str,
+    start: int,
+    end: int,
+    want_schema: dict,
+    resolve: bool = False,
 ) -> "list[dict]":
     """Decode the blocks of ONE byte range of an OCF file — the
     executor-side kernel of split reads.
@@ -631,10 +799,15 @@ def _decode_file_range(
         except (IndexError, ValueError, KeyError):
             fh.seek(0)
             got_schema, codec, sync, data_off = parse_header(fh.read())
-        if got_schema != want_schema:
+        if resolve:
+            dec = _resolving_decoder(got_schema, want_schema)
+        elif got_schema != want_schema:
             raise ValueError(
-                "read_avro: container schema drift between files"
+                "read_avro: container schema drift between files "
+                "(pass reader_schema= to schema-resolve instead)"
             )
+        else:
+            dec = _decoder(got_schema)
         # Ownership (Avro's own pastSync convention): the range owns
         # blocks whose preceding sync STARTS inside [start, end) —
         # i.e. blockStart in [start+16, end+16).  Using plain `end`
@@ -668,7 +841,6 @@ def _decode_file_range(
                 scan_at += min(chunk, limit - scan_at)
             if pos is None or pos >= end + len(sync):
                 return []  # no owned sync, or it starts in the NEXT range
-        dec = _decoder(got_schema)
         rows: "list[dict]" = []
         fh.seek(0, 2)
         fsize = fh.tell()
@@ -705,6 +877,7 @@ def read_avro(
     path: str,
     schema: T.StructType | None = None,
     split_bytes: int | None = None,
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """Distributed Avro OCF read: binaryFile listing + per-file
     ``mapInPandas`` decode.  Self-describing — no inference pass, so
@@ -721,7 +894,15 @@ def read_avro(
     2^-128-per-byte false-sync probability is the standard Avro
     assumption).  Splitting opens files with ``open()`` — posix/NFS
     paths only, like :func:`write_avro`; the default unsplit path
-    stays Hadoop-FS-safe via binaryFile."""
+    stays Hadoop-FS-safe via binaryFile.
+
+    ``reader_schema`` (an Avro record schema dict) turns on SCHEMA
+    RESOLUTION: containers whose schemas EVOLVED over time all resolve
+    to the given reader schema by the Avro spec's rules — fields match
+    by name, writer-only fields are decoded and discarded, reader-only
+    fields take their ``default`` (or null for a [null, T] union), and
+    int->long->float->double / string<->bytes promotions apply.
+    Without it, any schema drift between files refuses honestly."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
@@ -739,8 +920,11 @@ def read_avro(
         )
         if not listing:
             raise ValueError(f"read_avro: no files under {path}")
-        with open(_strip_file(listing[0][0]), "rb") as fh:
-            avro_schema = _header_of(fh)
+        if reader_schema is not None:
+            avro_schema = reader_schema
+        else:
+            with open(_strip_file(listing[0][0]), "rb") as fh:
+                avro_schema = _header_of(fh)
     else:
         # schema discovery: a 64 KiB PREFIX of one file, not its whole
         # content (r11 review finding: head() on `content` materialized
@@ -752,11 +936,16 @@ def read_avro(
         ).head()
         if head is None:
             raise ValueError(f"read_avro: no files under {path}")
-        try:
-            avro_schema, _, _, _ = parse_header(bytes(head["prefix"]))
-        except (IndexError, ValueError, KeyError):
-            full = files.select("content").head()
-            avro_schema, _, _, _ = parse_header(bytes(full["content"]))
+        if reader_schema is not None:
+            avro_schema = reader_schema
+        else:
+            try:
+                avro_schema, _, _, _ = parse_header(bytes(head["prefix"]))
+            except (IndexError, ValueError, KeyError):
+                full = files.select("content").head()
+                avro_schema, _, _, _ = parse_header(
+                    bytes(full["content"])
+                )
     wire_schema = avro_to_spark_schema(avro_schema)
     if schema is not None:
         want = {f.name for f in schema.fields}
@@ -769,14 +958,22 @@ def read_avro(
 
     names = [f.name for f in wire_schema.fields]
 
+    resolving = reader_schema is not None
+
     def decode_files(batches) -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             for content in pdf["content"]:
-                got_schema, rows = decode_container(bytes(content))
-                if got_schema != avro_schema:
-                    raise ValueError(
-                        "read_avro: container schema drift between files"
+                if resolving:
+                    _, rows = decode_container(
+                        bytes(content), reader_schema=avro_schema
                     )
+                else:
+                    got_schema, rows = decode_container(bytes(content))
+                    if got_schema != avro_schema:
+                        raise ValueError(
+                            "read_avro: container schema drift between "
+                            "files (pass reader_schema= to resolve)"
+                        )
                 yield pd.DataFrame(
                     {n: [r[n] for r in rows] for n in names},
                     columns=names,
@@ -805,7 +1002,8 @@ def read_avro(
                 ):
                     local = fpath.removeprefix("file:")
                     rows = _decode_file_range(
-                        local, int(start), int(end), want
+                        local, int(start), int(end), want,
+                        resolve=resolving,
                     )
                     yield pd.DataFrame(
                         {n: [r[n] for r in rows] for n in names},

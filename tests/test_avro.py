@@ -412,3 +412,81 @@ def test_avro_data_source_append_and_schema_refusal(spark):
             spark.read.format("avro_ocf").schema("id string, s string").load(
                 f"{d}/t"
             ).collect()
+
+
+def test_avro_schema_resolution_across_evolved_files(spark):
+    """r11: reader-schema resolution per the Avro spec — one directory
+    holding containers written over THREE schema generations (column
+    added with a default, column dropped, int->long promotion, field
+    reorder) reads back normalized to a single reader schema, in both
+    the whole-file and sync-split paths; unresolvable pairs refuse at
+    BUILD time with clear errors."""
+    v1 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "legacy", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "id", "type": "long"},  # reordered + promoted
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "n", "type": "double", "default": 2.5},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/data")
+        with open(f"{d}/data/a.avro", "wb") as fh:
+            fh.write(
+                A.encode_container(v1, [(1, "old"), (2, "old2")], "deflate")
+            )
+        with open(f"{d}/data/b.avro", "wb") as fh:
+            fh.write(
+                A.encode_container(
+                    v2, [("x", 3), (None, 4)], "null", block_rows=1
+                )
+            )
+        want = sorted(
+            [(1, None, 2.5), (2, None, 2.5), (3, "x", 2.5), (4, None, 2.5)]
+        )
+        got = A.read_avro(spark, f"{d}/data", reader_schema=reader)
+        assert got.schema.simpleString() == (
+            "struct<id:bigint,s:string,n:double>"
+        )
+        assert _multiset(got) == want
+        split = A.read_avro(
+            spark, f"{d}/data", reader_schema=reader, split_bytes=50
+        )
+        assert _multiset(split) == want
+        # without a reader schema, drift still refuses honestly
+        with pytest.raises(Exception, match="schema drift"):
+            A.read_avro(spark, f"{d}/data").collect()
+
+    # build-time refusals: missing default, unresolvable primitive
+    with pytest.raises(ValueError, match="no default"):
+        A._resolving_decoder(
+            v1,
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "zzz", "type": "int"}],
+            },
+        )
+    with pytest.raises(ValueError, match="cannot resolve"):
+        A._resolving_decoder("double", "int")
+    # promotions: int->double, string->bytes
+    out = bytearray()
+    A._write_long(out, 7)
+    assert A._resolving_decoder("int", "double")(A._Reader(bytes(out))) == 7.0
