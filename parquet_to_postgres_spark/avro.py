@@ -566,6 +566,163 @@ def _resolving_decoder(writer, reader):
     raise ValueError(f"avro: cannot resolve {w!r} to {r!r}")
 
 
+# ------------------------------------------------------- snappy codec --
+#
+# Snappy is the dominant codec on wild Avro containers, and the C
+# library is absent here — so the BLOCK format (the public
+# format_description.txt: varint preamble + literal / 1-2-4-byte-offset
+# copy elements) is implemented from scratch against the stdlib, like
+# the rest of this module (r11 VERDICT item 3).  Avro frames each
+# snappy block with a 4-byte BIG-endian CRC32 of the UNCOMPRESSED data
+# (Avro spec, "Required Codecs / snappy"); helpers below implement the
+# raw block format and the Avro framing separately so each is testable.
+
+_SNAPPY_MAX_ELEM = 64  # copy elements encode lengths 1..64 (tag>>2 <= 63)
+
+
+def _snappy_decompress(buf: bytes) -> bytes:
+    """Raw snappy BLOCK format -> bytes.  Strict: validates the
+    preamble length, every element's bounds, and copy offsets —
+    untrusted container bytes must raise ValueError, never corrupt."""
+    L = len(buf)
+    n = 0
+    shift = 0
+    p = 0
+    while True:
+        if p >= L:
+            raise ValueError("snappy: truncated length preamble")
+        b = buf[p]
+        p += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+        if shift > 31:
+            raise ValueError("snappy: length preamble varint too long")
+    out = bytearray()
+    while p < L:
+        tag = buf[p]
+        p += 1
+        typ = tag & 3
+        if typ == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63: length lives in the next 1..4 bytes
+                nb = ln - 59
+                if p + nb > L:
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(buf[p : p + nb], "little")
+                p += nb
+            ln += 1
+            if p + ln > L:
+                raise ValueError("snappy: truncated literal body")
+            out += buf[p : p + ln]
+            p += ln
+            continue
+        if typ == 1:  # copy, 11-bit offset, length 4..11
+            if p >= L:
+                raise ValueError("snappy: truncated copy-1 element")
+            ln = 4 + ((tag >> 2) & 0x7)
+            off = ((tag >> 5) << 8) | buf[p]
+            p += 1
+        elif typ == 2:  # copy, 16-bit offset, length 1..64
+            if p + 2 > L:
+                raise ValueError("snappy: truncated copy-2 element")
+            ln = 1 + (tag >> 2)
+            off = int.from_bytes(buf[p : p + 2], "little")
+            p += 2
+        else:  # copy, 32-bit offset, length 1..64
+            if p + 4 > L:
+                raise ValueError("snappy: truncated copy-4 element")
+            ln = 1 + (tag >> 2)
+            off = int.from_bytes(buf[p : p + 4], "little")
+            p += 4
+        have = len(out)
+        if off == 0 or off > have:
+            raise ValueError("snappy: copy offset out of range")
+        if off >= ln:
+            out += out[have - off : have - off + ln]
+        else:
+            # overlapping copy: the pattern repeats (byte-by-byte
+            # semantics in the spec; vectorized here by tiling)
+            pat = bytes(out[have - off :])
+            out += (pat * (ln // off + 1))[:ln]
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: decompressed {len(out)} bytes, preamble says {n}"
+        )
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Bytes -> raw snappy BLOCK format.  Greedy 4-byte-hash matcher
+    emitting 16-bit-offset copies — simple, spec-valid output (any
+    conformant decompressor accepts it), not libsnappy's exact byte
+    stream; round-trip identity is what the tests pin."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+    def emit_literal(lit) -> None:
+        i = 0
+        while i < len(lit):
+            chunk = lit[i : i + 65536]
+            m = len(chunk) - 1
+            if m < 60:
+                out.append(m << 2)
+            elif m < 256:
+                out.append(60 << 2)
+                out.append(m)
+            else:
+                out.append(61 << 2)
+                out.extend(m.to_bytes(2, "little"))
+            out.extend(chunk)
+            i += len(chunk)
+
+    table: "dict[bytes, int]" = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and 0 < i - j <= 0xFFFF:
+            ln = 4
+            stop = min(n - i, _SNAPPY_MAX_ELEM)
+            while ln < stop and data[j + ln] == data[i + ln]:
+                ln += 1
+            emit_literal(data[lit_start:i])
+            out.append(((ln - 1) << 2) | 2)
+            out.extend((i - j).to_bytes(2, "little"))
+            i += ln
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(data[lit_start:n])
+    return bytes(out)
+
+
+def _avro_snappy_decode(block: bytes) -> bytes:
+    """Avro block framing: snappy payload + 4-byte big-endian CRC32 of
+    the uncompressed data (Avro spec) — checked, not skipped."""
+    if len(block) < 4:
+        raise ValueError("avro snappy block shorter than its CRC frame")
+    data = _snappy_decompress(block[:-4])
+    want = int.from_bytes(block[-4:], "big")
+    if zlib.crc32(data) & 0xFFFFFFFF != want:
+        raise ValueError("avro snappy block CRC mismatch (corrupt block)")
+    return data
+
+
+def _avro_snappy_encode(data: bytes) -> bytes:
+    return _snappy_compress(data) + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(
+        4, "big"
+    )
+
+
 def _header(avro_schema: dict, codec: str, sync: bytes) -> bytes:
     out = bytearray(MAGIC)
     meta = {
@@ -603,8 +760,10 @@ def parse_header(buf: bytes) -> "tuple[dict, str, bytes, int]":
     sync = bytes(r.raw(16))
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"avro codec {codec!r} unsupported (null/deflate)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(
+            f"avro codec {codec!r} unsupported (null/deflate/snappy)"
+        )
     return schema, codec, sync, r.pos
 
 
@@ -629,6 +788,8 @@ def decode_container(
         block = r.raw(size)
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "snappy":
+            block = _avro_snappy_decode(bytes(block))
         if bytes(r.raw(16)) != sync:
             raise ValueError("avro: sync marker mismatch (corrupt block)")
         br = _Reader(block)
@@ -645,12 +806,13 @@ def encode_container(
     block_rows: int = 4096,
 ) -> bytes:
     """Rows (tuples/dicts in field order) -> OCF bytes."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         # refuse at WRITE time: labeling raw blocks with an unknown
-        # codec (e.g. 'snappy') would produce a container every
-        # spec-compliant reader rejects or mis-decompresses (r11
-        # second-pass review finding)
-        raise ValueError(f"avro codec {codec!r} unsupported (null/deflate)")
+        # codec would produce a container every spec-compliant reader
+        # rejects or mis-decompresses (r11 second-pass review finding)
+        raise ValueError(
+            f"avro codec {codec!r} unsupported (null/deflate/snappy)"
+        )
     if sync is None:
         sync = md5(json.dumps(avro_schema).encode()).digest()
     enc = _encoder(avro_schema)
@@ -666,6 +828,8 @@ def encode_container(
         if codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             data = c.compress(data) + c.flush()
+        elif codec == "snappy":
+            data = _avro_snappy_encode(data)
         _write_long(out, n)
         _write_long(out, len(data))
         out.extend(data)
@@ -864,6 +1028,8 @@ def _decode_file_range(
                 raise ValueError("avro: sync marker mismatch (corrupt block)")
             if codec == "deflate":
                 block = zlib.decompress(block, wbits=-15)
+            elif codec == "snappy":
+                block = _avro_snappy_decode(block)
             br = _Reader(block)
             for _ in range(count):
                 rows.append(dec(br))
@@ -872,11 +1038,20 @@ def _decode_file_range(
         return rows
 
 
+# Auto-split policy (r12, VERDICT r11 item 3 rider): a container past
+# the threshold never serializes on ONE core by default — read_avro and
+# the avro_ocf data source carve it into AUTO_SPLIT_BYTES sync-marker
+# ranges.  read_avro only auto-splits file:-scheme paths (split mode
+# opens with posix open()); the data source is posix by definition.
+AUTO_SPLIT_THRESHOLD = 128 * 1024 * 1024
+AUTO_SPLIT_BYTES = 32 * 1024 * 1024
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
-    split_bytes: int | None = None,
+    split_bytes: "int | str | None" = "auto",
     reader_schema: dict | None = None,
 ) -> DataFrame:
     """Distributed Avro OCF read: binaryFile listing + per-file
@@ -902,10 +1077,38 @@ def read_avro(
     by name, writer-only fields are decoded and discarded, reader-only
     fields take their ``default`` (or null for a [null, T] union), and
     int->long->float->double / string<->bytes promotions apply.
-    Without it, any schema drift between files refuses honestly."""
+    Without it, any schema drift between files refuses honestly.
+
+    ``split_bytes`` defaults to ``"auto"``: local (file:-scheme)
+    containers larger than :data:`AUTO_SPLIT_THRESHOLD` are split at
+    :data:`AUTO_SPLIT_BYTES` automatically; everything else reads
+    whole-file.  Pass an int to force a split size, ``None`` to force
+    whole-file reads."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
+    listing = None
+    if split_bytes == "auto":
+        # metadata-only listing (no content read) decides the mode; the
+        # collect is reused as the split listing below, so auto mode
+        # costs one file-listing job either way
+        listing = sorted(
+            (r["path"], int(r["length"]))
+            for r in files.select("path", "length").collect()
+        )
+        if not listing:
+            raise ValueError(f"read_avro: no files under {path}")
+        if max(n for _, n in listing) > AUTO_SPLIT_THRESHOLD and all(
+            p.startswith("file:") for p, _ in listing
+        ):
+            split_bytes = AUTO_SPLIT_BYTES
+        else:
+            split_bytes = None
+    elif isinstance(split_bytes, str):
+        raise ValueError(
+            f"read_avro: split_bytes must be an int, None, or 'auto' "
+            f"(got {split_bytes!r})"
+        )
     if split_bytes is not None:
         # split mode already requires posix paths (open() in
         # _decode_file_range), so the schema comes from a driver-side
@@ -913,11 +1116,13 @@ def read_avro(
         # `content` column hard-fails past 2 GiB, which is exactly the
         # file size split reads exist for (r11 third-pass finding).
         # ONE listing collect serves both discovery and the range
-        # build below (no extra sort job — fourth-pass finding).
-        listing = sorted(
-            (r["path"], int(r["length"]))
-            for r in files.select("path", "length").collect()
-        )
+        # build below (no extra sort job — fourth-pass finding);
+        # auto mode already collected it.
+        if listing is None:
+            listing = sorted(
+                (r["path"], int(r["length"]))
+                for r in files.select("path", "length").collect()
+            )
         if not listing:
             raise ValueError(f"read_avro: no files under {path}")
         if reader_schema is not None:
@@ -1109,8 +1314,16 @@ def _temporal_codecs(avro_schema: dict):
             dec[i] = lambda m, e=epoch_utc, d=_dt: e + d.timedelta(
                 microseconds=m
             )
+            # Naive datetimes are LOCAL wall time: pyspark 4's
+            # DataSourceWriter delivers TimestampType as
+            # `value.astimezone().replace(tzinfo=None)` (conversion.py),
+            # i.e. tz-aware -> system-local naive.  A naive
+            # `.astimezone(utc)` inverts exactly that (interprets the
+            # value as system local); `replace(tzinfo=utc)` would shift
+            # every value by the host's UTC offset on non-UTC hosts
+            # (r11 ADVICE, medium).
             enc[i] = lambda v, e=epoch_utc, d=_dt: micros_of(
-                (v if v.tzinfo else v.replace(tzinfo=d.timezone.utc)) - e
+                (v if v.tzinfo else v.astimezone(d.timezone.utc)) - e
             )
         elif lt == "local-timestamp-micros":
             dec[i] = lambda m, e=epoch_naive, d=_dt: e + d.timedelta(
@@ -1159,13 +1372,29 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
                 if not os.path.isfile(fpath):
                     continue
                 length = os.path.getsize(fpath)
-                if split:
+                # auto-split oversized containers when the user gave no
+                # explicit split_bytes: a multi-GB file must never
+                # serialize on one core by default (r12; the DS is
+                # posix-path by definition, so always eligible).
+                # Options override the module thresholds — partitions()
+                # executes in a separate Python worker, so options are
+                # the only per-read control surface.
+                eff = split
+                if eff is None and length > int(
+                    self.options.get(
+                        "auto_split_threshold", AUTO_SPLIT_THRESHOLD
+                    )
+                ):
+                    eff = int(
+                        self.options.get("auto_split_bytes", AUTO_SPLIT_BYTES)
+                    )
+                if eff:
                     s = 0
                     while s < length:
                         parts.append(
-                            _OCFPartition(fpath, s, min(s + split, length))
+                            _OCFPartition(fpath, s, min(s + eff, length))
                         )
-                        s += split
+                        s += eff
                 else:
                     parts.append(_OCFPartition(fpath, 0, length))
             if not parts:
@@ -1202,13 +1431,21 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
                      overwrite: bool):
             import os
             import shutil
+            import uuid
 
             self.path = _strip_file(options["path"])
             self.codec = options.get("codec", "deflate")
             self.avro_schema = spark_to_avro_schema(schema)
-            if self.codec not in ("null", "deflate"):
+            # One token per WRITE JOB (driver-side __init__, serialized
+            # into every task): temp names carry it so abort()/commit()
+            # sweep only THIS job's leftovers — an aborted job must
+            # never remove a concurrent writer's in-flight temps
+            # (r11 ADVICE, low).
+            self.job_token = uuid.uuid4().hex
+            if self.codec not in ("null", "deflate", "snappy"):
                 raise ValueError(
-                    f"avro codec {self.codec!r} unsupported (null/deflate)"
+                    f"avro codec {self.codec!r} unsupported "
+                    "(null/deflate/snappy)"
                 )
             # driver-side, before any task runs — same overwrite
             # semantics as write_avro
@@ -1249,10 +1486,24 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
             )
             token = uuid.uuid4().hex
             final = f"part-{pid:05d}-{token}.avro"
-            tmp = f"._tmp-{final}"
+            tmp = f"._tmp-{self.job_token}-{final}"
             with open(os.path.join(self.path, tmp), "wb") as fh:
                 fh.write(buf)
             return _OCFCommit(tmp=tmp, final=final)
+
+        def _sweep_job_temps(self) -> None:
+            # Remove THIS job's remaining temps (failed/speculative
+            # attempts that never reached commit).  Scoped by
+            # job_token: a concurrent append job's temps are untouched.
+            import os
+
+            prefix = f"._tmp-{self.job_token}-"
+            for name in os.listdir(self.path):
+                if name.startswith(prefix):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
         def commit(self, messages) -> None:
             import os
@@ -1262,16 +1513,10 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
                     os.path.join(self.path, m.tmp),
                     os.path.join(self.path, m.final),
                 )
+            self._sweep_job_temps()
 
         def abort(self, messages) -> None:
-            import os
-
-            for name in os.listdir(self.path):
-                if name.startswith("._tmp-"):
-                    try:
-                        os.remove(os.path.join(self.path, name))
-                    except OSError:
-                        pass
+            self._sweep_job_temps()
 
     class AvroOCFDataSource(DataSource):
         """`avro_ocf` — the OCF codec as a first-class Spark 4 Python
@@ -1282,7 +1527,7 @@ try:  # the Data Source API needs pyspark >= 4; the module works without
         >>> df.write.format("avro_ocf").mode("overwrite").save(path)
 
         Options: ``split_bytes`` (read: sync-marker range splitting),
-        ``codec`` (write: null/deflate)."""
+        ``codec`` (write: null/deflate/snappy)."""
 
         @classmethod
         def name(cls) -> str:

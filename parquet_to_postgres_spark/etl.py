@@ -543,7 +543,9 @@ def read_source(
             spark,
             path,
             schema=sch,
-            split_bytes=int(split) if split is not None else None,
+            # no explicit split -> "auto": oversized local containers
+            # split themselves (r12); explicit int forces a size
+            split_bytes=int(split) if split is not None else "auto",
         )
     reader = spark.read
     if schema is not None:

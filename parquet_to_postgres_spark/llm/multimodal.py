@@ -1165,10 +1165,16 @@ def _jpeg_pixels(b):
         # CMYK family (r11 — closes the documented CMYK refusal).
         # Adobe transform 2 (YCCK) de-correlates the first three
         # channels through the YCbCr transform; K never transforms.
-        # Output is the POST-TRANSFORM sample planes exactly as stored
-        # (libjpeg's convention — Adobe writers store ink values
-        # inverted; ICC ink->RGB mapping is color management, out of
-        # scope for a stats decoder), so channels=4 in the stats row.
+        # Output is the POST-INVERSE stored samples — i.e. the
+        # inverted-ink planes exactly as Adobe writers store them.
+        # This is deliberately NOT libjpeg's JCS_CMYK convention,
+        # which additionally complements every sample
+        # (MAXJSAMPLE - x) on output; channel stats for Adobe CMYK/
+        # YCCK files therefore differ from a libjpeg/PIL decode of the
+        # same file by that complement (r11 ADVICE, low — documented
+        # rather than matched: ICC ink->RGB mapping is color
+        # management, out of scope for a stats decoder).  channels=4
+        # in the stats row.
         if adobe == 2:
             a, b_, c_ = ycc_to_rgb(*out_comps[:3])
             arr = np.stack([a, b_, c_, out_comps[3]], axis=2)

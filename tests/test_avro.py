@@ -490,3 +490,265 @@ def test_avro_schema_resolution_across_evolved_files(spark):
     out = bytearray()
     A._write_long(out, 7)
     assert A._resolving_decoder("int", "double")(A._Reader(bytes(out))) == 7.0
+
+
+def test_ts_micros_encoder_treats_naive_as_local_time():
+    """r11 ADVICE (medium): pyspark 4's DataSourceWriter delivers
+    TimestampType values as naive LOCAL-time datetimes
+    (conversion.py: value.astimezone().replace(tzinfo=None)), so the
+    avro_ocf writer's timestamp-micros encoder must interpret naive
+    values via astimezone(utc) — replace(tzinfo=utc) silently shifts
+    every value by the host's UTC offset on non-UTC hosts.  Pins the
+    encoder under a non-UTC process TZ via tzset()."""
+    import datetime
+    import time
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # EST (UTC-5) in January
+    time.tzset()
+    try:
+        _, enc = A._temporal_codecs(schema)
+        # 2024-01-15 12:00 naive == local EST == 17:00Z
+        naive = datetime.datetime(2024, 1, 15, 12, 0, 0)
+        want = int(
+            datetime.datetime(
+                2024, 1, 15, 17, 0, tzinfo=datetime.timezone.utc
+            ).timestamp()
+            * 1_000_000
+        )
+        assert enc[0](naive) == want
+        # tz-aware values are unaffected by the process TZ
+        aware = datetime.datetime(
+            2024, 1, 15, 17, 0, tzinfo=datetime.timezone.utc
+        )
+        assert enc[0](aware) == want
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_avro_data_source_write_non_utc_host_tz():
+    """End-to-end non-UTC-TZ pin for the data-source WRITE path (r11
+    ADVICE, medium): a fresh Spark JVM + Python workers launched under
+    TZ=America/New_York write one TimestampType row through
+    df.write.format('avro_ocf'); the RAW wire micros in the container
+    must be the true epoch instant (17:00Z for a 12:00 EST wall time),
+    and the DS read-back must return the original wall-clock value.
+    Runs in a subprocess because the session-scoped SparkSession's TZ
+    is fixed at JVM launch."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import datetime, glob, os, sys
+        from pyspark.sql import SparkSession
+        from parquet_to_postgres_spark import avro as A
+
+        d = sys.argv[1]
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.dataSource.register(A.AvroOCFDataSource)
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 15, 12, 0, 0))],
+            "id long, ts timestamp",
+        )
+        df.write.format("avro_ocf").mode("overwrite").save(d)
+
+        f = glob.glob(os.path.join(d, "part-*.avro"))[0]
+        with open(f, "rb") as fh:
+            schema, _, _, _ = A.parse_header(fh.read(65536))
+        rows = A._decode_file_range(f, 0, os.path.getsize(f), schema)
+        # 2024-01-15 12:00 America/New_York == 2024-01-15T17:00:00Z
+        want = 1705338000000000
+        assert rows[0]["ts"] == want, rows[0]["ts"]
+
+        got = spark.read.format("avro_ocf").load(d).collect()
+        assert got[0][1] == datetime.datetime(2024, 1, 15, 12, 0, 0), got
+        spark.stop()
+        print("TZ_WRITE_OK")
+        """
+    )
+    env = dict(os.environ, TZ="America/New_York")
+    with tempfile.TemporaryDirectory() as d:
+        proc = subprocess.run(
+            [sys.executable, "-c", script, f"{d}/t"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "TZ_WRITE_OK" in proc.stdout
+
+
+def test_snappy_block_format_pinned_vectors():
+    """r12 (VERDICT item 3): pure-stdlib snappy BLOCK format, pinned
+    against hand-assembled streams from the public
+    format_description.txt — every element type (short literal,
+    extended-length literal, 1/2/4-byte-offset copies) and the
+    overlapping-copy repeat rule."""
+    D = A._snappy_decompress
+    # short literal: preamble 5, tag (5-1)<<2, body
+    assert D(bytes([0x05, 0x10]) + b"hello") == b"hello"
+    # extended literal length (marker 60 => 1 length byte)
+    body = bytes(range(70)) if False else b"x" * 70
+    assert D(bytes([70, 60 << 2, 69]) + body) == body
+    # copy with 1-byte offset: "ab" literal + len-6 off-2 copy
+    assert (
+        D(bytes([0x08, 0x04]) + b"ab" + bytes([0x09, 0x02])) == b"abababab"
+    )
+    # copy with 2-byte offset: "abcd" + len-4 off-4
+    assert (
+        D(bytes([0x08, 0x0C]) + b"abcd" + bytes([0x0E, 0x04, 0x00]))
+        == b"abcdabcd"
+    )
+    # copy with 4-byte offset
+    assert (
+        D(
+            bytes([0x08, 0x0C])
+            + b"abcd"
+            + bytes([0x0F, 0x04, 0x00, 0x00, 0x00])
+        )
+        == b"abcdabcd"
+    )
+    # strictness: preamble/output mismatch, zero offset, offset past
+    # start, truncated bodies all refuse (untrusted-bytes contract)
+    with pytest.raises(ValueError, match="preamble says"):
+        D(bytes([0x06, 0x10]) + b"hello")
+    with pytest.raises(ValueError, match="offset out of range"):
+        D(bytes([0x08, 0x04]) + b"ab" + bytes([0x09, 0x00]))
+    with pytest.raises(ValueError, match="offset out of range"):
+        D(bytes([0x08, 0x04]) + b"ab" + bytes([0x09, 0x03]))
+    with pytest.raises(ValueError, match="truncated literal body"):
+        D(bytes([0x05, 0x10]) + b"hel")
+    with pytest.raises(ValueError, match="truncated length preamble"):
+        D(b"")
+
+
+def test_snappy_roundtrip_and_avro_framing():
+    """Compressor output is spec-valid (round-trips through the strict
+    decompressor), compresses repetitive data, and the Avro framing
+    carries + CHECKS the big-endian CRC32 of the uncompressed bytes."""
+    import random
+
+    rng = random.Random(42)
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 5000,
+        b"the quick brown fox jumps over the lazy dog " * 200,
+        bytes(rng.randrange(256) for _ in range(10000)),
+        bytes(rng.randrange(4) for _ in range(70000)),  # long matches
+    ]
+    for data in cases:
+        comp = A._snappy_compress(data)
+        assert A._snappy_decompress(comp) == data
+    rep = cases[3]
+    assert len(A._snappy_compress(rep)) < len(rep) // 3
+    framed = A._avro_snappy_encode(rep)
+    assert A._avro_snappy_decode(framed) == rep
+    bad = framed[:-1] + bytes([framed[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        A._avro_snappy_decode(bad)
+
+
+def test_avro_snappy_container_spark_roundtrip(spark):
+    """codec='snappy' through every distributed path: the
+    mapPartitions sink, the whole-file read, the sync-split read, and
+    the avro_ocf Data Source writer option."""
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").limit(4000)
+    with tempfile.TemporaryDirectory() as d:
+        A.write_avro(src.repartition(3), f"{d}/s", codec="snappy")
+        with open(
+            next(
+                os.path.join(f"{d}/s", n)
+                for n in sorted(os.listdir(f"{d}/s"))
+                if n.endswith(".avro")
+            ),
+            "rb",
+        ) as fh:
+            _, codec, _, _ = A.parse_header(fh.read(65536))
+        assert codec == "snappy"
+        back = read_source(spark, f"{d}/s", "avro")
+        assert back.schema == src.schema
+        assert _multiset(back) == _multiset(src)
+        split = A.read_avro(spark, f"{d}/s", split_bytes=20000)
+        assert _multiset(split) == _multiset(src)
+
+        spark.dataSource.register(A.AvroOCFDataSource)
+        df = spark.range(100).select(
+            "id", (F.col("id") % 7).cast("string").alias("s")
+        )
+        df.write.format("avro_ocf").mode("overwrite").option(
+            "codec", "snappy"
+        ).save(f"{d}/ds")
+        got = spark.read.format("avro_ocf").load(f"{d}/ds")
+        assert _multiset(got) == _multiset(df)
+
+
+def test_avro_auto_split_large_container(spark, monkeypatch):
+    """r12: split_bytes defaults to 'auto' — a local container past
+    AUTO_SPLIT_THRESHOLD splits itself (read_avro AND the avro_ocf
+    data source), small ones read whole-file, and explicit None forces
+    whole-file.  Thresholds monkeypatched so a small fixture exercises
+    the policy."""
+    df = spark.range(2000).select(
+        "id", (F.col("id") % 13).cast("string").alias("s")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        A.write_avro(df.coalesce(1), f"{d}/one", codec="null", block_rows=64)
+        size = sum(
+            os.path.getsize(os.path.join(f"{d}/one", n))
+            for n in os.listdir(f"{d}/one")
+            if n.endswith(".avro")
+        )
+        monkeypatch.setattr(A, "AUTO_SPLIT_THRESHOLD", size // 2)
+        monkeypatch.setattr(A, "AUTO_SPLIT_BYTES", max(size // 5, 1))
+
+        got = A.read_avro(spark, f"{d}/one")  # default == "auto"
+        assert got.rdd.getNumPartitions() >= 5
+        assert _multiset(got) == _multiset(df)
+        # explicit None: whole-file
+        whole = A.read_avro(spark, f"{d}/one", split_bytes=None)
+        assert _multiset(whole) == _multiset(df)
+        # below threshold: no split
+        monkeypatch.setattr(A, "AUTO_SPLIT_THRESHOLD", size * 10)
+        small = A.read_avro(spark, f"{d}/one")
+        assert small.rdd.getNumPartitions() == 1
+        assert _multiset(small) == _multiset(df)
+
+        # data source path: same policy, posix by definition.
+        # partitions() executes in a separate Python worker where the
+        # monkeypatch is invisible, so the thresholds ride options.
+        spark.dataSource.register(A.AvroOCFDataSource)
+        ds = (
+            spark.read.format("avro_ocf")
+            .option("auto_split_threshold", str(size // 2))
+            .option("auto_split_bytes", str(max(size // 5, 1)))
+            .load(f"{d}/one")
+        )
+        assert ds.rdd.getNumPartitions() >= 5
+        assert _multiset(ds) == _multiset(df)
+
+        with pytest.raises(ValueError, match="int, None, or 'auto'"):
+            A.read_avro(spark, f"{d}/one", split_bytes="big")
