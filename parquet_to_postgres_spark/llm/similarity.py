@@ -1222,12 +1222,13 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
-    """Lloyd's k-means, fully declarative — the iterative-algorithm
-    shape on Spark: per round ONE zero-shuffle scan assignment pass and
-    ONE fixed-point mean aggregation, a driver-side scalar for
-    convergence, :func:`..checkpoint.stable_checkpoint` to stop
-    per-iteration lineage growth (reliable on a cluster with a
-    checkpoint dir set).
+    """Lloyd's k-means — the iterative-algorithm shape on Spark: per
+    round ONE Spark job (assignment scan + model-grain mean exchange),
+    with the k·d centroid MODEL held driver-side between rounds (r12;
+    it is the same bounded grain the assignment broadcasts anyway, so
+    the per-round stable_checkpoint materialization and separate
+    shift-scalar job the r11 shape paid are gone — no lineage growth
+    to stop).
 
     Returns ``(assignments(id, cell, dist), centroids(cell, centroid),
     n_iterations)``.
@@ -1236,24 +1237,24 @@ def kmeans_lloyd(
       centroids (:func:`label_centroids` — k = distinct labels); pass
       ``init`` as a ``(cell, centroid array<double>)`` frame to seed
       differently.  No RNG anywhere, so runs are bit-reproducible.
-    - **Assignment** broadcasts the (tiny, k×dim) centroid set as a
-      single-row array column and takes the min-distance cell per row
-      with total-order tie breaks (dist, cell) — a pure scan
-      expression (:func:`_nearest_cell`, r10).  The former N·k
-      crossJoin + min_by aggregate was the same winner but re-shuffled
-      every row's vector once per round; the corpus now truly never
-      shuffles for assignment.
-    - **Update** is the one shuffle per round: posexplode → per
-      (cell, pos) fixed-point int64 sums (order-independent — the same
-      determinism contract as :func:`label_centroids`) → arrays.  An
-      emptied cluster keeps its previous centroid instead of vanishing.
-    - **Convergence** compares successive centroids element-wise; only
-      that single max-shift scalar ever reaches the driver.
+    - **Assignment** is a zero-shuffle scan: the centroid set rides a
+      single-row broadcast (d ≤ 256, :func:`_nearest_cell_expr`) or
+      the task closure of the numpy ``mapInPandas`` twin (d > 256) —
+      min-distance cell with total-order (dist, cell) tie breaks,
+      bit-identical across routes.
+    - **Update**: fixed-point int64 per-(cell, pos) means
+      (order-independent — the same determinism contract as
+      :func:`label_centroids`).  d ≤ 256: posexplode + map-side
+      combined aggregate.  d > 256: FUSED into the assignment pass
+      (:func:`_cell_partial_means_np`) — the corpus never explodes;
+      the exchange is k·d·P model cells, corpus-independent.  An
+      emptied cluster keeps its previous centroid instead of
+      vanishing; merge + max-shift convergence are k-row driver
+      loops over the identical IEEE doubles.
 
-    At 100 TB: per-round cost = one scan + one (cell, pos)-grain
-    aggregate (k·dim partial rows per partition — map-side combined);
-    rounds are the only serial dimension.  This is exactly why k-means
-    suits Spark and why each round must stay one stage + one shuffle.
+    At 100 TB: per-round cost = one corpus scan + one model-grain
+    exchange; rounds are the only serial dimension.  This is exactly
+    why k-means suits Spark and why each round must stay one job.
     """
     if init is None and "label" not in vectors.columns:
         raise ValueError(
@@ -1261,75 +1262,107 @@ def kmeans_lloyd(
             "this frame has no 'label' column — pass init=(cell, "
             "centroid) explicitly"
         )
-    cents = stable_checkpoint(
+    init_df = (
         init
         if init is not None
         else _centroid_arrays(vectors, "label", vec_col).select(
             F.col("label").cast("int").alias("cell"), "centroid"
         )
     )
+    # The centroid MODEL lives on the driver between rounds (r12,
+    # VERDICT r11 item 2): it is k·d doubles — the same bounded grain
+    # the assignment collects/broadcasts anyway — and holding it here
+    # collapses each round from three actions (update agg +
+    # stable_checkpoint materialization + shift scalar) to ONE Spark
+    # job; merge/coalesce-empties/shift are k-row Python loops on the
+    # identical IEEE values, and round-to-round state is a literal
+    # re-embed (Python float IS the double), so nothing drifts.
+    spark = vectors.sparkSession
+    cell_dt = init_df.schema["cell"].dataType
+    cent_schema = T.StructType(
+        [
+            T.StructField("cell", cell_dt, True),
+            T.StructField(
+                "centroid", T.ArrayType(T.DoubleType(), True), True
+            ),
+        ]
+    )
+    cents_rows = _collect_cells(init_df)  # [(cell, [double...])], sorted
+
+    def cents_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(c, list(cen)) for c, cen in cents_rows], cent_schema
+        )
 
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
     dim = _first_dim(v, "vec")  # probe ONCE, not per round
-    assigned = None
+    use_np = dim > _ARGMIN_LITERAL_MAX_D and _BIG_ARGMIN_IMPL == "numpy"
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        # nearest-centroid as a ZERO-shuffle scan (r10, twin of
-        # _pq_codes_bcast; r11: numpy mapInPandas past d=256): the
-        # former N·k crossJoin + min_by hash aggregate re-shuffled
-        # every row (vector included) once per round even after
-        # map-side combine — corpus-linear bytes the scan form simply
-        # never produces
-        assigned = _nearest_cell(v, cents, dim=dim)
-        ex = assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
-        new0 = ex.groupBy("cell", "pos").agg(
-            (
-                F.sum(
-                    F.round(F.col("val").cast("double") * CENTROID_SCALE).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / (F.lit(float(CENTROID_SCALE)) * F.count(F.lit(1)))
-            ).alias("cv")
-        )
-        new = new0.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("centroid")
-        )
-        # emptied clusters keep their previous centroid
-        merged = stable_checkpoint(
-            cents.select("cell", F.col("centroid").alias("old"))
-            .join(new, "cell", "left")
-            .select("cell", F.coalesce("centroid", "old").alias("centroid"),
-                    "old")
-        )
-        shift = merged.select(
-            F.max(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("centroid"),
-                        F.col("old"),
-                        lambda a, b: F.abs(a - b),
+        if not cents_rows:
+            break  # nothing to iterate on; empty model stays empty
+        if use_np:
+            # fused assignment + fixed-point partial sums: the corpus
+            # never explodes, the one exchange is k·d·P model cells
+            new = _cell_partial_means_np(v, cents_rows, dim)
+            new_map = {
+                cents_rows[r["cell_ix"]][0]: list(r["centroid"])
+                for r in new.collect()  # <= k rows
+            }
+        else:
+            # nearest-centroid as a ZERO-shuffle scan (r10, twin of
+            # _pq_codes_bcast): the former N·k crossJoin + min_by
+            # aggregate re-shuffled every row's vector once per round;
+            # the posexplode mean is the round's one exchange
+            # (map-side combined to k·d cells per partition)
+            assigned = _nearest_cell_expr(v, cents_df())
+            ex = assigned.select(
+                "cell", F.posexplode("vec").alias("pos", "val")
+            )
+            new0 = ex.groupBy("cell", "pos").agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("val").cast("double") * CENTROID_SCALE
+                        ).cast("long")
+                    ).cast("double")
+                    / (F.lit(float(CENTROID_SCALE)) * F.count(F.lit(1)))
+                ).alias("cv")
+            )
+            new = new0.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("centroid")
+            )
+            new_map = {
+                r["cell"]: list(r["centroid"]) for r in new.collect()
+            }
+        # emptied clusters keep their previous centroid; convergence
+        # is the max element shift — both k-grain, both driver-side
+        shift = 0.0
+        nxt = []
+        for cell, old in cents_rows:
+            cen = new_map.get(cell, old)
+            if cen is not old:
+                shift = max(
+                    shift,
+                    max(
+                        (abs(a - b) for a, b in zip(cen, old)),
+                        default=0.0,
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: F.greatest(acc, x),
                 )
-            ).alias("s")
-        ).collect()[0]["s"]
-        cents = merged.drop("old")
-        if shift is not None and shift < tol:
+            nxt.append((cell, cen))
+        cents_rows = nxt
+        if shift < tol:
             break
-    # the loop's `assigned` was scored against the centroids at the
-    # START of its final iteration — a half-step stale relative to the
-    # returned `cents` whenever the loop exits via max_iterations.
-    # Recompute once against the final set so (assignments, centroids)
-    # are mutually consistent: every point's cell IS its nearest
-    # returned centroid.  One extra zero-shuffle scan pass.
+    # assignments are scored against the FINAL centroid set so
+    # (assignments, centroids) are mutually consistent: every point's
+    # cell IS its nearest returned centroid.  One zero-shuffle pass.
+    cents = cents_df()
     assigned = _nearest_cell(v, cents, dim=dim)
     out = assigned.select(F.col("id").alias(id_col), "cell", "dist")
     return out, cents, iterations
@@ -1416,6 +1449,104 @@ def _nearest_cell_np(v: DataFrame, cents: DataFrame) -> DataFrame:
             )
 
     return v.select("id", "vec").mapInPandas(assign, out_schema)
+
+
+def _cell_partial_means_np(
+    v: DataFrame, cents_rows: "list[tuple]", dim: int
+) -> DataFrame:
+    """Fused kmeans Lloyd UPDATE — the :func:`_pq_partial_means_np`
+    twin at whole-vector grain: one ``mapInPandas`` pass runs the
+    :func:`_nearest_cell_np` argmin AND accumulates per-(cell, pos)
+    int64 fixed-point partial sums, replacing the N·d posexplode hash
+    aggregate with a k·d·P-cell model-grain exchange.  Same parity
+    ledger as the PQ twin (argmin association/ties/NaN, HALF_UP
+    rounding via :func:`_round_scaled_fixed`, per-pos counts for
+    ragged rows, shared :func:`_fixed_point_mean` division).  Returns
+    ``(cell, centroid)`` — the Lloyd round's `new` frame.  Per-task
+    state is 2·k·d int64 — the same bounded-model discipline as the
+    broadcast the assignment already rides."""
+    import numpy as np
+
+    C = np.array([cen for _, cen in cents_rows], dtype=np.float64)
+    k, d = C.shape
+    part_schema = T.StructType(
+        [
+            T.StructField("cell_ix", T.IntegerType(), False),
+            T.StructField("sums", T.ArrayType(T.LongType(), False), False),
+            T.StructField("cnts", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros((k, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf["vec"].to_numpy()
+            X, _ = _stack_padded(np, raw, d)
+            n = X.shape[0]
+            acc = np.zeros((n, k), dtype=np.float64)
+            for t in range(d):  # left-fold order: bit-parity
+                diff = X[:, t, None] - C[None, :, t]
+                acc += diff * diff
+            masked = np.where(np.isnan(acc), np.inf, acc)
+            idx = masked.argmin(axis=1)
+            clean = np.fromiter(
+                (x is not None and len(x) == d for x in raw),
+                dtype=bool,
+                count=n,
+            )
+            if clean.any():
+                xr = _round_scaled_fixed(np, X[clean])
+                np.add.at(sums, idx[clean], xr)
+                np.add.at(cnts, idx[clean], 1)
+            for i in np.flatnonzero(~clean):
+                # posexplode of the RAW vector: a wrong-length row
+                # still contributes its real positions to its (NaN ->
+                # lowest-cell) assignment; nulls explode to nothing
+                x = raw[i]
+                if x is None:
+                    continue
+                if len(x) > d:
+                    # the exploded form would carry positions past the
+                    # model dim into collect_list (a silently LONGER
+                    # centroid) — out of the fixed-d model, refuse
+                    # loudly rather than replicate the corruption
+                    raise ValueError(
+                        f"kmeans vector longer ({len(x)}) than the "
+                        f"centroid dim ({d})"
+                    )
+                xr = _round_scaled_fixed(
+                    np, np.asarray(x, dtype=np.float64)
+                )
+                if xr.size:
+                    sums[idx[i], : xr.size] += xr
+                    cnts[idx[i], : xr.size] += 1
+        rows = [
+            (i, sums[i].tolist(), cnts[i].tolist())
+            for i in range(k)
+            if cnts[i].any()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["cell_ix", "sums", "cnts"])
+
+    pz = (
+        v.select("vec")
+        .mapInPandas(partials, part_schema)
+        .select(
+            "cell_ix",
+            F.posexplode(F.arrays_zip("sums", "cnts")).alias("pos", "sc"),
+        )
+    )
+    per_pos = pz.groupBy("cell_ix", "pos").agg(
+        F.sum("sc.sums").alias("s"), F.sum("sc.cnts").alias("c")
+    )
+    # (cell_ix, centroid): the caller maps ix -> cell id driver-side
+    # (it holds cents_rows anyway), keeping the cell dtype exact
+    return _fixed_point_mean(per_pos, ["cell_ix"])
 
 
 def _nearest_cell_expr(v: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1601,6 +1732,179 @@ def _subspace_means(assigned: DataFrame) -> DataFrame:
             lambda s: s["cv"],
         ).alias("centroid")
     )
+
+
+def _round_scaled_fixed(np, x):
+    """int64 fixed-point of ``round(x * CENTROID_SCALE)`` with SPARK's
+    Round semantics — HALF_UP away from zero on the double value.
+
+    Parity argument (this must be bit-identical to
+    ``F.round(col * CENTROID_SCALE).cast('long')``): Spark rounds a
+    double via ``BigDecimal.valueOf(d).setScale(0, HALF_UP)`` — i.e. on
+    the SHORTEST-decimal representation.  The n±0.5 boundaries are
+    exactly representable doubles, and a shortest repr round-trips to
+    its double, so decimal-vs-boundary ordering EQUALS binary ordering
+    — the binary comparisons below decide every case exactly.  The
+    naive ``floor(s + 0.5)`` is NOT equivalent (``s + 0.5`` can round
+    up across the boundary: s = 0.49999999999999994 → floor gives 1,
+    Spark gives 0 — verified against Spark in
+    tests/test_ann_recall.py).  |s| ≥ 2^52 is already integral.
+    Non-finite values are out of contract (the expression path raises
+    under ANSI when casting NaN to long)."""
+    s = x * float(CENTROID_SCALE)
+    f = np.floor(s)
+    c = np.ceil(s)
+    r = np.where(
+        s >= 0.0,
+        np.where(s >= f + 0.5, f + 1.0, f),
+        np.where(s <= c - 0.5, c - 1.0, c),
+    )
+    r = np.where(np.abs(s) >= 2.0**52, s, r)
+    return r.astype(np.int64)
+
+
+def _fixed_point_mean(per_pos_src: DataFrame, keys: "list[str]") -> DataFrame:
+    """(keys..., pos, s, c) partial totals -> (keys..., centroid): the
+    ONE expression shared by the fused numpy updates and (shape-wise)
+    ``_subspace_means`` — ``cv = s.cast(double) / (SCALE * c)`` then
+    pos-sorted array assembly, so fused and exploded routes divide the
+    same int64 totals by the same counts with the same double ops."""
+    per_pos = per_pos_src.where(F.col("c") > 0).select(
+        *keys,
+        "pos",
+        (
+            F.col("s").cast("double")
+            / (F.lit(float(CENTROID_SCALE)) * F.col("c"))
+        ).alias("cv"),
+    )
+    return per_pos.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda st: st["cv"],
+        ).alias("centroid")
+    )
+
+
+def _pq_partial_means_np(
+    base: DataFrame, cmap: dict, m: int, d: int, n_codes: int
+) -> DataFrame:
+    """Fused big-model Lloyd UPDATE (r12, VERDICT r11 item 2): ONE
+    ``mapInPandas`` pass computes the :func:`_pq_codes_np` argmin AND
+    accumulates per-(subspace, code, pos) int64 fixed-point partial
+    sums in C, so the corpus never explodes into the N·m·d-row hash
+    aggregate that dominated the 1M×d512 train wall (BASELINE.md r11:
+    2.6× train step for the last 2× of corpus was this aggregate).
+
+    Per-partition output is the bounded MODEL grain — ≤ m·codes rows
+    of two d-long arrays — so the one remaining exchange is
+    m·codes·d·P cells, corpus-independent.  Bit-parity with
+    ``_subspace_means(assigned)``:
+
+    - assignment: the identical left-fold argmin as `_pq_codes_np`
+      (same association, tie-to-lower-code, NaN→+inf);
+    - per-element rounding: :func:`_round_scaled_fixed` reproduces
+      ``F.round(val·SCALE).cast(long)`` exactly (HALF_UP on the
+      double, boundary-exact — see its docstring);
+    - totals: int64 sums are associative/commutative, so partition
+      grouping cannot change them; counts ride per-pos so RAGGED rows
+      contribute exactly the positions their ``slice`` would (missing
+      (code,pos) cells stay absent, matching the exploded form);
+    - division: :func:`_fixed_point_mean` — same expression shape as
+      ``_subspace_means``, same operand values, same IEEE ops.
+
+    Returns the same ``(subspace, code, centroid)`` frame as
+    ``_subspace_means`` over the same assignment."""
+    import numpy as np
+
+    model = np.array(
+        [
+            [[float(x) for x in cmap[(j, c)]] for c in range(n_codes)]
+            for j in range(m)
+        ],
+        dtype=np.float64,
+    )  # (m, codes, d)
+    part_schema = T.StructType(
+        [
+            T.StructField("subspace", T.IntegerType(), False),
+            T.StructField("code", T.IntegerType(), False),
+            T.StructField("sums", T.ArrayType(T.LongType(), False), False),
+            T.StructField("cnts", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        sums = np.zeros((m, n_codes, d), dtype=np.int64)
+        cnts = np.zeros((m, n_codes, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf["__v"].to_numpy()
+            vs, _ = _stack_padded(np, raw, m * d, mode="slice")
+            n = vs.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):  # same argmin as _pq_codes_np
+                sub = vs[:, j * d : (j + 1) * d]
+                cents = model[j]
+                acc = np.zeros((n, n_codes), dtype=np.float64)
+                for t in range(d):  # left-fold order: bit-parity
+                    diff = sub[:, t, None] - cents[None, :, t]
+                    acc += diff * diff
+                np.copyto(acc, np.inf, where=np.isnan(acc))
+                codes[:, j] = np.argmin(acc, axis=1)
+            # rows with >= m·d elements contribute full slices —
+            # vectorized; SHORT rows replicate slice/posexplode
+            # semantics (only their real positions) row-by-row
+            clean = np.fromiter(
+                (x is not None and len(x) >= m * d for x in raw),
+                dtype=bool,
+                count=n,
+            )
+            if clean.any():
+                xr = _round_scaled_fixed(np, vs[clean])
+                cc = codes[clean]
+                for j in range(m):
+                    np.add.at(sums[j], cc[:, j], xr[:, j * d : (j + 1) * d])
+                    np.add.at(cnts[j], cc[:, j], 1)
+            for i in np.flatnonzero(~clean):
+                x = raw[i]
+                if x is None:
+                    continue  # _pq_barrier drops null vectors anyway
+                xr = _round_scaled_fixed(
+                    np, np.asarray(x, dtype=np.float64)
+                )
+                for j in range(m):
+                    seg = xr[j * d : j * d + d]
+                    if seg.size:
+                        c0 = codes[i, j]
+                        sums[j, c0, : seg.size] += seg
+                        cnts[j, c0, : seg.size] += 1
+        rows = []
+        for j in range(m):
+            for c in range(n_codes):
+                if cnts[j, c].any():
+                    rows.append(
+                        (j, c, sums[j, c].tolist(), cnts[j, c].tolist())
+                    )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["subspace", "code", "sums", "cnts"]
+            )
+
+    pz = (
+        base.select("id", "__v")
+        .mapInPandas(partials, part_schema)
+        .select(
+            "subspace",
+            "code",
+            F.posexplode(F.arrays_zip("sums", "cnts")).alias("pos", "sc"),
+        )
+    )
+    per_pos = pz.groupBy("subspace", "code", "pos").agg(
+        F.sum("sc.sums").alias("s"), F.sum("sc.cnts").alias("c")
+    )
+    return _fixed_point_mean(per_pos, ["subspace", "code"])
 
 
 def _pq_barrier(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1978,30 +2282,44 @@ def pq_train(
     for r in init.collect():  # bounded: <= m·codes rows
         cmap[(r["subspace"], r["code"])] = list(r["centroid"])
     base = _pq_barrier(vectors, id_col, vec_col)
+    fused = (
+        m * codes * d > _ARGMIN_LITERAL_MAX_TERMS
+        or d > _ARGMIN_LITERAL_MAX_D
+    ) and _BIG_ARGMIN_IMPL == "numpy"
     for _ in range(max_iterations):
-        # Stage a: the literal argmin scan (_pq_codes_frame — the
-        # measured-fastest interpreted projection, WSCG attempt
-        # skipped, broadcast-data scan for oversized models).  Stage b:
-        # explode
-        # cheap attribute references (element_at/slice on columns)
-        # into the (subspace, code, subvec) grain the mean update
-        # needs.
-        scored = _pq_codes_frame(base, cmap, m, d, codes, carry_vec=True)
-        parts = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("subspace"),
-                    F.element_at(F.col("codes"), j + 1).alias("code"),
-                    F.slice(F.col("__v"), j * d + 1, d).alias("subvec"),
-                )
-                for j in range(m)
-            ]
-        )
-        assigned = scored.select("id", F.explode(parts).alias("p")).select(
-            "id", "p.subspace", "p.code", "p.subvec"
-        )
+        if fused:
+            # big models (r12): argmin + fixed-point partial sums in
+            # ONE numpy scan — the N·m·d posexplode aggregate that
+            # stepped the 1M×d512 train 2.6× for 2× corpus
+            # (BASELINE.md r11) never materializes
+            means = _pq_partial_means_np(base, cmap, m, d, codes)
+        else:
+            # Stage a: the literal argmin scan (_pq_codes_frame — the
+            # measured-fastest interpreted projection, WSCG attempt
+            # skipped).  Stage b: explode cheap attribute references
+            # (element_at/slice on columns) into the (subspace, code,
+            # subvec) grain the mean update needs.
+            scored = _pq_codes_frame(
+                base, cmap, m, d, codes, carry_vec=True
+            )
+            parts = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.element_at(F.col("codes"), j + 1).alias("code"),
+                        F.slice(F.col("__v"), j * d + 1, d).alias(
+                            "subvec"
+                        ),
+                    )
+                    for j in range(m)
+                ]
+            )
+            assigned = scored.select(
+                "id", F.explode(parts).alias("p")
+            ).select("id", "p.subspace", "p.code", "p.subvec")
+            means = _subspace_means(assigned)
         shift = 0.0
-        for r in _subspace_means(assigned).collect():  # <= m·codes rows
+        for r in means.collect():  # <= m·codes rows
             key = (r["subspace"], r["code"])
             new_cent = list(r["centroid"])
             shift = max(

@@ -71,8 +71,9 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet → CSV → read_source(schema), customer goes parquet → JSON
     lines → read_source(schema), part goes parquet → ORC (Spark's
     built-in self-describing datasource), and supplier goes parquet →
-    Avro OCF through the pure-Python distributed reader/writer
-    (avro.py — r11, VERDICT r10 item 3); each is aggregated and the
+    Avro OCF through the registered `avro_ocf` Python Data Source with
+    the pure-Python snappy codec (avro.py — r11/r12, VERDICT r10 item
+    3 + r11 item 4); each is aggregated and the
     tagged results unioned.  The oracle aggregates the ORIGINAL
     parquet, so any corruption in any format round-trip (type
     collapse, precision loss, null mangling, OCF codec bugs) breaks
@@ -133,14 +134,19 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
     ).select(F.lit("orc").alias("src"), "grp", "n_rows", "total")
 
-    from ..avro import write_avro
+    # the avro leg rides the Spark 4 Python Data Source end-to-end
+    # (r12, VERDICT r11 item 4): DS writer with the pure-Python SNAPPY
+    # codec -> DS reader — so the driver's hash gate covers the
+    # registered `avro_ocf` format, not just the write_avro/read_source
+    # helpers (those stay pinned in tests/test_avro.py)
+    from ..avro import AvroOCFDataSource
 
+    spark.dataSource.register(AvroOCFDataSource)
     avro_path = _scratch("e4/supplier_avro")
-    write_avro(
-        t.supplier.select("s_suppkey", "s_nationkey", "s_acctbal"),
-        avro_path,
-    )
-    avro_back = read_source(spark, avro_path, fmt="avro")
+    t.supplier.select("s_suppkey", "s_nationkey", "s_acctbal").write.format(
+        "avro_ocf"
+    ).mode("overwrite").option("codec", "snappy").save(avro_path)
+    avro_back = spark.read.format("avro_ocf").load(avro_path)
     avro_agg = avro_back.groupBy(
         F.col("s_nationkey").cast("string").alias("grp")
     ).agg(

@@ -687,3 +687,198 @@ def test_numpy_twins_tolerate_dirty_vectors(spark):
     }
     assert got_np2 == got_bc2, (got_np2, got_bc2)
     assert got_np2[2][1] == 0  # the tail subspace of the short row
+
+
+def test_round_scaled_fixed_matches_spark_round(spark):
+    """r12 parity pin for the fused Lloyd updates: the numpy
+    fixed-point rounding must equal Spark's
+    ``F.round(val * CENTROID_SCALE).cast('long')`` bit-for-bit —
+    including the boundary class where the naive ``floor(s + 0.5)``
+    diverges (s = 0.49999999999999994: s + 0.5 rounds UP to 1.0 in
+    binary, but Spark's BigDecimal HALF_UP sees 0.4999... < 0.5)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    scale = float(S.CENTROID_SCALE)
+    xs = [
+        0.49999999999999994 / scale,  # the floor(s+0.5) trap
+        -0.49999999999999994 / scale,
+        0.5 / scale,
+        -0.5 / scale,
+        1.5 / scale,
+        -1.5 / scale,
+        2.5 / scale,
+        0.0,
+        -0.0,
+        1e-20,
+        -1e-20,
+        (2.0**52 + 1.0) / scale,  # integral past the 2^52 guard
+        -(2.0**53) / scale,
+        123456789.000000499999 / scale,
+    ]
+    xs += [rng.uniform(-3, 3) for _ in range(500)]
+    xs += [(rng.randrange(-10**9, 10**9) + 0.5) / scale for _ in range(200)]
+    got = S._round_scaled_fixed(np, np.array(xs, dtype=np.float64))
+    want = [
+        r["r"]
+        for r in spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                                       "i long, x double")
+        .select(
+            "i",
+            F.round(F.col("x").cast("double") * S.CENTROID_SCALE)
+            .cast("long")
+            .alias("r"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got.tolist() == want
+
+
+def test_kmeans_fused_update_route_bit_identical(spark, monkeypatch):
+    """r12 (VERDICT r11 item 2): past d=256 kmeans_lloyd fuses the
+    Lloyd mean update into the numpy assignment scan
+    (_cell_partial_means_np).  Centroids and assignments must be
+    BIT-identical to the expression route (bcast assignment +
+    posexplode fixed-point aggregate) — ragged and null rows
+    included."""
+    import random
+
+    rng = random.Random(31)
+    d, k, n = 300, 4, 120
+    assert d > S._ARGMIN_LITERAL_MAX_D
+    rows = [
+        (i, i % k, [rng.uniform(-1, 1) for _ in range(d)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).localCheckpoint()
+    dirty = spark.createDataFrame(
+        rows
+        + [(n, 0, [0.25] * (d - 7))]  # short row: real prefix only
+        + [(n + 1, 1, None)],  # null row: no contribution
+        "vec_id long, label int, embedding array<double>",
+    ).localCheckpoint()
+
+    def run(frame):
+        a, c, it = S.kmeans_lloyd(frame, max_iterations=4)
+        cents = {
+            r["cell"]: tuple(repr(x) for x in r["centroid"])
+            for r in c.collect()
+        }
+        assign = {
+            r["vec_id"]: (r["cell"], repr(r["dist"]))
+            for r in a.collect()
+        }
+        return cents, assign, it
+
+    for frame in (df, dirty):
+        monkeypatch.setattr(S, "_BIG_ARGMIN_IMPL", "numpy")
+        cn, an, itn = run(frame)
+        monkeypatch.setattr(S, "_BIG_ARGMIN_IMPL", "bcast")
+        cb, ab, itb = run(frame)
+        assert cn == cb
+        assert an == ab
+        assert itn == itb
+
+    # longer-than-model vectors refuse loudly on the fused route (the
+    # exploded form would silently grow the centroid array)
+    import pytest as _pytest
+
+    monkeypatch.setattr(S, "_BIG_ARGMIN_IMPL", "numpy")
+    too_long = spark.createDataFrame(
+        rows + [(n, 2, [0.5] * (d + 3))],
+        "vec_id long, label int, embedding array<double>",
+    )
+    clean_init = spark.createDataFrame(
+        [(c, [0.1 * c] * d) for c in range(k)],
+        "cell int, centroid array<double>",
+    )
+    with _pytest.raises(Exception, match="longer"):
+        S.kmeans_lloyd(too_long, max_iterations=1, init=clean_init)
+
+
+def test_pq_train_fused_update_bit_identical(spark, monkeypatch):
+    """r12: big-model pq_train fuses the (subspace, code, pos) mean
+    update into the numpy argmin scan (_pq_partial_means_np).  The
+    trained codebooks must be BIT-identical to the bcast
+    expression-scan + posexplode-update route, ragged rows included."""
+    import random
+
+    rng = random.Random(53)
+    m, codes, dim = 2, 150, 128  # m*codes*(dim/m) > literal gate
+    d = dim // m
+    assert m * codes * d > S._ARGMIN_LITERAL_MAX_TERMS
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(180)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+
+    def books(impl):
+        monkeypatch.setattr(S, "_BIG_ARGMIN_IMPL", impl)
+        got = S.pq_train(
+            vecs, m=m, codes=codes, max_iterations=3, dim=dim
+        ).collect()
+        return {
+            (r["subspace"], r["code"]): tuple(
+                repr(x) for x in r["centroid"]
+            )
+            for r in got
+        }
+
+    assert books("numpy") == books("bcast")
+
+    # RAGGED rows: one-round parity of the fused partial means against
+    # the exploded _subspace_means over the bcast assignment.  (A short
+    # row makes its starved (code, pos) cells produce SHORTER centroids
+    # — a ragged cmap neither numpy assignment route can re-ingest, so
+    # full multi-round train parity is pinned on clean corpora above;
+    # the UPDATE semantics themselves must still agree row-for-row.)
+    import random as _random
+
+    rng2 = _random.Random(97)
+    cmap = {
+        (j, c): [rng2.uniform(-1, 1) for _ in range(d)]
+        for j in range(m)
+        for c in range(codes)
+    }
+    ragged = spark.createDataFrame(
+        [(i, v) for i, v in rows[:60]]
+        + [(500, [0.125] * (dim - 5)), (501, [0.5] * 3)],
+        "id long, __v array<double>",
+    ).localCheckpoint()
+
+    def means_of(df):
+        return {
+            (r["subspace"], r["code"]): tuple(
+                repr(x) for x in r["centroid"]
+            )
+            for r in df.collect()
+        }
+
+    fused = means_of(S._pq_partial_means_np(ragged, cmap, m, d, codes))
+    monkeypatch.setattr(S, "_BIG_ARGMIN_IMPL", "bcast")
+    scored = S._pq_codes_bcast(ragged, cmap, m, d, codes, carry_vec=True)
+    from pyspark.sql import functions as F
+
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.element_at(F.col("codes"), j + 1).alias("code"),
+                F.slice(F.col("__v"), j * d + 1, d).alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    assigned = scored.select("id", F.explode(parts).alias("p")).select(
+        "id", "p.subspace", "p.code", "p.subvec"
+    )
+    exploded = means_of(S._subspace_means(assigned))
+    assert fused == exploded
