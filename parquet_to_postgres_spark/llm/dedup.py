@@ -742,35 +742,40 @@ def dedup_repeated_spans(
         .where(F.col("__n") >= min_count)
         .select("gid", "__c")
     )
-    removed = occ.join(dup, "gid")
-    if keep_first:
-        removed = removed.where(
-            ~(
-                (F.col("__id") == F.col("__c.__id"))
-                & (F.col("start") == F.col("__c.start"))
-            )
-        )
-    covered = removed.select(
+    # ONE pass computes removal coverage AND canonical protection
+    # (r12 — formerly two distincts + an anti-join, with `occ` and
+    # `dup` each evaluated twice; the fused aggregate was the measured
+    # hot stage of the declared span_dedup query).  Every occurrence
+    # of a duplicated gram explodes its positions with a CANONICAL
+    # flag; a position is removed iff some duplicate (non-canonical)
+    # occurrence covers it and NO canonical span claims it — canonical
+    # occurrences stay protected position-by-position, so when
+    # duplicate spans self-overlap (repeat period < n, e.g.
+    # "a a a ... a") the promised first occurrence still survives
+    # verbatim (review finding, r8).
+    pos_flags = occ.join(dup, "gid").select(
         "__id",
         F.explode(
             F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
         ).alias("pos"),
-    ).distinct()
+        (
+            (F.col("__id") == F.col("__c.__id"))
+            & (F.col("start") == F.col("__c.start"))
+        ).alias("__canon"),
+    )
     if keep_first:
-        # Canonical occurrences are PROTECTED position-by-position:
-        # when duplicate spans self-overlap (repeat period < n, e.g.
-        # "a a a ... a"), the removed neighbors would otherwise cover
-        # most of the canonical span's own tokens and the promised
-        # first occurrence would not survive (review finding).
-        protected = dup.select(
-            F.col("__c.__id").alias("__id"),
-            F.explode(
-                F.sequence(
-                    F.col("__c.start"), F.col("__c.start") + F.lit(n - 1)
-                )
-            ).alias("pos"),
-        ).distinct()
-        covered = covered.join(protected, ["__id", "pos"], "left_anti")
+        covered = (
+            pos_flags.groupBy("__id", "pos")
+            .agg(
+                F.max("__canon").alias("__prot"),
+                F.max(~F.col("__canon")).alias("__dup"),
+            )
+            .where(F.col("__dup") & ~F.col("__prot"))
+            .select("__id", "pos")
+        )
+    else:
+        # no canonical survivor: every covered position is removed
+        covered = pos_flags.select("__id", "pos").distinct()
     tokens = df.select(
         F.col(id_col).alias("__id"), F.posexplode(toks).alias("pos", "tok")
     )

@@ -1492,17 +1492,22 @@ def _cell_partial_means_np(
             for t in range(d):  # left-fold order: bit-parity
                 diff = X[:, t, None] - C[None, :, t]
                 acc += diff * diff
-            masked = np.where(np.isnan(acc), np.inf, acc)
-            idx = masked.argmin(axis=1)
+            np.copyto(acc, np.inf, where=np.isnan(acc))  # dist unused
+            idx = acc.argmin(axis=1)
             clean = np.fromiter(
                 (x is not None and len(x) == d for x in raw),
                 dtype=bool,
                 count=n,
             )
             if clean.any():
-                xr = _round_scaled_fixed(np, X[clean])
-                np.add.at(sums, idx[clean], xr)
-                np.add.at(cnts, idx[clean], 1)
+                all_clean = bool(clean.all())
+                Xc = X if all_clean else X[clean]
+                ic = idx if all_clean else idx[clean]
+                # chunked: bandwidth-bound, not FLOP-bound (r12 probe)
+                for s0 in range(0, Xc.shape[0], 2048):
+                    xr = _round_scaled_fixed(np, Xc[s0 : s0 + 2048])
+                    np.add.at(sums, ic[s0 : s0 + 2048], xr)
+                    np.add.at(cnts, ic[s0 : s0 + 2048], 1)
             for i in np.flatnonzero(~clean):
                 # posexplode of the RAW vector: a wrong-length row
                 # still contributes its real positions to its (NaN ->
@@ -1751,16 +1756,25 @@ def _round_scaled_fixed(np, x):
     tests/test_ann_recall.py).  |s| ≥ 2^52 is already integral.
     Non-finite values are out of contract (the expression path raises
     under ANSI when casting NaN to long)."""
+    # Few-pass form (r12: these ops are memory-bandwidth-bound across
+    # 32 parallel workers, so every avoided temporary matters):
+    # frac = s - floor(s) is computed EXACTLY for |s| < 2^52 (both
+    # operands representable, difference < 1 with bits drawn from s's
+    # own low-order bits), so comparing frac against the exact 0.5
+    # decides the boundary identically to comparing s >= floor(s)+0.5
+    # — without materializing floor(s)+0.5.  HALF_UP away from zero:
+    # positives round up at frac >= 0.5, negatives (floor is the
+    # away-from-zero side... floor(-2.5) = -3) only PAST it, frac >
+    # 0.5.  signbit keeps -0.0 on the negative rule (result -0.0 ->
+    # 0, same as Spark).
     s = x * float(CENTROID_SCALE)
     f = np.floor(s)
-    c = np.ceil(s)
-    r = np.where(
-        s >= 0.0,
-        np.where(s >= f + 0.5, f + 1.0, f),
-        np.where(s <= c - 0.5, c - 1.0, c),
-    )
-    r = np.where(np.abs(s) >= 2.0**52, s, r)
-    return r.astype(np.int64)
+    frac = s - f
+    f += np.where(np.signbit(s), frac > 0.5, frac >= 0.5)
+    big = np.abs(s) >= 2.0**52  # already integral; floor(s) == s there
+    if big.any():
+        f[big] = s[big]
+    return f.astype(np.int64)
 
 
 def _fixed_point_mean(per_pos_src: DataFrame, keys: "list[str]") -> DataFrame:
@@ -1862,11 +1876,20 @@ def _pq_partial_means_np(
                 count=n,
             )
             if clean.any():
-                xr = _round_scaled_fixed(np, vs[clean])
-                cc = codes[clean]
-                for j in range(m):
-                    np.add.at(sums[j], cc[:, j], xr[:, j * d : (j + 1) * d])
-                    np.add.at(cnts[j], cc[:, j], 1)
+                all_clean = bool(clean.all())
+                vc = vs if all_clean else vs[clean]
+                cc = codes if all_clean else codes[clean]
+                # row chunks keep the rounding temporaries ~L2-sized:
+                # these passes are memory-bandwidth-bound across 32
+                # parallel workers (r12 probe), not FLOP-bound
+                for s0 in range(0, vc.shape[0], 2048):
+                    xr = _round_scaled_fixed(np, vc[s0 : s0 + 2048])
+                    cs = cc[s0 : s0 + 2048]
+                    for j in range(m):
+                        np.add.at(
+                            sums[j], cs[:, j], xr[:, j * d : (j + 1) * d]
+                        )
+                        np.add.at(cnts[j], cs[:, j], 1)
             for i in np.flatnonzero(~clean):
                 x = raw[i]
                 if x is None:

@@ -803,12 +803,18 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-filter pass bounds the ranking shuffle to duplicated text
     volume; every stage is a keyed equi-shuffle (dedup.py docstring)."""
     t = Catalog(spark, sf_dir)
-    docs = t.documents.select("doc_id", "text")
+    # the original text rides ALONGSIDE as a passthrough column instead
+    # of a post-hoc corpus self-join: dedup_repeated_spans preserves
+    # non-text columns, so `__orig` reaches the output untouched and
+    # the whole pipeline runs once — the former join re-derived the
+    # dedup subtree AND re-scanned/re-shuffled the full text corpus a
+    # second time (r12: ~5s -> ~1.5s warm at sf0.1)
+    docs = t.documents.select(
+        "doc_id", "text", F.col("text").alias("__orig")
+    )
     out = D.dedup_repeated_spans(docs, n=_SPAN_DEDUP_N)
-    orig = docs.withColumnRenamed("text", "__orig")
     return (
-        out.join(orig, "doc_id")
-        .where(F.col("text") != F.col("__orig"))
+        out.where(F.col("text") != F.col("__orig"))
         .select(
             "doc_id",
             F.col("text").alias("deduped_text"),

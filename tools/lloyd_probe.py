@@ -45,6 +45,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    section = os.environ.get("LLOYD_SECTION", "both")  # pq|kmeans|both
     m, codes, dim = 16, 64, 512
     d = dim // m
     spark = get_spark("lloyd_probe")
@@ -58,7 +59,14 @@ def main() -> int:
         .localCheckpoint(eager=True)
     )
     n = emb.count()
+    if section in ("pq", "both"):
+        pq_section(spark, emb, n, m, codes, dim, d)
+    if section in ("kmeans", "both"):
+        kmeans_section(spark, emb, n, dim)
+    return 0
 
+
+def pq_section(spark, emb, n, m, codes, dim, d) -> None:
     # --- PQ-shaped breakdown -------------------------------------------
     cb = S.pq_train(emb.limit(4000), m=m, codes=codes, max_iterations=2,
                     dim=dim)
@@ -114,11 +122,14 @@ def main() -> int:
         flush=True,
     )
 
+
+def kmeans_section(spark, emb, n, dim) -> None:
     # --- kmeans-shaped breakdown (k cells over the full vector) --------
     k = 32
     labeled = emb.withColumn(
         "label", F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int")
     ).localCheckpoint(eager=True)
+    emb.unpersist()  # don't pin two 2 GB copies; GC pressure skews walls
     init = S._centroid_arrays(labeled, "label", "embedding").select(
         F.col("label").cast("int").alias("cell"), "centroid"
     )
@@ -174,7 +185,6 @@ def main() -> int:
         ),
         flush=True,
     )
-    return 0
 
 
 if __name__ == "__main__":
