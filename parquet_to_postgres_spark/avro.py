@@ -682,14 +682,20 @@ def _snappy_compress(data: bytes) -> bytes:
             out.extend(chunk)
             i += len(chunk)
 
-    table: "dict[bytes, int]" = {}
+    # fixed 2^14-slot hash table (libsnappy's discipline): constant
+    # memory however large or incompressible the block — a dict keyed
+    # by every 4-byte window allocated ~100x the block size on
+    # low-redundancy data (r12 review finding).  Collisions only cost
+    # a missed match; candidates are verified byte-for-byte below.
+    table = [-1] * 16384
     i = 0
     lit_start = 0
     while i + 4 <= n:
         key = data[i : i + 4]
-        j = table.get(key)
-        table[key] = i
-        if j is not None and 0 < i - j <= 0xFFFF:
+        h = (int.from_bytes(key, "little") * 0x1E35A7BD & 0xFFFFFFFF) >> 18
+        j = table[h]
+        table[h] = i
+        if j >= 0 and data[j : j + 4] == key and 0 < i - j <= 0xFFFF:
             ln = 4
             stop = min(n - i, _SNAPPY_MAX_ELEM)
             while ln < stop and data[j + ln] == data[i + ln]:

@@ -1307,7 +1307,7 @@ def kmeans_lloyd(
         if use_np:
             # fused assignment + fixed-point partial sums: the corpus
             # never explodes, the one exchange is k·d·P model cells
-            new = _cell_partial_means_np(v, cents_rows, dim)
+            new = _cell_partial_means_np(v, cents_rows)
             new_map = {
                 cents_rows[r["cell_ix"]][0]: list(r["centroid"])
                 for r in new.collect()  # <= k rows
@@ -1452,7 +1452,7 @@ def _nearest_cell_np(v: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _cell_partial_means_np(
-    v: DataFrame, cents_rows: "list[tuple]", dim: int
+    v: DataFrame, cents_rows: "list[tuple]"
 ) -> DataFrame:
     """Fused kmeans Lloyd UPDATE — the :func:`_pq_partial_means_np`
     twin at whole-vector grain: one ``mapInPandas`` pass runs the
@@ -1768,6 +1768,16 @@ def _round_scaled_fixed(np, x):
     # 0.5.  signbit keeps -0.0 on the negative rule (result -0.0 ->
     # 0, same as Spark).
     s = x * float(CENTROID_SCALE)
+    if not np.isfinite(s).all():
+        # fail-LOUD parity with the expression twin: F.round(NaN/Inf
+        # * SCALE).cast('long') raises under ANSI (Spark 4 default),
+        # while astype(int64) on a non-finite is platform-defined
+        # (INT64_MIN on x86) and would silently poison the fixed-point
+        # sums (r12 review finding)
+        raise ValueError(
+            "fixed-point centroid mean: non-finite vector element "
+            "(the expression route raises the same case under ANSI)"
+        )
     f = np.floor(s)
     frac = s - f
     f += np.where(np.signbit(s), frac > 0.5, frac >= 0.5)

@@ -882,3 +882,15 @@ def test_pq_train_fused_update_bit_identical(spark, monkeypatch):
     )
     exploded = means_of(S._subspace_means(assigned))
     assert fused == exploded
+
+
+def test_round_scaled_fixed_refuses_non_finite():
+    """r12 review finding: astype(int64) on NaN/Inf is platform-defined
+    (INT64_MIN on x86) and would silently poison the fixed-point sums;
+    the fused routes must fail LOUD like the ANSI expression twin."""
+    import numpy as np
+    import pytest as _pytest
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="non-finite"):
+            S._round_scaled_fixed(np, np.array([0.5, bad]))

@@ -752,3 +752,22 @@ def test_avro_auto_split_large_container(spark, monkeypatch):
 
         with pytest.raises(ValueError, match="int, None, or 'auto'"):
             A.read_avro(spark, f"{d}/one", split_bytes="big")
+
+
+def test_snappy_compress_constant_memory_table_and_big_blocks():
+    """r12 review finding: the compressor uses a fixed 2^14-slot hash
+    table (libsnappy's discipline), not a dict keyed by every 4-byte
+    window — pinned here behaviorally: a low-redundancy multi-MB block
+    round-trips (collisions only cost missed matches, never
+    correctness), and a high-redundancy block still compresses."""
+    import random
+
+    rng = random.Random(3)
+    incompressible = bytes(rng.randrange(256) for _ in range(2_000_000))
+    assert A._snappy_decompress(
+        A._snappy_compress(incompressible)
+    ) == incompressible
+    redundant = (b"0123456789abcdef" * 64) * 2048  # 2 MiB, period 1 KiB
+    comp = A._snappy_compress(redundant)
+    assert len(comp) < len(redundant) // 10
+    assert A._snappy_decompress(comp) == redundant

@@ -167,7 +167,7 @@ def kmeans_section(spark, emb, n, dim) -> None:
     km_exploded = time.time() - t0
 
     t0 = time.time()
-    S._cell_partial_means_np(v, cents_rows, dim).collect()
+    S._cell_partial_means_np(v, cents_rows).collect()
     km_fused = time.time() - t0
 
     print(
