@@ -316,6 +316,7 @@ def label_centroids(
     vectors: DataFrame,
     by: str = "label",
     vec_col: str = "embedding",
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """Per-group dimension-wise centroid, exactly (one row per (group,
     pos)).  The IVF coarse-quantizer building block.
@@ -323,7 +324,20 @@ def label_centroids(
     Determinism: dimension sums accumulate FIXED-POINT int64 (value·10^6
     rounded), which is order-independent, then one double division at the
     end — so Spark and DuckDB agree bit-for-bit, unlike a double `avg`
-    whose partition-order drift breaks hash gates."""
+    whose partition-order drift breaks hash gates.
+
+    ``dim_hint`` (r12): callers that already know the vector depth
+    (kmeans_lloyd probes it anyway) pass it so deep vectors route to
+    the fused numpy partial-sum pass (:func:`_label_partials_np`) —
+    same N·d-explode-free shape as the Lloyd round updates, same
+    bit-parity ledger.  Default None keeps the expression path (the
+    d=64 gate queries pay no probe job and no Python boundary)."""
+    if (
+        dim_hint is not None
+        and dim_hint > _ARGMIN_LITERAL_MAX_D
+        and _BIG_ARGMIN_IMPL == "numpy"
+    ):
+        return _label_partials_np(vectors, by, vec_col)
     ex = vectors.select(by, F.posexplode(vec_col).alias("pos0", "val"))
     return (
         ex.groupBy(by, (F.col("pos0") + 1).cast("long").alias("pos"))
@@ -340,12 +354,159 @@ def label_centroids(
     )
 
 
+_NULL_LABEL = object()  # Spark groups null labels together; so do we
+
+
+def _label_partials_np(
+    vectors: DataFrame, by: str, vec_col: str
+) -> DataFrame:
+    """Fused deep-vector twin of the :func:`label_centroids` explode:
+    per-partition int64 fixed-point sums + per-pos counts PER LABEL in
+    one ``mapInPandas`` pass, then the same (label, pos)-grain
+    aggregate and division.  Bit-parity ledger as the Lloyd fused
+    updates: :func:`_round_scaled_fixed` rounding, order-independent
+    int64 totals, per-pos counts so ragged rows contribute exactly the
+    positions posexplode would, null labels form one group (Spark's
+    groupBy semantics), null vectors contribute nothing."""
+    import numpy as np
+
+    by_field = vectors.schema[by]
+    part_schema = T.StructType(
+        [
+            T.StructField(by, by_field.dataType, True),
+            T.StructField("sums", T.ArrayType(T.LongType(), False), False),
+            T.StructField("cnts", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    integral = isinstance(
+        by_field.dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        store: dict = {}  # label -> [sums int64[], cnts int64[]]
+
+        def norm(lab):
+            # pandas upcasts a nullable int column to float64 PER
+            # BATCH (a batch with no nulls stays int64), so 3 and 3.0
+            # must collapse to one group key and NaN/None to the one
+            # null group — Spark's groupBy semantics
+            if lab is None or (isinstance(lab, float) and lab != lab):
+                return _NULL_LABEL
+            if integral and isinstance(lab, float):
+                return int(lab)
+            return lab
+
+        def entry(lab, need: int):
+            e = store.get(lab)
+            if e is None:
+                e = [
+                    np.zeros(need, dtype=np.int64),
+                    np.zeros(need, dtype=np.int64),
+                ]
+                store[lab] = e
+            elif e[0].size < need:  # ragged: grow to the longest seen
+                for i in (0, 1):
+                    g = np.zeros(need, dtype=np.int64)
+                    g[: e[i].size] = e[i]
+                    e[i] = g
+            return e
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            labels = pdf[by].to_numpy()
+            raw = pdf[vec_col].to_numpy()
+            lens = {(-1 if x is None else len(x)) for x in raw}
+            lens.discard(-1)
+            if len(lens) == 1:
+                # uniform-length fast path: factorize labels, batch
+                # round, scatter-add per label index
+                d0 = lens.pop()
+                keep = np.fromiter(
+                    (x is not None for x in raw), dtype=bool, count=len(raw)
+                )
+                X = np.stack(
+                    [x for x in raw if x is not None]
+                ).astype(np.float64) if keep.any() else None
+                if X is None or d0 == 0:
+                    continue
+                labs = [
+                    norm(l)
+                    for l, k in zip(labels.tolist(), keep.tolist())
+                    if k
+                ]
+                codes, uniq = pd.factorize(
+                    pd.Series(labs, dtype=object), use_na_sentinel=False
+                )
+                bs = np.zeros((len(uniq), d0), dtype=np.int64)
+                bc = np.zeros((len(uniq), d0), dtype=np.int64)
+                for s0 in range(0, X.shape[0], 2048):
+                    xr = _round_scaled_fixed(np, X[s0 : s0 + 2048])
+                    np.add.at(bs, codes[s0 : s0 + 2048], xr)
+                    np.add.at(bc, codes[s0 : s0 + 2048], 1)
+                for ix, lab in enumerate(uniq):
+                    e = entry(lab, d0)
+                    e[0][:d0] += bs[ix]
+                    e[1][:d0] += bc[ix]
+            else:
+                for lab, x in zip(labels.tolist(), raw):
+                    if x is None or len(x) == 0:
+                        continue
+                    xr = _round_scaled_fixed(
+                        np, np.asarray(x, dtype=np.float64)
+                    )
+                    e = entry(norm(lab), xr.size)
+                    e[0][: xr.size] += xr
+                    e[1][: xr.size] += 1
+        rows = [
+            (
+                None if lab is _NULL_LABEL else lab,
+                e[0].tolist(),
+                e[1].tolist(),
+            )
+            for lab, e in store.items()
+        ]
+        if rows:
+            import pandas as pd
+
+            yield pd.DataFrame(rows, columns=[by, "sums", "cnts"])
+
+    pz = (
+        vectors.select(by, vec_col)
+        .mapInPandas(partials, part_schema)
+        .select(
+            by,
+            F.posexplode(F.arrays_zip("sums", "cnts")).alias("pos0", "sc"),
+        )
+    )
+    return (
+        pz.groupBy(by, (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.sum("sc.sums").alias("s"), F.sum("sc.cnts").alias("c"))
+        .where(F.col("c") > 0)
+        .select(
+            by,
+            "pos",
+            (
+                F.col("s").cast("double")
+                / (F.lit(float(CENTROID_SCALE)) * F.col("c"))
+            ).alias("centroid_val"),
+        )
+    )
+
+
 def _centroid_arrays(
-    vectors: DataFrame, by: str = "label", vec_col: str = "embedding"
+    vectors: DataFrame,
+    by: str = "label",
+    vec_col: str = "embedding",
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """(group, centroid array<double>) — pos-ordered, from label_centroids."""
     return (
-        label_centroids(vectors, by, vec_col)
+        label_centroids(vectors, by, vec_col, dim_hint=dim_hint)
         .groupBy(by)
         .agg(
             F.transform(
@@ -1262,12 +1423,16 @@ def kmeans_lloyd(
             "this frame has no 'label' column — pass init=(cell, "
             "centroid) explicitly"
         )
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    dim = _first_dim(v, "vec")  # probe ONCE: routes init AND rounds
     init_df = (
         init
         if init is not None
-        else _centroid_arrays(vectors, "label", vec_col).select(
-            F.col("label").cast("int").alias("cell"), "centroid"
-        )
+        else _centroid_arrays(
+            vectors, "label", vec_col, dim_hint=dim
+        ).select(F.col("label").cast("int").alias("cell"), "centroid")
     )
     # The centroid MODEL lives on the driver between rounds (r12,
     # VERDICT r11 item 2): it is k·d doubles — the same bounded grain
@@ -1294,10 +1459,6 @@ def kmeans_lloyd(
             [(c, list(cen)) for c, cen in cents_rows], cent_schema
         )
 
-    v = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )
-    dim = _first_dim(v, "vec")  # probe ONCE, not per round
     use_np = dim > _ARGMIN_LITERAL_MAX_D and _BIG_ARGMIN_IMPL == "numpy"
     iterations = 0
     for _ in range(max_iterations):
@@ -1810,7 +1971,12 @@ def _fixed_point_mean(per_pos_src: DataFrame, keys: "list[str]") -> DataFrame:
 
 
 def _pq_partial_means_np(
-    base: DataFrame, cmap: dict, m: int, d: int, n_codes: int
+    base: DataFrame,
+    cmap: "dict | None",
+    m: int,
+    d: int,
+    n_codes: int,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Fused big-model Lloyd UPDATE (r12, VERDICT r11 item 2): ONE
     ``mapInPandas`` pass computes the :func:`_pq_codes_np` argmin AND
@@ -1837,15 +2003,26 @@ def _pq_partial_means_np(
       ``_subspace_means``, same operand values, same IEEE ops.
 
     Returns the same ``(subspace, code, centroid)`` frame as
-    ``_subspace_means`` over the same assignment."""
+    ``_subspace_means`` over the same assignment.
+
+    ``codes_col`` (r12): a pre-computed ``array<int>`` column of m
+    per-subspace codes — the partial sums then skip the argmin
+    entirely.  This is how pq_train's INIT pass fuses: the hash codes
+    (``pmod(xxhash64(id, j), codes)``) stay a JVM expression — never
+    re-implemented Python-side — and only the N·m·d explode is
+    replaced."""
     import numpy as np
 
-    model = np.array(
-        [
-            [[float(x) for x in cmap[(j, c)]] for c in range(n_codes)]
-            for j in range(m)
-        ],
-        dtype=np.float64,
+    model = (
+        None
+        if codes_col is not None
+        else np.array(
+            [
+                [[float(x) for x in cmap[(j, c)]] for c in range(n_codes)]
+                for j in range(m)
+            ],
+            dtype=np.float64,
+        )
     )  # (m, codes, d)
     part_schema = T.StructType(
         [
@@ -1867,16 +2044,21 @@ def _pq_partial_means_np(
             raw = pdf["__v"].to_numpy()
             vs, _ = _stack_padded(np, raw, m * d, mode="slice")
             n = vs.shape[0]
-            codes = np.empty((n, m), dtype=np.int64)
-            for j in range(m):  # same argmin as _pq_codes_np
-                sub = vs[:, j * d : (j + 1) * d]
-                cents = model[j]
-                acc = np.zeros((n, n_codes), dtype=np.float64)
-                for t in range(d):  # left-fold order: bit-parity
-                    diff = sub[:, t, None] - cents[None, :, t]
-                    acc += diff * diff
-                np.copyto(acc, np.inf, where=np.isnan(acc))
-                codes[:, j] = np.argmin(acc, axis=1)
+            if codes_col is not None:
+                codes = np.array(
+                    [list(c) for c in pdf[codes_col]], dtype=np.int64
+                )
+            else:
+                codes = np.empty((n, m), dtype=np.int64)
+                for j in range(m):  # same argmin as _pq_codes_np
+                    sub = vs[:, j * d : (j + 1) * d]
+                    cents = model[j]
+                    acc = np.zeros((n, n_codes), dtype=np.float64)
+                    for t in range(d):  # left-fold order: bit-parity
+                        diff = sub[:, t, None] - cents[None, :, t]
+                        acc += diff * diff
+                    np.copyto(acc, np.inf, where=np.isnan(acc))
+                    codes[:, j] = np.argmin(acc, axis=1)
             # rows with >= m·d elements contribute full slices —
             # vectorized; SHORT rows replicate slice/posexplode
             # semantics (only their real positions) row-by-row
@@ -1925,8 +2107,9 @@ def _pq_partial_means_np(
                 rows, columns=["subspace", "code", "sums", "cnts"]
             )
 
+    in_cols = ["id", "__v"] + ([codes_col] if codes_col else [])
     pz = (
-        base.select("id", "__v")
+        base.select(*in_cols)
         .mapInPandas(partials, part_schema)
         .select(
             "subspace",
@@ -2296,15 +2479,44 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
-    sub = _subvectors(vectors, m, d, id_col, vec_col)
-    init = _subspace_means(
-        sub.withColumn(
-            "code",
-            F.pmod(F.xxhash64("id", "subspace"), F.lit(codes)).cast(
-                "int"
+    base = _pq_barrier(vectors, id_col, vec_col)
+    fused = (
+        m * codes * d > _ARGMIN_LITERAL_MAX_TERMS
+        or d > _ARGMIN_LITERAL_MAX_D
+    ) and _BIG_ARGMIN_IMPL == "numpy"
+    if fused:
+        # INIT fused too (r12): the hash codes stay the identical JVM
+        # expression (`pmod(xxhash64(id, j), codes)` — F.lit(j) is the
+        # same int32 literal _subvectors puts in its structs, so the
+        # hash bits match), and the N·m·d explode of _subspace_means
+        # is replaced by the same model-grain partial-sum pass the
+        # Lloyd rounds use.  Null vectors contribute nothing either
+        # way (_pq_barrier drops them; their exploded slices were
+        # empty).
+        coded = base.withColumn(
+            "__codes0",
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(j)), F.lit(codes)
+                    ).cast("int")
+                    for j in range(m)
+                ]
             ),
         )
-    )
+        init = _pq_partial_means_np(
+            coded, None, m, d, codes, codes_col="__codes0"
+        )
+    else:
+        sub = _subvectors(vectors, m, d, id_col, vec_col)
+        init = _subspace_means(
+            sub.withColumn(
+                "code",
+                F.pmod(F.xxhash64("id", "subspace"), F.lit(codes)).cast(
+                    "int"
+                ),
+            )
+        )
     # Densify: every (subspace, code) cell must exist even when the
     # hash init left it memberless (small corpora / unlucky hashes).
     # The ADC lookup table is POSITIONAL (index j*codes+code over the
@@ -2314,11 +2526,6 @@ def pq_train(
     cmap = {(j, c): [0.0] * d for j in range(m) for c in range(codes)}
     for r in init.collect():  # bounded: <= m·codes rows
         cmap[(r["subspace"], r["code"])] = list(r["centroid"])
-    base = _pq_barrier(vectors, id_col, vec_col)
-    fused = (
-        m * codes * d > _ARGMIN_LITERAL_MAX_TERMS
-        or d > _ARGMIN_LITERAL_MAX_D
-    ) and _BIG_ARGMIN_IMPL == "numpy"
     for _ in range(max_iterations):
         if fused:
             # big models (r12): argmin + fixed-point partial sums in

@@ -894,3 +894,50 @@ def test_round_scaled_fixed_refuses_non_finite():
     for bad in (float("nan"), float("inf"), float("-inf")):
         with _pytest.raises(ValueError, match="non-finite"):
             S._round_scaled_fixed(np, np.array([0.5, bad]))
+
+
+def test_label_centroids_fused_route_bit_identical(spark):
+    """r12: deep vectors route label_centroids through the fused
+    partial-sum pass (dim_hint > 256).  Must be BIT-identical to the
+    posexplode expression form on adversarial inputs: null labels (one
+    group, Spark semantics), an int label column WITH nulls (pandas
+    upcasts that batch to float64 — 3 and 3.0 must stay one group),
+    ragged vectors (per-pos counts), null/empty vectors (no
+    contribution), string labels."""
+    import random
+
+    rng = random.Random(77)
+    d = 300
+    assert d > S._ARGMIN_LITERAL_MAX_D
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(d)]
+
+    int_rows = (
+        [(i % 3, vec()) for i in range(40)]
+        + [(None, vec()), (None, vec())]
+        + [(1, None), (2, [0.5] * (d - 11)), (0, [])]
+    )
+    str_rows = [(chr(97 + i % 4) * 2, vec()) for i in range(30)] + [
+        (None, vec())
+    ]
+    for rows, schema in (
+        (int_rows, "label int, embedding array<double>"),
+        (str_rows, "label string, embedding array<double>"),
+    ):
+        df = spark.createDataFrame(rows, schema).localCheckpoint()
+
+        def canon(frame):
+            return sorted(
+                (repr(r["label"]), r["pos"], repr(r["centroid_val"]))
+                for r in frame.collect()
+            )
+
+        fused = canon(S._label_partials_np(df, "label", "embedding"))
+        expr = canon(S.label_centroids(df, "label", "embedding"))
+        assert fused == expr, schema
+        # the dim_hint router picks the fused path at this depth
+        routed = canon(
+            S.label_centroids(df, "label", "embedding", dim_hint=d)
+        )
+        assert routed == expr
