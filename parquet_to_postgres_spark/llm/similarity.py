@@ -336,6 +336,22 @@ def label_centroids(
         dim_hint is not None
         and dim_hint > _ARGMIN_LITERAL_MAX_D
         and _BIG_ARGMIN_IMPL == "numpy"
+        # fused only for label types whose null-ness survives the
+        # Arrow->pandas boundary losslessly: a float/double label
+        # column renders BOTH null and NaN as NaN in pandas, but Spark
+        # groups NaN separately from null — those (and any exotic
+        # types) stay on the expression path (r12 review finding)
+        and isinstance(
+            vectors.schema[by].dataType,
+            (
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.StringType,
+                T.BooleanType,
+            ),
+        )
     ):
         return _label_partials_np(vectors, by, vec_col)
     ex = vectors.select(by, F.posexplode(vec_col).alias("pos0", "val"))

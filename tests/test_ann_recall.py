@@ -941,3 +941,33 @@ def test_label_centroids_fused_route_bit_identical(spark):
             S.label_centroids(df, "label", "embedding", dim_hint=d)
         )
         assert routed == expr
+
+
+def test_label_centroids_float_labels_stay_on_expression_path(spark):
+    """r12 review finding: a float/double label column renders both
+    null and NaN as NaN across the Arrow boundary, but Spark groups
+    NaN separately from null — so the fused route refuses those types
+    and the dim_hint router must return the EXPRESSION result (NaN
+    and null labels as distinct groups)."""
+    import math
+
+    d = 300
+    rows = [
+        (1.5, [0.1] * d),
+        (1.5, [0.3] * d),
+        (float("nan"), [0.5] * d),
+        (None, [0.7] * d),
+    ]
+    df = spark.createDataFrame(rows, "label double, embedding array<double>")
+
+    def canon(frame):
+        return sorted(
+            (repr(r["label"]), r["pos"], repr(r["centroid_val"]))
+            for r in frame.collect()
+        )
+
+    routed = canon(S.label_centroids(df, "label", "embedding", dim_hint=d))
+    expr = canon(S.label_centroids(df, "label", "embedding"))
+    assert routed == expr
+    labels = {l for (l, _, _) in routed}
+    assert "None" in labels and "nan" in labels  # distinct groups
