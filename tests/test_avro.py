@@ -571,12 +571,19 @@ def test_avro_data_source_write_non_utc_host_tz():
             [(1, datetime.datetime(2024, 1, 15, 12, 0, 0))],
             "id long, ts timestamp",
         )
-        df.write.format("avro_ocf").mode("overwrite").save(d)
+        # coalesce(1): local[2] slices the 1-row list as [[], [row]],
+        # so part-00000 would be an EMPTY container and the raw-wire
+        # check below would read the wrong file (observed flake)
+        df.coalesce(1).write.format("avro_ocf").mode("overwrite").save(d)
 
-        f = glob.glob(os.path.join(d, "part-*.avro"))[0]
-        with open(f, "rb") as fh:
-            schema, _, _, _ = A.parse_header(fh.read(65536))
-        rows = A._decode_file_range(f, 0, os.path.getsize(f), schema)
+        rows = []
+        for f in sorted(glob.glob(os.path.join(d, "part-*.avro"))):
+            with open(f, "rb") as fh:
+                schema, _, _, _ = A.parse_header(fh.read(65536))
+            rows += A._decode_file_range(
+                f, 0, os.path.getsize(f), schema
+            )
+        assert len(rows) == 1, rows
         # 2024-01-15 12:00 America/New_York == 2024-01-15T17:00:00Z
         want = 1705338000000000
         assert rows[0]["ts"] == want, rows[0]["ts"]
