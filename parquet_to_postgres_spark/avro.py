@@ -110,7 +110,24 @@ def _avro_type(dt: T.DataType, name: str, top: bool):
                 "unix_date conversion is top-level only)"
             )
         return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        # bytes-backed decimal (r12): the codec converts Decimal <->
+        # big-endian two's-complement unscaled int python-side, so
+        # nesting is fine (no JVM-side restore involved)
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     if isinstance(dt, T.ArrayType):
+        if _holds_decimal(dt.elementType):
+            raise ValueError(
+                "avro sink: decimal inside array/map unsupported "
+                "(flat and struct-nested decimals are) — the read side "
+                "could not round-trip it (Arrow list<decimal> pandas "
+                "conversion gap)"
+            )
         item = _avro_type(dt.elementType, name + "_item", False)
         return {
             "type": "array",
@@ -119,6 +136,13 @@ def _avro_type(dt: T.DataType, name: str, top: bool):
     if isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise ValueError("avro maps require string keys")
+        if _holds_decimal(dt.valueType):
+            raise ValueError(
+                "avro sink: decimal inside array/map unsupported "
+                "(flat and struct-nested decimals are) — the read side "
+                "could not round-trip it (Arrow list<decimal> pandas "
+                "conversion gap)"
+            )
         val = _avro_type(dt.valueType, name + "_value", False)
         return {
             "type": "map",
@@ -145,7 +169,9 @@ def avro_to_spark_schema(
         raise ValueError("avro: top-level schema must be a record")
     temporal = {
         "timestamp-micros": T.TimestampType(),
+        "timestamp-millis": T.TimestampType(),
         "local-timestamp-micros": T.TimestampNTZType(),
+        "local-timestamp-millis": T.TimestampNTZType(),
         "date": T.DateType(),
     }
     fields = []
@@ -167,7 +193,40 @@ def _logical_of(node) -> "str | None":
     return node.get("logicalType") if isinstance(node, dict) else None
 
 
-_TEMPORAL_LOGICALS = ("timestamp-micros", "local-timestamp-micros", "date")
+_TEMPORAL_LOGICALS = (
+    "timestamp-micros",
+    "timestamp-millis",
+    "local-timestamp-micros",
+    "local-timestamp-millis",
+    "date",
+)
+
+
+def _holds_decimal(dt: T.DataType) -> bool:
+    if isinstance(dt, T.DecimalType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _holds_decimal(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _holds_decimal(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_holds_decimal(f.dataType) for f in dt.fields)
+    return False
+
+
+def _decimal_type(t: dict) -> T.DecimalType:
+    """Spark DecimalType for a bytes/fixed decimal logical node —
+    precision > 38 refuses (decimal128 is Spark's widest)."""
+    p = int(t.get("precision", 0))
+    s = int(t.get("scale", 0))
+    if not 1 <= p <= 38:
+        raise ValueError(
+            f"avro decimal precision {p} unsupported (Spark decimals "
+            "are <= 38 digits)"
+        )
+    if not 0 <= s <= p:
+        raise ValueError(f"avro decimal scale {s} invalid for precision {p}")
+    return T.DecimalType(p, s)
 
 
 def _spark_type(t, top: bool = False) -> "tuple[T.DataType, bool]":
@@ -184,18 +243,48 @@ def _spark_type(t, top: bool = False) -> "tuple[T.DataType, bool]":
     kind = t["type"]
     if kind in _AVRO_TO_SPARK_PRIM and "logicalType" not in t:
         return _AVRO_TO_SPARK_PRIM[kind], False
+    lt = t.get("logicalType")
+    if lt == "decimal" and kind in ("bytes", "fixed"):
+        # the codec itself converts wire bytes <-> decimal.Decimal
+        # (r12), so decimals work NESTED too — no restore pass needed
+        return _decimal_type(t), False
+    if lt == "uuid" and kind == "string":
+        return T.StringType(), False  # uuid rides its string wire type
+    if lt in ("time-millis", "time-micros"):
+        # honest refusal: Spark has no TIME-of-day type to carry it;
+        # silently surfacing raw wire ints would be
+        # plausible-but-wrong data
+        raise ValueError(f"avro: logical type {lt!r} unsupported")
     if kind in ("long", "int"):  # logical temporal rides its wire type
-        if not top and t.get("logicalType") in _TEMPORAL_LOGICALS:
+        if not top and lt in _TEMPORAL_LOGICALS:
             raise ValueError(
-                f"avro: nested {t['logicalType']!r} unsupported (the "
+                f"avro: nested {lt!r} unsupported (the "
                 "temporal restore is top-level only)"
             )
         return _AVRO_TO_SPARK_PRIM[kind], False
+    if kind == "enum":
+        return T.StringType(), False  # symbols surface as strings
+    if kind == "fixed" and lt is None:
+        return T.BinaryType(), False
     if kind == "array":
         dt, nullable = _spark_type(t["items"])
+        if _holds_decimal(dt):
+            # Arrow's pandas NumPyConverter cannot build
+            # list<decimal128> from object rows — refuse at schema
+            # time instead of dying mid-decode (struct-nested and flat
+            # decimals work; r12)
+            raise ValueError(
+                "avro: decimal inside array/map unsupported "
+                "(flat and struct-nested decimals are)"
+            )
         return T.ArrayType(dt, nullable), False
     if kind == "map":
         dt, nullable = _spark_type(t["values"])
+        if _holds_decimal(dt):
+            raise ValueError(
+                "avro: decimal inside array/map unsupported "
+                "(flat and struct-nested decimals are)"
+            )
         return T.MapType(T.StringType(), dt, nullable), False
     if kind == "record":
         fields = []
@@ -273,6 +362,46 @@ def _encoder(t):
 
         return enc_union
     kind = t if isinstance(t, str) else t["type"]
+    if (
+        isinstance(t, dict)
+        and t.get("logicalType") == "decimal"
+        and kind in ("bytes", "fixed")
+    ):
+        scale = int(t.get("scale", 0))
+        size = int(t["size"]) if kind == "fixed" else None
+
+        def enc_decimal(out, v):
+            import decimal as _dec
+
+            # EXACT integer arithmetic from as_tuple — context
+            # operations like scaleb/quantize silently ROUND to the
+            # thread context's 28-digit precision, corrupting wide
+            # decimals (caught by the decimal(38,3) round-trip test)
+            t = _dec.Decimal(v).as_tuple()
+            if not isinstance(t.exponent, int):
+                raise ValueError(f"avro decimal: non-finite value {v!r}")
+            intval = int("".join(map(str, t.digits)) or "0")
+            shift = t.exponent + scale
+            if shift >= 0:
+                unscaled = intval * 10**shift
+            else:
+                unscaled, rem = divmod(intval, 10**-shift)
+                if rem:
+                    raise ValueError(
+                        f"avro decimal: value {v} does not fit scale "
+                        f"{scale}"
+                    )
+            if t.sign:
+                unscaled = -unscaled
+            if size is not None:  # fixed: exactly `size` bytes
+                b = unscaled.to_bytes(size, "big", signed=True)
+            else:  # bytes: minimal two's-complement length
+                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                b = unscaled.to_bytes(nbytes, "big", signed=True)
+                _write_long(out, len(b))
+            out.extend(b)
+
+        return enc_decimal
     if kind == "boolean":
         return lambda out, v: out.append(1 if v else 0)
     if kind in ("int", "long"):
@@ -338,6 +467,30 @@ def _encoder(t):
                     enc(out, x)
 
         return enc_rec
+    if kind == "fixed":
+        size = int(t["size"])
+
+        def enc_fixed(out, v):
+            v = bytes(v)
+            if len(v) != size:
+                raise ValueError(
+                    f"avro fixed: {len(v)} bytes for size-{size} field"
+                )
+            out.extend(v)
+
+        return enc_fixed
+    if kind == "enum":
+        index = {s: i for i, s in enumerate(t["symbols"])}
+
+        def enc_enum(out, v):
+            try:
+                _write_long(out, index[v])
+            except KeyError:
+                raise ValueError(
+                    f"avro enum: {v!r} not in symbols {t['symbols']}"
+                ) from None
+
+        return enc_enum
     raise ValueError(f"avro: unsupported schema node {t!r}")
 
 
@@ -352,6 +505,24 @@ def _decoder(t):
 
         return dec_union
     kind = t if isinstance(t, str) else t["type"]
+    if (
+        isinstance(t, dict)
+        and t.get("logicalType") == "decimal"
+        and kind in ("bytes", "fixed")
+    ):
+        scale = int(t.get("scale", 0))
+        size = int(t["size"]) if kind == "fixed" else None
+
+        def dec_decimal(r):
+            import decimal as _dec
+
+            b = bytes(r.raw(size if size is not None else r.long()))
+            unscaled = int.from_bytes(b, "big", signed=True)
+            # string construction is EXACT at any width — scaleb is a
+            # context op that rounds to 28 digits (see enc_decimal)
+            return _dec.Decimal(f"{unscaled}E-{scale}")
+
+        return dec_decimal
     if kind == "boolean":
         return lambda r: r.raw(1) == b"\x01"
     if kind in ("int", "long"):
@@ -404,6 +575,22 @@ def _decoder(t):
             return {name: dec(r) for name, dec in fields}
 
         return dec_rec
+    if kind == "fixed":
+        size = int(t["size"])
+        return lambda r: bytes(r.raw(size))
+    if kind == "enum":
+        symbols = list(t["symbols"])
+
+        def dec_enum(r):
+            i = r.long()
+            if not 0 <= i < len(symbols):
+                raise ValueError(
+                    f"avro enum: index {i} out of range "
+                    f"({len(symbols)} symbols)"
+                )
+            return symbols[i]
+
+        return dec_enum
     raise ValueError(f"avro: unsupported schema node {t!r}")
 
 
@@ -1053,6 +1240,21 @@ AUTO_SPLIT_THRESHOLD = 128 * 1024 * 1024
 AUTO_SPLIT_BYTES = 32 * 1024 * 1024
 
 
+def _rows_frame(pd, rows: "list[dict]", names: "list[str]"):
+    """Decoded rows -> pandas frame with OBJECT dtype columns: pandas
+    would otherwise infer float64 for an all-None batch column, and
+    Arrow then refuses to build e.g. struct<...decimal...> from a
+    float64 series ('Expected struct array', r12 finding on the
+    decimal tests — any per-file all-null struct column hit it)."""
+    return pd.DataFrame(
+        {
+            n: pd.Series([r[n] for r in rows], dtype=object)
+            for n in names
+        },
+        columns=names,
+    )
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
@@ -1185,10 +1387,7 @@ def read_avro(
                             "read_avro: container schema drift between "
                             "files (pass reader_schema= to resolve)"
                         )
-                yield pd.DataFrame(
-                    {n: [r[n] for r in rows] for n in names},
-                    columns=names,
-                )
+                yield _rows_frame(pd, rows, names)
 
     if split_bytes is not None:
         if split_bytes < 1:
@@ -1216,10 +1415,7 @@ def read_avro(
                         local, int(start), int(end), want,
                         resolve=resolving,
                     )
-                    yield pd.DataFrame(
-                        {n: [r[n] for r in rows] for n in names},
-                        columns=names,
-                    )
+                    yield _rows_frame(pd, rows, names)
 
         rdf = spark.createDataFrame(
             ranges, "path string, start long, end long"
@@ -1238,13 +1434,22 @@ def read_avro(
         kind = _logical_of(node)
         if kind == "timestamp-micros":
             out = out.withColumn(name, F.timestamp_micros(F.col(name)))
+        elif kind == "timestamp-millis":
+            out = out.withColumn(name, F.timestamp_millis(F.col(name)))
         elif kind == "local-timestamp-micros":
             out = out.withColumn(
                 name,
                 F.expr(f"timestampadd(MICROSECOND, `{name}`, {_NTZ_EPOCH})"),
             )
+        elif kind == "local-timestamp-millis":
+            out = out.withColumn(
+                name,
+                F.expr(f"timestampadd(MILLISECOND, `{name}`, {_NTZ_EPOCH})"),
+            )
         elif kind == "date":
             out = out.withColumn(name, F.date_from_unix_date(F.col(name)))
+        elif kind in ("decimal", "uuid"):
+            pass  # already final: the codec decodes these python-side
         elif kind is not None:
             raise ValueError(f"avro logical type {kind!r} unsupported")
     if schema is not None:
@@ -1331,11 +1536,26 @@ def _temporal_codecs(avro_schema: dict):
             enc[i] = lambda v, e=epoch_utc, d=_dt: micros_of(
                 (v if v.tzinfo else v.astimezone(d.timezone.utc)) - e
             )
+        elif lt == "timestamp-millis":
+            dec[i] = lambda m, e=epoch_utc, d=_dt: e + d.timedelta(
+                milliseconds=m
+            )
+            # write side never emits millis (spark_to_avro_schema is
+            # micros-only); enc kept for symmetry on round-trips of
+            # read containers
+            enc[i] = lambda v, e=epoch_utc, d=_dt: micros_of(
+                (v if v.tzinfo else v.astimezone(d.timezone.utc)) - e
+            ) // 1000
         elif lt == "local-timestamp-micros":
             dec[i] = lambda m, e=epoch_naive, d=_dt: e + d.timedelta(
                 microseconds=m
             )
             enc[i] = lambda v, e=epoch_naive: micros_of(v - e)
+        elif lt == "local-timestamp-millis":
+            dec[i] = lambda m, e=epoch_naive, d=_dt: e + d.timedelta(
+                milliseconds=m
+            )
+            enc[i] = lambda v, e=epoch_naive: micros_of(v - e) // 1000
         elif lt == "date":
             dec[i] = lambda n, d=_dt, e=epoch_day: d.date.fromordinal(
                 e + n

@@ -108,7 +108,9 @@ def test_avro_is_self_describing_no_infer_warning(spark, recwarn):
 def test_avro_refusals(spark):
     with pytest.raises(ValueError, match="unsupported Spark type"):
         A.spark_to_avro_schema(
-            T.StructType([T.StructField("d", T.DecimalType(10, 2))])
+            T.StructType(
+                [T.StructField("i", T.YearMonthIntervalType())]
+            )
         )
     with pytest.raises(ValueError, match="nested timestamp"):
         A.spark_to_avro_schema(
@@ -778,3 +780,199 @@ def test_snappy_compress_constant_memory_table_and_big_blocks():
     comp = A._snappy_compress(redundant)
     assert len(comp) < len(redundant) // 10
     assert A._snappy_decompress(comp) == redundant
+
+
+def test_avro_decimal_roundtrip_and_nesting(spark):
+    """r12: bytes-backed decimal logical type, both directions — the
+    codec converts Decimal <-> big-endian two's-complement unscaled
+    int python-side, so decimals work NESTED (array elements, struct
+    fields) with no JVM restore pass.  Negative values, zero, scale-0
+    and max-38-digit cases included; DS writer + reader too."""
+    from decimal import Decimal
+
+    rows = [
+        (
+            1,
+            Decimal("12345.67"),
+            (Decimal("99999999999999999999999999999999999.999"),),
+        ),
+        (2, None, (Decimal("-0.000"),)),
+        (3, Decimal("-99999.99"), (None,)),
+    ]
+    schema = "id long, d decimal(7,2), st struct<big:decimal(38,3)>"
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        A.write_avro(df, f"{d}/w")
+        back = read_source(spark, f"{d}/w", "avro")
+        assert back.schema == df.schema
+        assert _multiset(back) == _multiset(df)
+        # split read decodes the same
+        sp = A.read_avro(spark, f"{d}/w", split_bytes=200)
+        assert _multiset(sp) == _multiset(df)
+
+        spark.dataSource.register(A.AvroOCFDataSource)
+        df.write.format("avro_ocf").mode("overwrite").save(f"{d}/ds")
+        got = spark.read.format("avro_ocf").load(f"{d}/ds")
+        assert got.schema == df.schema
+        assert _multiset(got) == _multiset(df)
+
+    # wire-level pin: unscaled big-endian two's complement, minimal
+    # length for bytes-backed decimals (Avro spec)
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "d",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 5,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    from decimal import Decimal as D_
+
+    buf = A.encode_container(sch, [(D_("1.50"),), (D_("-1.50"),)], "null")
+    _, got2 = A.decode_container(buf)
+    assert [r["d"] for r in got2] == [D_("1.50"), D_("-1.50")]
+    # 150 -> b'\x00\x96' (two bytes: 0x96 alone would read negative)
+    assert b"\x00\x96" in buf and b"\xff\x6a" in buf
+    # a value that does not fit the declared scale refuses loudly
+    with pytest.raises(ValueError, match="does not fit scale"):
+        A.encode_container(sch, [(D_("1.505"),)], "null")
+    # array/map-nested decimals refuse honestly BOTH directions
+    # (Arrow cannot build list<decimal128> from pandas object rows)
+    with pytest.raises(ValueError, match="inside array/map"):
+        A.spark_to_avro_schema(
+            T.StructType(
+                [
+                    T.StructField(
+                        "a", T.ArrayType(T.DecimalType(4, 2))
+                    )
+                ]
+            )
+        )
+    with pytest.raises(ValueError, match="inside array/map"):
+        A.avro_to_spark_schema(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {
+                        "name": "a",
+                        "type": {
+                            "type": "array",
+                            "items": {
+                                "type": "bytes",
+                                "logicalType": "decimal",
+                                "precision": 4,
+                                "scale": 2,
+                            },
+                        },
+                    }
+                ],
+            }
+        )
+
+
+def test_avro_wild_logicals_enum_fixed_uuid_millis(spark):
+    """r12 interop read: containers from OTHER writers carrying enum
+    (-> string), fixed (-> binary), uuid (-> string), and
+    timestamp-millis / local-timestamp-millis (-> timestamp / ntz via
+    JVM-side restore) all read correctly; time-of-day logicals refuse
+    honestly (Spark has no TIME type here)."""
+    import datetime
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "color",
+                "type": {
+                    "type": "enum",
+                    "name": "Color",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            },
+            {"name": "fx", "type": {"type": "fixed", "name": "F8", "size": 3}},
+            {
+                "name": "u",
+                "type": {"type": "string", "logicalType": "uuid"},
+            },
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            },
+            {
+                "name": "lts",
+                "type": {
+                    "type": "long",
+                    "logicalType": "local-timestamp-millis",
+                },
+            },
+        ],
+    }
+    rows = [
+        ("GREEN", b"\x01\x02\x03", "a-b-c", 1705338000123, 86400500),
+        ("RED", b"\xff\x00\xff", "d-e-f", -1000, 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/w")
+        with open(f"{d}/w/a.avro", "wb") as fh:
+            fh.write(A.encode_container(sch, rows, "snappy"))
+        got = A.read_avro(spark, f"{d}/w")
+        assert got.schema.simpleString() == (
+            "struct<color:string,fx:binary,u:string,"
+            "ts:timestamp,lts:timestamp_ntz>"
+        )
+        r0, r1 = sorted(got.collect(), key=lambda r: r["u"])
+        assert (r0["color"], r0["fx"], r0["u"]) == rows[0][:3]
+        # 1705338000123 ms == 2024-01-15T17:00:00.123Z (session TZ UTC)
+        assert r0["ts"] == datetime.datetime(2024, 1, 15, 17, 0, 0, 123000)
+        assert r0["lts"] == datetime.datetime(1970, 1, 2, 0, 0, 0, 500000)
+        assert r1["ts"] == datetime.datetime(1969, 12, 31, 23, 59, 59)
+        # enum out-of-range index refuses on decode
+        bad = bytearray(A.encode_container(sch, rows[:1], "null"))
+        # DS path reads the same container (millis via datetime codec)
+        spark.dataSource.register(A.AvroOCFDataSource)
+        ds = spark.read.format("avro_ocf").load(f"{d}/w")
+        assert sorted(
+            (r["u"], r["ts"], r["lts"]) for r in ds.collect()
+        ) == sorted((r["u"], r["ts"], r["lts"]) for r in got.collect())
+
+    # time-of-day logicals refuse at schema-mapping time
+    tsch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "t",
+                "type": {"type": "int", "logicalType": "time-millis"},
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="time-millis"):
+        A.avro_to_spark_schema(tsch)
+    # oversized decimal precision refuses
+    with pytest.raises(ValueError, match="precision"):
+        A.avro_to_spark_schema(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {
+                        "name": "d",
+                        "type": {
+                            "type": "bytes",
+                            "logicalType": "decimal",
+                            "precision": 50,
+                            "scale": 2,
+                        },
+                    }
+                ],
+            }
+        )
