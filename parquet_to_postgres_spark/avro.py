@@ -395,8 +395,14 @@ def _encoder(t):
                 unscaled = -unscaled
             if size is not None:  # fixed: exactly `size` bytes
                 b = unscaled.to_bytes(size, "big", signed=True)
-            else:  # bytes: minimal two's-complement length
-                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            else:
+                # minimal two's-complement length: Python bit_length
+                # ignores sign, so -128 (one byte, 0x80) needs the
+                # -n-1 form — (bit_length + 8) // 8 alone emitted a
+                # redundant 0xff byte for negative exact powers of two
+                # (r12 review finding; reference writers are minimal)
+                mag = unscaled if unscaled >= 0 else -unscaled - 1
+                nbytes = (mag.bit_length() + 8) // 8
                 b = unscaled.to_bytes(nbytes, "big", signed=True)
                 _write_long(out, len(b))
             out.extend(b)
@@ -629,7 +635,52 @@ def _resolving_decoder(writer, reader):
     (int→long→float→double, string↔bytes), arrays/maps resolve their
     element/value schemas, and unions resolve branch-wise.  Raises
     ``ValueError`` at BUILD time for unresolvable pairs — never
-    mid-stream."""
+    mid-stream.
+
+    LOGICAL types (r12 review findings — the wire-type shortcut was
+    wrong for them): decimal resolves only to decimal with IDENTICAL
+    precision+scale (the value is scale-shaped); temporal logicals
+    resolve to themselves, and millis widens to micros (×1000, exact);
+    every other logical mismatch refuses — including logical↔plain,
+    which the Avro spec's resolution would silently allow but our
+    restore layer would then reinterpret (a plain long is NOT an
+    epoch).  uuid is annotation-only and strips like no logical.
+    Enums resolve by name with per-symbol reader-default fallback;
+    fixed requires matching name and size."""
+    if not isinstance(writer, list) and not isinstance(reader, list):
+        wlt = writer.get("logicalType") if isinstance(writer, dict) else None
+        rlt = reader.get("logicalType") if isinstance(reader, dict) else None
+        wlt = None if wlt == "uuid" else wlt
+        rlt = None if rlt == "uuid" else rlt
+        if wlt == "decimal" or rlt == "decimal":
+            if (
+                wlt == rlt == "decimal"
+                and int(writer.get("precision", 0))
+                == int(reader.get("precision", 0))
+                and int(writer.get("scale", 0))
+                == int(reader.get("scale", 0))
+            ):
+                return _decoder(writer)
+            raise ValueError(
+                f"avro: cannot resolve {writer!r} to {reader!r} "
+                "(decimal resolves only to decimal with identical "
+                "precision and scale)"
+            )
+        if wlt != rlt and (wlt is not None or rlt is not None):
+            if (wlt, rlt) in (
+                ("timestamp-millis", "timestamp-micros"),
+                ("local-timestamp-millis", "local-timestamp-micros"),
+            ):
+                base = _decoder("long")
+                return lambda rd: base(rd) * 1000  # exact widening
+            raise ValueError(
+                f"avro: cannot resolve logical type {wlt!r} to {rlt!r} "
+                "(same-logical or millis->micros only; resolving "
+                "through the raw wire type would silently reinterpret "
+                "values)"
+            )
+        # wlt == rlt: same semantics — the wire-type rule below is
+        # correct (same logical, same wire decode)
     w, r = _plain(writer), _plain(reader)
     if isinstance(w, list) or isinstance(r, list):
         w_branches = w if isinstance(w, list) else [w]
@@ -711,6 +762,45 @@ def _resolving_decoder(writer, reader):
                         out[k] = val(rd)
 
             return dec_map
+        if wk == "enum" and rk == "enum":
+            if w.get("name") != r.get("name"):
+                raise ValueError(
+                    f"avro: enum name mismatch {w.get('name')!r} vs "
+                    f"{r.get('name')!r}"
+                )
+            w_syms = list(w["symbols"])
+            r_syms = set(r["symbols"])
+            fallback = r.get("default")
+
+            def dec_enum_res(rd):
+                i = rd.long()
+                if not 0 <= i < len(w_syms):
+                    raise ValueError(
+                        f"avro enum: index {i} out of range "
+                        f"({len(w_syms)} symbols)"
+                    )
+                s = w_syms[i]
+                if s in r_syms:
+                    return s
+                if fallback is not None:
+                    return fallback  # spec: reader enum default
+                raise ValueError(
+                    f"avro enum: writer symbol {s!r} absent from the "
+                    "reader symbols and the reader has no default"
+                )
+
+            return dec_enum_res
+        if wk == "fixed" and rk == "fixed":
+            if w.get("name") != r.get("name") or int(w["size"]) != int(
+                r["size"]
+            ):
+                raise ValueError(
+                    f"avro: fixed mismatch {w.get('name')!r}/{w['size']} "
+                    f"vs {r.get('name')!r}/{r['size']} (name and size "
+                    "must match)"
+                )
+            size = int(w["size"])
+            return lambda rd: bytes(rd.raw(size))
         if wk == "record" and rk == "record":
             w_by_name = {f["name"]: f for f in w["fields"]}
             steps = []  # (writer-order) decode steps
@@ -1505,6 +1595,14 @@ def _first_header(root: str) -> dict:
     raise ValueError(f"avro_ocf: no files under {root}")
 
 
+def _refuse_millis_write(v):
+    raise ValueError(
+        "avro_ocf writer emits timestamp-micros only — a millis "
+        "schema on the write path would silently truncate "
+        "sub-millisecond values"
+    )
+
+
 def _temporal_codecs(avro_schema: dict):
     """(decoders, encoders) keyed by field index for top-level temporal
     logicals: wire int <-> datetime/date via exact integer timedelta
@@ -1540,12 +1638,11 @@ def _temporal_codecs(avro_schema: dict):
             dec[i] = lambda m, e=epoch_utc, d=_dt: e + d.timedelta(
                 milliseconds=m
             )
-            # write side never emits millis (spark_to_avro_schema is
-            # micros-only); enc kept for symmetry on round-trips of
-            # read containers
-            enc[i] = lambda v, e=epoch_utc, d=_dt: micros_of(
-                (v if v.tzinfo else v.astimezone(d.timezone.utc)) - e
-            ) // 1000
+            # the writer only ever emits micros schemas
+            # (spark_to_avro_schema); if a millis schema ever reaches
+            # the write path, refuse rather than silently truncate
+            # sub-millisecond precision (r12 review finding)
+            enc[i] = _refuse_millis_write
         elif lt == "local-timestamp-micros":
             dec[i] = lambda m, e=epoch_naive, d=_dt: e + d.timedelta(
                 microseconds=m
@@ -1555,7 +1652,7 @@ def _temporal_codecs(avro_schema: dict):
             dec[i] = lambda m, e=epoch_naive, d=_dt: e + d.timedelta(
                 milliseconds=m
             )
-            enc[i] = lambda v, e=epoch_naive: micros_of(v - e) // 1000
+            enc[i] = _refuse_millis_write
         elif lt == "date":
             dec[i] = lambda n, d=_dt, e=epoch_day: d.date.fromordinal(
                 e + n

@@ -387,17 +387,22 @@ def _label_partials_np(
     import numpy as np
 
     by_field = vectors.schema[by]
-    part_schema = T.StructType(
-        [
-            T.StructField(by, by_field.dataType, True),
-            T.StructField("sums", T.ArrayType(T.LongType(), False), False),
-            T.StructField("cnts", T.ArrayType(T.LongType(), False), False),
-        ]
-    )
-
+    # INTEGRAL labels cross the boundary as STRINGS: pandas upcasts a
+    # nullable int batch to float64, and float round-trip corrupts
+    # labels past 2^53 (r12 review finding) — long<->string casts are
+    # exact at any width, bijective (no leading zeros), and the final
+    # select casts back, so groups and dtypes are unchanged
     integral = isinstance(
         by_field.dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    wire_by_dt = T.StringType() if integral else by_field.dataType
+    part_schema = T.StructType(
+        [
+            T.StructField(by, wire_by_dt, True),
+            T.StructField("sums", T.ArrayType(T.LongType(), False), False),
+            T.StructField("cnts", T.ArrayType(T.LongType(), False), False),
+        ]
     )
 
     def partials(batches):
@@ -406,14 +411,11 @@ def _label_partials_np(
         store: dict = {}  # label -> [sums int64[], cnts int64[]]
 
         def norm(lab):
-            # pandas upcasts a nullable int column to float64 PER
-            # BATCH (a batch with no nulls stays int64), so 3 and 3.0
-            # must collapse to one group key and NaN/None to the one
-            # null group — Spark's groupBy semantics
+            # null-like -> the one null group (Spark groupBy
+            # semantics); with integral labels stringified up front,
+            # no numeric identity can be lost here
             if lab is None or (isinstance(lab, float) and lab != lab):
                 return _NULL_LABEL
-            if integral and isinstance(lab, float):
-                return int(lab)
             return lab
 
         def entry(lab, need: int):
@@ -491,20 +493,28 @@ def _label_partials_np(
 
             yield pd.DataFrame(rows, columns=[by, "sums", "cnts"])
 
+    by_in = (
+        F.col(by).cast("string").alias(by) if integral else F.col(by)
+    )
     pz = (
-        vectors.select(by, vec_col)
+        vectors.select(by_in, vec_col)
         .mapInPandas(partials, part_schema)
         .select(
             by,
             F.posexplode(F.arrays_zip("sums", "cnts")).alias("pos0", "sc"),
         )
     )
+    by_out = (
+        F.col(by).cast(by_field.dataType).alias(by)
+        if integral
+        else F.col(by)
+    )
     return (
         pz.groupBy(by, (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(F.sum("sc.sums").alias("s"), F.sum("sc.cnts").alias("c"))
         .where(F.col("c") > 0)
         .select(
-            by,
+            by_out,
             "pos",
             (
                 F.col("s").cast("double")
@@ -1946,14 +1956,20 @@ def _round_scaled_fixed(np, x):
     # 0, same as Spark).
     s = x * float(CENTROID_SCALE)
     if not np.isfinite(s).all():
-        # fail-LOUD parity with the expression twin: F.round(NaN/Inf
-        # * SCALE).cast('long') raises under ANSI (Spark 4 default),
-        # while astype(int64) on a non-finite is platform-defined
+        # fail-LOUD: astype(int64) on a non-finite is platform-defined
         # (INT64_MIN on x86) and would silently poison the fixed-point
-        # sums (r12 review finding)
+        # sums (r12 review finding).  The expression twin raises under
+        # ANSI for a genuine NaN/Inf element; for a NULL element it
+        # computes (sum skips, count includes) — but NULL and NaN are
+        # INDISTINGUISHABLE after the Arrow float64 boundary, so the
+        # fused routes refuse BOTH rather than guess.  Route-parity is
+        # scoped to finite, non-null vector elements; this divergence
+        # is a loud error, never silent drift.
         raise ValueError(
             "fixed-point centroid mean: non-finite vector element "
-            "(the expression route raises the same case under ANSI)"
+            "(null and NaN elements are indistinguishable after Arrow; "
+            "the fused route refuses both — clean the vectors or use "
+            "_BIG_ARGMIN_IMPL='bcast' for the expression semantics)"
         )
     f = np.floor(s)
     frac = s - f

@@ -835,11 +835,20 @@ def test_avro_decimal_roundtrip_and_nesting(spark):
     }
     from decimal import Decimal as D_
 
-    buf = A.encode_container(sch, [(D_("1.50"),), (D_("-1.50"),)], "null")
+    buf = A.encode_container(
+        sch, [(D_("1.50"),), (D_("-1.50"),), (D_("-1.28"),)], "null"
+    )
     _, got2 = A.decode_container(buf)
-    assert [r["d"] for r in got2] == [D_("1.50"), D_("-1.50")]
-    # 150 -> b'\x00\x96' (two bytes: 0x96 alone would read negative)
+    assert [r["d"] for r in got2] == [
+        D_("1.50"),
+        D_("-1.50"),
+        D_("-1.28"),
+    ]
+    # 150 -> b'\x00\x96' (two bytes: 0x96 alone would read negative);
+    # -128 -> the single byte 0x80 (minimal two's complement — the
+    # naive bit_length formula emitted a redundant 0xff; r12 review)
     assert b"\x00\x96" in buf and b"\xff\x6a" in buf
+    assert bytes([0x02, 0x80]) in buf  # len-1 varint + 0x80
     # a value that does not fit the declared scale refuses loudly
     with pytest.raises(ValueError, match="does not fit scale"):
         A.encode_container(sch, [(D_("1.505"),)], "null")
@@ -935,8 +944,20 @@ def test_avro_wild_logicals_enum_fixed_uuid_millis(spark):
         assert r0["ts"] == datetime.datetime(2024, 1, 15, 17, 0, 0, 123000)
         assert r0["lts"] == datetime.datetime(1970, 1, 2, 0, 0, 0, 500000)
         assert r1["ts"] == datetime.datetime(1969, 12, 31, 23, 59, 59)
-        # enum out-of-range index refuses on decode
-        bad = bytearray(A.encode_container(sch, rows[:1], "null"))
+        # enum out-of-range index refuses on decode: with the null
+        # codec the first data byte after the two block varints is the
+        # enum index (field 1 of row 1); zigzag(7)=14 indexes past the
+        # 3 symbols.  Layout: ...header | count | size | DATA | sync16
+        one = A.encode_container(sch, rows[:1], "null")
+        _, _, _, data_off = A.parse_header(one)
+        bad = bytearray(one)
+        r = A._Reader(one, data_off)
+        r.long()  # count
+        r.long()  # size
+        assert bad[r.pos] == 2  # zigzag(1) == GREEN, sanity
+        bad[r.pos] = 14
+        with pytest.raises(ValueError, match="out of range"):
+            A.decode_container(bytes(bad))
         # DS path reads the same container (millis via datetime codec)
         spark.dataSource.register(A.AvroOCFDataSource)
         ds = spark.read.format("avro_ocf").load(f"{d}/w")
@@ -976,3 +997,170 @@ def test_avro_wild_logicals_enum_fixed_uuid_millis(spark):
                 ],
             }
         )
+
+
+def test_avro_resolution_logical_types(spark):
+    """r12 review findings: schema RESOLUTION is logical-type-aware —
+    the wire-type shortcut silently mis-resolved the newly supported
+    kinds.  Decimal resolves only to identical precision/scale (and
+    returns Decimal, not raw bytes); millis widens to micros (x1000,
+    exact); logical<->plain refuses (a plain long is NOT an epoch);
+    enums resolve by name with reader-default fallback for unknown
+    symbols; fixed requires matching name+size."""
+    from decimal import Decimal
+
+    dec_node = {
+        "type": "bytes",
+        "logicalType": "decimal",
+        "precision": 5,
+        "scale": 2,
+    }
+    dsch = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "d", "type": dec_node}],
+    }
+    buf = A.encode_container(dsch, [(Decimal("1.50"),)], "null")
+    # identical reader: values come back as Decimal, not bytes
+    _, rows = A.decode_container(buf, reader_schema=dsch)
+    assert rows[0]["d"] == Decimal("1.50")
+    # scale mismatch refuses at build time
+    other = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "d", "type": dict(dec_node, scale=3)}],
+    }
+    with pytest.raises(ValueError, match="identical"):
+        A.decode_container(buf, reader_schema=other)
+
+    # millis writer -> micros reader: exact x1000 widening
+    ms = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            }
+        ],
+    }
+    us = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    mbuf = A.encode_container(ms, [(1705338000123,)], "null")
+    _, mrows = A.decode_container(mbuf, reader_schema=us)
+    assert mrows[0]["ts"] == 1705338000123000
+    # plain long reader refuses (silent reinterpretation trap)
+    plain = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "ts", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="logical type"):
+        A.decode_container(mbuf, reader_schema=plain)
+    with pytest.raises(ValueError, match="logical type"):
+        A.decode_container(
+            A.encode_container(plain, [(5,)], "null"), reader_schema=us
+        )
+    # micros -> millis would be lossy: refuses
+    ubuf = A.encode_container(us, [(1705338000123456,)], "null")
+    with pytest.raises(ValueError, match="millis"):
+        A.decode_container(ubuf, reader_schema=ms)
+
+    # enum: by-name resolution, unknown symbol -> reader default
+    w_enum = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "enum",
+                    "name": "Color",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            }
+        ],
+    }
+    r_enum_def = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "enum",
+                    "name": "Color",
+                    "symbols": ["RED", "GREEN"],
+                    "default": "RED",
+                },
+            }
+        ],
+    }
+    ebuf = A.encode_container(
+        w_enum, [("GREEN",), ("BLUE",)], "null"
+    )
+    _, erows = A.decode_container(ebuf, reader_schema=w_enum)
+    assert [x["c"] for x in erows] == ["GREEN", "BLUE"]
+    _, erows2 = A.decode_container(ebuf, reader_schema=r_enum_def)
+    assert [x["c"] for x in erows2] == ["GREEN", "RED"]  # BLUE -> default
+    r_enum_nodef = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "enum",
+                    "name": "Color",
+                    "symbols": ["RED", "GREEN"],
+                },
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        A.decode_container(ebuf, reader_schema=r_enum_nodef)
+    renamed = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "enum",
+                    "name": "Hue",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="name mismatch"):
+        A.decode_container(ebuf, reader_schema=renamed)
+
+    # fixed: name+size must match
+    w_fx = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "f", "type": {"type": "fixed", "name": "F", "size": 2}}
+        ],
+    }
+    fbuf = A.encode_container(w_fx, [(b"\x01\x02",)], "null")
+    _, frows = A.decode_container(fbuf, reader_schema=w_fx)
+    assert frows[0]["f"] == b"\x01\x02"
+    w_fx3 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "f", "type": {"type": "fixed", "name": "F", "size": 3}}
+        ],
+    }
+    with pytest.raises(ValueError, match="fixed mismatch"):
+        A.decode_container(fbuf, reader_schema=w_fx3)
