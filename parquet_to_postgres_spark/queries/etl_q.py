@@ -143,17 +143,24 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(AvroOCFDataSource)
     avro_path = _scratch("e4/supplier_avro")
-    t.supplier.select("s_suppkey", "s_nationkey", "s_acctbal").write.format(
-        "avro_ocf"
-    ).mode("overwrite").option("codec", "snappy").save(avro_path)
+    # the balance crosses the wire as a REAL decimal(12,2) (r12): the
+    # bytes-backed decimal codec is then on the hash gate — any
+    # unscaled-int/scale corruption breaks the oracle match (the agg
+    # sums the decimal exactly and only casts double at the end, the
+    # same value the oracle derives from the original parquet)
+    t.supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
+    ).write.format("avro_ocf").mode("overwrite").option(
+        "codec", "snappy"
+    ).save(avro_path)
     avro_back = spark.read.format("avro_ocf").load(avro_path)
     avro_agg = avro_back.groupBy(
         F.col("s_nationkey").cast("string").alias("grp")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("total"),
+        F.sum("s_acctbal").cast("double").alias("total"),
     ).select(F.lit("avro").alias("src"), "grp", "n_rows", "total")
 
     return csv_agg.unionByName(json_agg).unionByName(orc_agg).unionByName(
