@@ -762,3 +762,43 @@ def test_cell_assignment_empty_centroids_yield_zero_rows(spark):
         out = S._nearest_cells(pre, no_cents, probes, "cvec")
         assert out.columns == ["neighbor_id", "cvec", "cell"], probes
         assert out.count() == 0, probes
+
+
+def test_fused_lloyd_update_shuffles_model_grain_only(spark):
+    """r12 scale pin: the fused Lloyd mean update
+    (_cell_partial_means_np / _pq_partial_means_np) must show NO
+    Exchange below the MapInPandas — the corpus never shuffles; the
+    only exchanges sit ABOVE it, carrying the k·d model-grain partial
+    rows (posexplode of per-partition sums) into the tiny aggregate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.llm import similarity as S
+
+    rng = random.Random(5)
+    d, k = 300, 4
+    cents_rows = [
+        (c, [rng.uniform(-1, 1) for _ in range(d)]) for c in range(k)
+    ]
+    v = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(50)],
+        "id long, vec array<double>",
+    )
+    p = plan(S._cell_partial_means_np(v, cents_rows), mode="simple")
+    # everything below the python map is exchange-free
+    below = p[p.index("MapInPandas"):]
+    assert "Exchange" not in below, below
+    # and the exchanges above exist (the model-grain aggregate)
+    above = p[: p.index("MapInPandas")]
+    assert "Exchange" in above
+
+    cmap = {
+        (j, c): [rng.uniform(-1, 1) for _ in range(30)]
+        for j in range(2)
+        for c in range(8)
+    }
+    base = v.select("id", F.col("vec").alias("__v"))
+    p2 = plan(S._pq_partial_means_np(base, cmap, 2, 30, 8), mode="simple")
+    below2 = p2[p2.index("MapInPandas"):]
+    assert "Exchange" not in below2, below2
