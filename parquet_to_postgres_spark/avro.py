@@ -681,16 +681,44 @@ def _resolving_decoder(writer, reader):
             )
         # wlt == rlt: same semantics — the wire-type rule below is
         # correct (same logical, same wire decode)
-    w, r = _plain(writer), _plain(reader)
-    if isinstance(w, list) or isinstance(r, list):
-        w_branches = w if isinstance(w, list) else [w]
-        r_branches = r if isinstance(r, list) else [r]
+    if isinstance(writer, list) or isinstance(reader, list):
+        # union handling works on the ORIGINAL nodes: _plain would
+        # strip a logical branch (e.g. a decimal dict) to its bare
+        # wire name before branch matching, refusing the canonical
+        # required->nullable evolution of a logical column (r12
+        # third-review finding)
+        r_branches = reader if isinstance(reader, list) else [reader]
+        if not isinstance(writer, list):
+            # Avro spec: NON-union writer -> union reader resolves
+            # against the first matching reader branch, with NO branch
+            # index on the wire.  The former both-as-lists shortcut
+            # decoded a phantom index varint here, misaligning the
+            # stream (r12 third-review finding — e.g. plain 'long'
+            # writer to the ['null','long'] every nullable reader
+            # field carries).
+            if writer == "null":
+                if "null" in r_branches:
+                    return lambda rd: None
+                raise ValueError(
+                    f"avro: writer null unresolvable to {reader!r}"
+                )
+            for rb in r_branches:
+                if rb == "null":
+                    continue
+                try:
+                    return _resolving_decoder(writer, rb)
+                except ValueError:
+                    continue
+            raise ValueError(
+                f"avro: {writer!r} unresolvable to union {reader!r}"
+            )
         subs = {}
-        for i, wb in enumerate(w_branches):
+        for i, wb in enumerate(writer):
             if wb == "null":
                 if "null" not in r_branches:
                     raise ValueError(
-                        f"avro: writer null branch unresolvable to {r!r}"
+                        f"avro: writer null branch unresolvable to "
+                        f"{reader!r}"
                     )
                 subs[i] = None
                 continue
@@ -705,7 +733,7 @@ def _resolving_decoder(writer, reader):
                     continue
             if sub is None:
                 raise ValueError(
-                    f"avro: union branch {wb!r} unresolvable to {r!r}"
+                    f"avro: union branch {wb!r} unresolvable to {reader!r}"
                 )
             subs[i] = sub
 
@@ -714,6 +742,7 @@ def _resolving_decoder(writer, reader):
             return None if d is None else d(rd)
 
         return dec_union
+    w, r = _plain(writer), _plain(reader)
     if isinstance(w, str) and isinstance(r, str):
         if r not in _PROMOTIONS.get(w, ()):
             raise ValueError(f"avro: cannot resolve {w!r} to {r!r}")
@@ -771,6 +800,14 @@ def _resolving_decoder(writer, reader):
             w_syms = list(w["symbols"])
             r_syms = set(r["symbols"])
             fallback = r.get("default")
+            if fallback is not None and fallback not in r_syms:
+                # spec: an enum default must be one of its own symbols
+                # — catch the typo at BUILD time, not by emitting an
+                # impossible value (r12 third-review finding)
+                raise ValueError(
+                    f"avro enum: default {fallback!r} is not one of "
+                    f"the reader symbols {sorted(r_syms)}"
+                )
 
             def dec_enum_res(rd):
                 i = rd.long()

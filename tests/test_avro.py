@@ -1164,3 +1164,110 @@ def test_avro_resolution_logical_types(spark):
     }
     with pytest.raises(ValueError, match="fixed mismatch"):
         A.decode_container(fbuf, reader_schema=w_fx3)
+
+
+def test_avro_resolution_nonunion_writer_to_union_reader(spark):
+    """r12 third-review finding: per the Avro spec a NON-union writer
+    resolves against the first matching branch of a union reader with
+    NO branch index on the wire — the former both-as-lists shortcut
+    decoded the value's own first varint as a phantom index,
+    misaligning the stream.  This is the canonical required->nullable
+    evolution (spark_to_avro_schema makes every nullable reader field
+    a union), including for logical branches (decimal), which _plain
+    used to strip before branch matching."""
+    from decimal import Decimal
+
+    w = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": "long"},
+            {
+                "name": "d",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 5,
+                    "scale": 2,
+                },
+            },
+            {"name": "s", "type": "string"},
+        ],
+    }
+    r_nullable = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": ["null", "long"]},
+            {
+                "name": "d",
+                "type": [
+                    "null",
+                    {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 5,
+                        "scale": 2,
+                    },
+                ],
+            },
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [(5, Decimal("1.50"), "a"), (-7, Decimal("-0.01"), "bb")]
+    buf = A.encode_container(w, rows, "null")
+    _, got = A.decode_container(buf, reader_schema=r_nullable)
+    assert [(g["x"], g["d"], g["s"]) for g in got] == rows
+
+    # end-to-end: a directory mixing required and nullable generations
+    # of the same columns normalizes under the nullable reader
+    w_nullable = dict(r_nullable)
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/data")
+        with open(f"{d}/data/a.avro", "wb") as fh:
+            fh.write(A.encode_container(w, rows, "deflate"))
+        with open(f"{d}/data/b.avro", "wb") as fh:
+            fh.write(
+                A.encode_container(
+                    w_nullable, [(None, None, None)], "null"
+                )
+            )
+        out = A.read_avro(spark, f"{d}/data", reader_schema=r_nullable)
+        assert sorted(
+            ((r0["x"], r0["d"], r0["s"]) for r0 in out.collect()),
+            key=repr,
+        ) == sorted(rows + [(None, None, None)], key=repr)
+
+    # an enum reader default outside its own symbols refuses at build
+    bad_default = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "enum",
+                    "name": "C",
+                    "symbols": ["A", "B"],
+                    "default": "PURPLE",
+                },
+            }
+        ],
+    }
+    w_enum = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "enum",
+                    "name": "C",
+                    "symbols": ["A", "B", "Z"],
+                },
+            }
+        ],
+    }
+    ebuf = A.encode_container(w_enum, [("Z",)], "null")
+    with pytest.raises(ValueError, match="not one of"):
+        A.decode_container(ebuf, reader_schema=bad_default)
