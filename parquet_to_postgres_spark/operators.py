@@ -685,3 +685,352 @@ def assign_splits(
     last = items[-1][0]
     label = F.lit(last) if label is None else label.otherwise(F.lit(last))
     return df.withColumn(out_col, label)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (runtime filter as an explicit operator)
+# ---------------------------------------------------------------------------
+#
+# Spark's optimizer can inject a bloom runtime filter on its own
+# (spark.sql.optimizer.runtime.bloomFilter.*), but the underlying
+# `bloom_filter_agg` / `might_contain` expressions are NOT SQL-exposed in
+# 4.1 (UNRESOLVED_ROUTINE), the injection only fires under planner
+# heuristics the user cannot see, and it never applies across manual
+# checkpoint/sink boundaries.  This family is the explicit, tunable
+# version built from public DataFrame primitives: the classic pattern for
+# the 100 TB join where the build side is too big to BROADCAST as a hash
+# relation (tens of millions of keys) but its fixed-size bit array is
+# happy to ride to every executor.
+#
+# Shape: build = one map-side-combined bit_or aggregate (at most
+# num_bits/64 carrier rows through the shuffle, independent of build-side
+# row count), folded to ONE row holding a map<word_idx, word>.  Probe =
+# crossJoin(broadcast(one_row)) + a pure-expression k-probe bit test:
+# zero shuffle, whole-stage-codegen, evaluated at the scan so the fact
+# table sheds non-joining rows BEFORE the join shuffle.  False positives
+# (rate ~ (1-e^{-kn/m})^k) are removed by the real join that follows;
+# false negatives are impossible, which the oracle twin checks by
+# comparing against the plain semi join.
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Aggregate the distinct hash-bit positions of ``keys[key_col]``
+    into a one-row bloom bitmap: column ``bloom`` is a
+    ``map<int, long>`` from 64-bit word index to word value (words with
+    no bits set are absent).
+
+    NULL keys set no bits (a semi join can never match them).  The
+    shuffle carries at most ``num_bits/64`` (word, bits) rows regardless
+    of build cardinality — the map-side bit_or combine is what makes
+    this build O(num_bits) network at any scale.  ``num_bits`` must be a
+    multiple of 64; with the 2^20 default the bitmap is 128 KiB —
+    broadcastable anywhere.  Hash family: xxhash64 seeded by probe
+    index, identical expression on build and probe sides."""
+    if num_bits % 64 != 0 or not 0 < num_bits <= 1 << 30:
+        # <= 2^30 keeps the bitmap broadcast-sane (128 MiB) and the word
+        # index comfortably inside int32.
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64 <= 2^30, got {num_bits}"
+        )
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("__pos")
+    words = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("word"),
+            # call_function: the PySpark shiftleft wrapper only takes a
+            # literal shift amount; the SQL builtin takes a column.
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    probe_key: Column | str,
+    bloom_col: Column | str = "bloom",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> Column:
+    """Pure-expression membership test against a :func:`bloom_build`
+    bitmap column (true = maybe present, false = definitely absent).
+    ``num_bits``/``num_hashes`` must match the build call.  NULL probe
+    keys test false."""
+    key = F.col(probe_key) if isinstance(probe_key, str) else probe_key
+    bloom = F.col(bloom_col) if isinstance(bloom_col, str) else bloom_col
+    test = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        # try_element_at: a missing word means no bits set there (plain
+        # element_at would raise MAP_KEY_DOES_NOT_EXIST under ANSI).
+        word = F.coalesce(
+            F.try_element_at(bloom, (pos / 64).cast("int")), F.lit(0).cast("long")
+        )
+        bit = F.call_function("shiftright", word, (pos % 64).cast("int")).bitwiseAND(
+            F.lit(1)
+        )
+        test = test & (bit == 1)
+    return key.isNotNull() & test
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    build: DataFrame,
+    build_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Shed ``fact`` rows whose key is definitely not in
+    ``build[build_key]`` — the scan-side half of a bloom semi-join
+    reduction.  The result still contains bloom false positives: follow
+    with the real join (semi or inner), which this pre-filter has just
+    made cheaper by shrinking what enters the shuffle.
+
+    The one-row bitmap rides a broadcast cross join (never a shuffle);
+    the membership test is a scan-level codegen expression."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    bitmap = bloom_build(build, build_key, num_bits, num_hashes)
+    return (
+        fact.crossJoin(_bc(bitmap))
+        .where(bloom_might_contain(fact_key, "bloom", num_bits, num_hashes))
+        .drop("bloom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy (edit-distance) join — entity resolution without all-pairs
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_block: Column,
+    right_block: Column,
+    max_dist: int,
+    dist_col: str = "edit_dist",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Approximate string-match join: pairs whose ``levenshtein`` edit
+    distance is ``<= max_dist``, found via BLOCKING instead of the
+    O(n·m) all-pairs scan Spark would otherwise plan for a
+    ``levenshtein(a,b) <= d`` theta join.
+
+    ``left_block``/``right_block`` are expressions over each side whose
+    equality is (chosen by the caller to be) NECESSARY for a match —
+    e.g. a shared rare token, a phonetic code, a fixed prefix, an LSH
+    band.  The block key becomes an ordinary equi-join (shuffle-hash /
+    sort-merge, AQE-skew splittable); candidate pairs then pass two
+    scan-level verifies in cost order: the length necessary condition
+    ``|len(a)-len(b)| <= d`` (free), then ``levenshtein`` with the
+    early-exit threshold argument (Spark 3.5+: rows whose running
+    distance exceeds ``d`` abandon the DP matrix).  Work per block is
+    |block|² — pick keys whose largest block stays bounded (compose
+    several columns if needed); recall is exactly the fraction of true
+    pairs that share a block key, which only the caller's domain
+    knowledge can bound.
+
+    ``broadcast_right=True`` hash-broadcasts the right side (use when it
+    is a bounded reference list — a canonical entity catalog, a known-
+    names table): the verify then runs over the LEFT side's scan
+    partitioning with no exchange at all.  This also matters at probe
+    scale: the candidate set is |block|²-exploded while the join INPUT
+    is small, so AQE's coalescing (sized on shuffle bytes, blind to the
+    fan-out) would otherwise funnel every levenshtein onto one task —
+    pair a broadcast with ``tables.spread`` on the left for a
+    compute-bound verify.
+
+    Output: all left columns + all right columns + ``dist_col`` (int).
+    NULL texts never match (levenshtein with NULL is NULL)."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    lt = left.withColumn("__blk", left_block)
+    rt = right.withColumn("__blk_r", right_block)
+    if broadcast_right:
+        rt = F.broadcast(rt)
+    cand = lt.join(rt, F.col("__blk") == F.col("__blk_r"))
+    dist = F.levenshtein(F.col(left_text), F.col(right_text), max_dist)
+    return (
+        cand.where(
+            F.abs(F.length(left_text) - F.length(right_text)) <= F.lit(max_dist)
+        )
+        .withColumn(dist_col, dist)
+        .where(F.col(dist_col) >= 0)  # threshold form returns -1 past max_dist
+        .drop("__blk", "__blk_r")
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block,
+    max_dist: int,
+    dist_col: str = "edit_dist",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Self-join specialization of :func:`fuzzy_join`: near-duplicate
+    pairs within one table, each unordered pair exactly once
+    (``a.id < b.id``).  ``block`` is a callable ``Column -> Column``
+    building the blocking key from the text column — one spec serves
+    both renamed sides.  ``broadcast=True`` broadcasts the b-side copy
+    (see :func:`fuzzy_join` — right for tables whose one copy fits an
+    executor, i.e. the self-dedup of a bounded entity list).  Output
+    columns: ``a_<id>``, ``b_<id>``, ``a_<text>``, ``b_<text>``,
+    ``dist_col``."""
+    a = df.select(
+        F.col(id_col).alias(f"a_{id_col}"), F.col(text_col).alias(f"a_{text_col}")
+    )
+    b = df.select(
+        F.col(id_col).alias(f"b_{id_col}"), F.col(text_col).alias(f"b_{text_col}")
+    )
+    joined = fuzzy_join(
+        a,
+        b,
+        f"a_{text_col}",
+        f"b_{text_col}",
+        block(F.col(f"a_{text_col}")),
+        block(F.col(f"b_{text_col}")),
+        max_dist,
+        dist_col,
+        broadcast_right=broadcast,
+    )
+    return joined.where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES exponential sort)
+# ---------------------------------------------------------------------------
+
+
+def weighted_priority(
+    id_col: Column | str,
+    weight_col: Column | str,
+    salt: int = 0,
+) -> Column:
+    """Efraimidis–Spirakis priority for weighted sampling without
+    replacement: ``-ln(u)/w`` with ``u`` a DETERMINISTIC per-(id, salt)
+    uniform — the k rows with the SMALLEST priorities form an exact
+    A-ES sample (P(row i first) = w_i / Σw, and so on recursively).
+
+    ``u`` is md5-derived, not an RNG: the top 52 bits of
+    ``md5(id || ':' || salt)`` scale to ``(0, 1]``, so the same (id,
+    salt) yields bit-identical u in ANY engine with md5 — the property
+    that lets a DuckDB oracle (or a Python audit) replay the exact
+    sample.  All arithmetic up to the division is exact in IEEE double
+    (52-bit integers, correctly-rounded divide); ``ln`` is the one
+    libm-dependent step, which only matters if two priorities straddle
+    a selection boundary within 1 ulp — do not OUTPUT the priority,
+    select rows with it.
+
+    Rows with NULL or non-positive weight get NULL priority (sort them
+    away or filter first); NULL ids likewise."""
+    if not 0 <= salt < 2**31:
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    hex13 = F.substring(
+        F.md5(F.concat(idc.cast("string"), F.lit(":"), F.lit(str(salt)))), 1, 13
+    )
+    u = (F.conv(hex13, 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2**52 + 1))
+    return F.when(w > 0, -F.log(u) / w)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Exact weighted sample WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-ES), deterministic per ``salt``.
+
+    Selection is a global top-k on the priority — Spark plans
+    ``TakeOrderedAndProject``: each partition keeps its local k, the
+    driver merges P·k candidate rows, and NO global sort or single-
+    partition shuffle happens at any scale.  Ties (identical priority,
+    possible only for duplicate ids) break on the id to keep the
+    result set stable across engines.  Rows with NULL id or
+    non-positive/NULL weight are excluded (A-ES is undefined there)."""
+    pr = weighted_priority(id_col, weight_col, salt)
+    return (
+        df.where(F.col(id_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pr", pr)
+        .orderBy("__pr", id_col)
+        .limit(k)
+        .drop("__pr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (upsert/delete compaction to current state)
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC changelog (inserts/updates/deletes, ordered per
+    key by ``seq_cols``) to the CURRENT table state: the latest
+    non-delete version of every key; keys whose latest entry is a
+    delete are absent (tombstoned).
+
+    Planned as ONE aggregate — ``max(struct(seq..., op, payload...))``
+    per key — never the row_number-over-window idiom.  The struct max
+    lands as a partial SortAggregate (struct buffers are not
+    hash-aggregable), which still combines MAP-SIDE: each task sorts
+    locally by key and pre-reduces to its local latest, so the exchange
+    carries one row per (task, key).  The window formulation cannot
+    partial-aggregate at all — it shuffles the FULL changelog history,
+    then sorts every reducer partition by (key, seq).  At 100 TB of
+    accumulated changelog that is the difference between shuffling the
+    history and shuffling the keys.
+
+    ``seq_cols`` must be non-null and, per key, no two rows may share
+    the full seq tuple with CONFLICTING payloads — on an exact seq tie
+    the lexicographically-largest (op, payload...) wins, which is
+    deterministic but arbitrary.  Output: key columns + payload columns
+    (everything except ``op_col``), one row per live key."""
+    payload = [
+        c for c in changelog.columns if c not in (*key_cols, *seq_cols, op_col)
+    ]
+    packed = F.struct(
+        *[F.col(c) for c in seq_cols],
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in payload],
+    )
+    latest = changelog.groupBy(*key_cols).agg(F.max(packed).alias("__last"))
+    return latest.where(F.col("__last.__op") != F.lit(delete_op)).select(
+        *key_cols,
+        *[F.col(f"__last.{c}").alias(c) for c in (*seq_cols, *payload)],
+    )

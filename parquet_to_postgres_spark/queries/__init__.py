@@ -56,8 +56,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "profile_drift_report",
     "semi_structured_functions",
     "daily_counts_gapfill",
-    "exact_stats",
-    "cube_orders",
     "pivot_status_priority",
     "collect_nations",
     "salted_user_totals",
@@ -69,6 +67,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_interval_overlap",
     "join_asof",
     "join_star_revenue",
+    "bloom_semi_reduction",
+    "fuzzy_name_pairs",
     "window_rank_analytic",
     "top_k_per_group",
     "global_sort_rank",
@@ -77,14 +77,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sessionize_events",
     "pack_token_budget",
     "scd2_history",
+    "cdc_apply_state",
     "multi_source_agg",
     "etl_roundtrip_agg",
     "etl_jdbc_roundtrip",
     "etl_pg_roundtrip",
     "corpus_preprocess",
     "text_metrics",
-    "tf_idf_top",
-    "stratified_sample",
+    "weighted_sample",
     "span_dedup",
     "embedding_profile",
     "cosine_topk",

@@ -549,3 +549,118 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "bloom_semi_reduction",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS debt_revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J9",),
+)
+def bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: bloom-filter semi-join reduction — orders placed by customers
+    in debt, revenue per priority, with the fact table shed at the SCAN
+    by a broadcast bloom bitmap BEFORE any join shuffle.
+
+    The 100 TB shape this encodes: the build side (here ``customer
+    WHERE c_acctbal < 0``) is too large to broadcast as a hash relation
+    at scale, but its fixed 128 KiB bloom bitmap broadcasts anywhere;
+    the probe is a scan-level codegen expression, so ~90% of the fact
+    rows never enter the semi-join shuffle.  Bloom false positives are
+    removed by the real left-semi join that follows (false negatives are
+    impossible — the oracle twin is the PLAIN semi join, so the gate
+    proves transparency).  Spark 4.1's own runtime bloom filter
+    (`bloom_filter_agg`) is planner-internal and not SQL-invokable; this
+    is the explicit, tunable operator built from public primitives
+    (operators.py `bloom_build`/`bloom_prefilter`)."""
+    from ..operators import bloom_prefilter
+
+    t = Catalog(spark, sf_dir)
+    debtors = t.customer.where(F.col("c_acctbal") < 0).select("c_custkey")
+    shed = bloom_prefilter(t.orders, "o_custkey", debtors, "c_custkey")
+    return (
+        shed.join(debtors, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("o_totalprice", "debt_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT substr(a.c_name, 1, 15) AS block_key,
+           levenshtein(a.c_name, b.c_name) AS edit_dist,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(a.c_custkey) AS BIGINT) AS a_key_sum,
+           CAST(SUM(b.c_custkey) AS BIGINT) AS b_key_sum,
+           MIN(a.c_custkey) AS min_a,
+           MAX(b.c_custkey) AS max_b
+    FROM customer a JOIN customer b
+      ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+     AND a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY 1, 2
+    """,
+    tags=("J10",),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: blocked fuzzy (edit-distance) self-join — near-identical
+    customer names (one trailing-digit edit apart), the entity-resolution
+    primitive, summarized per (block, distance) with key-sum checksums so
+    the gate hash pins the EXACT pair set without shipping every pair.
+
+    Scale shape (operators.py `fuzzy_pairs`): a `levenshtein(a,b) <= d`
+    theta join would plan as a broadcast-nested-loop over n² pairs; the
+    blocking key (here the 15-char name prefix) turns it into an
+    ordinary equi-shuffle, the length necessary-condition prunes free at
+    the scan, and the threshold form of levenshtein abandons each DP
+    matrix as soon as the running distance exceeds d.  Work is
+    |block|², never n².  Blocking recall is a modelling choice, not a
+    theorem: a pair whose single edit falls INSIDE the prefix (identical
+    last 3 digits) lands in different blocks and is not emitted — the
+    declared semantics, and the oracle twin, carry the same blocking
+    predicate, so the gate verifies the blocked join exactly; callers
+    needing higher recall pass a multi-key block (e.g. explode several
+    substrings) at proportionally higher candidate cost."""
+    from ..operators import fuzzy_pairs
+    from ..tables import spread
+
+    t = Catalog(spark, sf_dir)
+    # broadcast + spread: the candidate set is |block|²-exploded while
+    # the join input is one tiny file — without them AQE coalesces the
+    # verify onto a single task (measured 26 s -> ~1 s at sf0.1).  The
+    # b-side copy of a bounded entity list is exactly the
+    # broadcast_right case fuzzy_join documents.
+    pairs = fuzzy_pairs(
+        spread(t.customer),
+        "c_custkey",
+        "c_name",
+        block=lambda c: F.substring(c, 1, 15),
+        max_dist=1,
+        broadcast=True,
+    )
+    return (
+        pairs.groupBy(
+            F.substring("a_c_name", 1, 15).alias("block_key"),
+            F.col("edit_dist"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("a_c_custkey").alias("a_key_sum"),
+            F.sum("b_c_custkey").alias("b_key_sum"),
+            F.min("a_c_custkey").alias("min_a"),
+            F.max("b_c_custkey").alias("max_b"),
+        )
+    )

@@ -678,17 +678,15 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- training-data ops ----
 
 
-@register(
-    "stratified_sample",
-    oracle="""
+STRATIFIED_SAMPLE_ORACLE = """
     SELECT lang, COUNT(*) AS n_sampled,
            CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM documents
     WHERE ((doc_id % 2147483648) * 2654435761 % 4294967296) % 100 < 10
     GROUP BY lang
-    """,
-    tags=("L6", "sampling"),
-)
+    """
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample via Knuth multiplicative hashing of the
     stable doc id — NOT an RNG sample.  Reproducible across runs, engines
@@ -699,7 +697,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id is reduced mod 2^31 BEFORE the multiply: 2^31·2654435761 <
     2^63, so the product never wraps int64 — a raw doc_id above ~3.5e9
     would silently wrap in Spark (non-ANSI) while DuckDB errors, breaking
-    cross-engine reproducibility exactly where a 100 TB corpus lives."""
+    cross-engine reproducibility exactly where a 100 TB corpus lives.
+
+    Rotated out of the 50-slot registry in round 12 (slot given to the
+    A-ES weighted_sample); L6 stays declared via text_metrics and
+    corpus_preprocess.  Full oracle coverage continues in
+    tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     bucket = (
         F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
@@ -1004,4 +1007,43 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "score",
         F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars > 0
+    ORDER BY -ln((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13))::BIGINT
+                  + 1.0) / 4503599627370497.0) / n_chars,
+             doc_id
+    LIMIT 100
+    """,
+    tags=("L9", "sampling"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: exact weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES) — 100 documents drawn with probability proportional
+    to length, deterministically replayable in any engine.
+
+    The priority is ``-ln(u)/w`` with ``u`` md5-derived from (doc_id,
+    salt) — not an RNG — so DuckDB recomputes the identical sample
+    (everything up to the ln is exact IEEE arithmetic; the ln's last
+    ulp could at worst swap ranks k/k+1, which the gate would surface).
+    Selection is a global top-k: Spark plans TakeOrderedAndProject —
+    per-partition heaps of k, driver merge of P·k rows, NO global sort
+    at any scale (operators.py `weighted_sample_topk`).  The priority
+    column is dropped, never emitted: it is the one libm-dependent
+    value in the pipeline."""
+    from ..operators import weighted_sample_topk
+
+    t = Catalog(spark, sf_dir)
+    return weighted_sample_topk(
+        t.documents.select("doc_id", "lang", "source", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+        salt=0,
     )

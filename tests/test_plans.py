@@ -802,3 +802,47 @@ def test_fused_lloyd_update_shuffles_model_grain_only(spark):
     p2 = plan(S._pq_partial_means_np(base, cmap, 2, 30, 8), mode="simple")
     below2 = p2[p2.index("MapInPandas"):]
     assert "Exchange" not in below2, below2
+
+
+def test_bloom_semi_reduction_filters_fact_at_scan(spark):
+    """The explicit bloom operator must test fact keys BEFORE the semi
+    join's exchange: the bitmap rides a broadcast (single-row nested
+    loop, constant cost) and the k-probe test is a scan-level filter —
+    the fact side sheds rows pre-shuffle.  Complements the Catalyst-
+    injected runtime filter pinned above: this one is user-controlled
+    and survives sink/checkpoint boundaries where injection cannot
+    reach."""
+    p = plan(build("bloom_semi_reduction", spark), mode="simple")
+    # k-probe expression present as a filter (xxhash64 per seed)
+    assert "xxhash64" in p
+    # bitmap attaches via broadcast, never a shuffle of the fact
+    assert "BroadcastNestedLoopJoin" in p
+    # the real semi join still runs (false-positive removal)
+    assert "LeftSemi" in p
+
+
+def test_fuzzy_name_pairs_is_blocked_equi_join(spark):
+    """The fuzzy join must plan as an EQUI join on the block key with
+    levenshtein as a post-join filter — never a cartesian/broadcast-
+    nested-loop over all pairs."""
+    p = plan(build("fuzzy_name_pairs", spark), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
+
+
+def test_weighted_sample_avoids_global_sort(spark):
+    """A-ES top-k selection must plan TakeOrderedAndProject (per-
+    partition heaps + driver merge of P·k rows), never a global sort."""
+    p = plan(build("weighted_sample", spark), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_cdc_apply_state_partial_aggregates_before_exchange(spark):
+    """CDC compaction must pre-reduce map-side (partial max(struct))
+    so the exchange carries a row per (task, key), never the window
+    idiom that shuffles the whole changelog history."""
+    p = plan(build("cdc_apply_state", spark), mode="simple")
+    assert "Window" not in p
+    assert "partial_max" in p

@@ -158,3 +158,59 @@ def test_rotated_out_training_data_prep_still_matches_oracle(spark, duck):
         TRAINING_DATA_PREP_ORACLE,
         "training_data_prep",
     )
+
+
+def test_rotated_out_cube_orders_still_matches_oracle(spark, duck):
+    """cube_orders gave its slot to the round-12 bloom/fuzzy/weighted/cdc
+    family; A4 stays declared via pivot_status_priority, A2 via
+    profile_drift_report.  Full oracle coverage continues here."""
+    from parquet_to_postgres_spark.queries.aggregates_q import (
+        CUBE_ORDERS_ORACLE,
+        cube_orders,
+    )
+
+    assert_matches_oracle(
+        cube_orders(spark, SF_SMOKE), duck, CUBE_ORDERS_ORACLE, "cube_orders"
+    )
+
+
+def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
+    """exact_stats rotated out in round 12; A7 stays declared via
+    approx_sketches and profile_drift_report."""
+    from parquet_to_postgres_spark.queries.aggregates_q import (
+        EXACT_STATS_ORACLE,
+        exact_stats,
+    )
+
+    assert_matches_oracle(
+        exact_stats(spark, SF_SMOKE), duck, EXACT_STATS_ORACLE, "exact_stats"
+    )
+
+
+def test_rotated_out_tf_idf_top_still_matches_oracle(spark, duck):
+    """tf_idf_top rotated out in round 12; L5 stays declared via
+    text_metrics and corpus_preprocess."""
+    from parquet_to_postgres_spark.queries.pipeline_q import (
+        TF_IDF_TOP_ORACLE,
+        tf_idf_top,
+    )
+
+    assert_matches_oracle(
+        tf_idf_top(spark, SF_SMOKE), duck, TF_IDF_TOP_ORACLE, "tf_idf_top"
+    )
+
+
+def test_rotated_out_stratified_sample_still_matches_oracle(spark, duck):
+    """stratified_sample gave its slot to the A-ES weighted_sample in
+    round 12; L6 stays declared via text_metrics and corpus_preprocess."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        STRATIFIED_SAMPLE_ORACLE,
+        stratified_sample,
+    )
+
+    assert_matches_oracle(
+        stratified_sample(spark, SF_SMOKE),
+        duck,
+        STRATIFIED_SAMPLE_ORACLE,
+        "stratified_sample",
+    )
