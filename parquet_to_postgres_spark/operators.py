@@ -713,6 +713,22 @@ def assign_splits(
 # comparing against the plain semi join.
 
 
+def _bloom_position(key: Column, seed: int, num_bits: int) -> Column:
+    """Bit position of hash ``seed`` for ``key`` — THE shared hash
+    family: build and probe must stay bit-identical or membership
+    silently breaks, so both call this one expression.
+
+    The key is canonicalized to STRING before hashing because
+    ``xxhash64`` is type-sensitive (INT 5 and BIGINT 5 hash
+    differently, though a plain join would coerce and match them) —
+    the string rendering is width-independent for integral types.
+    Fractional-vs-integral column mismatches (``5`` vs ``5.0``) are
+    outside the contract: canonicalize such keys yourself before
+    calling (the plain join's coercion semantics cannot be reproduced
+    from one side alone)."""
+    return F.pmod(F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(num_bits))
+
+
 def bloom_build(
     keys: DataFrame,
     key_col: str,
@@ -729,8 +745,10 @@ def bloom_build(
     of build cardinality — the map-side bit_or combine is what makes
     this build O(num_bits) network at any scale.  ``num_bits`` must be a
     multiple of 64; with the 2^20 default the bitmap is 128 KiB —
-    broadcastable anywhere.  Hash family: xxhash64 seeded by probe
-    index, identical expression on build and probe sides."""
+    broadcastable anywhere.  Hash family: seeded xxhash64 over the
+    string-canonicalized key (:func:`_bloom_position` — one expression
+    serves build and probe, and integral key-width mismatches between
+    the two sides cannot cause false negatives)."""
     if num_bits % 64 != 0 or not 0 < num_bits <= 1 << 30:
         # <= 2^30 keeps the bitmap broadcast-sane (128 MiB) and the word
         # index comfortably inside int32.
@@ -742,7 +760,7 @@ def bloom_build(
     pos = F.explode(
         F.array(
             *[
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                _bloom_position(F.col(key_col), i, num_bits)
                 for i in range(num_hashes)
             ]
         )
@@ -780,7 +798,7 @@ def bloom_might_contain(
     bloom = F.col(bloom_col) if isinstance(bloom_col, str) else bloom_col
     test = F.lit(True)
     for i in range(num_hashes):
-        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        pos = _bloom_position(key, i, num_bits)
         # try_element_at: a missing word means no bits set there (plain
         # element_at would raise MAP_KEY_DOES_NOT_EXIST under ANSI).
         word = F.coalesce(
@@ -811,11 +829,18 @@ def bloom_prefilter(
     the membership test is a scan-level codegen expression."""
     from pyspark.sql.functions import broadcast as _bc
 
-    bitmap = bloom_build(build, build_key, num_bits, num_hashes)
+    if "__bloom_bits" in fact.columns:
+        raise ValueError(
+            "fact already has a '__bloom_bits' column — rename it before "
+            "bloom_prefilter (the internal bitmap attach would collide)"
+        )
+    bitmap = bloom_build(build, build_key, num_bits, num_hashes).select(
+        F.col("bloom").alias("__bloom_bits")
+    )
     return (
         fact.crossJoin(_bc(bitmap))
-        .where(bloom_might_contain(fact_key, "bloom", num_bits, num_hashes))
-        .drop("bloom")
+        .where(bloom_might_contain(fact_key, "__bloom_bits", num_bits, num_hashes))
+        .drop("__bloom_bits")
     )
 
 
@@ -868,6 +893,14 @@ def fuzzy_join(
     NULL texts never match (levenshtein with NULL is NULL)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    for df, col in ((left, "__blk"), (right, "__blk_r")):
+        if col in df.columns:
+            # withColumn would silently REPLACE the caller's column and
+            # the final drop would erase it from the promised output.
+            raise ValueError(
+                f"input already has a {col!r} column — rename it before "
+                "fuzzy_join (internal blocking-key name)"
+            )
     lt = left.withColumn("__blk", left_block)
     rt = right.withColumn("__blk_r", right_block)
     if broadcast_right:
@@ -1019,7 +1052,10 @@ def cdc_apply(
     ``seq_cols`` must be non-null and, per key, no two rows may share
     the full seq tuple with CONFLICTING payloads — on an exact seq tie
     the lexicographically-largest (op, payload...) wins, which is
-    deterministic but arbitrary.  Output: key columns + payload columns
+    deterministic but arbitrary.  A NULL ``op_col`` is treated as a
+    non-delete (null-safe comparison — a malformed row must not
+    silently tombstone a live key; reject NULL ops upstream if they
+    should be errors).  Output: key columns + payload columns
     (everything except ``op_col``), one row per live key."""
     payload = [
         c for c in changelog.columns if c not in (*key_cols, *seq_cols, op_col)
@@ -1030,7 +1066,7 @@ def cdc_apply(
         *[F.col(c) for c in payload],
     )
     latest = changelog.groupBy(*key_cols).agg(F.max(packed).alias("__last"))
-    return latest.where(F.col("__last.__op") != F.lit(delete_op)).select(
+    return latest.where(~F.col("__last.__op").eqNullSafe(F.lit(delete_op))).select(
         *key_cols,
         *[F.col(f"__last.{c}").alias(c) for c in (*seq_cols, *payload)],
     )

@@ -92,9 +92,14 @@ def test_bloom_might_contain_matches_python_replay(spark):
     probes = spark.range(0, 200).select(F.col("id").alias("fk"))
     m, k = 1 << 10, 3
     bitmap = bloom_build(build, "k", num_bits=m, num_hashes=k).collect()[0]["bloom"]
-    # replay in python using spark's own xxhash64 outputs
+    # replay in python using spark's own xxhash64 outputs (over the
+    # string-canonicalized key, matching _bloom_position)
     hashes = probes.select(
-        "fk", *[F.xxhash64(F.col("fk"), F.lit(i)).alias(f"h{i}") for i in range(k)]
+        "fk",
+        *[
+            F.xxhash64(F.col("fk").cast("string"), F.lit(i)).alias(f"h{i}")
+            for i in range(k)
+        ],
     ).collect()
     expected = {
         r["fk"]
@@ -318,3 +323,47 @@ def test_cdc_apply_matches_window_formulation(spark):
         .drop("rn", "op")
     )
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------- review-pass regressions ----
+
+
+def test_bloom_key_width_mismatch_no_false_negatives(spark):
+    """xxhash64 is type-sensitive (INT 5 != BIGINT 5); the string
+    canonicalization in _bloom_position must make an int-typed probe
+    match a bigint-typed build (a plain join would coerce and match)."""
+    build = spark.range(0, 100).select(F.col("id").alias("k"))  # bigint
+    fact = spark.range(0, 100).select(F.col("id").cast("int").alias("fk"))
+    shed = bloom_prefilter(fact, "fk", build, "k", num_bits=1 << 14)
+    assert shed.count() == 100  # every true member survives
+
+
+def test_bloom_prefilter_rejects_reserved_column(spark):
+    build, fact = _bloom_fixture(spark)
+    with pytest.raises(ValueError, match="__bloom_bits"):
+        bloom_prefilter(
+            fact.withColumn("__bloom_bits", F.lit(1)), "fk", build, "k"
+        )
+
+
+def test_fuzzy_join_rejects_reserved_block_column(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, t string")
+    with pytest.raises(ValueError, match="__blk"):
+        fuzzy_join(
+            df.withColumn("__blk", F.lit("x")),
+            df,
+            "t",
+            "t",
+            F.col("t"),
+            F.col("t"),
+            1,
+        )
+
+
+def test_cdc_apply_null_op_is_not_a_tombstone(spark):
+    log = spark.createDataFrame(
+        [(1, 1, "I", "a"), (1, 2, None, "b")], "k int, seq int, op string, v string"
+    )
+    got = cdc_apply(log, ["k"], ["seq"], "op").collect()
+    # the malformed NULL-op latest row stays live, never silently deleted
+    assert [(r["k"], r["seq"], r["v"]) for r in got] == [(1, 2, "b")]
