@@ -780,6 +780,50 @@ def _nearest_cells_np(
     return df.mapInPandas(assign, out_schema)
 
 
+def _nearest_cells_l2(
+    df: DataFrame, cents: DataFrame, probes: int, vec_alias: str
+) -> DataFrame:
+    """Multi-probe twin of :func:`_nearest_cells` under the L2 metric:
+    top-``probes`` cells by (squared-distance asc, cell asc) — the
+    ordering IVF-PQ needs, because the residual ADC approximates L2 and
+    :func:`_nearest_cell` (the Lloyd/encode assignment) already ranks
+    by L2; probing by cosine-to-centroid would disagree with both
+    whenever centroid norms differ (they always do — means of unit
+    vectors land strictly inside the sphere at varying depths), rotting
+    recall with no error anywhere.
+
+    Only the QUERY side ever multi-probes, and query sets are bounded,
+    so this stays the broadcast-array expression scan at every depth —
+    the corpus-scale assignments (probes=1) go through
+    :func:`_nearest_cell`, which has the deep-vector numpy route.  All
+    incoming columns pass through; zero centroids → zero rows (the
+    family's degenerate-model contract)."""
+    cent_row = (
+        cents.select("cell", "centroid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+            ).alias("__cents")
+        )
+        .where(F.size("__cents") > 0)
+    )
+    vec = F.col(vec_alias)
+    cands = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            sq_dist(vec, s["centroid"]).alias("dist"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    cols = list(df.columns)
+    joined = df.crossJoin(F.broadcast(cent_row))
+    top = F.slice(F.array_sort(cands), 1, probes)
+    return (
+        joined.select(*cols, F.explode(top).alias("__t"))
+        .select(*cols, F.col("__t.cell").alias("cell"))
+    )
+
+
 def _stack_padded(np, vals, d: int, mode: str = "exact"):
     """(n, d) float64 from a column of per-row arrays, tolerating the
     dirty shapes the expression twins tolerate, with the twins' OWN
@@ -2971,4 +3015,304 @@ def pq_index_topk(
     )
     return _pq_adc_topk(
         encoded, codebooks, c_unit, q_unit, k, m, codes, rerank, dim
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (IVFADC): coarse cells + PQ on residuals
+# ---------------------------------------------------------------------------
+#
+# The canonical billion-scale ANN layout (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", §IV — the faiss IVFPQ
+# architecture): a coarse k-means partitions the corpus into cells so a
+# query scores only its probed cells' inverted lists, and the PQ
+# codebooks quantize the RESIDUAL x − c(x) instead of x itself —
+# residuals concentrate near the origin, so the same code budget spends
+# its resolution where the vectors actually are, and the two recall
+# knobs (n_probes for coverage, rerank for precision) compose.  Every
+# stage reuses this module's deterministic primitives: kmeans_lloyd for
+# the coarse model, pq_train/pq_encode on residuals, the _nearest_cells
+# scan for both assignments, and the two-stage ADC tail.
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    codes: int = 16,
+    coarse_iterations: int = 6,
+    pq_iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> "tuple[DataFrame, DataFrame]":
+    """Train the two bounded IVF-PQ models: coarse centroids ``(cell,
+    centroid)`` via :func:`kmeans_lloyd` (deterministic hash-bucket
+    seeding — no RNG, no label dependence) and residual PQ codebooks
+    ``(subspace, code, centroid)`` via :func:`pq_train` over
+    ``x − c(x)``.
+
+    Vectors are unit-normalized first (the PQ family's metric contract:
+    L2 order on the unit sphere ≡ cosine order).  Both models are
+    model-grain (n_cells·d + m·codes·(d/m) doubles); at 100 TB train on
+    a :func:`~..operators.hash_sample` — coarse cells and codebooks
+    saturate long before a full pass — then :func:`ivfpq_encode`
+    everything in one linear scan."""
+    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    seeded = c_unit.withColumn(
+        "__seed", F.pmod(F.xxhash64(F.col("cid")), F.lit(n_cells)).cast("int")
+    )
+    init = _centroid_arrays(seeded, "__seed", "cvec", dim_hint=dim).select(
+        F.col("__seed").cast("int").alias("cell"), "centroid"
+    )
+    assigned, centroids, _ = kmeans_lloyd(
+        c_unit,
+        max_iterations=coarse_iterations,
+        id_col="cid",
+        vec_col="cvec",
+        init=init,
+    )
+    # kmeans_lloyd returns assignments under the CALLER'S id name
+    residuals = (
+        c_unit.join(assigned.select("cid", "cell"), "cid")
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            "cid",
+            F.zip_with("cvec", "centroid", lambda a, b: a - b).alias("rvec"),
+        )
+    )
+    codebooks = pq_train(
+        residuals,
+        m=m,
+        codes=codes,
+        max_iterations=pq_iterations,
+        id_col="cid",
+        vec_col="rvec",
+        dim=dim,
+    )
+    return centroids, codebooks
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode the corpus against trained IVF-PQ models: ``(id, cell,
+    codes array<int>)`` — the inverted-list entry.  One linear pass:
+    the cell assignment is the zero-shuffle :func:`_nearest_cells`
+    scan (probes=1), the residual is an element-wise ``zip_with``, and
+    :func:`pq_encode` is itself a scan for bounded models.  dim-dim
+    floats become one small int + m codes."""
+    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("id"), _unit(vec_col).alias("vec")
+    )
+    # L2 assignment (the Lloyd metric — NOT the cosine probe of
+    # ann_topk_ivf): the inverted-list cell must be the vector's
+    # nearest centroid under the same metric the residual ADC
+    # approximates, or probes and lists disagree.  _nearest_cell has
+    # the deep-vector numpy route.
+    assigned = _nearest_cell(
+        c_unit, centroids.select("cell", "centroid"), dim=dim
+    ).select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "cell")
+    residuals = assigned.join(F.broadcast(centroids), "cell").select(
+        "cid",
+        "cell",
+        F.zip_with("cvec", "centroid", lambda a, b: a - b).alias("rvec"),
+    )
+    coded = pq_encode(
+        residuals, codebooks, id_col="cid", vec_col="rvec", dim=dim
+    )
+    # re-attach the cell with one CODE-GRAIN equi-join: both sides are
+    # (id, small-int) rows — bytes per row, never vectors — so the
+    # exchange is a rounding error next to the encode scan itself.
+    # (Fusing the cell through the encode would mean packing it into
+    # the id and coupling this function to the argmin kernels' id
+    # handling; not worth it for a bytes-grain shuffle.)
+    return residuals.select("cid", "cell").join(
+        coded.select(F.col("id").alias("cid"), "codes"), "cid"
+    ).select(F.col("cid").alias("id"), "cell", "codes")
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probes: int = 2,
+    m: int = 8,
+    codes: int = 16,
+    rerank: int = 16,
+    coarse_iterations: int = 6,
+    pq_iterations: int = 8,
+    models: "tuple[DataFrame, DataFrame] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    handle_out: list | None = None,
+) -> DataFrame:
+    """ANN family #5 — IVF-PQ with asymmetric distance (IVFADC).
+
+    A query probes its ``n_probes`` nearest coarse cells and scores
+    ONLY those cells' code lists: per probed cell it builds one
+    ``m × codes`` LUT of sub-distances between the query's residual
+    (``q − c_cell``) and the residual codebooks, then each candidate
+    costs ``m`` lookups.  Versus plain :func:`ann_topk_pq` (which ADC-
+    scans the whole corpus), the scan shrinks by ~``n_probes/n_cells``;
+    versus :func:`ann_topk_ivf` (which exact-scores probed cells), the
+    per-candidate cost drops from ``dim`` multiplies to ``m`` lookups
+    and the corpus rides as codes (64× smaller).  That double saving is
+    the billion-scale architecture.  Exact cosine re-rank of the top
+    ``k·rerank`` ADC candidates restores precision, same as the PQ
+    family.
+
+    Deterministic end-to-end (hash seeding, fixed-point means, total-
+    order ties); output schema matches every other family: (query_id,
+    neighbor_id, score=exact cosine, rank ≤ k).  Zero-norm vectors are
+    dropped up front (uniform family contract).  Recall floors are
+    pinned in tests/test_ann_recall.py."""
+    sc = corpus.sparkSession.sparkContext
+    before = persistent_rdd_ids(sc) if handle_out is not None else set()
+    if models is None:
+        centroids, codebooks = ivfpq_train(
+            corpus,
+            n_cells=n_cells,
+            m=m,
+            codes=codes,
+            coarse_iterations=coarse_iterations,
+            pq_iterations=pq_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+    else:
+        centroids, codebooks = models
+    centroids = stable_checkpoint(centroids)
+    codebooks = stable_checkpoint(codebooks)
+    if handle_out is not None:
+        handle_out.append(AnnPrepHandle(sc, persistent_rdd_ids(sc) - before))
+    m, codes, dim = _pq_codebook_shape(codebooks)
+    encoded = ivfpq_encode(
+        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    q_unit = queries.where(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
+    )
+    return _ivfpq_adc_topk(
+        encoded, centroids, codebooks, c_unit, q_unit, k, m, codes,
+        n_probes, rerank, dim,
+    )
+
+
+def _ivfpq_adc_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    c_unit: DataFrame,
+    q_unit: DataFrame,
+    k: int,
+    m: int,
+    codes: int,
+    n_probes: int,
+    rerank: int,
+    dim: int,
+) -> DataFrame:
+    """Cell-pruned twin of :func:`_pq_adc_topk`: the LUT is per
+    (query, probed cell) over the QUERY RESIDUAL, candidates join on
+    the cell instead of cross-joining the corpus, and the ADC sum /
+    two-stage top-k / exact re-rank tail is expression-identical."""
+    probed = _nearest_cells_l2(
+        q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
+    )
+    q_res = probed.join(F.broadcast(centroids), "cell").select(
+        "query_id",
+        "cell",
+        F.zip_with("qvec", "centroid", lambda a, b: a - b).alias("rvec"),
+    )
+    # the LUT key is the (query, probed-cell) PAIR — a struct id keeps
+    # both columns' types intact through the subvector explode (a
+    # string-concat key would force casts back and couple this to the
+    # caller's id type)
+    luts = (
+        _subvectors(
+            q_res.select(F.struct("query_id", "cell").alias("qc"), "rvec"),
+            m,
+            dim // m,
+            "qc",
+            "rvec",
+        )
+        .join(F.broadcast(codebooks), "subspace")
+        .select(
+            "id",
+            "subspace",
+            "code",
+            sq_dist("subvec", "centroid").alias("dist"),
+        )
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code", "dist"))),
+                lambda s: s["dist"],
+            ).alias("lut")
+        )
+        .select(
+            F.col("id.query_id").alias("query_id"),
+            F.col("id.cell").alias("cell"),
+            "lut",
+        )
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            (
+                F.lit(j * codes) + F.element_at(F.col("codes"), j + 1) + 1
+            ).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        encoded.withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(luts), "cell")
+        .select(
+            "pid",
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adc.alias("adist"),
+        )
+    )
+    kk = k * rerank
+    local_w = Window.partitionBy("query_id", "pid").orderBy("adist", "neighbor_id")
+    global_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cands = (
+        scored.withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= kk)
+        .drop("lr", "pid")
+        .withColumn("gr", F.row_number().over(global_w))
+        .where(F.col("gr") <= kk)
+        .drop("gr", "adist")
+    )
+    exact = (
+        F.broadcast(cands)
+        .join(c_unit, cands.neighbor_id == c_unit.cid)
+        .join(F.broadcast(q_unit), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot("qvec", "cvec").alias("score"),
+        )
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
     )

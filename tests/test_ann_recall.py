@@ -971,3 +971,89 @@ def test_label_centroids_float_labels_stay_on_expression_path(spark):
     assert routed == expr
     labels = {l for (l, _, _) in routed}
     assert "None" in labels and "nan" in labels  # distinct groups
+
+
+# ------------------------------------------------------------ IVF-PQ ----
+
+
+@pytest.fixture(scope="module")
+def ivfpq_recall(spark):
+    return _recall_at_k(
+        spark,
+        lambda c, q, k: S.ann_topk_ivfpq(
+            c, q, k=k, n_cells=8, n_probes=2, m=8, codes=16, rerank=16,
+            coarse_iterations=4, pq_iterations=4,
+        ),
+    )
+
+
+def test_ann_ivfpq_recall_floor(ivfpq_recall):
+    """IVF-PQ (ANN family #5 — coarse k-means cells + PQ on residuals,
+    ADC over probed cells, exact re-rank): measured 0.46 recall@10 at
+    sf0.01 with probe-2-of-8 (0.54 at sf0.001) — above plain IVF's
+    0.36 at the same cell coverage because the coarse cells are
+    k-means-fit (tighter than the label grouping) and the rerank pool
+    is distance-ordered by the residual ADC.  Floor pinned below the
+    measurement; the recall levers (n_probes for coverage, rerank for
+    precision) are the production knobs, and this corpus is
+    near-uniform so the numbers track candidate fraction."""
+    assert ivfpq_recall >= 0.38, ivfpq_recall
+
+
+def test_ivfpq_encode_cells_are_nearest_centroids(spark):
+    """The inverted-list entry's cell must BE the vector's nearest
+    coarse centroid (otherwise probes and lists disagree and recall
+    silently rots)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, books = S.ivfpq_train(
+        emb, n_cells=4, m=8, codes=8, coarse_iterations=3, pq_iterations=3
+    )
+    enc = S.ivfpq_encode(emb, cents, books)
+    c_unit = emb.where(S._nonzero_vec("embedding")).select(
+        F.col("vec_id").alias("id"), S._unit("embedding").alias("vec")
+    )
+    expect = S._nearest_cell(c_unit, cents).select("id", "cell")
+    got = enc.select("id", "cell")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # every encoded row carries exactly m codes in range
+    bad = enc.where(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 8))
+    ).count()
+    assert bad == 0
+
+
+def test_ivfpq_models_reuse_matches_retrain(spark):
+    """Passing pre-trained (centroids, codebooks) must reproduce the
+    train-inside path row-for-row — the build-once/probe-many contract
+    the persisted-index family relies on."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    kw = dict(n_cells=4, m=8, codes=8, coarse_iterations=3, pq_iterations=3)
+    models = S.ivfpq_train(corpus, **kw)
+    a = S.ann_topk_ivfpq(corpus, queries, k=5, models=models, **kw)
+    b = S.ann_topk_ivfpq(corpus, queries, k=5, **kw)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+            for r in df.collect()
+        )
+
+    assert canon(a) == canon(b)
+
+
+def test_ivfpq_zero_norm_contract(spark):
+    """Zero-norm queries return no rows — the uniform family contract."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zq = spark.createDataFrame(
+        [(999999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    out = S.ann_topk_ivfpq(
+        emb, zq, k=5, n_cells=4, m=8, codes=8,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    assert out.count() == 0
