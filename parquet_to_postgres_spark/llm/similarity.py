@@ -2839,12 +2839,28 @@ def _pq_adc_topk(
             ).alias("lut")
         )
     )
-    # ADC distance as an UNROLLED scalar sum (m is a small constant):
-    # the F.aggregate/sequence fold form is an interpreted higher-order
-    # function — no codegen, no CSE (the round-7 HOF lesson) — and it
-    # sat on the per-(corpus-row × query) hot path; the unrolled form
-    # whole-stage-codegens.  Left-to-right + matches the fold's
-    # association, so the doubles are bit-identical.
+    scored = (
+        encoded.withColumn("pid", F.spark_partition_id())
+        .crossJoin(F.broadcast(luts))
+        .select(
+            "pid",
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _adc_sum(m, codes).alias("adist"),
+        )
+    )
+    return _adc_topk_tail(scored, c_unit, q_unit, k, k * rerank)
+
+
+def _adc_sum(m: int, codes: int) -> Column:
+    """ADC distance over a row carrying ``lut`` and ``codes`` columns,
+    as an UNROLLED scalar sum (m is a small constant): the
+    F.aggregate/sequence fold form is an interpreted higher-order
+    function — no codegen, no CSE (the round-7 HOF lesson) — and it
+    sat on the per-(corpus-row × query) hot path; the unrolled form
+    whole-stage-codegens.  Left-to-right + matches the fold's
+    association, so the doubles are bit-identical.  Shared by the PQ
+    and IVF-PQ families so their scoring cannot drift."""
     adc = None
     for j in range(m):
         term = F.element_at(
@@ -2854,17 +2870,23 @@ def _pq_adc_topk(
             ).cast("int"),
         )
         adc = term if adc is None else adc + term
-    scored = (
-        encoded.withColumn("pid", F.spark_partition_id())
-        .crossJoin(F.broadcast(luts))
-        .select(
-            "pid",
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            adc.alias("adist"),
-        )
-    )
-    kk = k * rerank
+    return adc
+
+
+def _adc_topk_tail(
+    scored: DataFrame,
+    c_unit: DataFrame,
+    q_unit: DataFrame,
+    k: int,
+    kk: int,
+) -> DataFrame:
+    """Two-stage ADC candidate selection + exact re-rank, over a
+    ``scored`` frame of (pid, query_id, neighbor_id, adist): per-
+    (query, partition) top-``kk``, global top-``kk``, then exact cosine
+    on the original vectors and the final rank ≤ k.  ONE tail shared by
+    :func:`_pq_adc_topk` and :func:`_ivfpq_adc_topk` — the families'
+    parity is structural, not asserted by comment (r12 review
+    finding)."""
     local_w = Window.partitionBy("query_id", "pid").orderBy(
         "adist", "neighbor_id"
     )
@@ -3074,13 +3096,21 @@ def ivfpq_train(
         vec_col="cvec",
         init=init,
     )
-    # kmeans_lloyd returns assignments under the CALLER'S id name
+    # Residuals via the SAME zero-shuffle assignment scan the encode
+    # path uses: kmeans_lloyd's returned assignments ARE
+    # _nearest_cell(v, final centroids), so re-running that scan with
+    # the vector carried along is bit-identical — and it deletes the
+    # corpus-grain vector re-join (c_unit ⋈ assigned by id) the first
+    # build paid, which shuffled every training vector for nothing
+    # (r12 review finding).
+    del assigned  # documented-identical to the scan below
+    named = c_unit.select(F.col("cid").alias("id"), F.col("cvec").alias("vec"))
     residuals = (
-        c_unit.join(assigned.select("cid", "cell"), "cid")
+        _nearest_cell(named, centroids.select("cell", "centroid"), dim=dim)
         .join(F.broadcast(centroids), "cell")
         .select(
-            "cid",
-            F.zip_with("cvec", "centroid", lambda a, b: a - b).alias("rvec"),
+            F.col("id").alias("cid"),
+            F.zip_with("vec", "centroid", lambda a, b: a - b).alias("rvec"),
         )
     )
     codebooks = pq_train(
@@ -3105,8 +3135,8 @@ def ivfpq_encode(
 ) -> DataFrame:
     """Encode the corpus against trained IVF-PQ models: ``(id, cell,
     codes array<int>)`` — the inverted-list entry.  One linear pass:
-    the cell assignment is the zero-shuffle :func:`_nearest_cells`
-    scan (probes=1), the residual is an element-wise ``zip_with``, and
+    the cell assignment is the zero-shuffle :func:`_nearest_cell`
+    scan, the residual is an element-wise ``zip_with``, and
     :func:`pq_encode` is itself a scan for bounded models.  dim-dim
     floats become one small int + m codes."""
     c_unit = corpus.where(_nonzero_vec(vec_col)).select(
@@ -3226,9 +3256,11 @@ def _ivfpq_adc_topk(
     dim: int,
 ) -> DataFrame:
     """Cell-pruned twin of :func:`_pq_adc_topk`: the LUT is per
-    (query, probed cell) over the QUERY RESIDUAL, candidates join on
-    the cell instead of cross-joining the corpus, and the ADC sum /
-    two-stage top-k / exact re-rank tail is expression-identical."""
+    (query, probed cell) over the QUERY RESIDUAL and candidates join on
+    the cell instead of cross-joining the corpus; the ADC sum and the
+    two-stage top-k / exact re-rank tail are the SHARED
+    :func:`_adc_sum` / :func:`_adc_topk_tail` — parity with the PQ
+    family by construction."""
     probed = _nearest_cells_l2(
         q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
     )
@@ -3269,15 +3301,6 @@ def _ivfpq_adc_topk(
             "lut",
         )
     )
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.col("lut"),
-            (
-                F.lit(j * codes) + F.element_at(F.col("codes"), j + 1) + 1
-            ).cast("int"),
-        )
-        adc = term if adc is None else adc + term
     scored = (
         encoded.withColumn("pid", F.spark_partition_id())
         .join(F.broadcast(luts), "cell")
@@ -3285,34 +3308,7 @@ def _ivfpq_adc_topk(
             "pid",
             "query_id",
             F.col("id").alias("neighbor_id"),
-            adc.alias("adist"),
+            _adc_sum(m, codes).alias("adist"),
         )
     )
-    kk = k * rerank
-    local_w = Window.partitionBy("query_id", "pid").orderBy("adist", "neighbor_id")
-    global_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    cands = (
-        scored.withColumn("lr", F.row_number().over(local_w))
-        .where(F.col("lr") <= kk)
-        .drop("lr", "pid")
-        .withColumn("gr", F.row_number().over(global_w))
-        .where(F.col("gr") <= kk)
-        .drop("gr", "adist")
-    )
-    exact = (
-        F.broadcast(cands)
-        .join(c_unit, cands.neighbor_id == c_unit.cid)
-        .join(F.broadcast(q_unit), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot("qvec", "cvec").alias("score"),
-        )
-    )
-    final_w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), "neighbor_id"
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(final_w))
-        .where(F.col("rank") <= k)
-    )
+    return _adc_topk_tail(scored, c_unit, q_unit, k, k * rerank)
