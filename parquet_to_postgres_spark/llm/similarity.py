@@ -3312,3 +3312,126 @@ def _ivfpq_adc_topk(
         )
     )
     return _adc_topk_tail(scored, c_unit, q_unit, k, k * rerank)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (build once, probe many, prune at planning time)
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    codes: int = 16,
+    coarse_iterations: int = 6,
+    pq_iterations: int = 8,
+    mode: str = "overwrite",
+    models: "tuple[DataFrame, DataFrame] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist an IVF-PQ index: ``<path>/centroids`` (n_cells tiny
+    rows), ``<path>/codebooks`` (m·codes tiny rows) and
+    ``<path>/codes`` hive-partitioned BY CELL — one directory per
+    inverted list, so a probe opens only its cells' files.
+
+    Both models are written FIRST and re-read for the encode pass
+    (the :func:`write_pq_index` discipline): the stored codes are
+    bit-consistent with the stored models — the float values that
+    reach parquet are the ones encoding used — which is what makes
+    :func:`append_ivfpq_index`'s append == rebuild an identity."""
+    spark = corpus.sparkSession
+    if models is None:
+        models = ivfpq_train(
+            corpus,
+            n_cells=n_cells,
+            m=m,
+            codes=codes,
+            coarse_iterations=coarse_iterations,
+            pq_iterations=pq_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+    centroids, codebooks = models
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+    codebooks.write.mode(mode).parquet(f"{path}/codebooks")
+    stored_c = spark.read.parquet(f"{path}/centroids")
+    stored_b = spark.read.parquet(f"{path}/codebooks")
+    ivfpq_encode(
+        corpus, stored_c, stored_b, id_col=id_col, vec_col=vec_col, dim=dim
+    ).write.mode(mode).partitionBy("cell").parquet(f"{path}/codes")
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Incremental maintenance: encode the delta against the STORED
+    models and append into the per-cell directories.  IVF-PQ codes are
+    a per-vector pure function of (vector, centroids, codebooks), so
+    append is exactly a rebuild restricted to the new rows — one linear
+    encode job, no retraining, no touch of existing lists.  (Retrain
+    and rewrite when the vector distribution drifts.)"""
+    spark = new_vectors.sparkSession
+    stored_c = spark.read.parquet(f"{path}/centroids")
+    stored_b = spark.read.parquet(f"{path}/codebooks")
+    ivfpq_encode(
+        new_vectors, stored_c, stored_b, id_col=id_col, vec_col=vec_col, dim=dim
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted :func:`write_ivfpq_index` store,
+    reading ONLY the probed cells' partitions.
+
+    The probe set is ≤ n_cells values by construction (and n_cells is
+    model-bounded), so collecting the distinct probed cells to the
+    driver is bounded regardless of query-set size and the ``isin``
+    becomes a PLANNING-TIME partition prune — unprobed inverted lists
+    are never opened, the ann_index_topk recipe applied to the IVF
+    layout.  ``m``/``codes``/``dim`` are inferred from the stored
+    codebooks (a stale caller argument would mis-slice the LUT and
+    degrade silently); scoring is the shared :func:`_adc_sum` /
+    :func:`_adc_topk_tail`, so results match the in-memory
+    :func:`ann_topk_ivfpq` row-for-row given the same models (pinned
+    in tests/test_ann_index.py).  The exact re-rank joins the bounded
+    candidate set back to the live corpus for full-precision cosine."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    m, codes, dim = _pq_codebook_shape(codebooks)
+    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    )
+    q_unit = queries.where(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
+    )
+    probed = _nearest_cells_l2(
+        q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
+    )
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    encoded = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("cell").isin(cells))
+        .select("id", F.col("cell").cast(centroids.schema["cell"].dataType), "codes")
+    )
+    return _ivfpq_adc_topk(
+        encoded, centroids, codebooks, c_unit, q_unit, k, m, codes,
+        n_probes, rerank, dim,
+    )

@@ -443,3 +443,104 @@ def test_streaming_pq_path_corpus_with_cache_is_rejected(spark):
 
     with pytest.raises(ValueError, match="path-form"):
         ops.stream_pq_topk_writer("/tmp/idx", "/tmp/corpus", _NullSink())
+
+
+# ----------------------------------------------------------- IVF-PQ ----
+
+
+IVFPQ_KW = dict(n_cells=4, m=8, codes=8, coarse_iterations=3, pq_iterations=3)
+
+
+def test_ivfpq_index_probe_matches_in_memory_operator(spark, split):
+    """ivfpq_index_topk over a persisted write_ivfpq_index store must
+    equal ann_topk_ivfpq row-for-row when both use the same (stored)
+    models — the shared _adc_sum/_adc_topk_tail makes this an identity,
+    and the test pins that persistence round-trips both models
+    bit-exactly."""
+    import tempfile
+
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        S.write_ivfpq_index(corpus, f"{d}/idx", **IVFPQ_KW)
+        stored = (
+            spark.read.parquet(f"{d}/idx/centroids"),
+            spark.read.parquet(f"{d}/idx/codebooks"),
+        )
+        got = S.ivfpq_index_topk(
+            spark, f"{d}/idx", corpus, queries, k=7, n_probes=2
+        )
+        mem = S.ann_topk_ivfpq(
+            corpus, queries, k=7, n_probes=2, models=stored, **IVFPQ_KW
+        )
+
+        def canon(df):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in df.collect()
+            )
+
+        assert canon(got) == canon(mem)
+
+
+def test_ivfpq_index_layout_and_partition_pruning(spark, split):
+    """The codes table is one hive partition per cell, and a probe scan
+    carries a planning-time cell filter — unprobed inverted lists are
+    never opened."""
+    import tempfile
+
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        S.write_ivfpq_index(corpus, f"{d}/idx", **IVFPQ_KW)
+        parts = sorted(
+            p for p in os.listdir(f"{d}/idx/codes") if p.startswith("cell=")
+        )
+        assert parts, "codes table is not hive-partitioned by cell"
+        # probed-cell prune: with n_probes=1 and ONE query, the scan
+        # must touch exactly that query's nearest cell
+        one_q = queries.limit(1)
+        got = S.ivfpq_index_topk(
+            spark, f"{d}/idx", corpus, one_q, k=3, n_probes=1
+        )
+        got.collect()
+        centroids = spark.read.parquet(f"{d}/idx/centroids")
+        q_unit = one_q.select(
+            F.col("vec_id").alias("query_id"), S._unit("embedding").alias("qvec")
+        )
+        probe = S._nearest_cells_l2(q_unit, centroids, 1, "qvec").collect()
+        probed_cell = probe[0]["cell"]
+        pruned = (
+            spark.read.parquet(f"{d}/idx/codes")
+            .where(F.col("cell").isin([probed_cell]))
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivfpq_index_append_equals_full_rebuild(spark, split):
+    """Appending a delta through append_ivfpq_index yields identical
+    (id, cell, codes) rows to rebuilding with the same stored models —
+    IVF-PQ encoding is a per-vector pure function of (vector,
+    centroids, codebooks)."""
+    import tempfile
+
+    corpus, queries = split
+    old = corpus.where(F.col("vec_id") < 300)
+    delta = corpus.where(F.col("vec_id") >= 300)
+    with tempfile.TemporaryDirectory() as d:
+        S.write_ivfpq_index(old, f"{d}/inc", **IVFPQ_KW)
+        S.append_ivfpq_index(delta, f"{d}/inc")
+        stored = (
+            spark.read.parquet(f"{d}/inc/centroids"),
+            spark.read.parquet(f"{d}/inc/codebooks"),
+        )
+        S.write_ivfpq_index(corpus, f"{d}/full", models=stored, **IVFPQ_KW)
+
+        def canon(path):
+            return sorted(
+                (r["id"], r["cell"], tuple(r["codes"]))
+                for r in spark.read.parquet(f"{path}/codes").collect()
+            )
+
+        assert canon(f"{d}/inc") == canon(f"{d}/full")
+        got = S.ivfpq_index_topk(spark, f"{d}/inc", corpus, queries, k=5)
+        assert got.count() == queries.count() * 5
