@@ -3397,6 +3397,7 @@ def ivfpq_index_topk(
     rerank: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_unit: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against a persisted :func:`write_ivfpq_index` store,
     reading ONLY the probed cells' partitions.
@@ -3416,8 +3417,15 @@ def ivfpq_index_topk(
     centroids = spark.read.parquet(f"{path}/centroids")
     codebooks = spark.read.parquet(f"{path}/codebooks")
     m, codes, dim = _pq_codebook_shape(codebooks)
-    c_unit = corpus.where(_nonzero_vec(vec_col)).select(
-        F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    # corpus_unit: repeat callers (the streaming writer) hand in the
+    # already-normalized (cid, cvec) re-rank side — the pq_index_topk
+    # contract, including the caller-drops-zero-norms note there.
+    c_unit = (
+        corpus_unit
+        if corpus_unit is not None
+        else corpus.where(_nonzero_vec(vec_col)).select(
+            F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+        )
     )
     q_unit = queries.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")

@@ -694,6 +694,81 @@ def stream_pq_topk_writer(
     return _write
 
 
+def stream_ivfpq_topk_writer(
+    index_path: str,
+    corpus,
+    sink,
+    k: int = 10,
+    n_probes: int = 2,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_corpus: bool = True,
+) -> "callable":
+    """foreachBatch hook: IVF-PQ top-k for every query micro-batch
+    against a persisted :func:`~..llm.similarity.write_ivfpq_index`
+    store — the cell-pruned twin of :func:`stream_pq_topk_writer`,
+    completing the streaming probe surface for ANN family #5.
+
+    Per trigger the scan side is only the PROBED cells' code
+    partitions (the bounded probed-cell ``isin`` prunes at planning
+    time inside :func:`~..llm.similarity.ivfpq_index_topk`); the
+    micro-batch builds its own per-(query, cell) LUTs and re-ranks the
+    bounded k·rerank candidates against ``corpus``.  The
+    ``cache_corpus`` / path-form-corpus semantics, the
+    append-between-triggers trap (a DataFrame captured at construction
+    can never see files appended later — pass a PATH with
+    ``cache_corpus=False`` when :func:`append_ivfpq_index` runs
+    between triggers), and the ``close()`` hygiene contract are all
+    exactly :func:`stream_pq_topk_writer`'s — see the ledger there."""
+    from ..llm.similarity import _nonzero_vec, _unit, ivfpq_index_topk
+
+    base = foreach_batch_writer(sink)
+    corpus_path = corpus if isinstance(corpus, str) else None
+    c_unit = None
+    if cache_corpus:
+        if corpus_path is not None:
+            raise ValueError(
+                "stream_ivfpq_topk_writer: a path-form corpus is for "
+                "per-trigger re-reads (mutating index) — pass "
+                "cache_corpus=False, or read the path yourself and pass "
+                "the DataFrame to cache a fixed snapshot."
+            )
+        c_unit = (
+            corpus.where(_nonzero_vec(vec_col))
+            .select(F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec"))
+            .persist()
+        )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus_df = (
+            spark.read.parquet(corpus_path)
+            if corpus_path is not None
+            else corpus
+        )
+        base(
+            ivfpq_index_topk(
+                spark,
+                index_path,
+                corpus_df,
+                batch_df,
+                k=k,
+                n_probes=n_probes,
+                rerank=rerank,
+                id_col=id_col,
+                vec_col=vec_col,
+                corpus_unit=c_unit,
+            ),
+            batch_id,
+        )
+
+    _write.close = (
+        (lambda: c_unit.unpersist()) if cache_corpus else (lambda: None)
+    )
+    return _write
+
+
 def run_stream_to_sink(result: DataFrame, sink, checkpoint_dir: str) -> None:
     """Run a streaming DataFrame to completion (availableNow) into a
     batch sink via foreachBatch, with a durable checkpoint."""

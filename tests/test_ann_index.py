@@ -544,3 +544,56 @@ def test_ivfpq_index_append_equals_full_rebuild(spark, split):
         assert canon(f"{d}/inc") == canon(f"{d}/full")
         got = S.ivfpq_index_topk(spark, f"{d}/inc", corpus, queries, k=5)
         assert got.count() == queries.count() * 5
+
+
+def test_streaming_ivfpq_probe_matches_batch_operator(spark, split):
+    """availableNow query stream through stream_ivfpq_topk_writer lands
+    exactly the batch ivfpq_index_topk rows in the sink — the cell-
+    pruned family's serving path, same contract as the LSH and PQ
+    streaming-probe pins."""
+    import shutil
+
+    from parquet_to_postgres_spark.etl import ParquetSink
+    from parquet_to_postgres_spark.streaming import ops
+
+    corpus, queries = split
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ivfpqidx"
+        S.write_ivfpq_index(corpus, path, **IVFPQ_KW)
+
+        src = f"{d}/in"
+        os.makedirs(src)
+        shutil.copy(
+            f"{SF_SMOKE}/embeddings.parquet", f"{src}/embeddings.parquet"
+        )
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").schema
+            )
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(src)
+            .where(F.col("vec_id") < 5)
+        )
+        sink = ParquetSink(f"{d}/out", mode="append")
+        writer = ops.stream_ivfpq_topk_writer(path, corpus, sink, k=10)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        writer.close()
+
+        def canon(rows):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rank"])
+                for r in rows
+            )
+
+        got = canon(spark.read.parquet(f"{d}/out").collect())
+        want = canon(
+            S.ivfpq_index_topk(spark, path, corpus, queries, k=10).collect()
+        )
+        assert got == want and got
