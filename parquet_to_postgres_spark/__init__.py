@@ -12,11 +12,15 @@ extended into a full analytics engine:
   broadcast star joins), aggregation (hash agg, rollup/cube, approx
   sketches), window functions, sort/limit/set ops.
 - LLM-data-pipeline operators: exact + MinHash/SimHash near-dedup,
-  embedding similarity search (brute-force and LSH-bucketed two-stage
-  top-k), text analysis (tokenize, language-ID, quality score,
-  fingerprint), multimodal binary-column plumbing.
+  embedding similarity search (brute-force, LSH, IVF, int8, PQ and
+  IVF-PQ families, in-memory and persisted), text analysis (tokenize,
+  language-ID, quality score, fingerprint), multimodal binary-column
+  plumbing, weighted/stratified/split sampling, blocked fuzzy joins.
+- Scale-pattern operators: salting, bloom semi-join reduction, Z-order
+  layout, bucketing, CDC changelog compaction, distributed rank.
 - Structured Streaming: tumbling/sliding/session windows, watermark
-  late-data handling, streaming dedup, custom stateful operators.
+  late-data handling, streaming dedup, custom stateful operators,
+  streaming ANN index probes.
 
 Everything is DataFrame/SQL-first: logical plans are declared via the
 PySpark DataFrame API and Catalyst picks the physical strategy.  Python

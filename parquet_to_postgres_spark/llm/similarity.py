@@ -3443,3 +3443,104 @@ def ivfpq_index_topk(
         encoded, centroids, codebooks, c_unit, q_unit, k, m, codes,
         n_probes, rerank, dim,
     )
+
+
+# ---------------------------------------------------------------------------
+# Variance-balanced subspace permutation (deterministic OPQ-lite)
+# ---------------------------------------------------------------------------
+
+
+def pq_balanced_permutation(
+    vectors: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> "list[int]":
+    """Dimension permutation that balances per-subspace variance for
+    PQ — the deterministic cousin of OPQ's learned rotation.
+
+    Contiguous slicing (:func:`_subvectors`) is blind to anisotropy: if
+    the signal concentrates in a few leading dimensions, one subspace
+    eats all the variance and its ``codes`` centroids under-resolve it
+    while the flat subspaces waste theirs.  Sorting dimensions by
+    variance and greedy-assigning each to the least-loaded non-full
+    subspace spreads the budget; a permutation is norm- and
+    cosine-preserving, so the permuted pipeline composes with every PQ
+    entry point unchanged (permute corpus and queries with
+    :func:`apply_permutation`, then train/encode/probe as usual — the
+    exact re-rank is permutation-invariant).  Unlike OPQ's SVD this is
+    bit-deterministic: variances come from fixed-point int64 sums
+    (order-independent), ties break on (variance desc, position asc,
+    subspace asc).
+
+    The scaled sums hold exactly while ``n · (4·max|x|)² · 2^20``
+    stays inside int64 — fine for the sampled training sets PQ
+    trains on (document: train the permutation on the SAME
+    hash_sample as the codebooks).  Returns ``perm`` with
+    ``perm[new_pos] = old_pos``, grouped by subspace, ascending old
+    position within each subspace."""
+    v = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    if dim is None:
+        dim = _first_dim(v, "vec")
+    if dim == 0 or dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    scale = float(1 << 20)
+    stats = (
+        v.select(F.posexplode("vec").alias("pos", "val"))
+        .select(
+            "pos",
+            F.round(F.col("val") * scale).cast("long").alias("sv"),
+            F.round(F.col("val") * F.col("val") * scale).cast("long").alias("svv"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sv").alias("s"),
+            F.sum("svv").alias("ss"),
+        )
+        .collect()
+    )
+    variances = {}
+    for r in stats:
+        n, s, ss = r["n"], r["s"] / scale, r["ss"] / scale
+        variances[r["pos"]] = ss / n - (s / n) ** 2
+    if len(variances) != dim:
+        raise ValueError(
+            f"saw {len(variances)} positions, expected dim={dim} — ragged "
+            "vector column"
+        )
+    d = dim // m
+    order = sorted(variances, key=lambda p: (-variances[p], p))
+    loads = [0.0] * m
+    counts = [0] * m
+    assign: "dict[int, list[int]]" = {j: [] for j in range(m)}
+    for pos in order:
+        j = min(
+            (j for j in range(m) if counts[j] < d),
+            key=lambda j: (loads[j], j),
+        )
+        assign[j].append(pos)
+        loads[j] += variances[pos]
+        counts[j] += 1
+    perm: "list[int]" = []
+    for j in range(m):
+        perm.extend(sorted(assign[j]))
+    return perm
+
+
+def apply_permutation(
+    df: DataFrame, perm: "list[int]", vec_col: str, out_col: str | None = None
+) -> Column | DataFrame:
+    """Reorder a vector column by ``perm`` (``out[new] = vec[perm[new]]``)
+    — a pure JVM projection (``array`` of ``element_at``), zero shuffle,
+    codegen-friendly.  With ``out_col`` returns the DataFrame with the
+    column replaced/added; without, returns the Column expression."""
+    expr = F.array(
+        *[F.element_at(F.col(vec_col), p + 1) for p in perm]
+    )
+    if out_col is None:
+        return expr
+    return df.withColumn(out_col, expr)

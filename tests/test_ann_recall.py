@@ -1057,3 +1057,89 @@ def test_ivfpq_zero_norm_contract(spark):
         coarse_iterations=2, pq_iterations=2,
     )
     assert out.count() == 0
+
+
+# ---------------------------- balanced subspace permutation (OPQ-lite) ----
+
+
+def _aniso_frame(spark, n=256, dim=16):
+    """Deterministic anisotropic vectors: 4 high-variance leading dims
+    (hash-derived in [-4, 4]), 12 near-flat tail dims."""
+    rows = []
+    for i in range(n):
+        v = []
+        for t in range(dim):
+            h = int(
+                __import__("hashlib").md5(f"{i}:{t}".encode()).hexdigest()[:8],
+                16,
+            )
+            u = h / 0xFFFFFFFF
+            v.append((u - 0.5) * 8.0 if t < 4 else (u - 0.5) * 0.05)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _reconstruction_mse(spark, vecs, m, dim):
+    """Train+encode, decode via codebook lookup, mean squared error."""
+    books = S.pq_train(vecs, m=m, codes=8, max_iterations=6, dim=dim)
+    enc = S.pq_encode(vecs, books, m=m, dim=dim)
+    cb = {
+        (r["subspace"], r["code"]): list(r["centroid"])
+        for r in books.collect()
+    }
+    orig = {r["vec_id"]: list(r["embedding"]) for r in vecs.collect()}
+    d = dim // m
+    err, cnt = 0.0, 0
+    for r in enc.collect():
+        rec = []
+        for j, code in enumerate(r["codes"]):
+            rec.extend(cb[(j, code)])
+        for a, b in zip(orig[r["id"]], rec):
+            err += (a - b) ** 2
+            cnt += 1
+    return err / cnt
+
+
+def test_balanced_permutation_is_valid_and_deterministic(spark):
+    df = _aniso_frame(spark)
+    perm = S.pq_balanced_permutation(df, m=4, dim=16)
+    assert sorted(perm) == list(range(16))
+    assert perm == S.pq_balanced_permutation(df, m=4, dim=16)
+    # the 4 high-variance dims (0..3) must land in 4 DIFFERENT subspaces
+    subspace_of = {perm[new]: new // 4 for new in range(16)}
+    assert len({subspace_of[t] for t in range(4)}) == 4
+
+
+def test_balanced_permutation_reduces_reconstruction_error(spark):
+    """On anisotropic data, spreading the high-variance dims across
+    subspaces must beat the contiguous split's quantization error —
+    the property that makes the permutation worth applying before
+    pq_train at scale."""
+    df = _aniso_frame(spark)
+    perm = S.pq_balanced_permutation(df, m=4, dim=16)
+    permuted = S.apply_permutation(df, perm, "embedding", "embedding")
+    mse_plain = _reconstruction_mse(spark, df, m=4, dim=16)
+    mse_perm = _reconstruction_mse(spark, permuted, m=4, dim=16)
+    assert mse_perm < mse_plain, (mse_perm, mse_plain)
+
+
+def test_permutation_preserves_exact_topk(spark):
+    """A permutation is cosine-preserving, so the permuted pipeline's
+    exact re-rank (and any brute-force check) is unchanged — the
+    composability contract with every PQ entry point."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    dim = len(emb.select("embedding").first()[0])
+    perm = S.pq_balanced_permutation(emb, m=8, dim=dim)
+    permuted = S.apply_permutation(emb, perm, "embedding", "embedding")
+    q = emb.where(F.col("vec_id") < 3)
+    qp = permuted.where(F.col("vec_id") < 3)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert canon(S.brute_force_topk(emb, q, k=5)) == canon(
+        S.brute_force_topk(permuted, qp, k=5)
+    )
