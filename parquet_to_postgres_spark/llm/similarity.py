@@ -3254,6 +3254,7 @@ def _ivfpq_adc_topk(
     n_probes: int,
     rerank: int,
     dim: int,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-pruned twin of :func:`_pq_adc_topk`: the LUT is per
     (query, probed cell) over the QUERY RESIDUAL and candidates join on
@@ -3261,9 +3262,13 @@ def _ivfpq_adc_topk(
     two-stage top-k / exact re-rank tail are the SHARED
     :func:`_adc_sum` / :func:`_adc_topk_tail` — parity with the PQ
     family by construction."""
-    probed = _nearest_cells_l2(
-        q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
-    )
+    if probed is None:
+        probed = _nearest_cells_l2(
+            q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
+        )
+    # callers that already probed (ivfpq_index_topk collects the cell
+    # set for partition pruning) pass their frame in — one probe
+    # evaluation per call, not two (r12 review finding)
     q_res = probed.join(F.broadcast(centroids), "cell").select(
         "query_id",
         "cell",
@@ -3361,6 +3366,25 @@ def write_ivfpq_index(
     codebooks.write.mode(mode).parquet(f"{path}/codebooks")
     stored_c = spark.read.parquet(f"{path}/centroids")
     stored_b = spark.read.parquet(f"{path}/codebooks")
+    if mode == "overwrite":
+        # a rebuild must replace the WHOLE codes table: under
+        # spark.sql.sources.partitionOverwriteMode=dynamic a
+        # partitioned overwrite only replaces the cells the new encode
+        # emits, so a cell emptied by the retrained model would keep
+        # its OLD codes (encoded against the old codebooks) and a
+        # probe would score garbage with no error (r12 review
+        # finding).  Delete the directory first — static replace
+        # regardless of session conf.
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        fs.delete(hpath, True)
+    # dim comes from the STORED codebooks, never the caller (the
+    # ivfpq_index_topk discipline): a stale argument would mis-slice
+    # the encode and degrade silently.
+    _, _, dim = _pq_codebook_shape(stored_b)
     ivfpq_encode(
         corpus, stored_c, stored_b, id_col=id_col, vec_col=vec_col, dim=dim
     ).write.mode(mode).partitionBy("cell").parquet(f"{path}/codes")
@@ -3382,6 +3406,10 @@ def append_ivfpq_index(
     spark = new_vectors.sparkSession
     stored_c = spark.read.parquet(f"{path}/centroids")
     stored_b = spark.read.parquet(f"{path}/codebooks")
+    # dim from the STORE (codebooks define the decomposition) — the
+    # caller's argument is kept for signature stability but ignored,
+    # same contract as pq_encode's m inference.
+    _, _, dim = _pq_codebook_shape(stored_b)
     ivfpq_encode(
         new_vectors, stored_c, stored_b, id_col=id_col, vec_col=vec_col, dim=dim
     ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
@@ -3436,12 +3464,19 @@ def ivfpq_index_topk(
     cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     encoded = (
         spark.read.parquet(f"{path}/codes")
+        # the isin runs on the RAW partition column so it pushes down
+        # as a planning-time PartitionFilter; the cast back to the
+        # model's cell type happens after the prune
         .where(F.col("cell").isin(cells))
-        .select("id", F.col("cell").cast(centroids.schema["cell"].dataType), "codes")
+        .select(
+            "id",
+            F.col("cell").cast(centroids.schema["cell"].dataType).alias("cell"),
+            "codes",
+        )
     )
     return _ivfpq_adc_topk(
         encoded, centroids, codebooks, c_unit, q_unit, k, m, codes,
-        n_probes, rerank, dim,
+        n_probes, rerank, dim, probed=probed,
     )
 
 
@@ -3453,9 +3488,9 @@ def ivfpq_index_topk(
 def pq_balanced_permutation(
     vectors: DataFrame,
     m: int = 8,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    normalize: bool = True,
 ) -> "list[int]":
     """Dimension permutation that balances per-subspace variance for
     PQ — the deterministic cousin of OPQ's learned rotation.
@@ -3474,15 +3509,29 @@ def pq_balanced_permutation(
     (order-independent), ties break on (variance desc, position asc,
     subspace asc).
 
+    ``normalize`` (default) measures the variances over UNIT vectors —
+    the space every PQ train/encode path actually quantizes
+    (:func:`write_pq_index` / :func:`ann_topk_pq` normalize before
+    training; raw-space variances would let a few long vectors rank
+    near-flat-after-normalization dimensions high and unbalance the
+    result in the space that matters).  For IVF-PQ, whose codebooks
+    quantize residuals, train the permutation on the residual frame
+    with ``normalize=False``.
+
     The scaled sums hold exactly while ``n · (4·max|x|)² · 2^20``
     stays inside int64 — fine for the sampled training sets PQ
-    trains on (document: train the permutation on the SAME
-    hash_sample as the codebooks).  Returns ``perm`` with
+    trains on (train the permutation on the SAME hash_sample as the
+    codebooks).  Zero-norm vectors are dropped under ``normalize``
+    (the family's uniform contract).  Returns ``perm`` with
     ``perm[new_pos] = old_pos``, grouped by subspace, ascending old
     position within each subspace."""
-    v = vectors.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )
+    base = vectors.where(F.col(vec_col).isNotNull())
+    if normalize:
+        v = base.where(_nonzero_vec(vec_col)).select(
+            _unit(vec_col).alias("vec")
+        )
+    else:
+        v = base.select(F.col(vec_col).alias("vec"))
     if dim is None:
         dim = _first_dim(v, "vec")
     if dim == 0 or dim % m:
@@ -3535,11 +3584,21 @@ def apply_permutation(
     df: DataFrame, perm: "list[int]", vec_col: str, out_col: str | None = None
 ) -> Column | DataFrame:
     """Reorder a vector column by ``perm`` (``out[new] = vec[perm[new]]``)
-    — a pure JVM projection (``array`` of ``element_at``), zero shuffle,
-    codegen-friendly.  With ``out_col`` returns the DataFrame with the
-    column replaced/added; without, returns the Column expression."""
-    expr = F.array(
-        *[F.element_at(F.col(vec_col), p + 1) for p in perm]
+    — a pure JVM projection (``array`` of ``try_element_at``), zero
+    shuffle, codegen-friendly.  A NULL vector or one whose length
+    differs from ``len(perm)`` maps to NULL (not an ANSI
+    INVALID_ARRAY_INDEX mid-job, and not a non-null array of nulls
+    that would slip past the PQ family's null-vector drop — r12
+    review finding).  Cosine/norm/top-k are MATHEMATICALLY invariant
+    under the reorder; bit-level, the permuted dot/norm folds sum in
+    a different order, so scores may move in the last ulp and an
+    exactly-tied pair can swap ranks — compare neighbor SETS, not
+    score bits, across permuted runs.  With ``out_col`` returns the
+    DataFrame with the column replaced/added; without, the Column."""
+    vec = F.col(vec_col)
+    expr = F.when(
+        vec.isNotNull() & (F.size(vec) == len(perm)),
+        F.array(*[F.try_element_at(vec, F.lit(p + 1)) for p in perm]),
     )
     if out_col is None:
         return expr

@@ -508,12 +508,34 @@ def test_ivfpq_index_layout_and_partition_pruning(spark, split):
         )
         probe = S._nearest_cells_l2(q_unit, centroids, 1, "qvec").collect()
         probed_cell = probe[0]["cell"]
-        pruned = (
-            spark.read.parquet(f"{d}/idx/codes")
-            .where(F.col("cell").isin([probed_cell]))
+        # the pin runs on the OPERATOR'S OWN plan (not a hand-built
+        # scan — an unfiltered partitioned read also stringifies
+        # "PartitionFilters: []", which made the first form of this
+        # assert vacuous; r12 review finding): the codes scan must
+        # carry a non-empty static cell filter
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            S.ivfpq_index_topk(
+                spark, f"{d}/idx", corpus, one_q, k=3, n_probes=1
+            ).explain(mode="formatted")
+        plan = buf.getvalue()
+        # Catalyst simplifies a single-cell IN-list to an equality,
+        # so accept both static forms
+        mm = re.search(
+            r"PartitionFilters: \[[^\]]*cell#\d+ (?:= (\d+)|IN \(([^)]*)\))",
+            plan,
         )
-        plan = pruned._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "cell" in plan
+        assert mm, plan
+        probed_set = (
+            {int(mm.group(1))}
+            if mm.group(1) is not None
+            else {int(x) for x in mm.group(2).split(",")}
+        )
+        assert probed_set == {probed_cell}
 
 
 def test_ivfpq_index_append_equals_full_rebuild(spark, split):
@@ -544,6 +566,39 @@ def test_ivfpq_index_append_equals_full_rebuild(spark, split):
         assert canon(f"{d}/inc") == canon(f"{d}/full")
         got = S.ivfpq_index_topk(spark, f"{d}/inc", corpus, queries, k=5)
         assert got.count() == queries.count() * 5
+
+
+def test_ivfpq_rebuild_replaces_all_cells_under_dynamic_overwrite(spark, split):
+    """Rebuilding the index with fewer cells must leave NO stale cell
+    directories even when partitionOverwriteMode=dynamic (which only
+    overwrites emitted partitions) — stale codes would be scored
+    against new codebooks with no error (r12 review finding)."""
+    corpus, _ = split
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        with tempfile.TemporaryDirectory() as d:
+            S.write_ivfpq_index(corpus, f"{d}/idx", **IVFPQ_KW)
+            cells_before = {
+                p for p in os.listdir(f"{d}/idx/codes") if p.startswith("cell=")
+            }
+            assert len(cells_before) > 2
+            S.write_ivfpq_index(
+                corpus, f"{d}/idx", n_cells=2, m=8, codes=8,
+                coarse_iterations=2, pq_iterations=2,
+            )
+            cells_after = {
+                p for p in os.listdir(f"{d}/idx/codes") if p.startswith("cell=")
+            }
+            assert len(cells_after) <= 2, cells_after
+            # the rebuilt store still probes end-to-end
+            ids = spark.read.parquet(f"{d}/idx/codes").count()
+            assert ids == corpus.where(S._nonzero_vec("embedding")).count()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
 
 def test_streaming_ivfpq_probe_matches_batch_operator(spark, split):

@@ -1123,10 +1123,11 @@ def test_balanced_permutation_reduces_reconstruction_error(spark):
     assert mse_perm < mse_plain, (mse_perm, mse_plain)
 
 
-def test_permutation_preserves_exact_topk(spark):
-    """A permutation is cosine-preserving, so the permuted pipeline's
-    exact re-rank (and any brute-force check) is unchanged — the
-    composability contract with every PQ entry point."""
+def test_permutation_preserves_exact_topk_sets(spark):
+    """A permutation is cosine-preserving MATHEMATICALLY; bit-level the
+    reordered folds can move a score by an ulp, so the composability
+    contract is stated (and pinned) on neighbor SETS per query, not on
+    score bits or tie-sensitive ranks."""
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
     dim = len(emb.select("embedding").first()[0])
     perm = S.pq_balanced_permutation(emb, m=8, dim=dim)
@@ -1134,12 +1135,26 @@ def test_permutation_preserves_exact_topk(spark):
     q = emb.where(F.col("vec_id") < 3)
     qp = permuted.where(F.col("vec_id") < 3)
 
-    def canon(df):
-        return sorted(
-            (r["query_id"], r["neighbor_id"], r["rank"])
-            for r in df.collect()
-        )
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
 
-    assert canon(S.brute_force_topk(emb, q, k=5)) == canon(
+    assert sets(S.brute_force_topk(emb, q, k=5)) == sets(
         S.brute_force_topk(permuted, qp, k=5)
     )
+
+
+def test_apply_permutation_nulls_and_ragged_vectors(spark):
+    """NULL and wrong-length vectors map to NULL output (never an ANSI
+    index error mid-job, never a non-null array of nulls that would
+    evade the PQ family's null-vector drop)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.apply_permutation(df, [3, 2, 1, 0], "embedding", "p").collect()
+    got = {r["vec_id"]: r["p"] for r in out}
+    assert got[1] == [4.0, 3.0, 2.0, 1.0]
+    assert got[2] is None and got[3] is None

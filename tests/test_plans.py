@@ -221,7 +221,11 @@ def test_pack_token_budget_is_distributed_cumsum(spark):
 def test_tf_idf_windows_are_doc_partitioned(spark):
     # doc-length and rank windows reuse the (doc_id, term) aggregate's
     # partitioning key; the corpus-count side must broadcast.
-    p = plan(build("tf_idf_top", spark))
+    # (tf_idf_top rotated out of the registry in r12 — build the plan
+    # from the module function, the shape contract is unchanged)
+    from parquet_to_postgres_spark.queries.pipeline_q import tf_idf_top
+
+    p = plan(tf_idf_top(spark, SF_SMOKE))
     assert "windowspecdefinition(doc_id" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
