@@ -1070,3 +1070,35 @@ def cdc_apply(
         *key_cols,
         *[F.col(f"__last.{c}").alias(c) for c in (*seq_cols, *payload)],
     )
+
+
+def weighted_sample_by(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum exact weighted sampling without replacement: ``k``
+    rows from EACH stratum by the same deterministic A-ES priority as
+    :func:`weighted_sample_topk` (P(row first in its stratum) = w/Σw
+    within the stratum) — the curriculum-mix primitive where each
+    language/source keeps its own quota but selection within the
+    stratum is length- (or quality-) weighted.
+
+    Selection is a rank-over-window filter that Spark plans as
+    WindowGroupLimit: each task pre-prunes to its local top-k per
+    stratum BEFORE the shuffle, so the exchange carries at most
+    k·P rows per stratum, never the stratum's population — the same
+    property the Gumbel resampler relies on.  Ties break on the id.
+    Rows with NULL id or non-positive/NULL weight are excluded."""
+    pr = weighted_priority(id_col, weight_col, salt)
+    w = Window.partitionBy(strata_col).orderBy("__pr", id_col)
+    return (
+        df.where(F.col(id_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pr", pr)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__pr", "__rk")
+    )

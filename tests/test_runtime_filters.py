@@ -367,3 +367,46 @@ def test_cdc_apply_null_op_is_not_a_tombstone(spark):
     got = cdc_apply(log, ["k"], ["seq"], "op").collect()
     # the malformed NULL-op latest row stays live, never silently deleted
     assert [(r["k"], r["seq"], r["v"]) for r in got] == [(1, 2, "b")]
+
+
+def test_weighted_sample_by_per_stratum_quota_and_replay(spark):
+    """Each stratum keeps exactly min(k, |stratum|) rows, and the
+    selected ids are the stratum-local A-ES winners — replayed with the
+    same md5 priority in pure Python."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    from parquet_to_postgres_spark.operators import weighted_sample_by
+
+    got = weighted_sample_by(docs, "doc_id", "n_chars", "lang", k=7, salt=3)
+    rows = [
+        (r["doc_id"], r["n_chars"], r["lang"])
+        for r in docs.collect()
+        if r["n_chars"] > 0 and r["doc_id"] is not None
+    ]
+    expected = {}
+    by_lang: dict = {}
+    for d, w, lang in rows:
+        by_lang.setdefault(lang, []).append((d, w))
+    for lang, items in by_lang.items():
+        winners = sorted(items, key=lambda x: (_py_priority(x[0], x[1], 3), x[0]))
+        expected[lang] = {d for d, _ in winners[:7]}
+    got_by = {}
+    for r in got.collect():
+        got_by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert got_by == expected
+
+
+def test_weighted_sample_by_plan_group_limits_before_shuffle(spark):
+    """The rank filter must plan as WindowGroupLimit (per-task pre-prune
+    to k per stratum before the exchange) — the property that keeps the
+    shuffle k·P-bounded per stratum at any population."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    from parquet_to_postgres_spark.operators import weighted_sample_by
+
+    out = weighted_sample_by(docs, "doc_id", "n_chars", "lang", k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    assert "WindowGroupLimit" in buf.getvalue()
