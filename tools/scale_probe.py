@@ -68,6 +68,12 @@ HEAVY = [
     "cube_orders",
     "window_rank_analytic",
     "salted_user_totals",
+    # r12 addition: the bloom prefilter's scan-side probe runs over the
+    # SCALED orders fact (the build side, customer, stays in SMALL —
+    # which is the operator's own asymmetry: fixed bitmap, growing
+    # fact).  fuzzy_name_pairs is NOT probed: its only input is the
+    # unscaled customer table, so its "ratio" would measure nothing.
+    "bloom_semi_reduction",
 ]
 # skew-sensitive queries re-run on the hot-key variant
 SKEWED = ["salted_user_totals", "join_star_revenue"]
