@@ -1102,3 +1102,146 @@ def weighted_sample_by(
         .where(F.col("__rk") <= k)
         .drop("__pr", "__rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered step matching with a per-step gap budget)
+# ---------------------------------------------------------------------------
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user funnel progression: how far through the ordered
+    ``steps`` sequence each user got, each step strictly after the
+    previous and (optionally) within ``max_gap_seconds`` of it — the
+    product-analytics windowFunnel/sequence-match primitive.
+
+    Output: one row per user — ``<user_col>``, ``steps_completed``
+    (0..len(steps)), ``step_ts`` (array over the completed prefix).
+    ``step_ts[j]`` is stage j's LATEST-achievable time — the DP state,
+    not one coherent chain: a later repeat of an early step can
+    postdate a later step's entry (A@0, B@3, A@10 → [@10, @3]).  A
+    valid chain witnessing ``steps_completed`` always exists; consume
+    ``step_ts`` as per-stage recency, not as a chronology.
+
+    Plan shape: ONE hash aggregate collects each user's (ts, type)
+    pairs (time-sorted via array_sort — no window, no per-user shuffle
+    beyond the aggregate; per-user event volume bounds task memory,
+    the :func:`sessionize`/`collect_sequences` caveat), then a pure
+    expression fold (``F.aggregate``) runs the matching DP — zero
+    Python, zero extra exchange.
+
+    Matching semantics (the greedy-latest DP): distinct timestamps are
+    scanned in order; reaching stage j records the LATEST time stage j
+    has been achievable.  Keeping the latest dominates under a
+    consecutive-gap constraint — any strictly-later event that would
+    have qualified against an older stage-j time also qualifies
+    against a later one — so the fold finds the maximum completed
+    prefix, including the cases plain greedy-earliest misses (A@0,
+    A@9, B@10 with gap 5 completes via the second A).  Events sharing
+    a timestamp are folded as ONE simultaneous update reading the
+    pre-timestamp state (events are pre-grouped per (user, ts)): the
+    dominance argument needs strictly-later future events, and a tied
+    pair like A@9,A@23,B@23 must chain B@23 from A@9, which a
+    per-event fold that first overwrites stage 1 with A@23 would
+    miss (caught by the brute-force test).  ``steps`` must be
+    pairwise distinct so one timestamp cannot advance two stages off
+    itself; ties at identical timestamps never chain (strictly-after
+    rule).
+
+    NULL users, timestamps, or types are dropped.  Timestamps compare
+    at microsecond resolution (``unix_micros``)."""
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError(f"steps must be non-empty and pairwise distinct: {steps}")
+    n = len(steps)
+    sentinel = F.lit(-(1 << 62)).cast("long")
+    gap_us = (
+        None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
+    )
+    # pre-group per (user, timestamp): all of a timestamp's events fold
+    # as one simultaneous update against the pre-timestamp state (see
+    # the tie semantics above) — both aggregates map-side combine
+    ev = (
+        events.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .groupBy(user_col, F.unix_micros(F.col(ts_col)).alias("__t"))
+        .agg(F.collect_set(F.col(type_col)).alias("__ys"))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__t").alias("t"), F.col("__ys").alias("ys")))
+            ).alias("__evs")
+        )
+    )
+
+    def step_update(acc, e, j):
+        prev_ok = (
+            F.lit(True)
+            if j == 0
+            else (
+                (F.element_at(acc, j) != sentinel)
+                & (e["t"] > F.element_at(acc, j))
+                & (
+                    F.lit(True)
+                    if gap_us is None
+                    else (e["t"] - F.element_at(acc, j)) <= F.lit(gap_us)
+                )
+            )
+        )
+        return F.when(
+            F.array_contains(e["ys"], F.lit(steps[j])) & prev_ok, e["t"]
+        ).otherwise(F.element_at(acc, j + 1))
+
+    init = F.array(*([sentinel] * n))
+    folded = ev.select(
+        user_col,
+        F.aggregate(
+            "__evs",
+            init,
+            lambda acc, e: F.array(*[step_update(acc, e, j) for j in range(n)]),
+        ).alias("__st"),
+    )
+    completed = F.size(F.filter("__st", lambda t: t != sentinel))
+    # the reached array is monotone: stage j+1 is only ever set from a
+    # reached stage j, so the non-sentinel entries form a prefix
+    return folded.select(
+        user_col,
+        completed.alias("steps_completed"),
+        F.transform(
+            F.slice("__st", 1, completed),
+            lambda t: F.timestamp_micros(t),
+        ).alias("step_ts"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Reporting shape over :func:`funnel`: users per furthest stage
+    (``steps_completed``, ``n_users``) plus the cumulative conversion
+    count (users who got AT LEAST this far) — one extra tiny aggregate
+    over the per-user rows."""
+    per_user = funnel(events, user_col, ts_col, type_col, steps, max_gap_seconds)
+    counts = per_user.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy(F.col("steps_completed").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return counts.withColumn(
+        "n_reached_at_least", F.sum("n_users").over(w)
+    ).orderBy("steps_completed")

@@ -1,0 +1,173 @@
+"""Funnel operator: the greedy-latest DP must find the MAXIMUM
+completed prefix (brute-force-verified), entirely JVM-side.
+
+The brute force enumerates every increasing event chain matching the
+step sequence under the gap budget — exponential, fine at test sizes —
+so the DP's optimality claim (greedy-earliest is NOT optimal under a
+gap; greedy-latest is) is checked against ground truth, not another
+implementation of the same idea.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.operators import funnel, funnel_counts
+
+T0 = datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    """rows: list of (user, seconds_offset, type)."""
+    return spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), y) for u, s, y in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def _brute_force(evs, steps, gap_s):
+    """Max completed prefix over all increasing chains (ground truth)."""
+    evs = sorted(evs)
+    best = 0
+
+    def extend(stage, last_t):
+        nonlocal best
+        best = max(best, stage)
+        if stage == len(steps):
+            return
+        for t, y in evs:
+            if y != steps[stage]:
+                continue
+            if stage > 0:
+                if t <= last_t:
+                    continue
+                if gap_s is not None and t - last_t > gap_s:
+                    continue
+            extend(stage + 1, t)
+
+    extend(0, None)
+    return best
+
+
+def test_funnel_basic_progression(spark):
+    df = _df(
+        spark,
+        [
+            (1, 0, "A"), (1, 10, "B"), (1, 20, "C"),   # full funnel
+            (2, 0, "A"), (2, 10, "C"),                 # stops at A
+            (3, 0, "B"), (3, 10, "C"),                 # never starts
+        ],
+    )
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(df, "user_id", "ts", "event_type", ["A", "B", "C"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0}
+
+
+def test_funnel_greedy_earliest_counterexample(spark):
+    """A@0, A@9, B@10 with gap 5: earliest-match dies (10-0 > 5), the
+    latest-DP completes via the second A — the case that motivates the
+    DP over plain greedy."""
+    df = _df(spark, [(1, 0, "A"), (1, 9, "A"), (1, 10, "B")])
+    r = funnel(
+        df, "user_id", "ts", "event_type", ["A", "B"], max_gap_seconds=5
+    ).collect()[0]
+    assert r["steps_completed"] == 2
+
+
+def test_funnel_strictly_after_and_gap_boundaries(spark):
+    # same-timestamp events cannot chain; gap is inclusive (<=)
+    df = _df(spark, [(1, 0, "A"), (1, 0, "B"), (2, 0, "A"), (2, 5, "B")])
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(
+            df, "user_id", "ts", "event_type", ["A", "B"], max_gap_seconds=5
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_funnel_matches_brute_force_on_generated_sequences(spark):
+    """DP == exponential ground truth over ~60 deterministic random
+    event sequences (3 types, up to 10 events, gap on/off)."""
+    steps = ["A", "B", "C"]
+    cases = []
+    for i in range(60):
+        h = hashlib.sha256(f"case{i}".encode()).digest()
+        n = 4 + h[0] % 7
+        evs = [
+            (h[1 + j] % 30, "ABC"[h[11 + j] % 3]) for j in range(n)
+        ]
+        cases.append(evs)
+    rows = []
+    for uid, evs in enumerate(cases):
+        rows += [(uid, t, y) for t, y in evs]
+    df = _df(spark, rows)
+    for gap in (None, 7):
+        got = {
+            r["user_id"]: r["steps_completed"]
+            for r in funnel(
+                df, "user_id", "ts", "event_type", steps, max_gap_seconds=gap
+            ).collect()
+        }
+        for uid, evs in enumerate(cases):
+            assert got[uid] == _brute_force(evs, steps, gap), (uid, evs, gap)
+
+
+def test_funnel_step_ts_prefix_and_recency_semantics(spark):
+    df = _df(spark, [(1, 0, "A"), (1, 3, "B"), (1, 10, "A")])
+    r = funnel(df, "user_id", "ts", "event_type", ["A", "B"]).collect()[0]
+    assert r["steps_completed"] == 2
+    # per-stage recency: the LATER A wins stage 1 even though stage 2
+    # completed from the earlier one
+    assert r["step_ts"][0] == T0 + timedelta(seconds=10)
+    assert r["step_ts"][1] == T0 + timedelta(seconds=3)
+
+
+def test_funnel_rejects_duplicate_steps_and_drops_nulls(spark):
+    df = _df(spark, [(1, 0, "A")])
+    with pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "event_type", ["A", "A"])
+    nulls = spark.createDataFrame(
+        [(None, T0, "A"), (1, None, "A"), (1, T0, None), (1, T0, "A")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = funnel(nulls, "user_id", "ts", "event_type", ["A", "B"]).collect()
+    assert len(got) == 1 and got[0]["steps_completed"] == 1
+
+
+def test_funnel_counts_cumulative(spark):
+    df = _df(
+        spark,
+        [
+            (1, 0, "A"), (1, 1, "B"),
+            (2, 0, "A"),
+            (3, 0, "X"),
+        ],
+    )
+    rows = {
+        r["steps_completed"]: (r["n_users"], r["n_reached_at_least"])
+        for r in funnel_counts(df, "user_id", "ts", "event_type", ["A", "B"]).collect()
+    }
+    assert rows == {0: (1, 3), 1: (1, 2), 2: (1, 1)}
+
+
+def test_funnel_plan_is_one_aggregate_no_window(spark):
+    """Per-user matching must be the collect+fold shape: one hash
+    aggregate, no Window, no Python (the fold is a JVM expression)."""
+    df = _df(spark, [(1, 0, "A")])
+    out = funnel(df, "user_id", "ts", "event_type", ["A", "B", "C"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    p = buf.getvalue()
+    assert "Window" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "partial_sort_array" in p or "HashAggregate" in p or "ObjectHashAggregate" in p
