@@ -1091,8 +1091,17 @@ def weighted_sample_by(
     WindowGroupLimit: each task pre-prunes to its local top-k per
     stratum BEFORE the shuffle, so the exchange carries at most
     k·P rows per stratum, never the stratum's population — the same
-    property the Gumbel resampler relies on.  Ties break on the id.
-    Rows with NULL id or non-positive/NULL weight are excluded."""
+    property the Gumbel resampler relies on.  CAVEAT: the group-limit
+    rewrite only fires for k <= spark.sql.optimizer.
+    windowGroupLimitThreshold (default 1000); past it the plan falls
+    back to a full per-stratum shuffle+sort — raise the threshold
+    alongside k for large quotas (verified empirically at the 1000/
+    1001 boundary; r12 review finding).  Ties break on the id.  Rows
+    with NULL id or non-positive/NULL weight are excluded."""
+    if k < 0:
+        # mirror importance_resample_by's contract — an empty stratum
+        # from a miscomputed quota should be loud, not silent
+        raise ValueError(f"k must be >= 0, got {k}")
     pr = weighted_priority(id_col, weight_col, salt)
     w = Window.partitionBy(strata_col).orderBy("__pr", id_col)
     return (
@@ -1131,11 +1140,13 @@ def funnel(
     ``step_ts`` as per-stage recency, not as a chronology.
 
     Plan shape: ONE hash aggregate collects each user's (ts, type)
-    pairs (time-sorted via array_sort — no window, no per-user shuffle
-    beyond the aggregate; per-user event volume bounds task memory,
-    the :func:`sessionize`/`collect_sequences` caveat), then a pure
+    pairs (time-sorted via array_sort — a single exchange at user
+    grain; per-user event volume bounds task memory, the
+    :func:`sessionize`/`collect_sequences` caveat), then a pure
     expression fold (``F.aggregate``) runs the matching DP — zero
-    Python, zero extra exchange.
+    Python, no window, no second exchange (the tie handling lives
+    INSIDE the fold; a groupBy(user, ts) pre-group would shuffle the
+    near-event-cardinality stream twice — r12 review finding).
 
     Matching semantics (the greedy-latest DP): distinct timestamps are
     scanned in order; reaching stage j records the LATEST time stage j
@@ -1145,69 +1156,104 @@ def funnel(
     against a later one — so the fold finds the maximum completed
     prefix, including the cases plain greedy-earliest misses (A@0,
     A@9, B@10 with gap 5 completes via the second A).  Events sharing
-    a timestamp are folded as ONE simultaneous update reading the
-    pre-timestamp state (events are pre-grouped per (user, ts)): the
-    dominance argument needs strictly-later future events, and a tied
-    pair like A@9,A@23,B@23 must chain B@23 from A@9, which a
-    per-event fold that first overwrites stage 1 with A@23 would
-    miss (caught by the brute-force test).  ``steps`` must be
-    pairwise distinct so one timestamp cannot advance two stages off
-    itself; ties at identical timestamps never chain (strictly-after
-    rule).
+    a timestamp update SIMULTANEOUSLY against the pre-timestamp state:
+    the dominance argument needs strictly-later future events, and a
+    tied pair like A@9,(A@23,B@23) must chain B@23 from A@9, which a
+    naive per-event fold that first overwrites stage 1 with A@23
+    would miss (caught by the brute-force test).  The fold carries
+    (committed, current, t) state — ``committed`` is the DP state
+    before the running timestamp, ``current`` accumulates the
+    timestamp's updates, and a timestamp change promotes current to
+    committed — so simultaneity costs no extra aggregate.  ``steps``
+    must be pairwise distinct so one timestamp cannot advance two
+    stages off itself; ties at identical timestamps never chain
+    (strictly-after rule).
 
     NULL users, timestamps, or types are dropped.  Timestamps compare
-    at microsecond resolution (``unix_micros``)."""
+    at microsecond resolution (``unix_micros``); ``max_gap_seconds``
+    may be fractional (rounded to a positive whole microsecond
+    count)."""
     if len(set(steps)) != len(steps) or not steps:
         raise ValueError(f"steps must be non-empty and pairwise distinct: {steps}")
+    if max_gap_seconds is not None:
+        gap_us = round(max_gap_seconds * 1_000_000)
+        if gap_us <= 0:
+            # gap 0 + the strictly-after rule is unsatisfiable past
+            # stage 1 — refuse instead of silently matching nothing
+            # (int() truncation of a 0.5-second budget was the silent
+            # form of this; r12 review finding)
+            raise ValueError(
+                f"max_gap_seconds must round to >= 1 microsecond, got "
+                f"{max_gap_seconds!r}"
+            )
+    else:
+        gap_us = None
     n = len(steps)
     sentinel = F.lit(-(1 << 62)).cast("long")
-    gap_us = (
-        None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
-    )
-    # pre-group per (user, timestamp): all of a timestamp's events fold
-    # as one simultaneous update against the pre-timestamp state (see
-    # the tie semantics above) — both aggregates map-side combine
     ev = (
         events.where(
             F.col(user_col).isNotNull()
             & F.col(ts_col).isNotNull()
             & F.col(type_col).isNotNull()
         )
-        .groupBy(user_col, F.unix_micros(F.col(ts_col)).alias("__t"))
-        .agg(F.collect_set(F.col(type_col)).alias("__ys"))
         .groupBy(user_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__t").alias("t"), F.col("__ys").alias("ys")))
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("t"),
+                        F.col(type_col).alias("y"),
+                    )
+                )
             ).alias("__evs")
         )
     )
 
-    def step_update(acc, e, j):
+    def step_update(committed, cur, e, is_new, j):
+        # reads ALWAYS go against the pre-timestamp state (committed);
+        # writes land in the running timestamp's current array
         prev_ok = (
             F.lit(True)
             if j == 0
             else (
-                (F.element_at(acc, j) != sentinel)
-                & (e["t"] > F.element_at(acc, j))
+                (F.element_at(committed, j) != sentinel)
+                & (e["t"] > F.element_at(committed, j))
                 & (
                     F.lit(True)
                     if gap_us is None
-                    else (e["t"] - F.element_at(acc, j)) <= F.lit(gap_us)
+                    else (e["t"] - F.element_at(committed, j)) <= F.lit(gap_us)
                 )
             )
         )
-        return F.when(
-            F.array_contains(e["ys"], F.lit(steps[j])) & prev_ok, e["t"]
-        ).otherwise(F.element_at(acc, j + 1))
+        carry = F.when(is_new, F.element_at(committed, j + 1)).otherwise(
+            F.element_at(cur, j + 1)
+        )
+        return F.when((e["y"] == F.lit(steps[j])) & prev_ok, e["t"]).otherwise(
+            carry
+        )
 
-    init = F.array(*([sentinel] * n))
+    empty = F.array(*([sentinel] * n))
+    init = F.struct(
+        empty.alias("committed"), empty.alias("current"), sentinel.alias("t")
+    )
+
+    def fold(acc, e):
+        is_new = e["t"] != acc["t"]
+        committed = F.when(is_new, acc["current"]).otherwise(acc["committed"])
+        cur = F.array(
+            *[
+                step_update(committed, acc["current"], e, is_new, j)
+                for j in range(n)
+            ]
+        )
+        return F.struct(
+            committed.alias("committed"), cur.alias("current"), e["t"].alias("t")
+        )
+
     folded = ev.select(
         user_col,
         F.aggregate(
-            "__evs",
-            init,
-            lambda acc, e: F.array(*[step_update(acc, e, j) for j in range(n)]),
+            "__evs", init, fold, lambda acc: acc["current"]
         ).alias("__st"),
     )
     completed = F.size(F.filter("__st", lambda t: t != sentinel))
@@ -1231,17 +1277,25 @@ def funnel_counts(
     steps: "list[str]",
     max_gap_seconds: int | None = None,
 ) -> DataFrame:
-    """Reporting shape over :func:`funnel`: users per furthest stage
-    (``steps_completed``, ``n_users``) plus the cumulative conversion
-    count (users who got AT LEAST this far) — one extra tiny aggregate
-    over the per-user rows."""
+    """Reporting shape over :func:`funnel`: one row per stage 0..len
+    (``steps_completed``, ``n_users``, ``n_reached_at_least``) — the
+    spine is DENSE, so a stage where nobody stopped still reports its
+    cumulative conversion (n_users=0) instead of vanishing from the
+    funnel (r12 review finding).  One tiny aggregate over the per-user
+    rows plus a (len(steps)+1)-row window."""
     per_user = funnel(events, user_col, ts_col, type_col, steps, max_gap_seconds)
     counts = per_user.groupBy("steps_completed").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+    spine = events.sparkSession.range(len(steps) + 1).select(
+        F.col("id").cast("int").alias("steps_completed")
+    )
+    dense = spine.join(counts, "steps_completed", "left").select(
+        "steps_completed", F.coalesce("n_users", F.lit(0)).alias("n_users")
+    )
     w = Window.orderBy(F.col("steps_completed").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return counts.withColumn(
+    return dense.withColumn(
         "n_reached_at_least", F.sum("n_users").over(w)
     ).orderBy("steps_completed")

@@ -159,6 +159,42 @@ def test_funnel_counts_cumulative(spark):
     assert rows == {0: (1, 3), 1: (1, 2), 2: (1, 1)}
 
 
+def test_funnel_counts_dense_spine_when_no_dropoff(spark):
+    """A stage where nobody stopped still appears (n_users=0) so the
+    cumulative conversion column is complete."""
+    df = _df(spark, [(1, 0, "A"), (1, 1, "B"), (2, 0, "A"), (2, 1, "B")])
+    rows = {
+        r["steps_completed"]: (r["n_users"], r["n_reached_at_least"])
+        for r in funnel_counts(df, "user_id", "ts", "event_type", ["A", "B"]).collect()
+    }
+    assert rows == {0: (0, 2), 1: (0, 2), 2: (2, 2)}
+
+
+def test_funnel_gap_validation(spark):
+    df = _df(spark, [(1, 0, "A")])
+    with pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "event_type", ["A", "B"], max_gap_seconds=0)
+    with pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "event_type", ["A", "B"], max_gap_seconds=-1)
+    # fractional budgets are honored at microsecond resolution
+    sub = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0, 0), "A"),
+            (1, datetime(2024, 1, 1, 0, 0, 0, 400000), "B"),
+            (2, datetime(2024, 1, 1, 0, 0, 0, 0), "A"),
+            (2, datetime(2024, 1, 1, 0, 0, 0, 600000), "B"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(
+            sub, "user_id", "ts", "event_type", ["A", "B"], max_gap_seconds=0.5
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
 def test_funnel_plan_is_one_aggregate_no_window(spark):
     """Per-user matching must be the collect+fold shape: one hash
     aggregate, no Window, no Python (the fold is a JVM expression)."""
@@ -170,4 +206,6 @@ def test_funnel_plan_is_one_aggregate_no_window(spark):
     p = buf.getvalue()
     assert "Window" not in p
     assert "Python" not in p and "ArrowEval" not in p
-    assert "partial_sort_array" in p or "HashAggregate" in p or "ObjectHashAggregate" in p
+    # ONE exchange (user grain) — the r12 review caught a
+    # groupBy(user, ts) pre-group that shuffled the event stream twice
+    assert p.count("Exchange") == 1, p
