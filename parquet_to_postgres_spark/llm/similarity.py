@@ -3057,6 +3057,31 @@ def pq_index_topk(
 # scan for both assignments, and the two-stage ADC tail.
 
 
+def hash_seed_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic label-free k-means seeding: hash-bucket vectors
+    into ``k`` pseudo-groups (``pmod(xxhash64(id), k)``) and take each
+    group's fixed-point centroid — a ``(cell, centroid)`` init frame
+    for :func:`kmeans_lloyd` when no ``label`` column exists.  No RNG,
+    so the whole Lloyd run stays bit-reproducible; buckets that catch
+    no vectors (possible for tiny corpora) simply yield fewer than
+    ``k`` initial cells, which Lloyd then carries as-is.  The seeding
+    job is one model-grain aggregate over a single corpus scan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seeded = vectors.withColumn(
+        "__seed", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int")
+    )
+    return _centroid_arrays(seeded, "__seed", vec_col, dim_hint=dim).select(
+        F.col("__seed").cast("int").alias("cell"), "centroid"
+    )
+
+
 def ivfpq_train(
     corpus: DataFrame,
     n_cells: int = 8,
@@ -3083,11 +3108,8 @@ def ivfpq_train(
     c_unit = corpus.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
     )
-    seeded = c_unit.withColumn(
-        "__seed", F.pmod(F.xxhash64(F.col("cid")), F.lit(n_cells)).cast("int")
-    )
-    init = _centroid_arrays(seeded, "__seed", "cvec", dim_hint=dim).select(
-        F.col("__seed").cast("int").alias("cell"), "centroid"
+    init = hash_seed_centroids(
+        c_unit, n_cells, id_col="cid", vec_col="cvec", dim=dim
     )
     assigned, centroids, _ = kmeans_lloyd(
         c_unit,
