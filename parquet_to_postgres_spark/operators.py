@@ -1299,3 +1299,58 @@ def funnel_counts(
     return dense.withColumn(
         "n_reached_at_least", F.sum("n_users").over(w)
     ).orderBy("steps_completed")
+
+
+def funnel_fold_py(
+    events,
+    steps: "list[str]",
+    gap_us: int | None,
+    state: "tuple[list[int], list[int], int] | None" = None,
+):
+    """Pure-Python twin of :func:`funnel`'s JVM expression fold — THE
+    reference semantics, shared by the streaming stateful operator
+    (:func:`~..streaming.ops.stream_funnel`) and the parity tests, so
+    the three implementations (JVM fold, streaming state, brute force)
+    cannot drift.
+
+    ``events``: iterable of ``(t_micros, type)`` (sorted internally).
+    ``state``: a previous fold's ``(committed, current, t)`` to resume
+    from — resuming is exact for events at ``t >= state.t`` (a tied
+    ``t == state.t`` event still reads the stored pre-timestamp
+    ``committed``); the CALLER must drop events older than ``state.t``
+    (the streaming op counts them as late).  Integer arithmetic only —
+    nothing to drift between Python and the JVM."""
+    sentinel = -(1 << 62)
+    n = len(steps)
+    if state is None:
+        committed, current, last_t = [sentinel] * n, [sentinel] * n, sentinel
+    else:
+        committed, current, last_t = (
+            list(state[0]),
+            list(state[1]),
+            state[2],
+        )
+    idx = {y: j for j, y in enumerate(steps)}
+    for t, y in sorted(events):
+        if t != last_t:
+            committed = list(current)
+            last_t = t
+        j = idx.get(y)
+        if j is None:
+            continue
+        if j == 0:
+            current[0] = t
+        else:
+            prev = committed[j - 1]
+            if (
+                prev != sentinel
+                and t > prev
+                and (gap_us is None or t - prev <= gap_us)
+            ):
+                current[j] = t
+    completed = 0
+    for v in current:
+        if v == sentinel:
+            break
+        completed += 1
+    return (committed, current, last_t), completed

@@ -35,6 +35,7 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from ..tables import normalize_events_ts
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -767,6 +768,111 @@ def stream_ivfpq_topk_writer(
         (lambda: c_unit.unpersist()) if cache_corpus else (lambda: None)
     )
     return _write
+
+
+def stream_funnel(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+    max_gap_seconds: "int | float | None" = None,
+) -> DataFrame:
+    """Streaming funnel progression (T6 family): the per-user ordered
+    step matcher of :func:`~..operators.funnel` as an
+    ``applyInPandasWithState`` operator — each micro-batch advances
+    every touched user's DP state and emits the user's current
+    ``steps_completed`` (update semantics).
+
+    The state IS the batch fold's ``(committed, current, t)`` triple
+    (:func:`~..operators.funnel_fold_py` — one shared Python reference
+    of the JVM fold's semantics), so on in-order arrival the streaming
+    answer equals the batch operator row-for-row, including the
+    tied-timestamp rule: an event arriving in a LATER batch with
+    ``t == state.t`` still folds against the stored pre-timestamp
+    state.  Events STRICTLY OLDER than the state's last timestamp
+    cannot be folded retroactively (the DP keeps no deeper history) —
+    they are dropped and COUNTED, not silently absorbed: the emitted
+    ``late_dropped`` is the per-user running count, and the honest
+    deployment pairs this with a watermark sized so late data stays
+    rare.  Integer microsecond arithmetic end-to-end — nothing to
+    drift between the streaming and batch answers."""
+    from ..operators import funnel_fold_py
+
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError(f"steps must be non-empty and pairwise distinct: {steps}")
+    if max_gap_seconds is not None:
+        gap_us = round(max_gap_seconds * 1_000_000)
+        if gap_us <= 0:
+            raise ValueError(
+                f"max_gap_seconds must round to >= 1 microsecond, got "
+                f"{max_gap_seconds!r}"
+            )
+    else:
+        gap_us = None
+    n = len(steps)
+    sentinel = -(1 << 62)
+
+    state_schema = StructType(
+        [
+            StructField("committed", ArrayType(LongType())),
+            StructField("current", ArrayType(LongType())),
+            StructField("t", LongType()),
+            StructField("late", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("steps_completed", LongType()),
+            StructField("late_dropped", LongType()),
+        ]
+    )
+
+    prepared = stream.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(type_col).alias("y"),
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("y").isNotNull()
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            committed, current, last_t, late = state.get
+            fold_state = (list(committed), list(current), last_t)
+        else:
+            fold_state = ([sentinel] * n, [sentinel] * n, sentinel)
+            late = 0
+        events = []
+        for pdf in pdfs:
+            for t, y in zip(pdf["t"].to_numpy(), pdf["y"]):
+                t = int(t)
+                if t < fold_state[2]:
+                    late += 1
+                else:
+                    events.append((t, y))
+        fold_state, completed = funnel_fold_py(events, steps, gap_us, fold_state)
+        state.update(
+            (list(fold_state[0]), list(fold_state[1]), fold_state[2], late)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "steps_completed": [completed],
+                "late_dropped": [late],
+            }
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def run_stream_to_sink(result: DataFrame, sink, checkpoint_dir: str) -> None:

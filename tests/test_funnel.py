@@ -209,3 +209,146 @@ def test_funnel_plan_is_one_aggregate_no_window(spark):
     # ONE exchange (user grain) — the r12 review caught a
     # groupBy(user, ts) pre-group that shuffled the event stream twice
     assert p.count("Exchange") == 1, p
+
+
+# ------------------------------------------------------------ streaming ----
+
+
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def test_stream_funnel_single_batch_matches_batch_operator(spark):
+    """availableNow over the events fixture in one micro-batch: the
+    streaming stateful funnel equals the batch JVM-fold operator
+    row-for-row (same shared DP semantics)."""
+    from parquet_to_postgres_spark.streaming import ops
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    stream = ops.stream_funnel(
+        ops.events_stream(spark, SF_SMOKE),
+        "user_id", "ts", "event_type", FUNNEL_STEPS,
+    )
+    got = {
+        (r["user_id"], r["steps_completed"])
+        for r in ops.run_stream_to_df(stream, "update").collect()
+    }
+    batch = {
+        (r["user_id"], r["steps_completed"])
+        for r in funnel(
+            load_table(spark, SF_SMOKE, "events"),
+            "user_id", "ts", "event_type", FUNNEL_STEPS,
+        ).collect()
+    }
+    assert got == batch
+    # nothing was late in a single in-order batch
+    late = ops.run_stream_to_df(
+        ops.stream_funnel(
+            ops.events_stream(spark, SF_SMOKE),
+            "user_id", "ts", "event_type", FUNNEL_STEPS,
+        ),
+        "update",
+    )
+    assert late.where(F.col("late_dropped") > 0).count() == 0
+
+
+def test_stream_funnel_multi_batch_in_order_and_ties(spark):
+    """Events split across micro-batches IN ORDER converge to the batch
+    answer — including a tied timestamp straddling the batch boundary,
+    which must fold against the stored pre-timestamp state; a genuinely
+    LATE event is dropped and counted, never silently absorbed."""
+    import os
+    import tempfile
+
+    from parquet_to_postgres_spark.streaming import ops
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    b1 = spark.createDataFrame(
+        [
+            # user 1: signup@9, signup@23 (tie partner arrives next batch)
+            (1, T0 + timedelta(seconds=9), 1, "signup", 0.0, ""),
+            (2, T0 + timedelta(seconds=23), 1, "signup", 0.0, ""),
+            # user 2: signup@10
+            (3, T0 + timedelta(seconds=10), 2, "signup", 0.0, ""),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            # user 1: view@23 TIES batch 1's last timestamp -> must chain
+            # from signup@9 via the stored pre-timestamp state
+            (4, T0 + timedelta(seconds=23), 1, "view", 0.0, ""),
+            # user 2: LATE event (before signup@10) -> dropped + counted
+            (5, T0 + timedelta(seconds=5), 2, "view", 0.0, ""),
+        ],
+        schema,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        os.makedirs(src)
+        b1.coalesce(1).write.parquet(f"{d}/tmp1")
+        b2.coalesce(1).write.parquet(f"{d}/tmp2")
+        # one parquet FILE per batch, named so b1 lists first
+        import glob
+        import shutil
+
+        shutil.copy(glob.glob(f"{d}/tmp1/part-*.parquet")[0], f"{src}/a_batch1.parquet")
+        shutil.copy(glob.glob(f"{d}/tmp2/part-*.parquet")[0], f"{src}/b_batch2.parquet")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ops.run_stream_to_df(
+            ops.stream_funnel(
+                stream, "user_id", "ts", "event_type", FUNNEL_STEPS,
+                max_gap_seconds=60,
+            ),
+            "update",
+        )
+        rows = out.collect()
+        # steps_completed / late_dropped are monotone: final = max
+        final = {}
+        for r in rows:
+            u = r["user_id"]
+            prev = final.get(u, (0, 0))
+            final[u] = (
+                max(prev[0], r["steps_completed"]),
+                max(prev[1], r["late_dropped"]),
+            )
+        assert final[1] == (2, 0)  # tie across the boundary chained
+        assert final[2] == (1, 1)  # late event dropped AND counted
+
+
+def test_funnel_fold_py_matches_jvm_fold(spark):
+    """The shared Python reference (the streaming op's state engine)
+    agrees with the JVM expression fold on the generated sweep."""
+    from parquet_to_postgres_spark.operators import funnel_fold_py
+
+    steps = ["A", "B", "C"]
+    cases = []
+    for i in range(40):
+        h = hashlib.sha256(f"pycase{i}".encode()).digest()
+        n = 4 + h[0] % 7
+        cases.append(
+            [(h[1 + j] % 30, "ABC"[h[11 + j] % 3]) for j in range(n)]
+        )
+    rows = []
+    for uid, evs in enumerate(cases):
+        rows += [(uid, t, y) for t, y in evs]
+    df = _df(spark, rows)
+    for gap in (None, 7):
+        gap_us = None if gap is None else gap * 1_000_000
+        jvm = {
+            r["user_id"]: r["steps_completed"]
+            for r in funnel(
+                df, "user_id", "ts", "event_type", steps, max_gap_seconds=gap
+            ).collect()
+        }
+        base = int(T0.timestamp()) * 1_000_000
+        for uid, evs in enumerate(cases):
+            _, completed = funnel_fold_py(
+                [(base + t * 1_000_000, y) for t, y in evs], steps, gap_us
+            )
+            assert completed == jvm[uid], (uid, evs, gap)
