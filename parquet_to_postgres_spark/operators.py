@@ -1354,3 +1354,59 @@ def funnel_fold_py(
             break
         completed += 1
     return (committed, current, last_t), completed
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), counted in every later period they return —
+    the companion report to :func:`funnel` in any product-analytics
+    stack.
+
+    Output: (``cohort`` date, ``period_offset`` int >= 0, ``n_active``
+    bigint distinct users, ``cohort_size`` bigint — offset 0's count,
+    repeated per row so retention% is a scan-level division for the
+    consumer).
+
+    ``period``: ``day`` | ``week`` | ``month``.  Day/week offsets are
+    exact day arithmetic (``datediff/7`` for weeks — ISO-stable,
+    engine-agnostic); month offsets count calendar-month boundaries
+    crossed.  Plan shape: one user-grain aggregate for first activity
+    (map-side combinable min), an equi-join back on the user key to
+    tag each event, then a (cohort, offset) count-distinct — all
+    standard shuffles on shrinking grains; nothing is collected.  NULL
+    users/timestamps are dropped."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
+    first = ev.groupBy("__u").agg(F.min("__ts").alias("__first"))
+    tagged = ev.join(first, "__u")
+    if period == "month":
+        cohort = F.trunc(F.col("__first"), "month")
+        offset = F.months_between(
+            F.trunc(F.col("__ts"), "month"), cohort
+        ).cast("int")
+    else:
+        days = 1 if period == "day" else 7
+        cohort_day = F.to_date("__first")
+        offset = (F.datediff(F.to_date("__ts"), cohort_day) / days).cast("int")
+        cohort = cohort_day
+    cells = (
+        tagged.select(
+            cohort.alias("cohort"), offset.alias("period_offset"), "__u"
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("__u").alias("n_active"))
+    )
+    base = cells.where(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(base, "cohort").select(
+        "cohort", "period_offset", "n_active", "cohort_size"
+    )

@@ -352,3 +352,80 @@ def test_funnel_fold_py_matches_jvm_fold(spark):
                 [(base + t * 1_000_000, y) for t, y in evs], steps, gap_us
             )
             assert completed == jvm[uid], (uid, evs, gap)
+
+
+# ------------------------------------------------------------ retention ----
+
+
+def test_retention_cohorts_matches_duckdb(spark, duck):
+    """Day- and week-grain retention over the events fixture equals the
+    DuckDB SQL formulation cell-for-cell."""
+    from parquet_to_postgres_spark.operators import retention_cohorts
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    for period, days in (("day", 1), ("week", 7)):
+        got = sorted(
+            (str(r["cohort"]), r["period_offset"], r["n_active"], r["cohort_size"])
+            for r in retention_cohorts(events, "user_id", "ts", period).collect()
+        )
+        want = sorted(
+            (str(r[0]), r[1], r[2], r[3])
+            for r in duck.sql(f"""
+                WITH first AS (
+                  SELECT user_id, MIN(ts) AS f FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id
+                ),
+                tagged AS (
+                  SELECT e.user_id,
+                         CAST(first.f AS DATE) AS cohort,
+                         CAST(date_diff('day', CAST(first.f AS DATE),
+                                        CAST(e.ts AS DATE)) / {days} AS INT)
+                           AS period_offset
+                  FROM events e JOIN first USING (user_id)
+                  WHERE e.ts IS NOT NULL
+                ),
+                cells AS (
+                  SELECT cohort, period_offset,
+                         COUNT(DISTINCT user_id) AS n_active
+                  FROM tagged GROUP BY 1, 2
+                )
+                SELECT c.cohort, c.period_offset, c.n_active, b.n_active
+                FROM cells c JOIN cells b
+                  ON b.cohort = c.cohort AND b.period_offset = 0
+            """).fetchall()
+        )
+        assert got == want, period
+
+
+def test_retention_month_offsets_cross_calendar_boundaries(spark):
+    from parquet_to_postgres_spark.operators import retention_cohorts
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 31)), (1, datetime(2024, 2, 1)),
+            (2, datetime(2024, 1, 1)), (2, datetime(2024, 3, 31)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(df, "user_id", "ts", "month").collect()
+    }
+    # both cohorts are 2024-01; jan 31 -> feb 1 crosses ONE boundary,
+    # jan 1 -> mar 31 crosses two
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+    }
+
+
+def test_retention_rejects_bad_period(spark):
+    from parquet_to_postgres_spark.operators import retention_cohorts
+
+    df = spark.createDataFrame([(1, T0)], "user_id long, ts timestamp")
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "user_id", "ts", "year")
