@@ -1118,6 +1118,25 @@ def weighted_sample_by(
 # ---------------------------------------------------------------------------
 
 
+def funnel_validate(steps: "list[str]", max_gap_seconds) -> "int | None":
+    """Shared argument contract of the batch and streaming funnels:
+    distinct non-empty steps; the gap budget rounds to whole positive
+    microseconds (fractional seconds welcome, non-positive refused).
+    Returns gap_us (None = unbounded).  ONE implementation so the
+    twins cannot diverge on the rounding rule."""
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError(f"steps must be non-empty and pairwise distinct: {steps}")
+    if max_gap_seconds is None:
+        return None
+    gap_us = round(max_gap_seconds * 1_000_000)
+    if gap_us <= 0:
+        raise ValueError(
+            f"max_gap_seconds must round to >= 1 microsecond, got "
+            f"{max_gap_seconds!r}"
+        )
+    return gap_us
+
+
 def funnel(
     events: DataFrame,
     user_col: str,
@@ -1173,21 +1192,7 @@ def funnel(
     at microsecond resolution (``unix_micros``); ``max_gap_seconds``
     may be fractional (rounded to a positive whole microsecond
     count)."""
-    if len(set(steps)) != len(steps) or not steps:
-        raise ValueError(f"steps must be non-empty and pairwise distinct: {steps}")
-    if max_gap_seconds is not None:
-        gap_us = round(max_gap_seconds * 1_000_000)
-        if gap_us <= 0:
-            # gap 0 + the strictly-after rule is unsatisfiable past
-            # stage 1 — refuse instead of silently matching nothing
-            # (int() truncation of a 0.5-second budget was the silent
-            # form of this; r12 review finding)
-            raise ValueError(
-                f"max_gap_seconds must round to >= 1 microsecond, got "
-                f"{max_gap_seconds!r}"
-            )
-    else:
-        gap_us = None
+    gap_us = funnel_validate(steps, max_gap_seconds)
     n = len(steps)
     sentinel = F.lit(-(1 << 62)).cast("long")
     ev = (
@@ -1372,10 +1377,11 @@ def retention_cohorts(
     repeated per row so retention% is a scan-level division for the
     consumer).
 
-    ``period``: ``day`` | ``week`` | ``month``.  Day/week offsets are
-    exact day arithmetic (``datediff/7`` for weeks — ISO-stable,
-    engine-agnostic); month offsets count calendar-month boundaries
-    crossed.  Plan shape: one user-grain aggregate for first activity
+    ``period``: ``day`` | ``week`` | ``month``.  Cohorts truncate to
+    the period start (ISO Monday for weeks, month start for months) so
+    same-period starters share one cohort row; offsets are exact day
+    arithmetic between truncated periods (``datediff/7`` for weeks),
+    and month offsets count calendar-month boundaries crossed.  Plan shape: one user-grain aggregate for first activity
     (map-side combinable min), an equi-join back on the user key to
     tag each event, then a (cohort, offset) count-distinct — all
     standard shuffles on shrinking grains; nothing is collected.  NULL
@@ -1392,11 +1398,19 @@ def retention_cohorts(
         offset = F.months_between(
             F.trunc(F.col("__ts"), "month"), cohort
         ).cast("int")
+    elif period == "week":
+        # truncate BOTH ends to ISO Monday: same-week starters share a
+        # cohort (an untruncated first-activity date fragmented the
+        # weekly matrix into per-day anniversary cohorts; r12 review
+        # finding), and the offset difference is then an exact
+        # multiple of 7
+        cohort = F.to_date(F.trunc(F.col("__first"), "week"))
+        offset = (
+            F.datediff(F.to_date(F.trunc(F.col("__ts"), "week")), cohort) / 7
+        ).cast("int")
     else:
-        days = 1 if period == "day" else 7
-        cohort_day = F.to_date("__first")
-        offset = (F.datediff(F.to_date("__ts"), cohort_day) / days).cast("int")
-        cohort = cohort_day
+        cohort = F.to_date("__first")
+        offset = F.datediff(F.to_date("__ts"), cohort)
     cells = (
         tagged.select(
             cohort.alias("cohort"), offset.alias("period_offset"), "__u"

@@ -777,6 +777,7 @@ def stream_funnel(
     type_col: str,
     steps: "list[str]",
     max_gap_seconds: "int | float | None" = None,
+    state_ttl_minutes: "int | None" = None,
 ) -> DataFrame:
     """Streaming funnel progression (T6 family): the per-user ordered
     step matcher of :func:`~..operators.funnel` as an
@@ -796,20 +797,19 @@ def stream_funnel(
     ``late_dropped`` is the per-user running count, and the honest
     deployment pairs this with a watermark sized so late data stays
     rare.  Integer microsecond arithmetic end-to-end — nothing to
-    drift between the streaming and batch answers."""
-    from ..operators import funnel_fold_py
+    drift between the streaming and batch answers.
 
-    if len(set(steps)) != len(steps) or not steps:
-        raise ValueError(f"steps must be non-empty and pairwise distinct: {steps}")
-    if max_gap_seconds is not None:
-        gap_us = round(max_gap_seconds * 1_000_000)
-        if gap_us <= 0:
-            raise ValueError(
-                f"max_gap_seconds must round to >= 1 microsecond, got "
-                f"{max_gap_seconds!r}"
-            )
-    else:
-        gap_us = None
+    STATE LIFETIME: by default state lives forever (NoTimeout) — fine
+    for bounded key spaces, a monotone leak for unbounded user ids
+    (source watermarks do NOT evict applyInPandasWithState state).
+    Set ``state_ttl_minutes`` to expire users idle that long via a
+    processing-time timeout: the expired key's state is REMOVED, so a
+    user returning later restarts from an empty funnel and pre-expiry
+    events re-count — the standard engagement-window semantics, stated
+    here rather than discovered in production."""
+    from ..operators import funnel_fold_py, funnel_validate
+
+    gap_us = funnel_validate(steps, max_gap_seconds)
     n = len(steps)
     sentinel = -(1 << 62)
 
@@ -821,25 +821,31 @@ def stream_funnel(
             StructField("late", LongType()),
         ]
     )
+    # the user column keeps the CALLER'S name and type — hardcoding
+    # long broke every string-keyed product stream (r12 review finding)
     out_schema = StructType(
         [
-            StructField("user_id", LongType()),
+            StructField(user_col, stream.schema[user_col].dataType),
             StructField("steps_completed", LongType()),
             StructField("late_dropped", LongType()),
         ]
     )
 
     prepared = stream.select(
-        F.col(user_col).alias("user_id"),
-        F.unix_micros(F.col(ts_col)).alias("t"),
-        F.col(type_col).alias("y"),
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(type_col).alias("__y"),
     ).where(
-        F.col("user_id").isNotNull()
-        & F.col("t").isNotNull()
-        & F.col("y").isNotNull()
+        F.col(user_col).isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__y").isNotNull()
     )
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
 
     def fn(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             committed, current, last_t, late = state.get
             fold_state = (list(committed), list(current), last_t)
@@ -848,7 +854,7 @@ def stream_funnel(
             late = 0
         events = []
         for pdf in pdfs:
-            for t, y in zip(pdf["t"].to_numpy(), pdf["y"]):
+            for t, y in zip(pdf["__t"].to_numpy(), pdf["__y"]):
                 t = int(t)
                 if t < fold_state[2]:
                     late += 1
@@ -858,20 +864,26 @@ def stream_funnel(
         state.update(
             (list(fold_state[0]), list(fold_state[1]), fold_state[2], late)
         )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "steps_completed": [completed],
                 "late_dropped": [late],
             }
         )
 
-    return prepared.groupBy("user_id").applyInPandasWithState(
+    return prepared.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
