@@ -1424,3 +1424,50 @@ def retention_cohorts(
     return cells.join(base, "cohort").select(
         "cohort", "period_offset", "n_active", "cohort_size"
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window active-user counts (the DAU/WAU/MAU family):
+    for every observed day, the distinct users active in the
+    ``window_days`` ending that day — e.g. 7 for rolling WAU.
+
+    Shape: activity reduces to (day, user) grain first (one distinct
+    aggregate), then each activity day CONTRIBUTES to the next
+    ``window_days`` target days via a bounded ``sequence`` explode —
+    shuffle is ``window_days ×`` the (day, user) activity grain, never
+    a day×trailing-range join over raw events, and never a per-day
+    rescan.  Target days past the last observed day are dropped (their
+    trailing windows are not yet complete).  At extreme scale swap the
+    final ``countDistinct`` for ``approx_count_distinct`` — the
+    contribution explode is the expensive part and stays identical.
+    Output: (``day`` date, ``n_active`` bigint)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    per_day = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.to_date(F.col(ts_col)).alias("__d"), F.col(user_col).alias("__u")
+        )
+        .distinct()
+    )
+    contributions = per_day.select(
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("day"),
+        "__u",
+    )
+    last = per_day.agg(F.max("__d").alias("__last"))
+    return (
+        contributions.crossJoin(F.broadcast(last))
+        .where(F.col("day") <= F.col("__last"))
+        .groupBy("day")
+        .agg(F.countDistinct("__u").alias("n_active"))
+    )

@@ -225,3 +225,87 @@ def profile_drift(
         mean_rel.alias("mean_rel_delta"),
         drifted.alias("drifted"),
     )
+
+
+def validate_expectations(
+    df: "DataFrame",
+    rules: "dict[str, Column]",
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Expectations gate for ETL ingress: split rows into CLEAN (every
+    rule holds) and QUARANTINED (at least one violated, annotated with
+    the violated rule names), plus a per-rule violation report — the
+    contract-enforcement step a pipeline runs before a sink, with the
+    failures kept for triage instead of silently dropped.
+
+    Complementary to :func:`validate`: that one REPORTS counts over
+    ``Rule`` objects including non-row-local checks (uniqueness,
+    foreign keys); this one SPLITS the rows themselves, so its rules
+    must be row-local boolean Columns (a uniqueness violation is a
+    property of the group, not a row — route those through
+    :func:`validate` and a follow-up join if quarantining is needed).
+
+    ``rules``: name -> boolean Column over the row.  A NULL rule result
+    counts as a VIOLATION (ternary logic would otherwise let a NULL in
+    a guarded column slide through an ``x > 0`` rule — fail-closed is
+    the only safe default for a gate).
+
+    Scale shape: the rule columns are evaluated ONCE in a single
+    projection; clean/quarantine are two filters over it (one scan
+    each if both are consumed — cache upstream for exactly-one-scan),
+    and the report is one map-side-combinable aggregate of
+    sum(violated) per rule — no shuffle wider than |rules| rows.
+    Returns ``(clean, quarantined, report)``; quarantined carries a
+    ``violations`` array<string> column, the report has (rule,
+    n_violations, frac_violations)."""
+    if not rules:
+        raise ValueError("rules must be a non-empty dict of name -> Column")
+    flags = df.select(
+        "*",
+        *[
+            (~F.coalesce(c, F.lit(False))).alias(f"__viol_{name}")
+            for name, c in rules.items()
+        ],
+    )
+    any_viol = None
+    for name in rules:
+        v = F.col(f"__viol_{name}")
+        any_viol = v if any_viol is None else (any_viol | v)
+    viol_cols = [f"__viol_{n}" for n in rules]
+    clean = flags.where(~any_viol).drop(*viol_cols)
+    quarantined = (
+        flags.where(any_viol)
+        .withColumn(
+            "violations",
+            F.filter(
+                F.array(
+                    *[
+                        F.when(F.col(f"__viol_{n}"), F.lit(n))
+                        for n in rules
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        .drop(*viol_cols)
+    )
+    total = F.count(F.lit(1))
+    report = flags.agg(
+        total.alias("__n"),
+        *[
+            F.sum(F.col(f"__viol_{n}").cast("long")).alias(f"__s_{n}")
+            for n in rules
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(n).alias("rule"),
+            F.col(f"__s_{n}").alias("n_violations"),
+            (F.col(f"__s_{n}") / F.greatest(F.col("__n"), F.lit(1)))
+            .alias("frac_violations"),
+        )
+        for n in rules
+    ]
+    report = report.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.rule", "r.n_violations", "r.frac_violations"
+    )
+    return clean, quarantined, report

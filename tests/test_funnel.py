@@ -482,3 +482,74 @@ def test_stream_funnel_string_keys(spark):
         )
         got = {(r["visitor"], r["steps_completed"]) for r in out.collect()}
         assert got == {("alice", 2), ("bob", 0)}
+
+
+# ------------------------------------------------------ rolling actives ----
+
+
+def test_rolling_active_users_matches_duckdb(spark, duck):
+    from parquet_to_postgres_spark.operators import rolling_active_users
+    from parquet_to_postgres_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    for w in (1, 7):
+        got = sorted(
+            (str(r["day"]), r["n_active"])
+            for r in rolling_active_users(events, "user_id", "ts", w).collect()
+        )
+        # the spine is the FULL calendar range (the operator emits
+        # gap days with partial windows too — an observed-days-only
+        # twin would only coincide on dense fixtures, the vacuous-
+        # oracle trap)
+        want = sorted(
+            (str(r[0]), r[1])
+            for r in duck.sql(f"""
+                WITH bounds AS (
+                  SELECT MIN(CAST(ts AS DATE)) AS lo,
+                         MAX(CAST(ts AS DATE)) AS hi
+                  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                ),
+                days AS (
+                  SELECT CAST(unnest(generate_series(lo, hi,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM bounds
+                )
+                SELECT d.day, COUNT(DISTINCT e.user_id) AS n_active
+                FROM days d
+                JOIN events e
+                  ON e.user_id IS NOT NULL AND e.ts IS NOT NULL
+                 AND CAST(e.ts AS DATE) BETWEEN d.day - {w - 1} AND d.day
+                GROUP BY d.day
+            """).fetchall()
+        )
+        assert got == want, w
+
+
+def test_rolling_active_users_window_semantics(spark):
+    from parquet_to_postgres_spark.operators import rolling_active_users
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1)),
+            (2, datetime(2024, 1, 2)),
+            (1, datetime(2024, 1, 4)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        str(r["day"]): r["n_active"]
+        for r in rolling_active_users(df, "user_id", "ts", 3).collect()
+    }
+    # day3 window = {1,2}: user 1 (day1) and 2 (day2); day4 = {2: day2, 1: day4}
+    assert got == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-03": 2,
+        "2024-01-04": 2,
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rolling_active_users(df, "user_id", "ts", 0)

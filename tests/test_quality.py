@@ -581,3 +581,52 @@ def test_profile_columns_handles_exotic_column_names(spark):
     assert prof["user id"]["n_non_null"] == 2
     assert prof["price-usd"]["n_null"] == 1
     assert prof["price-usd"]["mean"] == 2.5
+
+
+def test_validate_expectations_split_and_report(spark):
+    """The gate splits rows exactly, annotates quarantined rows with
+    every violated rule, fails CLOSED on NULLs in guarded columns, and
+    the report counts match the split."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.quality import validate_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (2, -5.0, "ok"),      # range violation
+            (3, None, "ok"),      # NULL in guarded column -> fail closed
+            (4, 20.0, None),      # missing label
+            (5, -1.0, None),      # both
+        ],
+        "id long, amount double, label string",
+    )
+    clean, quarantined, report = validate_expectations(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "label_present": F.col("label").isNotNull(),
+        },
+    )
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1]
+    q = {r["id"]: sorted(r["violations"]) for r in quarantined.collect()}
+    assert q == {
+        2: ["amount_positive"],
+        3: ["amount_positive"],
+        4: ["label_present"],
+        5: ["amount_positive", "label_present"],
+    }
+    rep = {r["rule"]: r["n_violations"] for r in report.collect()}
+    assert rep == {"amount_positive": 3, "label_present": 2}
+    fr = {r["rule"]: r["frac_violations"] for r in report.collect()}
+    assert fr["amount_positive"] == 3 / 5
+
+
+def test_validate_expectations_rejects_empty_rules(spark):
+    from parquet_to_postgres_spark.quality import validate_expectations
+
+    df = spark.createDataFrame([(1,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_expectations(df, {})
