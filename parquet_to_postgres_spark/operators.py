@@ -1433,8 +1433,11 @@ def rolling_active_users(
     window_days: int = 7,
 ) -> DataFrame:
     """Trailing-window active-user counts (the DAU/WAU/MAU family):
-    for every observed day, the distinct users active in the
-    ``window_days`` ending that day — e.g. 7 for rolling WAU.
+    for every day whose trailing window covers any activity — observed
+    OR unobserved gap days — the distinct users active in the
+    ``window_days`` ending that day; e.g. 7 for rolling WAU.  (A gap
+    day with a non-empty window is a real report row: WAU does not dip
+    to zero because one calendar day was quiet.)
 
     Shape: activity reduces to (day, user) grain first (one distinct
     aggregate), then each activity day CONTRIBUTES to the next

@@ -259,18 +259,30 @@ def validate_expectations(
     n_violations, frac_violations)."""
     if not rules:
         raise ValueError("rules must be a non-empty dict of name -> Column")
+    # internal flag columns are INDEX-named: a rule name with a dot
+    # would parse as a struct accessor in F.col, and a user column
+    # could collide with a rule-derived name (r12 review findings) —
+    # positional names dodge both; the output/overwrite hazards that
+    # remain are checked loudly.
+    names = list(rules)
+    viol_cols = [f"__viol_{i}" for i in range(len(names))]
+    conflicts = [c for c in (*viol_cols, "violations") if c in df.columns]
+    if conflicts:
+        raise ValueError(
+            f"input columns {conflicts} collide with the gate's internal/"
+            "output names — rename them before validate_expectations"
+        )
     flags = df.select(
         "*",
         *[
-            (~F.coalesce(c, F.lit(False))).alias(f"__viol_{name}")
-            for name, c in rules.items()
+            (~F.coalesce(rules[n], F.lit(False))).alias(v)
+            for n, v in zip(names, viol_cols)
         ],
     )
     any_viol = None
-    for name in rules:
-        v = F.col(f"__viol_{name}")
-        any_viol = v if any_viol is None else (any_viol | v)
-    viol_cols = [f"__viol_{n}" for n in rules]
+    for v in viol_cols:
+        c = F.col(v)
+        any_viol = c if any_viol is None else (any_viol | c)
     clean = flags.where(~any_viol).drop(*viol_cols)
     quarantined = (
         flags.where(any_viol)
@@ -279,8 +291,8 @@ def validate_expectations(
             F.filter(
                 F.array(
                     *[
-                        F.when(F.col(f"__viol_{n}"), F.lit(n))
-                        for n in rules
+                        F.when(F.col(v), F.lit(n))
+                        for n, v in zip(names, viol_cols)
                     ]
                 ),
                 lambda x: x.isNotNull(),
@@ -288,22 +300,24 @@ def validate_expectations(
         )
         .drop(*viol_cols)
     )
-    total = F.count(F.lit(1))
+    # coalesce: F.sum over ZERO rows is NULL — an empty partition/day
+    # must report 0 violations, not a NULL that poisons downstream
+    # comparisons (quality.validate's own pattern at line ~121)
     report = flags.agg(
-        total.alias("__n"),
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.col(f"__viol_{n}").cast("long")).alias(f"__s_{n}")
-            for n in rules
+            F.coalesce(F.sum(F.col(v).cast("long")), F.lit(0)).alias(f"__s_{i}")
+            for i, v in enumerate(viol_cols)
         ],
     )
     rows = [
         F.struct(
             F.lit(n).alias("rule"),
-            F.col(f"__s_{n}").alias("n_violations"),
-            (F.col(f"__s_{n}") / F.greatest(F.col("__n"), F.lit(1)))
+            F.col(f"__s_{i}").alias("n_violations"),
+            (F.col(f"__s_{i}") / F.greatest(F.col("__n"), F.lit(1)))
             .alias("frac_violations"),
         )
-        for n in rules
+        for i, n in enumerate(names)
     ]
     report = report.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.rule", "r.n_violations", "r.frac_violations"

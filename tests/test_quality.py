@@ -630,3 +630,25 @@ def test_validate_expectations_rejects_empty_rules(spark):
 
     with _pytest.raises(ValueError):
         validate_expectations(df, {})
+
+
+def test_validate_expectations_edge_contracts(spark):
+    """Empty input reports 0 (not NULL); dotted rule names work;
+    colliding input columns are refused loudly."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.quality import validate_expectations
+
+    empty = spark.createDataFrame([], "id long, amount double")
+    _, _, rep = validate_expectations(
+        empty, {"amount.positive": F.col("amount") > 0}
+    )
+    rows = rep.collect()
+    assert rows[0]["rule"] == "amount.positive"
+    assert rows[0]["n_violations"] == 0 and rows[0]["frac_violations"] == 0.0
+
+    import pytest as _p
+
+    taken = spark.createDataFrame([(1, ["x"])], "id long, violations array<string>")
+    with _p.raises(ValueError, match="violations"):
+        validate_expectations(taken, {"r": F.col("id") > 0})
