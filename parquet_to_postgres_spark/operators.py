@@ -1474,3 +1474,81 @@ def rolling_active_users(
         .groupBy("day")
         .agg(F.countDistinct("__u").alias("n_active"))
     )
+
+
+def diagnose_skew(
+    df: DataFrame,
+    cols: "list[str]",
+    top_k: int = 10,
+) -> "tuple[DataFrame, DataFrame]":
+    """Pre-shuffle skew diagnosis for join/aggregation keys — the
+    measurement that tells you WHETHER :func:`salted_agg` /
+    :func:`salted_join` (or AQE's skew split) is needed and how many
+    buckets to use, instead of discovering a pinned reducer at hour
+    three of a 100 TB job.
+
+    Returns ``(hitters, summary)``:
+
+    - hitters: (``column``, ``value`` string, ``n_rows``, ``frac``,
+      ``rank`` ≤ top_k) — each column's heaviest keys by count (NULL
+      keys included: they are a skew class of their own under outer
+      joins);
+    - summary: (``column``, ``n_rows``, ``n_distinct``, ``max_frac``,
+      ``suggested_buckets``) where suggested_buckets =
+      ``ceil(max_frac × shuffle_partitions)`` — the bucket count that
+      spreads the hottest key back to ~one average partition's share
+      (1 means "not skewed; do nothing").
+
+    Cost: one count aggregate per listed column (key-grain shuffles —
+    they do not scan-share, so list the keys you actually join on),
+    each followed by a top-k (TakeOrdered — no global sort) and a
+    3-row summary aggregate.  Deterministic: ties in the top-k break
+    on the key's string form."""
+    if not cols:
+        raise ValueError("cols must be a non-empty list of key columns")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    spark = df.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hitters = None
+    summaries = None
+    for c in cols:
+        counts = df.groupBy(
+            F.col(c).cast("string").alias("value")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        total = counts.agg(
+            F.sum("n_rows").alias("__total"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.max("n_rows").alias("__max"),
+        )
+        top = (
+            counts.orderBy(F.col("n_rows").desc(), "value")
+            .limit(top_k)
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(c).alias("column"),
+                "value",
+                "n_rows",
+                (F.col("n_rows") / F.col("__total")).alias("frac"),
+                F.row_number()
+                .over(
+                    Window.orderBy(F.col("n_rows").desc(), "value")
+                )
+                .alias("rank"),
+            )
+        )
+        summ = total.select(
+            F.lit(c).alias("column"),
+            F.col("__total").alias("n_rows"),
+            F.col("__distinct").alias("n_distinct"),
+            (F.col("__max") / F.col("__total")).alias("max_frac"),
+            F.greatest(
+                F.ceil(F.col("__max") / F.col("__total") * F.lit(shuffle_p)),
+                F.lit(1),
+            )
+            .cast("int")
+            .alias("suggested_buckets"),
+        )
+        hitters = top if hitters is None else hitters.unionByName(top)
+        summaries = summ if summaries is None else summaries.unionByName(summ)
+    return hitters, summaries

@@ -410,3 +410,47 @@ def test_weighted_sample_by_plan_group_limits_before_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         out.explain(mode="simple")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+# ------------------------------------------------------ skew diagnosis ----
+
+
+def test_diagnose_skew_hitters_and_suggestion(spark):
+    from parquet_to_postgres_spark.operators import diagnose_skew
+
+    # 'hot' takes half the rows; NULL is its own skew class
+    rows = [("hot",)] * 50 + [(None,)] * 20 + [(f"k{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string")
+    hitters, summary = diagnose_skew(df, ["k"], top_k=3)
+    h = [(r["value"], r["n_rows"], r["rank"]) for r in hitters.orderBy("rank").collect()]
+    assert h[0] == ("hot", 50, 1)
+    assert h[1] == (None, 20, 2)
+    assert len(h) == 3
+    s = summary.collect()[0]
+    assert s["n_rows"] == 100 and s["n_distinct"] == 32
+    assert abs(s["max_frac"] - 0.5) < 1e-12
+    # suggested = ceil(0.5 * shuffle_partitions)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert s["suggested_buckets"] == -(-p // 2)
+
+
+def test_diagnose_skew_uniform_suggests_one_bucket(spark):
+    from parquet_to_postgres_spark.operators import diagnose_skew
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    _, summary = diagnose_skew(df, ["k"], top_k=2)
+    s = summary.collect()[0]
+    assert s["suggested_buckets"] == 1  # 1/1000 of the rows per key
+
+
+def test_diagnose_skew_multi_column_and_validation(spark):
+    from parquet_to_postgres_spark.operators import diagnose_skew
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "x long, y string")
+    hitters, summary = diagnose_skew(df, ["x", "y"], top_k=2)
+    assert {r["column"] for r in summary.collect()} == {"x", "y"}
+    assert hitters.where(F.col("column") == "x").collect()[0]["value"] == "1"
+    with pytest.raises(ValueError):
+        diagnose_skew(df, [], top_k=2)
+    with pytest.raises(ValueError):
+        diagnose_skew(df, ["x"], top_k=0)
