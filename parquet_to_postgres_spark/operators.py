@@ -1499,11 +1499,16 @@ def diagnose_skew(
       spreads the hottest key back to ~one average partition's share
       (1 means "not skewed; do nothing").
 
-    Cost: one count aggregate per listed column (key-grain shuffles —
-    they do not scan-share, so list the keys you actually join on),
-    each followed by a top-k (TakeOrdered — no global sort) and a
-    3-row summary aggregate.  Deterministic: ties in the top-k break
-    on the key's string form."""
+    Cost: the key-grain count aggregate runs per listed column, and
+    consuming BOTH returned frames executes it twice per column (they
+    are independent lineages; the hitters action also computes the
+    broadcast totals branch).  That is the honest price — and the
+    right 100 TB usage is to diagnose a :func:`hash_sample` anyway: a
+    1% sample bounds max_frac within fractions of a point for any key
+    heavy enough to matter, at 1% of the scan.  Top-k is
+    TakeOrderedAndProject (plan-pinned), never a global sort.
+    Deterministic: ties break on the key's string form.  An EMPTY
+    input reports n_rows=0 / max_frac=0.0 / suggested_buckets=1."""
     if not cols:
         raise ValueError("cols must be a non-empty list of key columns")
     if top_k < 1:
@@ -1516,10 +1521,13 @@ def diagnose_skew(
         counts = df.groupBy(
             F.col(c).cast("string").alias("value")
         ).agg(F.count(F.lit(1)).alias("n_rows"))
+        # coalesce: sum/max over ZERO rows are NULL — an empty input
+        # must report 0, not NULL-propagate through downstream
+        # threshold filters (r12 review finding)
         total = counts.agg(
-            F.sum("n_rows").alias("__total"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("__total"),
             F.count(F.lit(1)).alias("__distinct"),
-            F.max("n_rows").alias("__max"),
+            F.coalesce(F.max("n_rows"), F.lit(0)).alias("__max"),
         )
         top = (
             counts.orderBy(F.col("n_rows").desc(), "value")
@@ -1541,9 +1549,18 @@ def diagnose_skew(
             F.lit(c).alias("column"),
             F.col("__total").alias("n_rows"),
             F.col("__distinct").alias("n_distinct"),
-            (F.col("__max") / F.col("__total")).alias("max_frac"),
+            # greatest(total, 1): ANSI mode raises DIVIDE_BY_ZERO on
+            # the empty input's 0/0 (the pre-coalesce NULLs merely
+            # propagated); 0/1 = the honest 0.0
+            (F.col("__max") / F.greatest(F.col("__total"), F.lit(1))).alias(
+                "max_frac"
+            ),
             F.greatest(
-                F.ceil(F.col("__max") / F.col("__total") * F.lit(shuffle_p)),
+                F.ceil(
+                    F.col("__max")
+                    / F.greatest(F.col("__total"), F.lit(1))
+                    * F.lit(shuffle_p)
+                ),
                 F.lit(1),
             )
             .cast("int")

@@ -454,3 +454,23 @@ def test_diagnose_skew_multi_column_and_validation(spark):
         diagnose_skew(df, [], top_k=2)
     with pytest.raises(ValueError):
         diagnose_skew(df, ["x"], top_k=0)
+
+
+def test_diagnose_skew_empty_input_and_plan_shape(spark):
+    import contextlib
+    import io
+
+    from parquet_to_postgres_spark.operators import diagnose_skew
+
+    empty = spark.createDataFrame([], "k string")
+    hitters, summary = diagnose_skew(empty, ["k"])
+    assert hitters.count() == 0
+    s = summary.collect()[0]
+    assert (s["n_rows"], s["max_frac"], s["suggested_buckets"]) == (0, 0.0, 1)
+    # top-k must plan as TakeOrderedAndProject, never a global sort
+    df = spark.range(100).select(F.col("id").alias("k"))
+    h, _ = diagnose_skew(df, ["k"], top_k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        h.explain(mode="simple")
+    assert "TakeOrderedAndProject" in buf.getvalue()
