@@ -2919,6 +2919,22 @@ def _adc_topk_tail(
     )
 
 
+def _validate_index_write_mode(mode: str, append_fn: str) -> None:
+    """Model writes accept overwrite/error only: mode='append' would
+    stack a SECOND model into the same centroids/codebooks directories
+    — the dict builds silently keep one arbitrary duplicate per key
+    and a later probe scores against a MIXED model with no error
+    (ADVICE r12).  Appending vectors to an existing index is the
+    dedicated append entry point, which encodes against the STORED
+    model."""
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"mode must be 'overwrite' or 'error'/'errorifexists', got "
+            f"{mode!r} — to add vectors to an existing index use "
+            f"{append_fn}"
+        )
+
+
 def write_pq_index(
     corpus: DataFrame,
     path: str,
@@ -2941,6 +2957,7 @@ def write_pq_index(
     :func:`append_pq_index` can later encode new vectors against
     exactly the same quantizer — which is what makes append == rebuild
     an identity rather than an approximation."""
+    _validate_index_write_mode(mode, "append_pq_index")
     spark = corpus.sparkSession
     c_unit = corpus.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
@@ -3370,6 +3387,7 @@ def write_ivfpq_index(
     bit-consistent with the stored models — the float values that
     reach parquet are the ones encoding used — which is what makes
     :func:`append_ivfpq_index`'s append == rebuild an identity."""
+    _validate_index_write_mode(mode, "append_ivfpq_index")
     spark = corpus.sparkSession
     if models is None:
         models = ivfpq_train(

@@ -893,6 +893,24 @@ def fuzzy_join(
     NULL texts never match (levenshtein with NULL is NULL)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        # a shared name (including the text columns) would make the
+        # post-join length/levenshtein predicates AMBIGUOUS_REFERENCE
+        # (or bind arbitrarily) and duplicate names in the promised
+        # "all left + all right columns" output — fail loudly instead
+        # (ADVICE r12).  fuzzy_pairs renames both sides for exactly
+        # this reason; do the same before calling fuzzy_join.
+        raise ValueError(
+            f"left and right share column names {sorted(shared)!r} — "
+            "alias one side (fuzzy_pairs-style a_/b_ prefixes) before "
+            "fuzzy_join"
+        )
+    if dist_col in left.columns or dist_col in right.columns:
+        raise ValueError(
+            f"dist_col {dist_col!r} collides with an input column — "
+            "withColumn would silently replace it"
+        )
     for df, col in ((left, "__blk"), (right, "__blk_r")):
         if col in df.columns:
             # withColumn would silently REPLACE the caller's column and
@@ -1480,6 +1498,7 @@ def diagnose_skew(
     df: DataFrame,
     cols: "list[str]",
     top_k: int = 10,
+    persist: bool = True,
 ) -> "tuple[DataFrame, DataFrame]":
     """Pre-shuffle skew diagnosis for join/aggregation keys — the
     measurement that tells you WHETHER :func:`salted_agg` /
@@ -1497,75 +1516,92 @@ def diagnose_skew(
       ``suggested_buckets``) where suggested_buckets =
       ``ceil(max_frac × shuffle_partitions)`` — the bucket count that
       spreads the hottest key back to ~one average partition's share
-      (1 means "not skewed; do nothing").
+      (1 means "not skewed; do nothing").  The suggestion is relative
+      to the STATIC ``spark.sql.shuffle.partitions`` setting (falling
+      back to ``defaultParallelism`` when that conf is non-numeric,
+      e.g. ``"auto"``); AQE's runtime coalescing can land on a
+      different post-shuffle count — treat it as a starting salt, not
+      a contract.
 
-    Cost: the key-grain count aggregate runs per listed column, and
-    consuming BOTH returned frames executes it twice per column (they
-    are independent lineages; the hitters action also computes the
-    broadcast totals branch).  That is the honest price — and the
-    right 100 TB usage is to diagnose a :func:`hash_sample` anyway: a
-    1% sample bounds max_frac within fractions of a point for any key
-    heavy enough to matter, at 1% of the scan.  Top-k is
-    TakeOrderedAndProject (plan-pinned), never a global sort.
-    Deterministic: ties break on the key's string form.  An EMPTY
-    input reports n_rows=0 / max_frac=0.0 / suggested_buckets=1."""
+    Cost: ONE scan of ``df`` for ALL requested columns — each row is
+    stacked into len(cols) (column, value) pairs (the same ×N expand a
+    GROUPING SETS plan would emit) and a single (column, value)-grain
+    count aggregate feeds BOTH outputs.  ``persist`` (default) caches
+    that counts frame (MEMORY_AND_DISK) so consuming both returned
+    frames — or re-reading either — does not rescan the input; the
+    cache is key-grain (one row per distinct key per column), Spark
+    evicts it LRU, and a caller diagnosing something enormous can pass
+    ``persist=False`` to keep the lineage lazy.  The right 100 TB
+    usage is to diagnose a :func:`hash_sample` anyway: a 1% sample
+    bounds max_frac within fractions of a point for any key heavy
+    enough to matter, at 1% of the scan.  Per-column top-k plans as
+    WindowGroupLimit at the key grain (plan-pinned), never a global
+    sort.  Deterministic: ties break on the key's string form.  An
+    EMPTY input reports n_rows=0 / max_frac=0.0 / suggested_buckets=1.
+    """
     if not cols:
         raise ValueError("cols must be a non-empty list of key columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"cols must be distinct, got {cols!r}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     spark = df.sparkSession
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    hitters = None
-    summaries = None
-    for c in cols:
-        counts = df.groupBy(
-            F.col(c).cast("string").alias("value")
-        ).agg(F.count(F.lit(1)).alias("n_rows"))
-        # coalesce: sum/max over ZERO rows are NULL — an empty input
-        # must report 0, not NULL-propagate through downstream
-        # threshold filters (r12 review finding)
-        total = counts.agg(
-            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("__total"),
-            F.count(F.lit(1)).alias("__distinct"),
-            F.coalesce(F.max("n_rows"), F.lit(0)).alias("__max"),
-        )
-        top = (
-            counts.orderBy(F.col("n_rows").desc(), "value")
-            .limit(top_k)
-            .crossJoin(F.broadcast(total))
-            .select(
-                F.lit(c).alias("column"),
-                "value",
-                "n_rows",
-                (F.col("n_rows") / F.col("__total")).alias("frac"),
-                F.row_number()
-                .over(
-                    Window.orderBy(F.col("n_rows").desc(), "value")
-                )
-                .alias("rank"),
+    try:
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # e.g. "auto" on serverless deployments — fall back to the
+        # cluster's default parallelism (ADVICE r12)
+        shuffle_p = spark.sparkContext.defaultParallelism
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        df[c].cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
             )
+        ).alias("__cv")
+    ).select("__cv.column", "__cv.value")
+    counts = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    if persist:
+        counts = counts.persist()
+    # column-grain rollup of the SAME counts frame — len(cols) rows
+    totals = counts.groupBy("column").agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.max("n_rows").alias("__max"),
+    )
+    w = Window.partitionBy("column").orderBy(F.col("n_rows").desc(), "value")
+    hitters = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .join(F.broadcast(totals), "column")
+        .select(
+            "column",
+            "value",
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("frac"),
+            "rank",
         )
-        summ = total.select(
-            F.lit(c).alias("column"),
-            F.col("__total").alias("n_rows"),
-            F.col("__distinct").alias("n_distinct"),
-            # greatest(total, 1): ANSI mode raises DIVIDE_BY_ZERO on
-            # the empty input's 0/0 (the pre-coalesce NULLs merely
-            # propagated); 0/1 = the honest 0.0
-            (F.col("__max") / F.greatest(F.col("__total"), F.lit(1))).alias(
-                "max_frac"
-            ),
-            F.greatest(
-                F.ceil(
-                    F.col("__max")
-                    / F.greatest(F.col("__total"), F.lit(1))
-                    * F.lit(shuffle_p)
-                ),
-                F.lit(1),
-            )
-            .cast("int")
-            .alias("suggested_buckets"),
-        )
-        hitters = top if hitters is None else hitters.unionByName(top)
-        summaries = summ if summaries is None else summaries.unionByName(summ)
-    return hitters, summaries
+    )
+    # a column absent from `totals` (empty input groups to zero rows)
+    # must still report — join a literal column spine and coalesce
+    spine = spark.createDataFrame([(c,) for c in cols], "column string")
+    max_frac = F.coalesce(F.col("__max"), F.lit(0)) / F.greatest(
+        F.coalesce(F.col("__total"), F.lit(0)), F.lit(1)
+    )
+    summary = spine.join(totals, "column", "left").select(
+        "column",
+        F.coalesce(F.col("__total"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.col("__distinct"), F.lit(0)).alias("n_distinct"),
+        max_frac.alias("max_frac"),
+        F.greatest(F.ceil(max_frac * F.lit(shuffle_p)), F.lit(1))
+        .cast("int")
+        .alias("suggested_buckets"),
+    )
+    return hitters, summary

@@ -652,3 +652,15 @@ def test_streaming_ivfpq_probe_matches_batch_operator(spark, split):
             S.ivfpq_index_topk(spark, path, corpus, queries, k=10).collect()
         )
         assert got == want and got
+
+
+def test_index_model_writers_reject_append_mode(spark, split):
+    """mode='append' on the MODEL writers would stack a second model
+    into the same directories — the codebook dict build keeps one
+    arbitrary duplicate per key and probes score a mixed model with no
+    error (ADVICE r12).  The dedicated append_* entry points are the
+    supported append path."""
+    corpus, _ = split
+    for fn in (S.write_pq_index, S.write_ivfpq_index):
+        with pytest.raises(ValueError, match="append_"):
+            fn(corpus, "/tmp/never-written", mode="append")
