@@ -2919,20 +2919,26 @@ def _adc_topk_tail(
     )
 
 
-def _validate_index_write_mode(mode: str, append_fn: str) -> None:
+def _validate_index_write_mode(mode: str, append_fn: str) -> str:
     """Model writes accept overwrite/error only: mode='append' would
     stack a SECOND model into the same centroids/codebooks directories
     — the dict builds silently keep one arbitrary duplicate per key
     and a later probe scores against a MIXED model with no error
-    (ADVICE r12).  Appending vectors to an existing index is the
-    dedicated append entry point, which encodes against the STORED
-    model."""
-    if mode not in ("overwrite", "error", "errorifexists"):
+    (ADVICE r12).  'ignore' is rejected too: with several directories
+    per index it could skip SOME writes and leave a torn store.
+    Appending vectors to an existing index is the dedicated append
+    entry point, which encodes against the STORED model.  Returns the
+    LOWERCASED mode — DataFrameWriter.mode is case-insensitive
+    ('Overwrite' is legal Spark), so callers must branch on the
+    normalized form (r13 review finding)."""
+    normalized = mode.lower()
+    if normalized not in ("overwrite", "error", "errorifexists"):
         raise ValueError(
             f"mode must be 'overwrite' or 'error'/'errorifexists', got "
             f"{mode!r} — to add vectors to an existing index use "
             f"{append_fn}"
         )
+    return normalized
 
 
 def write_pq_index(
@@ -2957,7 +2963,7 @@ def write_pq_index(
     :func:`append_pq_index` can later encode new vectors against
     exactly the same quantizer — which is what makes append == rebuild
     an identity rather than an approximation."""
-    _validate_index_write_mode(mode, "append_pq_index")
+    mode = _validate_index_write_mode(mode, "append_pq_index")
     spark = corpus.sparkSession
     c_unit = corpus.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
@@ -3387,7 +3393,7 @@ def write_ivfpq_index(
     bit-consistent with the stored models — the float values that
     reach parquet are the ones encoding used — which is what makes
     :func:`append_ivfpq_index`'s append == rebuild an identity."""
-    _validate_index_write_mode(mode, "append_ivfpq_index")
+    mode = _validate_index_write_mode(mode, "append_ivfpq_index")
     spark = corpus.sparkSession
     if models is None:
         models = ivfpq_train(

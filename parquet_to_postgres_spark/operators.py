@@ -11,8 +11,25 @@ scan→type-map→sink only); this is part of the §2B scale mandate.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _shuffle_partitions(spark) -> int:
+    """The static ``spark.sql.shuffle.partitions`` as an int, with a
+    fallback chain for deployments where the conf is non-numeric
+    (``"auto"`` on serverless) or the SparkContext is unreachable
+    (Spark Connect): defaultParallelism, then Spark's own default of
+    200 (ADVICE + review r12/r13)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        try:
+            return spark.sparkContext.defaultParallelism
+        except Exception:
+            return 200
 
 
 def salted_agg(
@@ -115,7 +132,7 @@ def distributed_rank(
     range ordering, so correctness survives runtime re-planning.
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_partitions or _shuffle_partitions(spark)
     ranged = df.repartitionByRange(n, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -185,7 +202,7 @@ def cluster_zorder(
     are tight; readers prune row groups via ordinary min/max stats with
     no engine support needed."""
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_partitions or _shuffle_partitions(spark)
     with_z = df.withColumn("__z", z_value(cols, bits))
     return (
         with_z.repartitionByRange(n, F.col("__z"))
@@ -456,7 +473,7 @@ def distributed_cumsum(
     value is counted, matching ``sum() OVER (ORDER BY …)`` with the
     default frame."""
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_partitions or _shuffle_partitions(spark)
     ranged = df.repartitionByRange(n, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -893,7 +910,12 @@ def fuzzy_join(
     NULL texts never match (levenshtein with NULL is NULL)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    shared = set(left.columns) & set(right.columns)
+    # all name checks casefold: Spark's resolver is case-INsensitive by
+    # default, so 'Name' vs 'name' is exactly as ambiguous as an exact
+    # match (r13 review finding on the first guard's exact-case form)
+    l_lower = {c.lower() for c in left.columns}
+    r_lower = {c.lower() for c in right.columns}
+    shared = l_lower & r_lower
     if shared:
         # a shared name (including the text columns) would make the
         # post-join length/levenshtein predicates AMBIGUOUS_REFERENCE
@@ -906,17 +928,18 @@ def fuzzy_join(
             "alias one side (fuzzy_pairs-style a_/b_ prefixes) before "
             "fuzzy_join"
         )
-    if dist_col in left.columns or dist_col in right.columns:
+    if dist_col.lower() in l_lower | r_lower:
         raise ValueError(
             f"dist_col {dist_col!r} collides with an input column — "
             "withColumn would silently replace it"
         )
-    for df, col in ((left, "__blk"), (right, "__blk_r")):
-        if col in df.columns:
-            # withColumn would silently REPLACE the caller's column and
-            # the final drop would erase it from the promised output.
+    # BOTH internal names are reserved on BOTH sides: a left '__blk_r'
+    # survives the side-local withColumns, collides inside the join,
+    # and the final drop would erase it (r13 review finding)
+    for blk in ("__blk", "__blk_r"):
+        if blk in l_lower or blk in r_lower:
             raise ValueError(
-                f"input already has a {col!r} column — rename it before "
+                f"input already has a {blk!r} column — rename it before "
                 "fuzzy_join (internal blocking-key name)"
             )
     lt = left.withColumn("__blk", left_block)
@@ -1494,19 +1517,33 @@ def rolling_active_users(
     )
 
 
+class SkewDiagnosis(NamedTuple):
+    """:func:`diagnose_skew` result.  ``hitters`` and ``summary`` are
+    the reports; ``counts`` is the shared (column, value)-grain count
+    frame BOTH derive from — persisted when ``persist=True``, so the
+    caller releases the cache with ``report.counts.unpersist()`` once
+    done (a function-local persist would otherwise be unreleasable
+    short of ``clearCache()``; r13 review finding).  ``counts`` is also
+    the full key histogram, useful in its own right."""
+
+    hitters: DataFrame
+    summary: DataFrame
+    counts: DataFrame
+
+
 def diagnose_skew(
     df: DataFrame,
     cols: "list[str]",
     top_k: int = 10,
     persist: bool = True,
-) -> "tuple[DataFrame, DataFrame]":
+) -> SkewDiagnosis:
     """Pre-shuffle skew diagnosis for join/aggregation keys — the
     measurement that tells you WHETHER :func:`salted_agg` /
     :func:`salted_join` (or AQE's skew split) is needed and how many
     buckets to use, instead of discovering a pinned reducer at hour
     three of a 100 TB job.
 
-    Returns ``(hitters, summary)``:
+    Returns :class:`SkewDiagnosis` ``(hitters, summary, counts)``:
 
     - hitters: (``column``, ``value`` string, ``n_rows``, ``frac``,
       ``rank`` ≤ top_k) — each column's heaviest keys by count (NULL
@@ -1546,12 +1583,7 @@ def diagnose_skew(
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     spark = df.sparkSession
-    try:
-        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        # e.g. "auto" on serverless deployments — fall back to the
-        # cluster's default parallelism (ADVICE r12)
-        shuffle_p = spark.sparkContext.defaultParallelism
+    shuffle_p = _shuffle_partitions(spark)
     stacked = df.select(
         F.explode(
             F.array(
@@ -1604,4 +1636,4 @@ def diagnose_skew(
         .cast("int")
         .alias("suggested_buckets"),
     )
-    return hitters, summary
+    return SkewDiagnosis(hitters, summary, counts)

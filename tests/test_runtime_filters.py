@@ -441,7 +441,7 @@ def test_diagnose_skew_hitters_and_suggestion(spark):
     # 'hot' takes half the rows; NULL is its own skew class
     rows = [("hot",)] * 50 + [(None,)] * 20 + [(f"k{i}",) for i in range(30)]
     df = spark.createDataFrame(rows, "k string")
-    hitters, summary = diagnose_skew(df, ["k"], top_k=3)
+    hitters, summary, _ = diagnose_skew(df, ["k"], top_k=3)
     h = [(r["value"], r["n_rows"], r["rank"]) for r in hitters.orderBy("rank").collect()]
     assert h[0] == ("hot", 50, 1)
     assert h[1] == (None, 20, 2)
@@ -458,7 +458,7 @@ def test_diagnose_skew_uniform_suggests_one_bucket(spark):
     from parquet_to_postgres_spark.operators import diagnose_skew
 
     df = spark.range(1000).select(F.col("id").alias("k"))
-    _, summary = diagnose_skew(df, ["k"], top_k=2)
+    _, summary, _ = diagnose_skew(df, ["k"], top_k=2)
     s = summary.collect()[0]
     assert s["suggested_buckets"] == 1  # 1/1000 of the rows per key
 
@@ -467,7 +467,7 @@ def test_diagnose_skew_multi_column_and_validation(spark):
     from parquet_to_postgres_spark.operators import diagnose_skew
 
     df = spark.createDataFrame([(1, "a"), (1, "b")], "x long, y string")
-    hitters, summary = diagnose_skew(df, ["x", "y"], top_k=2)
+    hitters, summary, _ = diagnose_skew(df, ["x", "y"], top_k=2)
     assert {r["column"] for r in summary.collect()} == {"x", "y"}
     assert hitters.where(F.col("column") == "x").collect()[0]["value"] == "1"
     with pytest.raises(ValueError):
@@ -483,14 +483,14 @@ def test_diagnose_skew_empty_input_and_plan_shape(spark):
     from parquet_to_postgres_spark.operators import diagnose_skew
 
     empty = spark.createDataFrame([], "k string")
-    hitters, summary = diagnose_skew(empty, ["k"])
+    hitters, summary, _ = diagnose_skew(empty, ["k"])
     assert hitters.count() == 0
     s = summary.collect()[0]
     assert (s["n_rows"], s["max_frac"], s["suggested_buckets"]) == (0, 0.0, 1)
     # per-column top-k must plan as WindowGroupLimit at the key grain,
     # never a global sort (the r13 single-pass reshape)
     df = spark.range(100).select(F.col("id").alias("k"))
-    h, _ = diagnose_skew(df, ["k"], top_k=5, persist=False)
+    h, _, _ = diagnose_skew(df, ["k"], top_k=5, persist=False)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         h.explain(mode="simple")
@@ -511,7 +511,7 @@ def test_diagnose_skew_single_scan_for_all_columns(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "b")], "x long, y string"
     )
-    hitters, summary = diagnose_skew(df, ["x", "y"], top_k=2, persist=False)
+    hitters, summary, _ = diagnose_skew(df, ["x", "y"], top_k=2, persist=False)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         hitters.explain(mode="simple")
@@ -519,7 +519,7 @@ def test_diagnose_skew_single_scan_for_all_columns(spark):
     # not one aggregate per column unioned (the pre-r13 shape)
     assert "Union" not in buf.getvalue()
 
-    hitters_p, summary_p = diagnose_skew(df, ["x", "y"], top_k=2)
+    hitters_p, summary_p, counts_p = diagnose_skew(df, ["x", "y"], top_k=2)
     try:
         hitters_p.collect()  # materializes the shared counts cache
         for frame in (hitters_p, summary_p):
@@ -537,7 +537,9 @@ def test_diagnose_skew_single_scan_for_all_columns(spark):
             map(tuple, summary.collect())
         )
     finally:
-        spark.catalog.clearCache()
+        # the result carries the persisted frame so release is scoped,
+        # not a cluster-wide clearCache
+        counts_p.unpersist()
 
 
 def test_diagnose_skew_rejects_duplicate_columns(spark):
