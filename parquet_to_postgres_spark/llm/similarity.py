@@ -3115,12 +3115,20 @@ def ivfpq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    centroids: DataFrame | None = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Train the two bounded IVF-PQ models: coarse centroids ``(cell,
     centroid)`` via :func:`kmeans_lloyd` (deterministic hash-bucket
     seeding — no RNG, no label dependence) and residual PQ codebooks
     ``(subspace, code, centroid)`` via :func:`pq_train` over
     ``x − c(x)``.
+
+    ``centroids`` (r13): bring-your-own coarse quantizer — a
+    ``(cell, centroid)`` frame in the UNIT space (e.g.
+    :func:`_centroid_arrays` over unit vectors, the SQL-replayable
+    label construction the declared ``ivfpq_index_probe`` gate query
+    uses) skips the Lloyd stage; only the residual codebooks train.
+    ``n_cells``/``coarse_iterations`` are ignored in that case.
 
     Vectors are unit-normalized first (the PQ family's metric contract:
     L2 order on the unit sphere ≡ cosine order).  Both models are
@@ -3131,16 +3139,18 @@ def ivfpq_train(
     c_unit = corpus.where(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
     )
-    init = hash_seed_centroids(
-        c_unit, n_cells, id_col="cid", vec_col="cvec", dim=dim
-    )
-    assigned, centroids, _ = kmeans_lloyd(
-        c_unit,
-        max_iterations=coarse_iterations,
-        id_col="cid",
-        vec_col="cvec",
-        init=init,
-    )
+    if centroids is None:
+        init = hash_seed_centroids(
+            c_unit, n_cells, id_col="cid", vec_col="cvec", dim=dim
+        )
+        assigned, centroids, _ = kmeans_lloyd(
+            c_unit,
+            max_iterations=coarse_iterations,
+            id_col="cid",
+            vec_col="cvec",
+            init=init,
+        )
+        del assigned  # documented-identical to the scan below
     # Residuals via the SAME zero-shuffle assignment scan the encode
     # path uses: kmeans_lloyd's returned assignments ARE
     # _nearest_cell(v, final centroids), so re-running that scan with
@@ -3148,7 +3158,6 @@ def ivfpq_train(
     # corpus-grain vector re-join (c_unit ⋈ assigned by id) the first
     # build paid, which shuffled every training vector for nothing
     # (r12 review finding).
-    del assigned  # documented-identical to the scan below
     named = c_unit.select(F.col("cid").alias("id"), F.col("cvec").alias("vec"))
     residuals = (
         _nearest_cell(named, centroids.select("cell", "centroid"), dim=dim)

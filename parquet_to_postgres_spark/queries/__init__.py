@@ -55,9 +55,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "scalar_functions",
     "profile_drift_report",
     "semi_structured_functions",
-    "daily_counts_gapfill",
     "pivot_status_priority",
+    "cube_orders",
     "collect_nations",
+    "funnel_counts",
+    "retention_cohorts",
     "salted_user_totals",
     "approx_sketches",
     "join_full_outer",
@@ -74,12 +76,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "global_sort_rank",
     "top_k_global",
     "set_operations",
-    "sessionize_events",
     "pack_token_budget",
     "scd2_history",
     "cdc_apply_state",
     "multi_source_agg",
-    "etl_roundtrip_agg",
     "etl_jdbc_roundtrip",
     "etl_pg_roundtrip",
     "corpus_preprocess",
@@ -87,9 +87,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "weighted_sample",
     "span_dedup",
     "embedding_profile",
-    "cosine_topk",
     "cosine_threshold_join",
     "ann_topk",
+    "ivfpq_index_probe",
     "udf_surface",
     "stream_windowed_aggs",
     "stream_session_windows",
@@ -108,6 +108,7 @@ def load_all() -> dict[str, QuerySpec]:
     the registry in DRIVER_ORDER (unlisted names, if any, append last)."""
     from . import (  # noqa: F401
         aggregates_q,
+        analytics_q,
         etl_q,
         functions_q,
         joins_q,

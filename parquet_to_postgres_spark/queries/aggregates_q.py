@@ -26,15 +26,16 @@ CUBE_ORDERS_ORACLE = f"""
     """
 
 
+@register("cube_orders", oracle=CUBE_ORDERS_ORACLE, tags=("A4", "A2"))
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+A2: CUBE (all grouping-set combinations — ROLLUP is the subset
     of these sets that forms the hierarchy) with a count-distinct per
     grouping set (Catalyst expands it to a two-phase partial aggregate).
 
-    Rotated out of the 50-slot registry in round 12 (slot given to the
-    bloom/fuzzy/weighted/cdc family); A4 stays declared via
-    pivot_status_priority and A2 via profile_drift_report.  Full oracle
-    coverage continues in tests/test_registry.py."""
+    Rotated back IN in round 13 (VERDICT r12 item 2): after the r12
+    rotation A4's only in-registry cover was a pivot — conditional
+    aggregation, not grouping sets — so the operator the ID names is
+    again certified by a declared query."""
     t = Catalog(spark, sf_dir)
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -269,9 +270,7 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "daily_counts_gapfill",
-    oracle="""
+DAILY_COUNTS_GAPFILL_ORACLE = """
     WITH bounds AS (
       SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
       FROM events
@@ -285,14 +284,19 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.day, COALESCE(d.n, 0) AS n_events
     FROM spine s LEFT JOIN daily d USING (day)
-    """,
-    tags=("F2", "timeseries"),
-)
+    """
+
+
 def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill: a generated date spine (sequence + explode)
     left-joined to daily counts, missing days zero-filled — the
     hypertable-rollup shape.  The spine generates from ONE aggregated
-    row, so at 100 TB it costs one min/max pass plus a broadcast join."""
+    row, so at 100 TB it costs one min/max pass plus a broadcast join.
+
+    Rotated out of the 50-slot registry in round 13 (slot given to the
+    funnel/retention/cube/ivfpq promotion); F2 stays declared via
+    scalar_functions.  Full oracle coverage continues in
+    tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     daily = t.events.groupBy(
         F.date_trunc("day", "ts").alias("day")

@@ -171,21 +171,25 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- E1–E3 ----
 
 
-@register(
-    "etl_roundtrip_agg",
-    oracle=f"""
+ETL_ROUNDTRIP_AGG_ORACLE = f"""
     SELECT l_linestatus,
            COUNT(*) AS n_items,
            {sql_dsum("l_extendedprice", "total_price")}
     FROM lineitem GROUP BY l_linestatus
-    """,
-    tags=("E1", "E2", "E3"),
-)
+    """
+
+
 def etl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1–E3: the whole reference program (read → DDL → batched sink,
     main.rs:49-102) through etl() with the parquet sink, then an
     aggregate over the SINK output.  DDL generation runs on the real
-    lineitem schema; a malformed sink write breaks the hash-match."""
+    lineitem schema; a malformed sink write breaks the hash-match.
+
+    Rotated out of the 50-slot registry in round 13 (slot given to the
+    funnel/retention/cube/ivfpq promotion): E1–E3 stay declared via
+    pricing_summary + etl_jdbc_roundtrip + etl_pg_roundtrip, which
+    exercise the same scan→DDL→sink path against LIVE engines.  Full
+    oracle coverage continues in tests/test_registry.py."""
     path = _scratch("etl/lineitem_sink")
     ddl = etl(spark, f"{sf_dir}/lineitem.parquet", ParquetSink(path))
     assert ddl.startswith("CREATE TABLE IF NOT EXISTS")

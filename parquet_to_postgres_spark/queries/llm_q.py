@@ -304,9 +304,7 @@ def textsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- L3/L4 ----
 
 
-@register(
-    "cosine_topk",
-    oracle=f"""
+COSINE_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings WHERE vec_id >= 5),
     scored AS (
@@ -318,13 +316,19 @@ def textsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY score DESC, neighbor_id) AS rnk
       FROM scored
     ) WHERE rnk <= 10
-    """,
-    tags=("L3",),
-)
+    """
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: cosine top-k via the two-stage distributed plan (partition-
     local top-k then global merge — identical results to brute force,
-    k·P rows through the final shuffle instead of the full corpus)."""
+    k·P rows through the final shuffle instead of the full corpus).
+
+    Rotated out of the 50-slot registry in round 13 (slot given to the
+    funnel/retention/cube/ivfpq promotion); L3 stays declared via
+    ann_topk + embedding_profile + ivfpq_index_probe, and the exact
+    two-stage plan shape stays pinned in tests/test_plans.py.  Full
+    oracle coverage continues in tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
     out = S.two_stage_topk(
@@ -1046,4 +1050,140 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         k=100,
         salt=0,
+    )
+
+
+# ------------------------------------------------------- IVF-PQ probe ----
+
+
+def _ivfpq_probe_oracle(k: int = 10, n_probes: int = 2) -> str:
+    """DuckDB replay of the persisted-IVF-PQ probe gate query.
+
+    The replayable pieces, in order: unit normalization with Spark
+    ``_unit``'s EXACT float semantics (the element square happens in
+    FLOAT32 — ``a + x * x`` multiplies two floats before the double
+    add — so the twin squares via ``CAST(x * x AS FLOAT)``; a
+    double-precision square diverges in the 8th decimal and every
+    downstream bit; measured r13), fixed-point label centroids over the
+    unit corpus (the ``cents0`` construction of ``_ivf_oracle``, but in
+    unit space), L2 nearest-cell assignment / multi-probe (sq_dist is a
+    pure-double fold on both engines), then the exact re-rank: the
+    candidate set is every corpus vector in a probed cell (the gate
+    query's ``rerank`` covers all of them — see its docstring), scored
+    by the same unit-vector dot ``_adc_topk_tail`` emits."""
+    unit = """
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS uvec
+      FROM (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(CAST(x * x AS FLOAT) AS DOUBLE)),
+                    (a, b) -> a + b)) AS nrm
+        FROM embeddings WHERE {pred}
+      ) WHERE nrm > 0
+    """
+    sqd = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (v.uvec[i] - ct.centroid[i]) * (v.uvec[i] - ct.centroid[i])), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+    WITH cu AS ({unit.format(pred="vec_id >= 5")}),
+    qu AS ({unit.format(pred="vec_id < 5")}),
+    cents0 AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(round(val * {S.CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+               / ({S.CENTROID_SCALE}.0 * COUNT(*)) AS centroid_val
+      FROM (
+        SELECT label, unnest(range(1, 65)) AS pos,
+               unnest(list_transform(range(1, 65), i -> uvec[i])) AS val
+        FROM cu
+      ) GROUP BY cell, pos
+    ),
+    cents AS (
+      SELECT cell, list(centroid_val ORDER BY pos) AS centroid
+      FROM cents0 GROUP BY cell
+    ),
+    cassign AS (
+      SELECT vec_id AS neighbor_id, uvec AS cvec, cell FROM (
+        SELECT v.vec_id, v.uvec, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sqd}, ct.cell) AS rn
+        FROM cu v CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, uvec AS qvec, cell FROM (
+        SELECT v.vec_id, v.uvec, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sqd}, ct.cell) AS rn
+        FROM qu v CROSS JOIN cents ct
+      ) WHERE rn <= {n_probes}
+    ),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+                 i -> q.qvec[i] * c.cvec[i]), (a, b) -> a + b) AS score
+      FROM cassign c JOIN qprobe q USING (cell)
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {k}
+    """
+
+
+@register("ivfpq_index_probe", oracle=_ivfpq_probe_oracle(), tags=("L3", "L4"))
+def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 approx, ANN family #5 on the gate (VERDICT r12 item 4):
+    build a persisted IVF-PQ index in-session and answer top-k through
+    it — centroids/codebooks/per-cell hive codes written to parquet,
+    then :func:`ivfpq_index_topk` reads ONLY the probed cells'
+    partitions (planning-time prune, pinned in tests/test_ann_index.py)
+    and runs the ADC → exact-re-rank tail.
+
+    Two declared-gate adaptations, both owned here:
+
+    - The coarse quantizer is the SQL-replayable label construction
+      (``_centroid_arrays`` over UNIT vectors — the ann_topk_ivf cells
+      in the L2/unit space IVF-PQ requires) via ``ivfpq_train``'s
+      bring-your-own-centroids path; Lloyd's iterative centroids can't
+      be replayed by an ANSI oracle.  Lloyd-vs-label is a training
+      choice, not a probe-path difference — every probed byte, prune,
+      LUT and re-rank below is the production path.
+    - ``rerank`` is sized so k·rerank covers EVERY candidate in the
+      probed cells at both gate scales (<= ~450 of 2k vectors at
+      sf0.1), making the output exactly "brute-force top-k over the
+      probed cells" — which is what an ANSI oracle can state.  The ADC
+      sum still computes and still orders the candidate stream (a
+      broken LUT would surface as a wrong two-stage selection on any
+      larger corpus); ADC *selectivity* (rerank << candidates) and its
+      recall ladder are pinned in tests/test_ann_recall.py, the same
+      division of labor as ann_topk's recall note."""
+    from .etl_q import _scratch
+
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    c_unit_lab = corpus.where(S._nonzero_vec("embedding")).select(
+        "label", S._unit("embedding").alias("uvec")
+    )
+    centroids = S._centroid_arrays(c_unit_lab, by="label", vec_col="uvec").select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    models = S.ivfpq_train(
+        corpus, m=8, codes=16, pq_iterations=2, centroids=centroids
+    )
+    path = _scratch("ivfpq/gate_idx")
+    S.write_ivfpq_index(corpus, path, models=models)
+    out = S.ivfpq_index_topk(
+        spark, path, corpus, queries, k=10, n_probes=2, rerank=100
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("long").alias("rnk"),
     )

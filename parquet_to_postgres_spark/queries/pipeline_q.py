@@ -24,9 +24,7 @@ from .llm_q import _minhash_oracle
 # ------------------------------------------------------------ sessionize ----
 
 
-@register(
-    "sessionize_events",
-    oracle="""
+SESSIONIZE_EVENTS_ORACLE = """
     WITH o AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
@@ -44,12 +42,17 @@ from .llm_q import _minhash_oracle
            MIN(ts) AS sess_start, MAX(ts) AS sess_last,
            COUNT(*) AS n_events
     FROM s GROUP BY user_id, session_id
-    """,
-    tags=("T3", "ops"),
-)
+    """
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (operators.sessionize): 30-minute-gap
     sessions per user, aggregated to one row per session.
+
+    Rotated out of the 50-slot registry in round 13 (slot given to the
+    funnel/retention/cube/ivfpq promotion); T3 stays declared via
+    stream_session_windows, the streaming twin with the same boundary
+    rule.  Full oracle coverage continues in tests/test_registry.py.
 
     The operator is two stacked windows over the SAME key partitioning
     (one shuffle, parallel across keys, no global window); gaps are

@@ -163,7 +163,7 @@ def test_declared_queries_deterministic(spark):
 
     from ._compare import canon
 
-    for name in ("pricing_summary", "minhash_near_dup", "cosine_topk", "collect_nations"):
+    for name in ("pricing_summary", "minhash_near_dup", "funnel_counts", "collect_nations"):
         a = canon(build(name, spark).toPandas())
         b = canon(build(name, spark).toPandas())
         assert a == b, f"{name} is nondeterministic across runs"
@@ -205,7 +205,9 @@ def test_sessionize_single_keyed_shuffle(spark):
     # aggregate reuses it too (its grouping keys are a superset of the
     # partitioning key), so the whole query is scan → one Exchange →
     # windows → partial+final agg.
-    p = plan(build("sessionize_events", spark), mode="simple")
+    from parquet_to_postgres_spark.queries.pipeline_q import sessionize_events
+
+    p = plan(sessionize_events(spark, SF_SMOKE), mode="simple")
     assert "windowspecdefinition(user_id" in p
     assert p.count("Exchange") == 1, p
 

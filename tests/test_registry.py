@@ -160,17 +160,67 @@ def test_rotated_out_training_data_prep_still_matches_oracle(spark, duck):
     )
 
 
-def test_rotated_out_cube_orders_still_matches_oracle(spark, duck):
-    """cube_orders gave its slot to the round-12 bloom/fuzzy/weighted/cdc
-    family; A4 stays declared via pivot_status_priority, A2 via
-    profile_drift_report.  Full oracle coverage continues here."""
+def test_rotated_out_daily_counts_gapfill_still_matches_oracle(spark, duck):
+    """daily_counts_gapfill rotated out in round 13 (slot given to the
+    funnel/retention/cube/ivfpq promotion); F2 stays declared via
+    scalar_functions."""
     from parquet_to_postgres_spark.queries.aggregates_q import (
-        CUBE_ORDERS_ORACLE,
-        cube_orders,
+        DAILY_COUNTS_GAPFILL_ORACLE,
+        daily_counts_gapfill,
     )
 
     assert_matches_oracle(
-        cube_orders(spark, SF_SMOKE), duck, CUBE_ORDERS_ORACLE, "cube_orders"
+        daily_counts_gapfill(spark, SF_SMOKE),
+        duck,
+        DAILY_COUNTS_GAPFILL_ORACLE,
+        "daily_counts_gapfill",
+    )
+
+
+def test_rotated_out_etl_roundtrip_agg_still_matches_oracle(spark, duck):
+    """etl_roundtrip_agg rotated out in round 13; E1-E3 stay declared
+    via pricing_summary + etl_jdbc_roundtrip + etl_pg_roundtrip (the
+    live-engine versions of the same scan->DDL->sink path)."""
+    from parquet_to_postgres_spark.queries.etl_q import (
+        ETL_ROUNDTRIP_AGG_ORACLE,
+        etl_roundtrip_agg,
+    )
+
+    assert_matches_oracle(
+        etl_roundtrip_agg(spark, SF_SMOKE),
+        duck,
+        ETL_ROUNDTRIP_AGG_ORACLE,
+        "etl_roundtrip_agg",
+    )
+
+
+def test_rotated_out_sessionize_events_still_matches_oracle(spark, duck):
+    """sessionize_events rotated out in round 13; T3 stays declared via
+    stream_session_windows (the streaming twin, same boundary rule)."""
+    from parquet_to_postgres_spark.queries.pipeline_q import (
+        SESSIONIZE_EVENTS_ORACLE,
+        sessionize_events,
+    )
+
+    assert_matches_oracle(
+        sessionize_events(spark, SF_SMOKE),
+        duck,
+        SESSIONIZE_EVENTS_ORACLE,
+        "sessionize_events",
+    )
+
+
+def test_rotated_out_cosine_topk_still_matches_oracle(spark, duck):
+    """cosine_topk rotated out in round 13; L3 stays declared via
+    ann_topk + embedding_profile + ivfpq_index_probe, and the two-stage
+    plan shape stays pinned in tests/test_plans.py."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        COSINE_TOPK_ORACLE,
+        cosine_topk,
+    )
+
+    assert_matches_oracle(
+        cosine_topk(spark, SF_SMOKE), duck, COSINE_TOPK_ORACLE, "cosine_topk"
     )
 
 

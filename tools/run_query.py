@@ -4,7 +4,7 @@ its physical plan) — the quickest way to explore the engine.
 Usage:
     python tools/run_query.py                       # list query names
     python tools/run_query.py pricing_summary       # run at sf0.001
-    python tools/run_query.py cosine_topk /root/testdata/sf0.01 --rows 20
+    python tools/run_query.py ann_topk /root/testdata/sf0.01 --rows 20
     python tools/run_query.py ann_topk --explain
 """
 
