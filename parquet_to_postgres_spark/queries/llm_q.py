@@ -326,9 +326,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rotated out of the 50-slot registry in round 13 (slot given to the
     funnel/retention/cube/ivfpq promotion); L3 stays declared via
-    ann_topk + embedding_profile + ivfpq_index_probe, and the exact
-    two-stage plan shape stays pinned in tests/test_plans.py.  Full
-    oracle coverage continues in tests/test_registry.py."""
+    ann_topk + embedding_profile + ivfpq_index_probe, and the two-stage
+    plan shape is pinned in tests/test_plans.py
+    (test_cosine_two_stage_topk_plan_shape).  Full oracle coverage
+    continues in tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
     out = S.two_stage_topk(

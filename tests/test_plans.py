@@ -852,3 +852,28 @@ def test_cdc_apply_state_partial_aggregates_before_exchange(spark):
     p = plan(build("cdc_apply_state", spark), mode="simple")
     assert "Window" not in p
     assert "partial_max" in p
+
+
+def test_cosine_two_stage_topk_plan_shape(spark):
+    """The two-stage top-k contract the rotated-out cosine_topk row
+    certified: stage 1 ranks within (query, input-partition) — a
+    WindowGroupLimit whose FIRST pass runs pre-shuffle — so only k rows
+    per (query, partition) reach the exchange; no global sort of the
+    full score stream appears (r13 review finding: this pin was claimed
+    but didn't exist)."""
+    from parquet_to_postgres_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = S.two_stage_topk(
+        emb.where("vec_id >= 5"), emb.where("vec_id < 5"), k=10
+    )
+    p = plan(out, mode="simple")
+    # both ranking stages plan as WindowGroupLimit (partial + final
+    # per stage), and the broadcast of the bounded query set is there
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # the full corpus-score stream is never globally sorted: every Sort
+    # is local (the "false" flag = no global ordering requirement)
+    import re
+
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p

@@ -212,8 +212,8 @@ def test_rotated_out_sessionize_events_still_matches_oracle(spark, duck):
 
 def test_rotated_out_cosine_topk_still_matches_oracle(spark, duck):
     """cosine_topk rotated out in round 13; L3 stays declared via
-    ann_topk + embedding_profile + ivfpq_index_probe, and the two-stage
-    plan shape stays pinned in tests/test_plans.py."""
+    ann_topk + embedding_profile + ivfpq_index_probe; the two-stage
+    plan shape is pinned by test_plans.test_cosine_two_stage_topk_plan_shape."""
     from parquet_to_postgres_spark.queries.llm_q import (
         COSINE_TOPK_ORACLE,
         cosine_topk,
