@@ -3167,6 +3167,17 @@ def ivfpq_train(
             F.zip_with("vec", "centroid", lambda a, b: a - b).alias("rvec"),
         )
     )
+    # Materialize the residual frame ONCE: every pq_train Lloyd round
+    # (and its init) otherwise re-executes the whole residual lineage —
+    # parquet scan, interpreted _unit fold, centroid aggregate,
+    # nearest-cell argmin, zip_with — per round.  On the r13 gate probe
+    # this was 26.8 s of redundant recompute at sf0.1 (2k vectors);
+    # checkpointed, the rounds scan bare (cid, rvec) rows.  Model-grain
+    # consumers only, released with the session (stable_checkpoint
+    # upgrades to a reliable checkpoint on clusters; at 100 TB the
+    # train input is a hash_sample, so the materialization is bounded
+    # by design).
+    residuals = stable_checkpoint(residuals)
     codebooks = pq_train(
         residuals,
         m=m,
