@@ -1637,3 +1637,239 @@ def diagnose_skew(
         .alias("suggested_buckets"),
     )
     return SkewDiagnosis(hitters, summary, counts)
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (last/first/linear touch over a lookback window)
+# ---------------------------------------------------------------------------
+
+
+ATTRIBUTION_MODELS = ("last_touch", "first_touch", "linear")
+
+
+def attribute_conversions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: "list[str]",
+    model: str = "last_touch",
+    lookback_seconds: "float | None" = None,
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion
+    event to the touch (channel) events that preceded it — the report
+    that turns a raw event stream into channel ROI, and the companion
+    to :func:`funnel` / :func:`retention_cohorts` in the analytics
+    family.
+
+    Output: one row per credited (conversion event, touch) pair —
+    (``<user_col>``, ``conv_t`` timestamp, ``touch_type`` string
+    nullable, ``credit`` double).  ``touch_type`` NULL means the
+    conversion had NO qualifying touch in its window — unattributed
+    conversions are REPORTED, not dropped (silently vanishing
+    conversions would overstate every channel's share).  Aggregate
+    ``sum(credit) group by touch_type`` for the channel report
+    (:func:`attribution_report`).
+
+    Models:
+
+    - ``last_touch`` / ``first_touch``: the latest/earliest qualifying
+      touch STRICTLY before the conversion (and within
+      ``lookback_seconds`` when set) takes credit 1.0; several touch
+      types sharing that boundary microsecond tie-break to the
+      lexicographically largest (last) / smallest (first) type — a
+      documented total-order rule, not partition luck.
+    - ``linear``: every qualifying touch EVENT in the window splits the
+      credit equally (1/n each — simultaneous multi-channel touches
+      each count).
+
+    Strictly-before matches :func:`funnel`'s rule: a touch at the
+    conversion's own microsecond never qualifies.  NULL user/ts/type
+    rows are dropped.
+
+    Plan shape: ONE user-grain shuffle.  Every model is a window
+    aggregate over the same user-partitioned frame, RANGE-framed on
+    ``unix_micros`` (strictly-before = ``[-lookback, -1]``
+    microseconds), so rows tied on the order key enter or leave the
+    frame TOGETHER and the result cannot depend on intra-tie row
+    order: last/first are ``max``/``min`` over (t, type) structs (null
+    for non-touch rows — ignored), both order-independent.  ``linear``
+    materializes each conversion's in-window touch list (bounded by
+    the lookback — set one at scale; an unbounded linear model holds a
+    user's whole touch history per conversion and the docstring price
+    is yours)."""
+    if model not in ATTRIBUTION_MODELS:
+        raise ValueError(f"model must be one of {ATTRIBUTION_MODELS}, got {model!r}")
+    if conversion_type in touch_types:
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not be a touch type"
+        )
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if lookback_seconds is not None:
+        lookback_us = round(lookback_seconds * 1_000_000)
+        if lookback_us <= 0:
+            raise ValueError(
+                f"lookback_seconds must round to >= 1 microsecond, got "
+                f"{lookback_seconds!r}"
+            )
+    else:
+        lookback_us = None
+    ev = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        # only touches and conversions matter: other types would ride
+        # the user-grain shuffle and the window just to contribute a
+        # NULL struct and be filtered — semantics-preserving to drop
+        # at the scan (max/min/collect_list ignore NULL structs and
+        # the RANGE frame is value-based; r13 review finding)
+        & F.col(type_col).isin([*touch_types, conversion_type])
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__y"),
+    )
+    lo = Window.unboundedPreceding if lookback_us is None else -lookback_us
+    w = Window.partitionBy("__u").orderBy(F.col("__t")).rangeBetween(lo, -1)
+    touch_struct = F.when(
+        F.col("__y").isin(list(touch_types)),
+        F.struct(F.col("__t").alias("t"), F.col("__y").alias("y")),
+    )
+    is_conv = F.col("__y") == conversion_type
+    if model in ("last_touch", "first_touch"):
+        pick = F.max(touch_struct) if model == "last_touch" else F.min(touch_struct)
+        return (
+            ev.withColumn("__pick", pick.over(w))
+            .where(is_conv)
+            .select(
+                F.col("__u").alias(user_col),
+                F.col("__ts").alias("conv_t"),
+                F.col("__pick.y").alias("touch_type"),
+                F.lit(1.0).alias("credit"),
+            )
+        )
+    # linear: each in-window touch event takes an equal share
+    out = ev.withColumn("__touches", F.collect_list(touch_struct).over(w)).where(
+        is_conv
+    )
+    exploded = out.select(
+        F.col("__u").alias(user_col),
+        F.col("__ts").alias("conv_t"),
+        F.size("__touches").alias("__n"),
+        F.explode_outer("__touches").alias("__tt"),
+    )
+    return exploded.select(
+        user_col,
+        "conv_t",
+        F.col("__tt.y").alias("touch_type"),
+        F.when(F.col("__tt").isNotNull(), F.lit(1.0) / F.col("__n"))
+        .otherwise(F.lit(1.0))
+        .alias("credit"),
+    )
+
+
+def attribution_report(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: "list[str]",
+    model: str = "last_touch",
+    lookback_seconds: "float | None" = None,
+) -> DataFrame:
+    """Channel rollup of :func:`attribute_conversions`: (``touch_type``
+    nullable — NULL = unattributed, ``n_rows`` double count of credited
+    (conversion, channel) rows, ``credit`` double summed credit).
+    Under the single-touch models ``credit`` is the conversion weight
+    landing on the channel; under ``linear`` it is the fractional
+    share.  One tiny channel-grain aggregate above the operator."""
+    credited = attribute_conversions(
+        events,
+        user_col,
+        ts_col,
+        type_col,
+        conversion_type,
+        touch_types,
+        model,
+        lookback_seconds,
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum("credit").alias("credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count rollups (Datasketches HLL pre-aggregation)
+# ---------------------------------------------------------------------------
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys: "list[str]",
+    distinct_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregate a mergeable distinct-count cube: one row per key
+    combination carrying (``n_rows`` bigint, ``hll`` binary — a
+    Datasketches HLL sketch of ``distinct_col``).
+
+    This is the 100 TB answer to "distinct users by <any slice>":
+    count-distinct is the one common aggregate that does NOT
+    decompose, so every ad-hoc slice re-shuffles raw events — unless
+    the slices are pre-aggregated as SKETCHES, which merge.  Build
+    this table once per ingest increment at the finest grain you
+    query (e.g. ``[day, country]``); every coarser question is then
+    :func:`sketch_merge` over a few small rows, no raw rescan.  The
+    HLL union (register-wise max) is associative, commutative and
+    IDEMPOTENT, so incremental appends, re-merges and overlapping
+    slices are all exact in sketch space: merging the parts estimates
+    identically to sketching the whole, and the ~2% (lg_config_k=12)
+    estimate error comes from the sketch itself, never from the merge
+    topology (pinned in tests/test_analytics_ops.py: merged-parts and
+    whole-range ESTIMATES are asserted equal — the register argument is
+    the mechanism, the estimate identity is the tested contract).
+    NULL ``distinct_col`` values are not added to the
+    sketch (they are not a distinct member); ``n_rows`` still counts
+    their rows.
+
+    Plan: ONE hash aggregate with map-side partial sketches — the
+    shuffle carries (keys, 2^lg_config_k-register) rows, not events.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty (a global sketch is one row)")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(distinct_col, F.lit(lg_config_k)).alias("hll"),
+    )
+
+
+def sketch_merge(
+    rollup: DataFrame,
+    keys: "list[str]",
+    n_rows_col: str = "n_rows",
+    hll_col: str = "hll",
+) -> DataFrame:
+    """Merge a :func:`sketch_rollup` table to a coarser grain: group by
+    the surviving ``keys`` (may be empty = one global row), summing
+    row counts and unioning sketches.  Input is the pre-aggregated
+    table — bytes per row — so arbitrary re-slicing never touches raw
+    events."""
+    agg = [
+        F.sum(n_rows_col).alias(n_rows_col),
+        F.hll_union_agg(hll_col).alias(hll_col),
+    ]
+    if keys:
+        return rollup.groupBy(*keys).agg(*agg)
+    return rollup.agg(*agg)
+
+
+def sketch_estimate(
+    rollup: DataFrame, hll_col: str = "hll", out_col: str = "n_distinct_approx"
+) -> DataFrame:
+    """Attach the HLL cardinality estimate (bigint) to a sketch table —
+    the read-side decode, a pure per-row expression."""
+    return rollup.withColumn(out_col, F.hll_sketch_estimate(F.col(hll_col)))

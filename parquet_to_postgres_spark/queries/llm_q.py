@@ -1164,15 +1164,21 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       division of labor as ann_topk's recall note.
 
     Build-once/probe-many is part of the MEASURED surface: the store
-    is content-keyed by (source file stat, model params, code
-    version), the marker is dropped before a rebuild and rewritten
-    only after it completes (a torn build can never masquerade as
-    current), and a matching key skips straight to the probe — so the
-    bench's repeat runs price what production pays per query batch
-    (the probe), while the first run / a changed fixture prices the
-    full pipeline.  Index content is a deterministic function of the
-    key, so probing a prior process's store returns bit-identical
-    rows (pinned in tests/test_ann_index.py)."""
+    is content-keyed by (source file stat, model params, and a digest
+    of the build pipeline's own source — any edit to the train/encode/
+    write functions auto-invalidates, no hand-bumped version to
+    forget), the marker is dropped before a rebuild and atomically
+    replaced only after it completes (a torn build — or a torn/corrupt
+    marker, treated as stale — can never masquerade as current), and a
+    matching key skips straight to the probe — so the bench's repeat
+    runs price what production pays per query batch (the probe), while
+    the first run / a changed fixture / changed code prices the full
+    pipeline.  Index content is a deterministic function of the key,
+    so probing a prior process's store returns bit-identical rows (the
+    cache branch — hit, corrupt marker, stale key — is pinned in
+    tests/test_ann_index.py::test_ivfpq_gate_probe_cache_branch)."""
+    import hashlib
+    import inspect
     import json
     import os
 
@@ -1184,11 +1190,23 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    code_digest = hashlib.md5(
+        "".join(
+            inspect.getsource(f)
+            for f in (
+                S.ivfpq_train,
+                S.ivfpq_encode,
+                S.write_ivfpq_index,
+                S.label_centroids,
+                ivfpq_index_probe,
+            )
+        ).encode()
+    ).hexdigest()
     key = {
         "src": os.path.abspath(src),
         "stat": [st.st_size, st.st_mtime_ns],
         "params": {"m": 8, "codes": 16, "pq_iterations": 1, "cells": "label-unit"},
-        "v": 1,
+        "code": code_digest,
     }
     path = _scratch(
         f"ivfpq/gate_{os.path.basename(os.path.normpath(sf_dir))}"
@@ -1196,8 +1214,11 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(path, "_built.json")
     current = None
     if os.path.exists(marker):
-        with open(marker) as fh:
-            current = json.load(fh)
+        try:
+            with open(marker) as fh:
+                current = json.load(fh)
+        except (ValueError, OSError):
+            current = None  # torn/corrupt marker == stale
     if current != key:
         if os.path.exists(marker):
             os.remove(marker)
@@ -1211,8 +1232,10 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, m=8, codes=16, pq_iterations=1, centroids=centroids
         )
         S.write_ivfpq_index(corpus, path, models=models)
-        with open(marker, "w") as fh:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(key, fh)
+        os.replace(tmp, marker)  # atomic: no torn marker is ever visible
     out = S.ivfpq_index_topk(
         spark, path, corpus, queries, k=10, n_probes=2, rerank=100
     )

@@ -1,0 +1,335 @@
+"""Round-13 analytics operators: conversion attribution and mergeable
+HLL distinct-count rollups.
+
+Attribution pins: strictly-before windows, deterministic boundary
+tie-breaks (struct max/min, not row order), lookback exclusion,
+unattributed reporting, linear split across simultaneous touches, a
+fixture-scale DuckDB twin per model, and the one-shuffle plan.
+
+Sketch pins: the property that makes pre-aggregation sound — the HLL
+union is associative/commutative/idempotent, so merging parts yields
+the SAME estimate as sketching the whole — plus the rsd error bound vs
+exact distinct and the map-side-combine plan shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_postgres_spark.operators import (
+    attribute_conversions,
+    attribution_report,
+    sketch_estimate,
+    sketch_merge,
+    sketch_rollup,
+)
+
+from .conftest import SF_SMOKE
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    """rows: (user, seconds_offset, type)."""
+    return spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), y) for u, s, y in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+TOUCHES = ["ad", "email", "social"]
+
+
+def _rows(df):
+    return sorted(
+        (r["user_id"], str(r["conv_t"]), r["touch_type"], r["credit"])
+        for r in df.collect()
+    )
+
+
+# ------------------------------------------------------- attribution ----
+
+
+def test_last_and_first_touch_basic(spark):
+    df = _ev(spark, [(1, 0, "ad"), (1, 5, "email"), (1, 10, "buy")])
+    last = _rows(attribute_conversions(df, "user_id", "ts", "event_type", "buy", TOUCHES))
+    first = _rows(
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES, model="first_touch"
+        )
+    )
+    assert last == [(1, str(T0 + timedelta(seconds=10)), "email", 1.0)]
+    assert first == [(1, str(T0 + timedelta(seconds=10)), "ad", 1.0)]
+
+
+def test_touch_at_conversion_instant_never_qualifies(spark):
+    df = _ev(spark, [(1, 10, "ad"), (1, 10, "buy")])
+    got = _rows(attribute_conversions(df, "user_id", "ts", "event_type", "buy", TOUCHES))
+    assert got == [(1, str(T0 + timedelta(seconds=10)), None, 1.0)]
+
+
+def test_lookback_excludes_stale_touches(spark):
+    df = _ev(spark, [(1, 0, "ad"), (1, 8, "email"), (1, 10, "buy")])
+    got = _rows(
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES,
+            model="first_touch", lookback_seconds=5,
+        )
+    )
+    # the 10s-old ad is outside the 5s lookback; email (8s -> in window)
+    assert got == [(1, str(T0 + timedelta(seconds=10)), "email", 1.0)]
+    none = _rows(
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES,
+            lookback_seconds=1,
+        )
+    )
+    assert none == [(1, str(T0 + timedelta(seconds=10)), None, 1.0)]
+
+
+def test_boundary_tie_breaks_are_lexicographic(spark):
+    # two channels at the SAME instant: last -> max type, first -> min
+    df = _ev(spark, [(1, 5, "ad"), (1, 5, "email"), (1, 10, "buy")])
+    last = _rows(attribute_conversions(df, "user_id", "ts", "event_type", "buy", TOUCHES))
+    first = _rows(
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES, model="first_touch"
+        )
+    )
+    assert last[0][2] == "email" and first[0][2] == "ad"
+
+
+def test_linear_splits_across_touch_events(spark):
+    df = _ev(
+        spark,
+        [(1, 1, "ad"), (1, 2, "email"), (1, 2, "social"), (1, 10, "buy"),
+         (2, 10, "buy")],
+    )
+    got = _rows(
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES, model="linear"
+        )
+    )
+    t = str(T0 + timedelta(seconds=10))
+    third = 1.0 / 3
+    assert got == [
+        (1, t, "ad", third),
+        (1, t, "email", third),
+        (1, t, "social", third),
+        (2, t, None, 1.0),
+    ]
+
+
+def test_simultaneous_conversions_each_credited(spark):
+    df = _ev(spark, [(1, 0, "ad"), (1, 5, "buy"), (1, 5, "buy")])
+    got = _rows(attribute_conversions(df, "user_id", "ts", "event_type", "buy", TOUCHES))
+    assert got == [(1, str(T0 + timedelta(seconds=5)), "ad", 1.0)] * 2
+
+
+def test_attribution_validation_and_nulls(spark):
+    df = _ev(spark, [(1, 0, "ad")])
+    with pytest.raises(ValueError):
+        attribute_conversions(df, "user_id", "ts", "event_type", "buy", [])
+    with pytest.raises(ValueError):
+        attribute_conversions(df, "user_id", "ts", "event_type", "ad", TOUCHES)
+    with pytest.raises(ValueError):
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES, model="u_shaped"
+        )
+    with pytest.raises(ValueError):
+        attribute_conversions(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES, lookback_seconds=0
+        )
+    nulls = spark.createDataFrame(
+        [(None, T0, "buy"), (1, None, "buy"), (1, T0, None), (1, T0, "buy")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = attribute_conversions(
+        nulls, "user_id", "ts", "event_type", "buy", TOUCHES
+    ).collect()
+    assert len(got) == 1 and got[0]["touch_type"] is None
+
+
+FIXTURE_TOUCHES = ["click", "view", "signup"]
+
+
+def test_attribution_matches_duckdb_on_fixture(spark, duck):
+    """All three models over the events fixture equal the correlated-SQL
+    twin row-for-row (purchase attributed to click/view/signup, 1h
+    lookback — the lookback VARIES on the fixture: some purchases have
+    in-window touches, some only stale ones)."""
+    from parquet_to_postgres_spark.tables import load_table
+
+    # catalog-normalized load: the raw parquet types ts as
+    # TIMESTAMP_NTZ, which unix_micros refuses — the operators share
+    # funnel's catalog-typed-timestamp contract
+    events = load_table(spark, SF_SMOKE, "events")
+    lk_us = 3_600 * 1_000_000
+    base = """
+      WITH base AS (
+        SELECT user_id, epoch_us(ts) AS t, ts, event_type AS y FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+      ),
+      conv AS (SELECT user_id, t, ts FROM base WHERE y = 'purchase')
+    """
+    twins = {
+        "last_touch": base + f"""
+      SELECT c.user_id, c.ts AS conv_t,
+             (SELECT g.y FROM base g
+              WHERE g.user_id = c.user_id AND g.y IN ('click','view','signup')
+                AND g.t < c.t AND g.t >= c.t - {lk_us}
+              ORDER BY g.t DESC, g.y DESC LIMIT 1) AS touch_type,
+             1.0 AS credit
+      FROM conv c
+    """,
+        "first_touch": base + f"""
+      SELECT c.user_id, c.ts AS conv_t,
+             (SELECT g.y FROM base g
+              WHERE g.user_id = c.user_id AND g.y IN ('click','view','signup')
+                AND g.t < c.t AND g.t >= c.t - {lk_us}
+              ORDER BY g.t ASC, g.y ASC LIMIT 1) AS touch_type,
+             1.0 AS credit
+      FROM conv c
+    """,
+        "linear": base + f""",
+      convk AS (
+        SELECT user_id, t, ts, ROW_NUMBER() OVER (ORDER BY user_id, t) AS cid
+        FROM base WHERE y = 'purchase'
+      ),
+      joined AS (
+        SELECT c.cid, c.user_id, c.ts AS conv_t, g.y AS touch_type
+        FROM convk c LEFT JOIN base g
+          ON g.user_id = c.user_id AND g.y IN ('click','view','signup')
+         AND g.t < c.t AND g.t >= c.t - {lk_us}
+      )
+      SELECT user_id, conv_t, touch_type,
+             CASE WHEN touch_type IS NULL THEN 1.0
+                  ELSE 1.0 / (COUNT(touch_type) OVER (PARTITION BY cid))
+             END AS credit
+      FROM joined
+    """,
+    }
+    for model, sql in twins.items():
+        got = _rows(
+            attribute_conversions(
+                events, "user_id", "ts", "event_type", "purchase",
+                FIXTURE_TOUCHES, model=model, lookback_seconds=3600,
+            )
+        )
+        want = sorted((r[0], str(r[1]), r[2], r[3]) for r in duck.sql(sql).fetchall())
+        assert got == want, model
+        # the lookback must actually bite on the fixture, or the
+        # window-bound leg of the twin pins nothing
+        assert any(r[2] is None for r in got), model
+        assert any(r[2] is not None for r in got), model
+
+
+def test_attribution_single_shuffle_plan(spark):
+    df = _ev(spark, [(1, 0, "ad"), (1, 10, "buy")])
+    out = attribute_conversions(df, "user_id", "ts", "event_type", "buy", TOUCHES)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    p = buf.getvalue()
+    assert p.count("Exchange") == 1, p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_attribution_report_sums(spark):
+    df = _ev(
+        spark,
+        [(1, 1, "ad"), (1, 2, "email"), (1, 10, "buy"),
+         (2, 0, "ad"), (2, 5, "buy"), (3, 5, "buy")],
+    )
+    rep = {
+        r["touch_type"]: (r["n_rows"], r["credit"])
+        for r in attribution_report(
+            df, "user_id", "ts", "event_type", "buy", TOUCHES, model="linear"
+        ).collect()
+    }
+    assert rep == {"ad": (2.0, 1.5), "email": (1.0, 0.5), None: (1.0, 1.0)}
+
+
+# ----------------------------------------------------- sketch rollup ----
+
+
+def test_sketch_merge_of_parts_equals_sketch_of_whole(spark):
+    """The pre-aggregation soundness law: union of per-day sketches
+    estimates EXACTLY what one sketch over the raw range estimates —
+    register-max is associative/commutative — so slicing strategy can
+    never change an answer."""
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    daily = sketch_rollup(
+        events.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    merged = sketch_estimate(sketch_merge(daily, ["event_type"]))
+    whole = sketch_estimate(
+        sketch_rollup(events, ["event_type"], "user_id")
+    )
+    m = {r["event_type"]: (r["n_rows"], r["n_distinct_approx"]) for r in merged.collect()}
+    w = {r["event_type"]: (r["n_rows"], r["n_distinct_approx"]) for r in whole.collect()}
+    assert m == w and len(m) >= 3
+
+
+def test_sketch_merge_is_idempotent(spark):
+    """Re-merging an already-merged slice (overlapping inputs) cannot
+    inflate the estimate — the dedup-on-merge property exact distinct
+    pre-aggregation can never have."""
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    daily = sketch_rollup(
+        events.withColumn("day", F.to_date("ts")), ["day"], "user_id"
+    )
+    once = sketch_estimate(sketch_merge(daily, [])).collect()[0]
+    twice = sketch_estimate(
+        sketch_merge(daily.unionAll(daily), [])
+    ).collect()[0]
+    assert once["n_distinct_approx"] == twice["n_distinct_approx"]
+    assert twice["n_rows"] == 2 * once["n_rows"]  # n_rows is additive, not distinct
+
+
+def test_sketch_estimate_within_rsd_bound(spark):
+    """lg_config_k=12 -> rsd ~1.6%; assert within 10% of exact on the
+    fixture (same margin policy as approx_sketches)."""
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    est = {
+        r["event_type"]: r["n_distinct_approx"]
+        for r in sketch_estimate(
+            sketch_rollup(events, ["event_type"], "user_id")
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.1 * v), (k, est[k], v)
+
+
+def test_sketch_null_members_not_counted(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2)], "g string, v int"
+    )
+    r = sketch_estimate(sketch_rollup(df, ["g"], "v")).collect()[0]
+    assert r["n_rows"] == 3 and r["n_distinct_approx"] == 2
+
+
+def test_sketch_rollup_validates_and_plans_partial(spark):
+    with pytest.raises(ValueError):
+        sketch_rollup(spark.range(5), [], "id")
+    out = sketch_rollup(
+        spark.range(100).select((F.col("id") % 3).alias("g"), "id"), ["g"], "id"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    p = buf.getvalue()
+    # map-side partial sketches: the typed-imperative aggregate plans
+    # partial + final around ONE exchange at key grain
+    assert "ObjectHashAggregate" in p and p.count("Exchange") == 1, p

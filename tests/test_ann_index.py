@@ -664,3 +664,50 @@ def test_index_model_writers_reject_append_mode(spark, split):
     for fn in (S.write_pq_index, S.write_ivfpq_index):
         with pytest.raises(ValueError, match="append_"):
             fn(corpus, "/tmp/never-written", mode="append")
+
+
+def test_ivfpq_gate_probe_cache_branch(spark):
+    """The declared ivfpq_index_probe's build-once/probe-many cache:
+    (1) a second call with a matching key probes the EXISTING store
+    (marker untouched) and returns identical rows, (2) a corrupt/torn
+    marker is treated as stale — rebuild, no crash, (3) a stale key
+    rebuilds and atomically rewrites the marker."""
+    import json
+    import os
+
+    from parquet_to_postgres_spark.queries.llm_q import ivfpq_index_probe
+
+    def rows():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], repr(r["score"]), r["rnk"])
+            for r in ivfpq_index_probe(spark, SF_SMOKE).collect()
+        )
+
+    first = rows()
+    marker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "ivfpq",
+        f"gate_{os.path.basename(os.path.normpath(SF_SMOKE))}",
+        "_built.json",
+    )
+    assert os.path.exists(marker), marker
+    mtime = os.path.getmtime(marker)
+
+    # (1) cache hit: same rows, marker not rewritten
+    assert rows() == first and os.path.getmtime(marker) == mtime
+
+    # (2) torn marker: stale, rebuild succeeds with identical rows
+    with open(marker, "w") as fh:
+        fh.write('{"truncated": ')
+    assert rows() == first
+    with open(marker) as fh:
+        key = json.load(fh)  # valid again after the atomic rewrite
+
+    # (3) stale key: rebuild, marker content restored to the real key
+    key["stat"] = [0, 0]
+    with open(marker, "w") as fh:
+        json.dump(key, fh)
+    assert rows() == first
+    with open(marker) as fh:
+        assert json.load(fh)["stat"] != [0, 0]
