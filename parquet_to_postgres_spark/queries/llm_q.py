@@ -1190,17 +1190,13 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    # hash the WHOLE similarity module + this builder: the store is a
+    # function of a deep call closure (_unit, _centroid_arrays,
+    # pq_train, encode ...) and enumerating it by hand missed members
+    # (r13 review finding) — over-invalidation costs one rebuild,
+    # under-invalidation silently serves a stale index
     code_digest = hashlib.md5(
-        "".join(
-            inspect.getsource(f)
-            for f in (
-                S.ivfpq_train,
-                S.ivfpq_encode,
-                S.write_ivfpq_index,
-                S.label_centroids,
-                ivfpq_index_probe,
-            )
-        ).encode()
+        (inspect.getsource(S) + inspect.getsource(ivfpq_index_probe)).encode()
     ).hexdigest()
     key = {
         "src": os.path.abspath(src),

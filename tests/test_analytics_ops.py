@@ -21,6 +21,8 @@ from datetime import datetime, timedelta
 import pytest
 from pyspark.sql import functions as F
 
+from parquet_to_postgres_spark.tables import load_table
+
 from parquet_to_postgres_spark.operators import (
     attribute_conversions,
     attribution_report,
@@ -163,8 +165,6 @@ def test_attribution_matches_duckdb_on_fixture(spark, duck):
     twin row-for-row (purchase attributed to click/view/signup, 1h
     lookback — the lookback VARIES on the fixture: some purchases have
     in-window touches, some only stale ones)."""
-    from parquet_to_postgres_spark.tables import load_table
-
     # catalog-normalized load: the raw parquet types ts as
     # TIMESTAMP_NTZ, which unix_micros refuses — the operators share
     # funnel's catalog-typed-timestamp contract
@@ -263,7 +263,7 @@ def test_sketch_merge_of_parts_equals_sketch_of_whole(spark):
     estimates EXACTLY what one sketch over the raw range estimates —
     register-max is associative/commutative — so slicing strategy can
     never change an answer."""
-    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events = load_table(spark, SF_SMOKE, "events")
     daily = sketch_rollup(
         events.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
     )
@@ -280,7 +280,7 @@ def test_sketch_merge_is_idempotent(spark):
     """Re-merging an already-merged slice (overlapping inputs) cannot
     inflate the estimate — the dedup-on-merge property exact distinct
     pre-aggregation can never have."""
-    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events = load_table(spark, SF_SMOKE, "events")
     daily = sketch_rollup(
         events.withColumn("day", F.to_date("ts")), ["day"], "user_id"
     )
@@ -295,7 +295,7 @@ def test_sketch_merge_is_idempotent(spark):
 def test_sketch_estimate_within_rsd_bound(spark):
     """lg_config_k=12 -> rsd ~1.6%; assert within 10% of exact on the
     fixture (same margin policy as approx_sketches)."""
-    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events = load_table(spark, SF_SMOKE, "events")
     est = {
         r["event_type"]: r["n_distinct_approx"]
         for r in sketch_estimate(

@@ -684,11 +684,12 @@ def test_ivfpq_gate_probe_cache_branch(spark):
         )
 
     first = rows()
+    from parquet_to_postgres_spark.queries.etl_q import _scratch
+
+    # the same path constructor the builder uses — one source of truth
+    # for the store layout (r13 review finding)
     marker = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scratch",
-        "ivfpq",
-        f"gate_{os.path.basename(os.path.normpath(SF_SMOKE))}",
+        _scratch(f"ivfpq/gate_{os.path.basename(os.path.normpath(SF_SMOKE))}"),
         "_built.json",
     )
     assert os.path.exists(marker), marker
