@@ -1873,3 +1873,127 @@ def sketch_estimate(
     """Attach the HLL cardinality estimate (bigint) to a sketch table —
     the read-side decode, a pure per-row expression."""
     return rollup.withColumn(out_col, F.hll_sketch_estimate(F.col(hll_col)))
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries mergeable heavy-hitter summaries)
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(counts: "dict[str, int]", k: int) -> "tuple[dict[str, int], int]":
+    """Compress a count dict to at most ``k`` entries by the Misra-Gries
+    rule: subtract the (k+1)-th largest count from everything, drop
+    non-positive.  Returns (survivors, decrement) — ``decrement`` is
+    what every surviving count was reduced by (the summary's
+    undercount grows by at most that much)."""
+    if len(counts) <= k:
+        return counts, 0
+    vals = sorted(counts.values(), reverse=True)
+    dec = vals[k]
+    out = {i: c - dec for i, c in counts.items() if c > dec}
+    return out, dec
+
+
+# sentinel item names inside the summary stream; real values are
+# prefixed with "v" so no collision is possible
+_MG_NULL = "\x00null"
+_MG_DEC = "\x00dec"
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate heavy hitters in ONE scan with NO shuffle: each
+    partition folds its rows into a Misra-Gries summary of at most
+    ``k`` (item, count) pairs, the bounded per-partition summaries are
+    merged once, and the result is a small DataFrame of candidates
+    with DETERMINISTIC error bounds:
+
+    (``item`` string nullable, ``est_count`` long, ``max_count`` long)
+    with ``est_count <= true_count <= max_count`` for every returned
+    item, and the classic coverage guarantee: **any item whose true
+    frequency exceeds ``n_rows / (k+1)`` is guaranteed present** —
+    Misra-Gries summaries are mergeable with additive undercounts
+    (Agarwal et al., "Mergeable Summaries", PODS'12).
+    ``max_count − est_count`` is the summed decrement every
+    contributing summary actually performed — a bound computed from
+    the run, not the worst case — plus the final merge's own
+    compression decrement.
+
+    Contrast with :func:`diagnose_skew`: that is exact and costs a
+    key-grain shuffle; this is the first-pass census for scans where
+    the key space is unbounded and NO shuffle is acceptable — the
+    summaries are ``P × (k+1)`` tiny rows (one decrement marker row
+    per partition), so the reduce side is constant at any corpus
+    size.  NULL keys are tracked as their own item (the outer-join
+    skew class) and returned as a NULL item row.  Which NON-guaranteed
+    candidates survive can vary with partitioning; the bounds and the
+    coverage guarantee always hold (pinned in
+    tests/test_analytics_ops.py against exact counts under several
+    partitionings).
+
+    Returns ALL surviving candidates (≤ k) as a small local DataFrame;
+    filter ``est_count > threshold`` (no false positives) or
+    ``max_count >= threshold`` (no false negatives) downstream,
+    whichever error direction is the expensive one."""
+    spark = df.sparkSession
+    summaries = frequent_items_summaries(df, col, k).collect()
+    merged: dict[str, int] = {}
+    total_dec = 0
+    for r in summaries:
+        if r["item"] == _MG_DEC:
+            total_dec += r["cnt"]
+        else:
+            merged[r["item"]] = merged.get(r["item"], 0) + r["cnt"]
+    merged, final_dec = _mg_compress(merged, k)
+    total_dec += final_dec
+    rows = [
+        (
+            None if item == _MG_NULL else item[1:],
+            cnt,
+            cnt + total_dec,
+        )
+        for item, cnt in sorted(
+            merged.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "item string, est_count long, max_count long"
+    )
+
+
+def frequent_items_summaries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """The distributed half of :func:`frequent_items`: per-partition
+    Misra-Gries summaries as a DataFrame of (``item`` string, ``cnt``
+    long) rows — at most ``k`` item rows plus ONE decrement-marker row
+    per partition.  This frame is the MERGEABLE artifact: union
+    summary frames from different scans/days and feed the union to the
+    same merge rule and the bounds still hold (that is the PODS'12
+    mergeability result; :func:`frequent_items` is exactly that merge
+    over one scan's summaries).  Plan: scan → mapInPandas, no
+    exchange (pinned in tests/test_analytics_ops.py)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf["__v"].value_counts(dropna=False)
+            for item, c in vc.items():
+                key = _MG_NULL if pd.isna(item) else f"v{item}"
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > k:
+                counts, dec = _mg_compress(counts, k)
+                dec_total += dec
+        items = list(counts.keys()) + [_MG_DEC]
+        cnts = list(counts.values()) + [dec_total]
+        yield pd.DataFrame({"item": items, "cnt": cnts})
+
+    return df.select(F.col(col).cast("string").alias("__v")).mapInPandas(
+        summarize, "item string, cnt long"
+    )

@@ -26,6 +26,7 @@ from parquet_to_postgres_spark.tables import load_table
 from parquet_to_postgres_spark.operators import (
     attribute_conversions,
     attribution_report,
+    frequent_items,
     sketch_estimate,
     sketch_merge,
     sketch_rollup,
@@ -333,3 +334,117 @@ def test_sketch_rollup_validates_and_plans_partial(spark):
     # map-side partial sketches: the typed-imperative aggregate plans
     # partial + final around ONE exchange at key grain
     assert "ObjectHashAggregate" in p and p.count("Exchange") == 1, p
+
+
+# --------------------------------------------------- frequent items ----
+
+
+def _fi_rows(df):
+    return {r["item"]: (r["est_count"], r["max_count"]) for r in df.collect()}
+
+
+def test_frequent_items_exact_when_under_k(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 2, "v string"
+    )
+    got = _fi_rows(frequent_items(df, "v", k=8))
+    # k covers the key space: exact counts, zero undercount
+    assert got == {"a": (5, 5), "b": (3, 3), None: (2, 2)}
+
+
+def test_frequent_items_bounds_and_coverage_under_partitionings(spark):
+    """The two contracts under several partitionings: every returned
+    (est, max) brackets the true count, and every item with true
+    frequency > n/(k+1) is present."""
+    import random
+
+    rng = random.Random(13)
+    # zipf-ish: two heavies + a long tail of distinct keys
+    vals = (
+        ["hot"] * 400
+        + ["warm"] * 200
+        + [f"tail{i}" for i in range(300)]
+        + [f"tail{rng.randrange(300)}" for _ in range(100)]
+    )
+    rng.shuffle(vals)
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    n, k = len(vals), 16
+    base = spark.createDataFrame([(v,) for v in vals], "v string")
+    for parts in (1, 7, 32):
+        got = _fi_rows(frequent_items(base.repartition(parts), "v", k=k))
+        assert len(got) <= k
+        for item, (est, mx) in got.items():
+            assert est <= exact[item] <= mx, (parts, item, est, mx)
+        for item, c in exact.items():
+            if c > n / (k + 1):
+                assert item in got, (parts, item, c)
+        # the heavies' point estimates stay tight enough to rank
+        assert got["hot"][1] >= got["warm"][0]
+
+
+def test_frequent_items_matches_exact_on_fixture(spark):
+    """user_id census over the events fixture: bounds bracket the
+    exact groupBy counts for every candidate."""
+    events = load_table(spark, SF_SMOKE, "events")
+    got = _fi_rows(frequent_items(events, "user_id", k=32))
+    exact = {
+        str(r["user_id"]) if r["user_id"] is not None else None: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got
+    for item, (est, mx) in got.items():
+        assert est <= exact[item] <= mx, (item, est, mx)
+
+
+def test_frequent_items_sentinel_safe_and_validation(spark):
+    df = spark.createDataFrame([("\x00dec",), ("\x00null",), (None,)], "v string")
+    got = _fi_rows(frequent_items(df, "v", k=4))
+    assert got == {"\x00dec": (1, 1), "\x00null": (1, 1), None: (1, 1)}
+    with pytest.raises(ValueError):
+        frequent_items(df, "v", k=0)
+
+
+def test_frequent_items_summary_stage_has_no_exchange(spark):
+    """The distributed half is scan -> mapInPandas, zero shuffle — the
+    property that makes it the unbounded-key-space census."""
+    from parquet_to_postgres_spark.operators import frequent_items_summaries
+
+    df = spark.range(1000).select((F.col("id") % 5).cast("string").alias("v"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frequent_items_summaries(df, "v", k=8).explain(mode="simple")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" in p
+
+
+def test_frequent_items_summaries_union_mergeable(spark):
+    """Union of two scans' summary frames, merged once, still brackets
+    the combined exact counts — the mergeability contract."""
+    from parquet_to_postgres_spark.operators import (
+        _MG_DEC,
+        _mg_compress,
+        frequent_items_summaries,
+    )
+
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5, "v string")
+    b = spark.createDataFrame([("x",)] * 10 + [("z",)] * 20, "v string")
+    k = 2
+    union = frequent_items_summaries(a, "v", k).unionAll(
+        frequent_items_summaries(b, "v", k)
+    )
+    merged, dec = {}, 0
+    for r in union.collect():
+        if r["item"] == _MG_DEC:
+            dec += r["cnt"]
+        else:
+            merged[r["item"]] = merged.get(r["item"], 0) + r["cnt"]
+    merged, final_dec = _mg_compress(merged, k)
+    dec += final_dec
+    exact = {"vx": 40, "vy": 5, "vz": 20}
+    for item, est in merged.items():
+        assert est <= exact[item] <= est + dec, (item, est, dec)
+    # coverage over the union: 40 > 55/(k+1)
+    assert "vx" in merged

@@ -74,9 +74,24 @@ HEAVY = [
     # fact).  fuzzy_name_pairs is NOT probed: its only input is the
     # unscaled customer table, so its "ratio" would measure nothing.
     "bloom_semi_reduction",
+    # r13 additions — the analytics family.  funnel/retention are
+    # user-grain (the synthesis grows users 10x at constant per-user
+    # density, so linear wall+shuffle is the honest passing shape);
+    # sketch_rollup's merged grain is (day, event_type) — FIXED under
+    # the synthesis — so its shuffle should stay near-flat while the
+    # input scales 10x (the pre-aggregation contract, same asymmetry
+    # as bloom's fixed bitmap).
+    "funnel_counts",
+    "retention_cohorts",
+    "attribution_linear",
+    "sketch_rollup_merge",
 ]
-# skew-sensitive queries re-run on the hot-key variant
-SKEWED = ["salted_user_totals", "join_star_revenue"]
+# skew-sensitive queries re-run on the hot-key variant.  funnel_counts
+# is included DELIBERATELY: its per-user collect+fold holds one user's
+# whole event list in a task (the documented sessionize-family caveat),
+# and the hot-key variant (~30% of events on ONE user) measures that
+# caveat instead of asserting it.
+SKEWED = ["salted_user_totals", "join_star_revenue", "funnel_counts"]
 SMALL = ("region", "nation", "customer", "supplier", "part")
 
 
@@ -275,6 +290,37 @@ def main() -> int:
 
     specs = dict(specs)
     specs.setdefault("cube_orders", SimpleNamespace(builder=cube_orders))
+
+    # r13: attribution + sketch rollup are library operators (pytest
+    # oracles, not declared queries) — probe them through direct
+    # builders at the same fixture surface.
+    from parquet_to_postgres_spark.operators import (
+        attribution_report,
+        sketch_estimate,
+        sketch_merge,
+        sketch_rollup,
+    )
+    from parquet_to_postgres_spark.tables import load_table
+
+    def _attribution_probe(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        return attribution_report(
+            events, "user_id", "ts", "event_type", "purchase",
+            ["click", "view", "signup"], model="linear",
+            lookback_seconds=3600,
+        )
+
+    def _sketch_probe(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        daily = sketch_rollup(
+            events.withColumn("day", F.to_date("ts")),
+            ["day", "event_type"],
+            "user_id",
+        )
+        return sketch_estimate(sketch_merge(daily, ["event_type"]))
+
+    specs["attribution_linear"] = SimpleNamespace(builder=_attribution_probe)
+    specs["sketch_rollup_merge"] = SimpleNamespace(builder=_sketch_probe)
     out: dict[str, dict] = {}
     for name in HEAVY:
         row = {}
