@@ -1936,13 +1936,30 @@ def frequent_items(
 
     Returns ALL surviving candidates (≤ k) as a small local DataFrame;
     filter ``est_count > threshold`` (no false positives) or
-    ``max_count >= threshold`` (no false negatives) downstream,
-    whichever error direction is the expensive one."""
-    spark = df.sparkSession
-    summaries = frequent_items_summaries(df, col, k).collect()
+    ``max_count >= threshold`` downstream, whichever error direction
+    is the expensive one.  The ``max_count`` filter excludes false
+    negatives only for ``threshold > n_rows/(k+1)`` — below the
+    coverage threshold a qualifying item can have been evicted from
+    every summary and be absent entirely (size k for the tail you
+    care about)."""
+    return frequent_items_merge(frequent_items_summaries(df, col, k), k)
+
+
+def frequent_items_merge(summaries: DataFrame, k: int = 64) -> DataFrame:
+    """Merge a (unioned) :func:`frequent_items_summaries` frame into
+    the final (``item``, ``est_count``, ``max_count``) candidate
+    table — THE documented merge rule, public so the union-of-scans
+    workflow doesn't reimplement it from private sentinels (r13 review
+    finding): accumulate the decrement-marker rows, sum item counts,
+    one final Misra-Gries compress, and bounds = est + total
+    decrement.  ``frequent_items`` is exactly this merge over one
+    scan's summaries."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = summaries.sparkSession
     merged: dict[str, int] = {}
     total_dec = 0
-    for r in summaries:
+    for r in summaries.collect():
         if r["item"] == _MG_DEC:
             total_dec += r["cnt"]
         else:

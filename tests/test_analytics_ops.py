@@ -380,8 +380,12 @@ def test_frequent_items_bounds_and_coverage_under_partitionings(spark):
         for item, c in exact.items():
             if c > n / (k + 1):
                 assert item in got, (parts, item, c)
-        # the heavies' point estimates stay tight enough to rank
-        assert got["hot"][1] >= got["warm"][0]
+        # tightness, the non-vacuous direction: hot's LOWER bound must
+        # clear warm's UPPER bound (est_hot >= 400 - n/(k+1) ~ 341 >
+        # 259 ~ 200 + n/(k+1) >= max_warm) — a regression that loosens
+        # the decrements fails this, unlike max_hot >= est_warm which
+        # the bracketing already implies (r13 review finding)
+        assert got["hot"][0] > got["warm"][1]
 
 
 def test_frequent_items_matches_exact_on_fixture(spark):
@@ -424,8 +428,7 @@ def test_frequent_items_summaries_union_mergeable(spark):
     """Union of two scans' summary frames, merged once, still brackets
     the combined exact counts — the mergeability contract."""
     from parquet_to_postgres_spark.operators import (
-        _MG_DEC,
-        _mg_compress,
+        frequent_items_merge,
         frequent_items_summaries,
     )
 
@@ -435,16 +438,12 @@ def test_frequent_items_summaries_union_mergeable(spark):
     union = frequent_items_summaries(a, "v", k).unionAll(
         frequent_items_summaries(b, "v", k)
     )
-    merged, dec = {}, 0
-    for r in union.collect():
-        if r["item"] == _MG_DEC:
-            dec += r["cnt"]
-        else:
-            merged[r["item"]] = merged.get(r["item"], 0) + r["cnt"]
-    merged, final_dec = _mg_compress(merged, k)
-    dec += final_dec
-    exact = {"vx": 40, "vy": 5, "vz": 20}
-    for item, est in merged.items():
-        assert est <= exact[item] <= est + dec, (item, est, dec)
+    got = {
+        r["item"]: (r["est_count"], r["max_count"])
+        for r in frequent_items_merge(union, k).collect()
+    }
+    exact = {"x": 40, "y": 5, "z": 20}
+    for item, (est, mx) in got.items():
+        assert est <= exact[item] <= mx, (item, est, mx)
     # coverage over the union: 40 > 55/(k+1)
-    assert "vx" in merged
+    assert "x" in got
