@@ -2014,3 +2014,165 @@ def frequent_items_summaries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     return df.select(F.col(col).cast("string").alias("__v")).mapInPandas(
         summarize, "item string, cnt long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted sketch cube (incremental distinct-count rollup store)
+# ---------------------------------------------------------------------------
+
+
+def _sketch_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_sketch_meta.json")
+
+
+def _sketch_meta_check(path: str, meta: dict) -> None:
+    """Append/slice-time guard: the store's recorded grain must match
+    the caller's — silently unioning sketches of DIFFERENT distinct
+    columns (or lg_config_k) would produce well-formed nonsense."""
+    import json
+
+    with open(_sketch_meta_path(path)) as fh:
+        stored = json.load(fh)
+    if stored != meta:
+        raise ValueError(
+            f"sketch store at {path!r} was built as {stored}, "
+            f"caller expects {meta} — rebuild or fix the call"
+        )
+
+
+def write_sketch_rollup(
+    df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    distinct_col: str,
+    partition_keys: "list[str] | None" = None,
+    lg_config_k: int = 12,
+) -> None:
+    """Materialize a :func:`sketch_rollup` as a PARTITIONED parquet
+    store — the incremental distinct-count cube a 100 TB events table
+    maintains instead of re-scanning raw for every dashboard slice.
+
+    ``partition_keys`` (default: the first key) become hive partition
+    directories, so slices prune at PLANNING time and each ingest
+    increment lands in its own directories.  The store records its
+    grain (keys, distinct_col, lg_config_k) in ``_sketch_meta.json``;
+    :func:`append_sketch_rollup` and :func:`sketch_slice` validate
+    against it — unioning sketches of different grains is well-formed
+    nonsense otherwise.  Overwrite deletes the directory first (a
+    partitioned overwrite under dynamic partitionOverwriteMode only
+    replaces the partitions the new write emits — the
+    write_ivfpq_index lesson)."""
+    import json
+    import os
+    import shutil
+
+    pk = partition_keys if partition_keys is not None else [keys[0]]
+    unknown = [c for c in pk if c not in keys]
+    if unknown:
+        raise ValueError(f"partition_keys {unknown} not in keys {keys}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
+    rollup.write.mode("overwrite").partitionBy(*pk).parquet(f"{path}/cells")
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "keys": list(keys),
+        "distinct_col": distinct_col,
+        "partition_keys": list(pk),
+        "lg_config_k": lg_config_k,
+    }
+    tmp = _sketch_meta_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _sketch_meta_path(path))
+
+
+def append_sketch_rollup(
+    df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    distinct_col: str,
+    lg_config_k: int = 12,
+) -> None:
+    """Add an ingest increment: sketch the delta at the store's grain
+    and APPEND its cell rows.  No read-modify-write — a key cell that
+    already exists simply gains a second row, and merge-on-read
+    (:func:`sketch_slice` always :func:`sketch_merge`-s) resolves it.
+    Sketch union is idempotent, so re-appending overlapping DATA never
+    inflates a distinct estimate; ``n_rows`` however is additive — it
+    means "rows ingested", so only disjoint increments keep it equal
+    to the raw row count (both pinned in tests).  Run
+    :func:`compact_sketch_rollup` occasionally to collapse
+    accumulated rows per cell."""
+    import json
+
+    with open(_sketch_meta_path(path)) as fh:
+        stored = json.load(fh)
+    meta = {
+        "keys": list(keys),
+        "distinct_col": distinct_col,
+        "partition_keys": stored.get("partition_keys"),
+        "lg_config_k": lg_config_k,
+    }
+    _sketch_meta_check(path, meta)
+    rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
+    rollup.write.mode("append").partitionBy(*stored["partition_keys"]).parquet(
+        f"{path}/cells"
+    )
+
+
+def sketch_slice(
+    spark,
+    path: str,
+    keys: "list[str]",
+    where: "Column | None" = None,
+) -> DataFrame:
+    """Answer a distinct-count slice from the store: optional filter
+    (predicates on partition keys prune directories at planning time),
+    merge to the surviving ``keys`` (subset of the store's keys; may
+    be empty for one global row), estimate.  Output: (``keys...``,
+    ``n_rows``, ``n_distinct_approx``) — the raw ``hll`` is dropped;
+    use :func:`sketch_merge` directly to keep re-mergeable sketches.
+    Cost: a scan of (pruned) CELL rows — bytes per cell — never the
+    raw events."""
+    import json
+
+    with open(_sketch_meta_path(path)) as fh:
+        stored = json.load(fh)
+    extra = [c for c in keys if c not in stored["keys"]]
+    if extra:
+        raise ValueError(
+            f"slice keys {extra} not in store keys {stored['keys']}"
+        )
+    cells = spark.read.parquet(f"{path}/cells")
+    if where is not None:
+        cells = cells.where(where)
+    return sketch_estimate(sketch_merge(cells, keys)).drop("hll")
+
+
+def compact_sketch_rollup(spark, path: str) -> None:
+    """Collapse accumulated append rows: re-merge every cell to one
+    row per key combination and atomically replace the cell table.
+    Pure maintenance — slices read identically before and after
+    (sketch union associativity), only the row count shrinks."""
+    import json
+    import os
+    import shutil
+
+    with open(_sketch_meta_path(path)) as fh:
+        stored = json.load(fh)
+    cells = spark.read.parquet(f"{path}/cells")
+    merged = sketch_merge(cells, stored["keys"])
+    tmp = f"{path}/cells_compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").partitionBy(*stored["partition_keys"]).parquet(tmp)
+    old = f"{path}/cells"
+    back = f"{path}/cells_old"
+    if os.path.exists(back):
+        shutil.rmtree(back)
+    os.rename(old, back)
+    os.rename(tmp, old)
+    shutil.rmtree(back)

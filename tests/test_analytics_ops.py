@@ -447,3 +447,103 @@ def test_frequent_items_summaries_union_mergeable(spark):
         assert est <= exact[item] <= mx, (item, est, mx)
     # coverage over the union: 40 > 55/(k+1)
     assert "x" in got
+
+
+# ------------------------------------------------- sketch cube store ----
+
+
+def test_sketch_store_roundtrip_append_compact(spark, tmp_path):
+    from parquet_to_postgres_spark.operators import (
+        append_sketch_rollup,
+        compact_sketch_rollup,
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    part1 = events.where(F.col("day") <= split)
+    part2 = events.where(F.col("day") > split)
+    store = str(tmp_path / "cube")
+
+    def slices(path):
+        return sorted(
+            map(tuple, sketch_slice(spark, path, ["event_type"]).collect())
+        )
+
+    # incremental build == one-shot rebuild, slice-for-slice
+    write_sketch_rollup(part1, store, ["day", "event_type"], "user_id")
+    append_sketch_rollup(part2, store, ["day", "event_type"], "user_id")
+    full = str(tmp_path / "cube_full")
+    write_sketch_rollup(events, full, ["day", "event_type"], "user_id")
+    assert slices(store) == slices(full)
+
+    # re-appending OVERLAPPING data: distinct estimates idempotent,
+    # n_rows additive (the documented contract)
+    before = {t[0]: t for t in slices(store)}
+    append_sketch_rollup(part2, store, ["day", "event_type"], "user_id")
+    after = {t[0]: t for t in slices(store)}
+    for k in before:
+        assert after[k][2] == before[k][2]  # n_distinct_approx unchanged
+        assert after[k][1] > before[k][1]  # n_rows inflated — disjointness is on the caller
+
+    # compaction: identical slices, fewer stored rows
+    n_rows_pre = spark.read.parquet(f"{store}/cells").count()
+    compact_sketch_rollup(spark, store)
+    assert slices(store) == list(map(tuple, sorted(after.values())))
+    assert spark.read.parquet(f"{store}/cells").count() < n_rows_pre
+
+    # global slice (no keys) matches exact distinct within rsd margin
+    g = sketch_slice(spark, store, []).collect()[0]
+    exact = events.select("user_id").where(F.col("user_id").isNotNull()).distinct().count()
+    assert abs(g["n_distinct_approx"] - exact) <= max(1, 0.1 * exact)
+
+
+def test_sketch_store_validates_grain_and_keys(spark, tmp_path):
+    from parquet_to_postgres_spark.operators import (
+        append_sketch_rollup,
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    store = str(tmp_path / "cube")
+    write_sketch_rollup(df, store, ["g"], "v")
+    with pytest.raises(ValueError, match="built as"):
+        append_sketch_rollup(df, store, ["g"], "g")  # wrong distinct col
+    with pytest.raises(ValueError, match="built as"):
+        append_sketch_rollup(df, store, ["g"], "v", lg_config_k=13)
+    with pytest.raises(ValueError, match="not in store keys"):
+        sketch_slice(spark, store, ["nope"])
+    with pytest.raises(ValueError, match="not in keys"):
+        write_sketch_rollup(df, str(tmp_path / "c2"), ["g"], "v", partition_keys=["v"])
+
+
+def test_sketch_store_slice_prunes_partitions(spark, tmp_path):
+    """A slice filtered on the partition key must carry a NON-empty
+    PartitionFilters in its scan (regex — the bare substring check is
+    vacuous on unfiltered scans; verify-skill gotcha)."""
+    import re
+
+    from parquet_to_postgres_spark.operators import (
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    store = str(tmp_path / "cube")
+    write_sketch_rollup(events, store, ["day", "event_type"], "user_id")
+    day0 = events.select(F.min("day")).collect()[0][0]
+    out = sketch_slice(
+        spark, store, ["event_type"], where=F.col("day") == day0
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    p = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^\]]*day[^\]]*\]", p), p
