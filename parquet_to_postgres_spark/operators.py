@@ -11,6 +11,9 @@ scan→type-map→sink only); this is part of the §2B scale mandate.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -2022,19 +2025,25 @@ def frequent_items_summaries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
 
 
 def _sketch_meta_path(path: str) -> str:
-    import os
-
     return os.path.join(path, "_sketch_meta.json")
 
 
-def _sketch_meta_check(path: str, meta: dict) -> None:
+def _sketch_meta_load(path: str) -> dict:
+    """Load the store's recorded grain; also SELF-HEALS an interrupted
+    compaction: if ``cells`` is missing but the compaction backup
+    ``cells_old`` exists, the swap was cut between its two renames —
+    restore the backup before anyone reads a half-swapped store."""
+    cells, back = os.path.join(path, "cells"), os.path.join(path, "cells_old")
+    if not os.path.exists(cells) and os.path.exists(back):
+        os.rename(back, cells)
+    with open(_sketch_meta_path(path)) as fh:
+        return json.load(fh)
+
+
+def _sketch_meta_check(stored: dict, meta: dict, path: str) -> None:
     """Append/slice-time guard: the store's recorded grain must match
     the caller's — silently unioning sketches of DIFFERENT distinct
     columns (or lg_config_k) would produce well-formed nonsense."""
-    import json
-
-    with open(_sketch_meta_path(path)) as fh:
-        stored = json.load(fh)
     if stored != meta:
         raise ValueError(
             f"sketch store at {path!r} was built as {stored}, "
@@ -2060,33 +2069,42 @@ def write_sketch_rollup(
     grain (keys, distinct_col, lg_config_k) in ``_sketch_meta.json``;
     :func:`append_sketch_rollup` and :func:`sketch_slice` validate
     against it — unioning sketches of different grains is well-formed
-    nonsense otherwise.  Overwrite deletes the directory first (a
-    partitioned overwrite under dynamic partitionOverwriteMode only
-    replaces the partitions the new write emits — the
-    write_ivfpq_index lesson)."""
-    import json
-    import os
-    import shutil
+    nonsense otherwise.
 
+    A REBUILD over an existing store materializes into a tmp sibling
+    first and swaps only after the write succeeded — the prior store
+    (including one the input ``df`` might itself be reading) survives
+    any failure of the new build (r13 review finding; the bare
+    delete-first form destroyed a good store when the rebuild
+    raised)."""
     pk = partition_keys if partition_keys is not None else [keys[0]]
     unknown = [c for c in pk if c not in keys]
     if unknown:
         raise ValueError(f"partition_keys {unknown} not in keys {keys}")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
-    rollup.write.mode("overwrite").partitionBy(*pk).parquet(f"{path}/cells")
-    os.makedirs(path, exist_ok=True)
     meta = {
         "keys": list(keys),
         "distinct_col": distinct_col,
         "partition_keys": list(pk),
         "lg_config_k": lg_config_k,
     }
-    tmp = _sketch_meta_path(path) + ".tmp"
+    build = f"{path}.tmp_build"
+    if os.path.exists(build):
+        shutil.rmtree(build)
+    rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
+    rollup.write.mode("overwrite").partitionBy(*pk).parquet(f"{build}/cells")
+    tmp = _sketch_meta_path(build) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.replace(tmp, _sketch_meta_path(path))
+    os.replace(tmp, _sketch_meta_path(build))
+    # the new store is complete — swap it in
+    back = f"{path}.old"
+    if os.path.exists(back):
+        shutil.rmtree(back)
+    if os.path.exists(path):
+        os.rename(path, back)
+    os.rename(build, path)
+    if os.path.exists(back):
+        shutil.rmtree(back)
 
 
 def append_sketch_rollup(
@@ -2106,17 +2124,14 @@ def append_sketch_rollup(
     to the raw row count (both pinned in tests).  Run
     :func:`compact_sketch_rollup` occasionally to collapse
     accumulated rows per cell."""
-    import json
-
-    with open(_sketch_meta_path(path)) as fh:
-        stored = json.load(fh)
+    stored = _sketch_meta_load(path)
     meta = {
         "keys": list(keys),
         "distinct_col": distinct_col,
         "partition_keys": stored.get("partition_keys"),
         "lg_config_k": lg_config_k,
     }
-    _sketch_meta_check(path, meta)
+    _sketch_meta_check(stored, meta, path)
     rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
     rollup.write.mode("append").partitionBy(*stored["partition_keys"]).parquet(
         f"{path}/cells"
@@ -2137,10 +2152,7 @@ def sketch_slice(
     use :func:`sketch_merge` directly to keep re-mergeable sketches.
     Cost: a scan of (pruned) CELL rows — bytes per cell — never the
     raw events."""
-    import json
-
-    with open(_sketch_meta_path(path)) as fh:
-        stored = json.load(fh)
+    stored = _sketch_meta_load(path)
     extra = [c for c in keys if c not in stored["keys"]]
     if extra:
         raise ValueError(
@@ -2154,15 +2166,18 @@ def sketch_slice(
 
 def compact_sketch_rollup(spark, path: str) -> None:
     """Collapse accumulated append rows: re-merge every cell to one
-    row per key combination and atomically replace the cell table.
-    Pure maintenance — slices read identically before and after
-    (sketch union associativity), only the row count shrinks."""
-    import json
-    import os
-    import shutil
-
-    with open(_sketch_meta_path(path)) as fh:
-        stored = json.load(fh)
+    row per key combination and replace the cell table via a
+    write-to-tmp + two-rename swap.  Slices read identically before
+    and after (sketch union associativity); only the row count
+    shrinks.  The swap is NOT atomic — POSIX cannot rename onto a
+    non-empty directory — so a crash between the two renames leaves
+    ``cells`` absent and the originals intact in ``cells_old``;
+    every reader/appender goes through :func:`_sketch_meta_load`,
+    which restores that backup on next touch (self-heal, pinned in
+    tests).  Run compaction when no concurrent slice is in flight —
+    a reader that listed files before the swap can lose them
+    mid-scan."""
+    stored = _sketch_meta_load(path)
     cells = spark.read.parquet(f"{path}/cells")
     merged = sketch_merge(cells, stored["keys"])
     tmp = f"{path}/cells_compact_tmp"

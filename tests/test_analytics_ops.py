@@ -547,3 +547,43 @@ def test_sketch_store_slice_prunes_partitions(spark, tmp_path):
         out.explain(mode="formatted")
     p = buf.getvalue()
     assert re.search(r"PartitionFilters: \[[^\]]*day[^\]]*\]", p), p
+
+
+def test_sketch_store_self_heals_interrupted_compaction(spark, tmp_path):
+    """A crash between compaction's two renames leaves cells absent
+    and cells_old intact; the next touch restores the backup."""
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "g string, v int")
+    store = str(tmp_path / "cube")
+    write_sketch_rollup(df, store, ["g"], "v")
+    before = sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect()))
+    # simulate the torn swap
+    os.rename(f"{store}/cells", f"{store}/cells_old")
+    after = sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect()))
+    assert after == before
+    assert os.path.exists(f"{store}/cells")
+    assert not os.path.exists(f"{store}/cells_old")
+
+
+def test_sketch_store_rebuild_failure_preserves_prior_store(spark, tmp_path):
+    """A rebuild whose Spark write raises must leave the existing
+    store fully intact (the r13 review finding: delete-first destroyed
+    it)."""
+    from parquet_to_postgres_spark.operators import (
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    store = str(tmp_path / "cube")
+    write_sketch_rollup(df, store, ["g"], "v")
+    before = sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect()))
+    with pytest.raises(Exception):
+        write_sketch_rollup(df, store, ["g"], "no_such_column")
+    assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
