@@ -942,3 +942,50 @@ def stream_stream_click_attribution(stream: DataFrame) -> DataFrame:
         "p_ts",
         "c_ts",
     )
+
+
+def stream_sketch_rollup_writer(
+    store_path: str,
+    keys: "list[str]",
+    distinct_col: str,
+    lg_config_k: int = 12,
+) -> "callable":
+    """foreachBatch hook: maintain a persisted
+    :func:`~..operators.write_sketch_rollup` store from a stream —
+    each micro-batch is sketched at the store's grain and appended
+    (:func:`~..operators.append_sketch_rollup`), so the distinct-count
+    cube is continuously ingestible and every
+    :func:`~..operators.sketch_slice` stays answerable without ever
+    scanning raw events.
+
+    Exactly-once ledger: a retried batch (foreachBatch is
+    at-least-once) would re-append its cells — harmless to every
+    DISTINCT estimate (sketch union is idempotent for re-ingested
+    data) but inflating the additive ``n_rows``.  A per-batch marker
+    file (atomic create under ``<store>/_batches/``) makes the append
+    idempotent: marker present → skip.  A crash BETWEEN append and
+    marker leaves one at-least-once window — after such a replay
+    ``n_rows`` over-counts that batch while distinct estimates stay
+    exact; the docstring-honest trade, same ledger shape as
+    IdempotentParquetSink's batch_id keying.
+
+    The store must exist (build it with an empty-frame
+    ``write_sketch_rollup`` or a backfill batch first) — grain
+    validation then runs on every append."""
+    import os
+
+    from ..operators import append_sketch_rollup
+
+    def write(df, batch_id) -> None:
+        ledger = os.path.join(store_path, "_batches")
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        append_sketch_rollup(
+            df, store_path, keys, distinct_col, lg_config_k
+        )
+        with open(marker, "x") as fh:
+            fh.write("done")
+
+    return write

@@ -587,3 +587,51 @@ def test_sketch_store_rebuild_failure_preserves_prior_store(spark, tmp_path):
     with pytest.raises(Exception):
         write_sketch_rollup(df, store, ["g"], "no_such_column")
     assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
+
+
+def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
+    """availableNow stream through stream_sketch_rollup_writer: the
+    continuously-ingested store slices identically to a one-shot batch
+    rebuild, and the batch ledger makes replays no-ops (n_rows
+    included)."""
+    from parquet_to_postgres_spark.operators import (
+        sketch_slice,
+        write_sketch_rollup,
+    )
+    from parquet_to_postgres_spark.streaming.ops import (
+        stream_sketch_rollup_writer,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    seed = events.where(F.col("day") <= split)
+    delta = events.where(F.col("day") > split)
+
+    store = str(tmp_path / "cube")
+    keys = ["day", "event_type"]
+    write_sketch_rollup(seed, store, keys, "user_id")
+
+    src = str(tmp_path / "incoming")
+    delta.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    writer = stream_sketch_rollup_writer(store, keys, "user_id")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = str(tmp_path / "cube_full")
+    write_sketch_rollup(events, full, keys, "user_id")
+    def slices(p):
+        return sorted(map(tuple, sketch_slice(spark, p, ["event_type"]).collect()))
+    assert slices(store) == slices(full)
+
+    # replayed batch id -> ledger no-op, even n_rows unchanged
+    writer(delta, 0)
+    assert slices(store) == slices(full)
