@@ -948,6 +948,7 @@ def stream_sketch_rollup_writer(
     store_path: str,
     keys: "list[str]",
     distinct_col: str,
+    stream_id: str,
     lg_config_k: int = 12,
 ) -> "callable":
     """foreachBatch hook: maintain a persisted
@@ -963,23 +964,45 @@ def stream_sketch_rollup_writer(
     DISTINCT estimate (sketch union is idempotent for re-ingested
     data) but inflating the additive ``n_rows``.  A per-batch marker
     file (atomic create under ``<store>/_batches/``) makes the append
-    idempotent: marker present → skip.  A crash BETWEEN append and
-    marker leaves one at-least-once window — after such a replay
-    ``n_rows`` over-counts that batch while distinct estimates stay
-    exact; the docstring-honest trade, same ledger shape as
-    IdempotentParquetSink's batch_id keying.
+    idempotent: marker present → skip.  Markers are keyed by
+    ``(stream_id, batch_id)`` — batch ids alone restart at 0 whenever
+    a checkpoint is reset or a second query feeds the same store, and
+    bare-id markers would then silently SKIP real data (r13 review
+    finding).  The contract: one ``stream_id`` per checkpoint lineage;
+    new checkpoint → new ``stream_id``.
 
-    The store must exist (build it with an empty-frame
-    ``write_sketch_rollup`` or a backfill batch first) — grain
-    validation then runs on every append."""
+    Honest windows, both documented rather than hidden: (a) a crash
+    BETWEEN append and marker leaves one at-least-once batch —
+    ``n_rows`` over-counts it, distinct estimates stay exact; (b) a
+    full :func:`~..operators.write_sketch_rollup` REBUILD swaps in a
+    store without the ledger — restart the stream from a fresh
+    checkpoint (with a fresh ``stream_id``) after a rebuild, or a
+    replayed batch whose data the rebuild already included will
+    re-append.  The ledger grows one tiny file per batch; prune old
+    markers with :func:`prune_sketch_ledger` when compacting (only
+    ids that can still replay — the last uncommitted few — are
+    load-bearing).
+
+    The store must exist (build it with a backfill
+    ``write_sketch_rollup`` first) — checked up front, and grain
+    validation runs on every append."""
     import os
 
-    from ..operators import append_sketch_rollup
+    from ..operators import _sketch_meta_path, append_sketch_rollup
+
+    if "/" in stream_id or not stream_id:
+        raise ValueError(f"stream_id must be a non-empty flat name: {stream_id!r}")
 
     def write(df, batch_id) -> None:
+        if not os.path.exists(_sketch_meta_path(store_path)):
+            raise ValueError(
+                f"no sketch store at {store_path!r} — build it with "
+                "write_sketch_rollup (a backfill batch) before streaming "
+                "into it"
+            )
         ledger = os.path.join(store_path, "_batches")
         os.makedirs(ledger, exist_ok=True)
-        marker = os.path.join(ledger, f"batch_{batch_id}")
+        marker = os.path.join(ledger, f"{stream_id}_batch_{batch_id}")
         if os.path.exists(marker):
             return
         append_sketch_rollup(
@@ -989,3 +1012,31 @@ def stream_sketch_rollup_writer(
             fh.write("done")
 
     return write
+
+
+def prune_sketch_ledger(
+    store_path: str, stream_id: str, keep_last: int = 100
+) -> int:
+    """Drop a stream's oldest batch markers, keeping the newest
+    ``keep_last`` ids — only batches that can still be replayed (the
+    tail behind the checkpoint commit) are load-bearing, so run this
+    at compaction time to stop the one-file-per-batch ledger growing
+    without bound.  Returns the number of markers removed."""
+    import os
+
+    ledger = os.path.join(store_path, "_batches")
+    if not os.path.isdir(ledger):
+        return 0
+    prefix = f"{stream_id}_batch_"
+    ids = []
+    for name in os.listdir(ledger):
+        if name.startswith(prefix):
+            try:
+                ids.append(int(name[len(prefix):]))
+            except ValueError:
+                continue
+    ids.sort()
+    drop = ids[:-keep_last] if keep_last > 0 else ids
+    for i in drop:
+        os.remove(os.path.join(ledger, f"{prefix}{i}"))
+    return len(drop)

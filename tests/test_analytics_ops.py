@@ -617,7 +617,7 @@ def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
     src = str(tmp_path / "incoming")
     delta.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(delta.schema).parquet(src)
-    writer = stream_sketch_rollup_writer(store, keys, "user_id")
+    writer = stream_sketch_rollup_writer(store, keys, "user_id", stream_id="s1")
     q = (
         stream.writeStream.foreachBatch(writer)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -635,3 +635,29 @@ def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
     # replayed batch id -> ledger no-op, even n_rows unchanged
     writer(delta, 0)
     assert slices(store) == slices(full)
+
+    # a DIFFERENT stream lineage with restarting batch ids is NOT
+    # skipped (the bare-id ledger would have silently dropped it)
+    writer2 = stream_sketch_rollup_writer(store, keys, "user_id", stream_id="s2")
+    writer2(delta, 0)
+    n_after = sketch_slice(spark, store, []).collect()[0]["n_rows"]
+    n_full = sketch_slice(spark, full, []).collect()[0]["n_rows"]
+    assert n_after == n_full + delta.count()
+
+    # ledger pruning keeps the newest markers and reports the drops
+    from parquet_to_postgres_spark.streaming.ops import prune_sketch_ledger
+
+    assert prune_sketch_ledger(store, "s1", keep_last=0) >= 1
+    assert prune_sketch_ledger(store, "s1") == 0
+
+    # streaming into a missing store fails loudly, without creating a
+    # junk half-store directory
+    import os
+
+    ghost = str(tmp_path / "no_store")
+    w3 = stream_sketch_rollup_writer(ghost, keys, "user_id", stream_id="s1")
+    with pytest.raises(ValueError, match="no sketch store"):
+        w3(delta, 0)
+    assert not os.path.exists(ghost)
+    with pytest.raises(ValueError, match="flat name"):
+        stream_sketch_rollup_writer(store, keys, "user_id", stream_id="a/b")
