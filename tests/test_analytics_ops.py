@@ -661,3 +661,116 @@ def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
     assert not os.path.exists(ghost)
     with pytest.raises(ValueError, match="flat name"):
         stream_sketch_rollup_writer(store, keys, "user_id", stream_id="a/b")
+
+
+# ------------------------------------------------ quantile rollups ----
+
+
+def test_qsketch_guarantee_on_mixed_sign_values(spark):
+    """The DDSketch relative-error guarantee, checked against exact
+    sorted ranks on values spanning signs, zeros, and 6 decades."""
+    import math
+    import random
+
+    from parquet_to_postgres_spark.operators import (
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+
+    rng = random.Random(7)
+    vals = (
+        [math.exp(rng.uniform(-3, 10)) for _ in range(400)]
+        + [-math.exp(rng.uniform(-3, 10)) for _ in range(300)]
+        + [0.0] * 50
+    )
+    alpha = 0.02
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    got = qsketch_quantiles(
+        qsketch_rollup(df, ["k"], "v", alpha=alpha),
+        [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0],
+        alpha=alpha,
+    ).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    for q, col in [(0.0, "p0"), (0.01, "p1"), (0.25, "p25"), (0.5, "p50"),
+                   (0.75, "p75"), (0.99, "p99"), (1.0, "p100")]:
+        exact = s[math.ceil(q * (n - 1))]
+        est = got[col]
+        assert abs(est - exact) <= alpha * abs(exact) + 1e-12, (q, est, exact)
+
+
+def test_qsketch_merge_is_bit_exact(spark):
+    """Merging per-day rollups equals building at the coarser grain
+    directly — entry-for-entry, not just estimate-for-estimate."""
+    from parquet_to_postgres_spark.operators import (
+        qsketch_merge,
+        qsketch_rollup,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    fine = qsketch_rollup(events, ["day", "event_type"], "value")
+    merged = qsketch_merge(fine, ["event_type"])
+    direct = qsketch_rollup(events, ["event_type"], "value")
+
+    def canon(df):
+        return sorted(
+            (r["event_type"], r["n_values"],
+             tuple(map(tuple, r["entries"])))
+            for r in df.collect()
+        )
+
+    assert canon(merged) == canon(direct)
+    # global merge (no keys) also equals the one-key global build
+    g = qsketch_merge(fine, [])
+    assert g.collect()[0]["n_values"] == sum(r[1] for r in canon(direct))
+
+
+def test_qsketch_fixture_percentiles_within_alpha(spark):
+    from parquet_to_postgres_spark.operators import (
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+    import math
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "k", F.lit("all")
+    )
+    got = qsketch_quantiles(
+        qsketch_rollup(orders, ["k"], "o_totalprice"), [0.5, 0.95]
+    ).collect()[0]
+    vals = sorted(r["o_totalprice"] for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+    for q, col in [(0.5, "p50"), (0.95, "p95")]:
+        exact = vals[math.ceil(q * (n - 1))]
+        assert abs(got[col] - exact) <= 0.01 * abs(exact), (q, got[col], exact)
+
+
+def test_qsketch_validation_and_plan(spark):
+    import contextlib
+    import io
+
+    from parquet_to_postgres_spark.operators import (
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError):
+        qsketch_rollup(df, [], "v")
+    with pytest.raises(ValueError):
+        qsketch_rollup(df, ["k"], "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [])
+    with pytest.raises(ValueError):
+        qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [1.2])
+    # decode is a pure projection: no exchange beyond the rollup's two
+    # bucket-grain aggregations, and no Python anywhere
+    out = qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [0.5, 0.99])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    p = buf.getvalue()
+    assert p.count("Exchange") == 2, p
+    assert "Python" not in p and "ArrowEval" not in p
