@@ -2204,6 +2204,25 @@ def _qsketch_gamma(alpha: float) -> float:
     return (1 + alpha) / (1 - alpha)
 
 
+def _qsketch_sorted(entries: Column) -> Column:
+    """Sort (sign, idx, cnt) bucket structs into VALUE order with a
+    comparator — negatives ascend as idx DESCENDS (value = −γ^i), so
+    the plain field-order struct sort is wrong and a stored sort key
+    would be redundant state (r13 review finding).  The comparator's
+    scalar key is sign·2^22 + (sign −1 ? −idx : idx); |idx| is bounded
+    by log_γ of the double range (~36k at α=1%), far inside 2^22."""
+    key = lambda e: (  # noqa: E731
+        e["sign"].cast("long") * F.lit(1 << 22)
+        + F.when(e["sign"] == -1, -e["idx"]).otherwise(e["idx"])
+    )
+    return F.array_sort(
+        entries,
+        lambda a, b: F.when(key(a) < key(b), F.lit(-1))
+        .when(key(a) > key(b), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
 def qsketch_rollup(
     df: DataFrame,
     keys: "list[str]",
@@ -2211,8 +2230,9 @@ def qsketch_rollup(
     alpha: float = 0.01,
 ) -> DataFrame:
     """Pre-aggregate a mergeable QUANTILE cube: one row per key
-    combination carrying (``entries`` — sorted log-bucket counts,
-    ``n_values`` bigint) from which any quantile of ``value_col`` is
+    combination carrying (``entries`` — value-ordered log-bucket
+    counts as (sign, idx, cnt) structs, ``n_values`` bigint,
+    ``alpha`` double) from which any quantile of ``value_col`` is
     answerable within RELATIVE error ``alpha`` — the DDSketch bucket
     scheme (Masson/Rim/Lee, VLDB'19): bucket ``i = ceil(log_γ|x|)``
     with ``γ = (1+α)/(1−α)``, a sign lane for negatives and a zero
@@ -2230,43 +2250,54 @@ def qsketch_rollup(
     (~``log_γ(max/min)`` ≈ 2.3k buckets for 18 decades at α=1%), so
     cells stay tiny at any scale.
 
-    NULL values are dropped (a key whose values are all NULL emits no
-    row); ``n_values`` counts the sketched rows.  Plan: one
-    (keys, sign, bucket)-grain count — map-side combinable — then one
-    bounded per-key collect.  Output entries are array-sorted by
-    (sign, value order) so downstream folds never re-sort."""
+    ``alpha`` rides IN the output (a literal column): the decode and
+    the merge read it from the data, so the
+    persisted-with-one-alpha / decoded-with-another silent-rescale
+    failure mode cannot happen (r13 review finding — the sketch
+    store's _sketch_meta.json lesson, in-band).
+
+    NULL and NON-FINITE values are dropped and excluded from
+    ``n_values``: a log bucket cannot represent ±inf (under ANSI the
+    cast would KILL a 100 TB build outright) and Spark's ``NaN > 0``
+    is true, which silently binned NaN at ~1 (both r13 review
+    findings, verified live).  Audit non-finite rates upstream with
+    :func:`~.quality.validate_expectations` if they matter.  Plan:
+    one (keys, sign, bucket)-grain count — map-side combinable — then
+    one bounded per-key collect."""
     import math
 
-    g = _qsketch_gamma(alpha)
-    lng = math.log(g)
+    _qsketch_gamma(alpha)  # validate
+    lng = math.log(_qsketch_gamma(alpha))
     if not keys:
         raise ValueError("keys must be non-empty (global = a constant key)")
     v = F.col(value_col).cast("double")
+    finite = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != F.lit(float("inf")))
+    )
     sign = F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
     idx = F.when(v == 0, F.lit(0)).otherwise(
         F.ceil(F.log(F.abs(v)) / F.lit(lng)).cast("int")
     )
-    base = df.where(v.isNotNull()).select(
+    base = df.where(finite).select(
         *keys, sign.cast("int").alias("__s"), idx.alias("__i")
     )
     cells = base.groupBy(*keys, "__s", "__i").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    # "ord" makes array_sort's (sign, ord) prefix equal VALUE order:
-    # negatives ascend as idx DESCENDS (value = −γ^i), so flip idx
-    ordc = F.when(F.col("__s") == -1, -F.col("__i")).otherwise(F.col("__i"))
     return cells.groupBy(*keys).agg(
-        F.array_sort(
+        _qsketch_sorted(
             F.collect_list(
                 F.struct(
                     F.col("__s").alias("sign"),
-                    ordc.alias("ord"),
                     F.col("__i").alias("idx"),
                     F.col("__c").alias("cnt"),
                 )
             )
         ).alias("entries"),
         F.sum("__c").alias("n_values"),
+        F.lit(float(alpha)).alias("alpha"),
     )
 
 
@@ -2275,59 +2306,69 @@ def qsketch_merge(rollup: DataFrame, keys: "list[str]") -> DataFrame:
     build keys; may be empty for one global row): element-wise bucket
     addition — plain integer sums, so the result is bit-identical to
     building the rollup at the coarser grain directly, and the α
-    guarantee is untouched by merge topology."""
-    ex = rollup.select(*keys, F.explode("entries").alias("e"))
-    cells = ex.groupBy(*keys, "e.sign", "e.ord", "e.idx").agg(
+    guarantee is untouched by merge topology.  ``alpha`` is part of
+    the implicit grain: rows built at different alphas do NOT merge
+    (their buckets mean different values) — they surface as separate
+    rows, one per alpha, which downstream decode handles correctly
+    because it reads alpha per row."""
+    ex = rollup.select(*keys, "alpha", F.explode("entries").alias("e"))
+    cells = ex.groupBy(*keys, "alpha", "e.sign", "e.idx").agg(
         F.sum("e.cnt").alias("cnt")
     )
-    entry = F.struct(
-        F.col("sign"), F.col("ord"), F.col("idx"), F.col("cnt")
-    )
-    if keys:
-        return cells.groupBy(*keys).agg(
-            F.array_sort(F.collect_list(entry)).alias("entries"),
-            F.sum("cnt").alias("n_values"),
-        )
-    return cells.agg(
-        F.array_sort(F.collect_list(entry)).alias("entries"),
+    entry = F.struct(F.col("sign"), F.col("idx"), F.col("cnt"))
+    return cells.groupBy(*keys, "alpha").agg(
+        _qsketch_sorted(F.collect_list(entry)).alias("entries"),
         F.sum("cnt").alias("n_values"),
-    )
+    ).select(*keys, "entries", "n_values", "alpha")
+
+
+def _qsketch_colname(q: float, prefix: str) -> str:
+    g = round(q * 100, 9)
+    if float(g).is_integer():
+        return f"{prefix}{int(g)}"
+    # no dots: a dotted name breaks column-path resolution downstream
+    return f"{prefix}{str(q).replace('.', '_')}"
 
 
 def qsketch_quantiles(
     rollup: DataFrame,
     qs: "list[float]",
-    alpha: float = 0.01,
     prefix: str = "p",
 ) -> DataFrame:
     """Decode quantiles from a :func:`qsketch_rollup` /
     :func:`qsketch_merge` frame: for each ``q`` a column
-    ``<prefix><q×100>`` (e.g. ``p50``, ``p99``) holding the bucket
-    representative of the rank-``ceil(q·(n−1))`` value — within
-    relative error ``alpha`` of the true value at that rank (the
-    DDSketch guarantee; pinned against exact sorted ranks in tests).
-    Pure JVM expression fold over the pre-sorted entries — no Python,
-    no shuffle; ``alpha`` must be the BUILD alpha (it determines the
-    bucket→value decode; the grain-mismatch class of error the sketch
-    store's meta guards against — keep them together when
-    persisting)."""
-    import math
-
-    g = _qsketch_gamma(alpha)
-    lng = math.log(g)
+    ``<prefix><q×100>`` (``p50``, ``p99``; fractional quantiles use
+    underscores — ``p0_999`` — never dots, which would parse as
+    struct paths) holding the bucket representative of the
+    rank-``ceil(q·(n−1))`` value — within relative error α of the
+    true value at that rank (the DDSketch guarantee; pinned against
+    exact sorted ranks in tests).  α comes FROM THE ROW (the rollup
+    carries it), so a stale caller constant cannot silently rescale
+    the decode.  Pure JVM expression fold over the value-ordered
+    entries — no Python, no shuffle, ONE added projection for all
+    quantiles."""
     if not qs or any(not 0 <= q <= 1 for q in qs):
         raise ValueError(f"qs must be non-empty fractions in [0,1]: {qs}")
+    if "alpha" not in rollup.columns:
+        raise ValueError(
+            "rollup has no alpha column — decode only qsketch_rollup/"
+            "qsketch_merge outputs"
+        )
+    a = F.col("alpha")
+    gamma = (F.lit(1.0) + a) / (F.lit(1.0) - a)
+    lng = F.log(gamma)
+    scale = F.lit(2.0) / (gamma + F.lit(1.0))
     rep = lambda e: (  # noqa: E731  — bucket representative value
         F.when(e["sign"] == 0, F.lit(0.0)).otherwise(
             e["sign"].cast("double")
-            * F.exp(e["idx"].cast("double") * F.lit(lng))
-            * F.lit(2.0 / (g + 1))
+            * F.exp(e["idx"].cast("double") * lng)
+            * scale
         )
     )
-    out = rollup
+    folds = {}
     for q in qs:
         target = F.ceil(F.lit(float(q)) * (F.col("n_values") - 1)).cast("long")
-        fold = F.aggregate(
+        folds[_qsketch_colname(q, prefix)] = F.aggregate(
             F.col("entries"),
             F.struct(
                 F.lit(0).cast("long").alias("acc"),
@@ -2341,6 +2382,4 @@ def qsketch_quantiles(
             ),
             lambda st: st["res"],
         )
-        name = f"{prefix}{round(q * 100) if (q*100).is_integer() else q}"
-        out = out.withColumn(name, fold)
-    return out
+    return rollup.withColumns(folds)

@@ -688,7 +688,6 @@ def test_qsketch_guarantee_on_mixed_sign_values(spark):
     got = qsketch_quantiles(
         qsketch_rollup(df, ["k"], "v", alpha=alpha),
         [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0],
-        alpha=alpha,
     ).collect()[0]
     s = sorted(vals)
     n = len(s)
@@ -747,6 +746,39 @@ def test_qsketch_fixture_percentiles_within_alpha(spark):
         assert abs(got[col] - exact) <= 0.01 * abs(exact), (q, got[col], exact)
 
 
+def test_qsketch_nonfinite_dropped_and_alpha_rides_the_row(spark):
+    """NaN/inf are dropped (NaN binned silently at ~1 before; inf
+    CAST_OVERFLOW-killed the job under ANSI — both r13 review
+    findings, verified live), and the decode reads alpha from the
+    row, so a persisted rollup can never be rescaled by a stale
+    caller constant."""
+    import math
+
+    from parquet_to_postgres_spark.operators import (
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float("nan")), ("a", float("inf")), ("a", float("-inf")),
+         ("a", 1000.0), ("a", 2000.0), ("a", 3000.0)],
+        "k string, v double",
+    )
+    r = qsketch_quantiles(qsketch_rollup(df, ["k"], "v", alpha=0.05), [0.0, 1.0]).collect()[0]
+    assert r["n_values"] == 3
+    assert abs(r["p0"] - 1000.0) <= 0.05 * 1000.0
+    assert abs(r["p100"] - 3000.0) <= 0.05 * 3000.0
+    # alpha=0.05 came from the ROW — there is no decode-side alpha arg
+    assert r["alpha"] == 0.05
+    # fractional quantile names carry no dots
+    cols = qsketch_quantiles(
+        qsketch_rollup(df, ["k"], "v"), [0.07, 0.999]
+    ).columns
+    assert "p7" in cols and "p0_999" in cols
+    # and the names resolve as plain columns
+    qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [0.999]).select("p0_999").collect()
+
+
 def test_qsketch_validation_and_plan(spark):
     import contextlib
     import io
@@ -765,6 +797,8 @@ def test_qsketch_validation_and_plan(spark):
         qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [])
     with pytest.raises(ValueError):
         qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [1.2])
+    with pytest.raises(ValueError, match="alpha column"):
+        qsketch_quantiles(df, [0.5])
     # decode is a pure projection: no exchange beyond the rollup's two
     # bucket-grain aggregations, and no Python anywhere
     out = qsketch_quantiles(qsketch_rollup(df, ["k"], "v"), [0.5, 0.99])
