@@ -85,6 +85,12 @@ HEAVY = [
     "retention_cohorts",
     "attribution_linear",
     "sketch_rollup_merge",
+    # r13b: the census + quantile cubes.  frequent_items is the
+    # zero-shuffle scan (shuffle should read ~0 at both scales);
+    # qsketch's exchange is (keys, sign, bucket)-grain — bounded by
+    # the VALUE RANGE, so near-flat under 10x rows.
+    "frequent_items_census",
+    "qsketch_rollup_merge",
 ]
 # skew-sensitive queries re-run on the hot-key variant.  funnel_counts
 # is included DELIBERATELY: its per-user collect+fold holds one user's
@@ -321,6 +327,31 @@ def main() -> int:
 
     specs["attribution_linear"] = SimpleNamespace(builder=_attribution_probe)
     specs["sketch_rollup_merge"] = SimpleNamespace(builder=_sketch_probe)
+
+    from parquet_to_postgres_spark.operators import (
+        frequent_items,
+        qsketch_merge,
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+
+    def _frequent_probe(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        return frequent_items(events, "user_id", k=64)
+
+    def _qsketch_probe(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        daily = qsketch_rollup(
+            events.withColumn("day", F.to_date("ts")),
+            ["day", "event_type"],
+            "value",
+        )
+        return qsketch_quantiles(
+            qsketch_merge(daily, ["event_type"]), [0.5, 0.99]
+        ).drop("entries")
+
+    specs["frequent_items_census"] = SimpleNamespace(builder=_frequent_probe)
+    specs["qsketch_rollup_merge"] = SimpleNamespace(builder=_qsketch_probe)
     out: dict[str, dict] = {}
     for name in HEAVY:
         row = {}
