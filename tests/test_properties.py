@@ -400,3 +400,104 @@ def test_span_dedup_matches_duckdb_on_random_corpora(spark, texts, n):
     }
     con.close()
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.01, 0.05, 0.2]),
+    st.integers(1, 5),
+)
+def test_qsketch_guarantee_and_merge_invariance(spark, vals, alpha, parts):
+    """Property: for ANY value list, alpha, and partitioning, every
+    decoded quantile is within alpha relative error of the exact value
+    at its rank, and splitting the list into two rollups then merging
+    is bit-identical to the direct build."""
+    import math
+
+    from parquet_to_postgres_spark.operators import (
+        qsketch_merge,
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, v double"
+    ).repartition(parts)
+    qs = [0.0, 0.5, 1.0]
+    got = qsketch_quantiles(
+        qsketch_rollup(df, ["k"], "v", alpha=alpha), qs
+    ).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    for q, col in [(0.0, "p0"), (0.5, "p50"), (1.0, "p100")]:
+        exact = s[math.ceil(q * (n - 1))]
+        assert abs(got[col] - exact) <= alpha * abs(exact) + 1e-9, (
+            q, got[col], exact, alpha,
+        )
+
+    # split → rollup each → merge == direct build, entry-for-entry
+    half = len(vals) // 2
+    a = spark.createDataFrame(
+        [("g", float(v)) for v in vals[:half]] or [("zz", 0.0)],
+        "k string, v double",
+    )
+    b = spark.createDataFrame(
+        [("g", float(v)) for v in vals[half:]], "k string, v double"
+    )
+    merged = qsketch_merge(
+        qsketch_rollup(a, ["k"], "v", alpha=alpha).unionByName(
+            qsketch_rollup(b, ["k"], "v", alpha=alpha)
+        ),
+        ["k"],
+    )
+    direct = qsketch_rollup(df, ["k"], "v", alpha=alpha)
+
+    def canon(frame):
+        return sorted(
+            (r["k"], r["n_values"], r["alpha"], tuple(map(tuple, r["entries"])))
+            for r in frame.collect()
+            if r["k"] == "g"
+        )
+
+    assert canon(merged) == canon(direct)
+
+
+@PROP
+@given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=80),
+    st.integers(1, 6),
+    st.integers(1, 5),
+)
+def test_frequent_items_bounds_hold_for_any_input(spark, vals, k, parts):
+    """Property: for ANY multiset, k, and partitioning, every returned
+    candidate's bounds bracket its true count and every item above the
+    n/(k+1) coverage threshold is present."""
+    from parquet_to_postgres_spark.operators import frequent_items
+
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "v string"
+    ).repartition(parts)
+    got = {
+        r["item"]: (r["est_count"], r["max_count"])
+        for r in frequent_items(df, "v", k=k).collect()
+    }
+    exact: dict = {}
+    for v in vals:
+        exact[str(v)] = exact.get(str(v), 0) + 1
+    assert len(got) <= k
+    for item, (est, mx) in got.items():
+        assert est <= exact[item] <= mx, (item, est, mx, k, parts)
+    n = len(vals)
+    for item, c in exact.items():
+        if c > n / (k + 1):
+            assert item in got, (item, c, k, parts)
