@@ -2020,7 +2020,7 @@ def frequent_items_summaries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Persisted sketch cube (incremental distinct-count rollup store)
+# Persisted rollup stores (generic engine + HLL distinct cube on top)
 # ---------------------------------------------------------------------------
 
 
@@ -2042,13 +2042,104 @@ def _sketch_meta_load(path: str) -> dict:
 
 def _sketch_meta_check(stored: dict, meta: dict, path: str) -> None:
     """Append/slice-time guard: the store's recorded grain must match
-    the caller's — silently unioning sketches of DIFFERENT distinct
-    columns (or lg_config_k) would produce well-formed nonsense."""
+    the caller's — silently unioning sketches of DIFFERENT grains
+    (distinct column, alpha, lg_config_k ...) would produce
+    well-formed nonsense."""
     if stored != meta:
         raise ValueError(
             f"sketch store at {path!r} was built as {stored}, "
             f"caller expects {meta} — rebuild or fix the call"
         )
+
+
+def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
+    """Generic store materialization: write cells + meta into a tmp
+    sibling, swap in only after the write succeeded — the prior store
+    (including one the input might itself be reading) survives any
+    failure of the new build (r13 review finding; the bare
+    delete-first form destroyed a good store when the rebuild
+    raised)."""
+    pk = meta["partition_keys"]
+    build = f"{path}.tmp_build"
+    if os.path.exists(build):
+        shutil.rmtree(build)
+    cells.write.mode("overwrite").partitionBy(*pk).parquet(f"{build}/cells")
+    tmp = _sketch_meta_path(build) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _sketch_meta_path(build))
+    back = f"{path}.old"
+    if os.path.exists(back):
+        shutil.rmtree(back)
+    if os.path.exists(path):
+        os.rename(path, back)
+    os.rename(build, path)
+    if os.path.exists(back):
+        shutil.rmtree(back)
+
+
+def _store_append(path: str, meta: dict, cells: DataFrame) -> None:
+    """Generic increment: validate the grain, append cell rows.  No
+    read-modify-write — an existing key cell simply gains another row
+    and merge-on-read resolves it."""
+    stored = _sketch_meta_load(path)
+    _sketch_meta_check(stored, meta, path)
+    cells.write.mode("append").partitionBy(*stored["partition_keys"]).parquet(
+        f"{path}/cells"
+    )
+
+
+def _store_cells(spark, path: str, keys: "list[str]", where) -> DataFrame:
+    """Generic read side: validate slice keys ⊆ store keys, apply the
+    caller's filter (partition-key predicates prune directories at
+    planning time), return the cell frame + the stored meta."""
+    stored = _sketch_meta_load(path)
+    extra = [c for c in keys if c not in stored["keys"]]
+    if extra:
+        raise ValueError(
+            f"slice keys {extra} not in store keys {stored['keys']}"
+        )
+    cells = spark.read.parquet(f"{path}/cells")
+    if where is not None:
+        cells = cells.where(where)
+    return cells
+
+
+def _store_compact(spark, path: str, merge_fn) -> None:
+    """Generic compaction: re-merge every cell to one row per key
+    combination (``merge_fn(cells, keys) -> DataFrame``) and replace
+    the cell table via a write-to-tmp + two-rename swap.  The swap is
+    NOT atomic — POSIX cannot rename onto a non-empty directory — so
+    a crash between the two renames leaves ``cells`` absent and the
+    originals intact in ``cells_old``; every reader/appender goes
+    through :func:`_sketch_meta_load`, which restores that backup on
+    next touch (self-heal, pinned in tests).  Run compaction when no
+    concurrent slice is in flight — a reader that listed files before
+    the swap can lose them mid-scan."""
+    stored = _sketch_meta_load(path)
+    cells = spark.read.parquet(f"{path}/cells")
+    merged = merge_fn(cells, stored["keys"])
+    tmp = f"{path}/cells_compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").partitionBy(*stored["partition_keys"]).parquet(tmp)
+    old = f"{path}/cells"
+    back = f"{path}/cells_old"
+    if os.path.exists(back):
+        shutil.rmtree(back)
+    os.rename(old, back)
+    os.rename(tmp, old)
+    shutil.rmtree(back)
+
+
+def _store_partition_keys(
+    keys: "list[str]", partition_keys: "list[str] | None"
+) -> "list[str]":
+    pk = partition_keys if partition_keys is not None else [keys[0]]
+    unknown = [c for c in pk if c not in keys]
+    if unknown:
+        raise ValueError(f"partition_keys {unknown} not in keys {keys}")
+    return list(pk)
 
 
 def write_sketch_rollup(
@@ -2068,43 +2159,19 @@ def write_sketch_rollup(
     increment lands in its own directories.  The store records its
     grain (keys, distinct_col, lg_config_k) in ``_sketch_meta.json``;
     :func:`append_sketch_rollup` and :func:`sketch_slice` validate
-    against it — unioning sketches of different grains is well-formed
-    nonsense otherwise.
-
-    A REBUILD over an existing store materializes into a tmp sibling
-    first and swaps only after the write succeeded — the prior store
-    (including one the input ``df`` might itself be reading) survives
-    any failure of the new build (r13 review finding; the bare
-    delete-first form destroyed a good store when the rebuild
-    raised)."""
-    pk = partition_keys if partition_keys is not None else [keys[0]]
-    unknown = [c for c in pk if c not in keys]
-    if unknown:
-        raise ValueError(f"partition_keys {unknown} not in keys {keys}")
+    against it.  Durability (tmp-build + swap; failed rebuilds leave
+    the prior store intact) is the shared :func:`_store_write`
+    engine — the quantile cube (:func:`write_qsketch_rollup`) rides
+    the same machinery."""
+    pk = _store_partition_keys(keys, partition_keys)
     meta = {
+        "kind": "hll",
         "keys": list(keys),
         "distinct_col": distinct_col,
-        "partition_keys": list(pk),
+        "partition_keys": pk,
         "lg_config_k": lg_config_k,
     }
-    build = f"{path}.tmp_build"
-    if os.path.exists(build):
-        shutil.rmtree(build)
-    rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
-    rollup.write.mode("overwrite").partitionBy(*pk).parquet(f"{build}/cells")
-    tmp = _sketch_meta_path(build) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, _sketch_meta_path(build))
-    # the new store is complete — swap it in
-    back = f"{path}.old"
-    if os.path.exists(back):
-        shutil.rmtree(back)
-    if os.path.exists(path):
-        os.rename(path, back)
-    os.rename(build, path)
-    if os.path.exists(back):
-        shutil.rmtree(back)
+    _store_write(path, meta, sketch_rollup(df, keys, distinct_col, lg_config_k))
 
 
 def append_sketch_rollup(
@@ -2126,16 +2193,13 @@ def append_sketch_rollup(
     accumulated rows per cell."""
     stored = _sketch_meta_load(path)
     meta = {
+        "kind": "hll",
         "keys": list(keys),
         "distinct_col": distinct_col,
         "partition_keys": stored.get("partition_keys"),
         "lg_config_k": lg_config_k,
     }
-    _sketch_meta_check(stored, meta, path)
-    rollup = sketch_rollup(df, keys, distinct_col, lg_config_k)
-    rollup.write.mode("append").partitionBy(*stored["partition_keys"]).parquet(
-        f"{path}/cells"
-    )
+    _store_append(path, meta, sketch_rollup(df, keys, distinct_col, lg_config_k))
 
 
 def sketch_slice(
@@ -2152,45 +2216,17 @@ def sketch_slice(
     use :func:`sketch_merge` directly to keep re-mergeable sketches.
     Cost: a scan of (pruned) CELL rows — bytes per cell — never the
     raw events."""
-    stored = _sketch_meta_load(path)
-    extra = [c for c in keys if c not in stored["keys"]]
-    if extra:
-        raise ValueError(
-            f"slice keys {extra} not in store keys {stored['keys']}"
-        )
-    cells = spark.read.parquet(f"{path}/cells")
-    if where is not None:
-        cells = cells.where(where)
+    cells = _store_cells(spark, path, keys, where)
     return sketch_estimate(sketch_merge(cells, keys)).drop("hll")
 
 
 def compact_sketch_rollup(spark, path: str) -> None:
     """Collapse accumulated append rows: re-merge every cell to one
-    row per key combination and replace the cell table via a
-    write-to-tmp + two-rename swap.  Slices read identically before
-    and after (sketch union associativity); only the row count
-    shrinks.  The swap is NOT atomic — POSIX cannot rename onto a
-    non-empty directory — so a crash between the two renames leaves
-    ``cells`` absent and the originals intact in ``cells_old``;
-    every reader/appender goes through :func:`_sketch_meta_load`,
-    which restores that backup on next touch (self-heal, pinned in
-    tests).  Run compaction when no concurrent slice is in flight —
-    a reader that listed files before the swap can lose them
-    mid-scan."""
-    stored = _sketch_meta_load(path)
-    cells = spark.read.parquet(f"{path}/cells")
-    merged = sketch_merge(cells, stored["keys"])
-    tmp = f"{path}/cells_compact_tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    merged.write.mode("overwrite").partitionBy(*stored["partition_keys"]).parquet(tmp)
-    old = f"{path}/cells"
-    back = f"{path}/cells_old"
-    if os.path.exists(back):
-        shutil.rmtree(back)
-    os.rename(old, back)
-    os.rename(tmp, old)
-    shutil.rmtree(back)
+    row per key combination and replace the cell table.  Slices read
+    identically before and after (sketch union associativity); only
+    the row count shrinks.  Swap semantics and the self-heal contract
+    live in the shared :func:`_store_compact` engine."""
+    _store_compact(spark, path, sketch_merge)
 
 
 # ---------------------------------------------------------------------------
@@ -2383,3 +2419,83 @@ def qsketch_quantiles(
             lambda st: st["res"],
         )
     return rollup.withColumns(folds)
+
+
+def write_qsketch_rollup(
+    df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    value_col: str,
+    partition_keys: "list[str] | None" = None,
+    alpha: float = 0.01,
+) -> None:
+    """Materialize a :func:`qsketch_rollup` as a partitioned store —
+    the PERCENTILE companion to :func:`write_sketch_rollup`, on the
+    same store engine (tmp-build + swap durability, grain metadata,
+    planning-time partition pruning, merge-on-read appends,
+    compaction with self-heal).  A latency/size dashboard slices p50/
+    p99 over arbitrary key subsets from cell rows, never raw events;
+    because quantile-bucket merges are integer addition, EVERY slice
+    is bit-identical to what a raw rebuild at that grain would
+    answer — the store costs no additional approximation."""
+    pk = _store_partition_keys(keys, partition_keys)
+    meta = {
+        "kind": "qsketch",
+        "keys": list(keys),
+        "value_col": value_col,
+        "partition_keys": pk,
+        "alpha": float(alpha),
+    }
+    _store_write(path, meta, qsketch_rollup(df, keys, value_col, alpha))
+
+
+def append_qsketch_rollup(
+    df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    value_col: str,
+    alpha: float = 0.01,
+) -> None:
+    """Append an ingest increment's quantile cells.  Unlike the HLL
+    store there is NO idempotence for re-appended data — bucket counts
+    are plain integers, so a replayed overlapping increment
+    double-counts (weights every affected quantile toward the
+    replayed values).  Appends must be disjoint increments; use a
+    batch ledger (:func:`~.streaming.ops.stream_sketch_rollup_writer`
+    pattern) under streaming replays."""
+    stored = _sketch_meta_load(path)
+    meta = {
+        "kind": "qsketch",
+        "keys": list(keys),
+        "value_col": value_col,
+        "partition_keys": stored.get("partition_keys"),
+        "alpha": float(alpha),
+    }
+    _store_append(path, meta, qsketch_rollup(df, keys, value_col, alpha))
+
+
+def qsketch_slice(
+    spark,
+    path: str,
+    keys: "list[str]",
+    qs: "list[float]",
+    where: "Column | None" = None,
+) -> DataFrame:
+    """Answer percentile slices from the store: optional filter
+    (partition-key predicates prune at planning time), merge to the
+    surviving ``keys`` (may be empty for one global row), decode the
+    requested quantiles.  Output: (``keys...``, ``n_values``,
+    ``p50``/``p99``/... per ``qs``); the raw entries are dropped —
+    use :func:`qsketch_merge` directly to keep re-mergeable cells."""
+    cells = _store_cells(spark, path, keys, where)
+    return qsketch_quantiles(qsketch_merge(cells, keys), qs).drop(
+        "entries", "alpha"
+    )
+
+
+def compact_qsketch_rollup(spark, path: str) -> None:
+    """Collapse accumulated append rows — the quantile twin of
+    :func:`compact_sketch_rollup`, same engine, same self-heal
+    contract; slices are BIT-identical before and after (integer
+    bucket addition is associative)."""
+    _store_compact(spark, path, qsketch_merge)

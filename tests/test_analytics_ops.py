@@ -808,3 +808,72 @@ def test_qsketch_validation_and_plan(spark):
     p = buf.getvalue()
     assert p.count("Exchange") == 2, p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_qsketch_store_roundtrip_append_compact(spark, tmp_path):
+    """The quantile cube on the shared store engine: incremental ==
+    one-shot rebuild BIT-exactly, compaction invariant, grain
+    validated, self-heal shared."""
+    import math
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        append_qsketch_rollup,
+        compact_qsketch_rollup,
+        qsketch_slice,
+        write_qsketch_rollup,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    # split by event parity: DATA-disjoint increments that share
+    # cells, so merge-on-read and compaction both have real work
+    store = str(tmp_path / "qcube")
+    keys = ["day", "event_type"]
+    write_qsketch_rollup(
+        events.where(F.col("event_id") % 2 == 0), store, keys, "value"
+    )
+    append_qsketch_rollup(
+        events.where(F.col("event_id") % 2 == 1), store, keys, "value"
+    )
+    full = str(tmp_path / "qcube_full")
+    write_qsketch_rollup(events, full, keys, "value")
+
+    def slices(p):
+        return sorted(
+            map(tuple, qsketch_slice(spark, p, ["event_type"], [0.5, 0.99]).collect())
+        )
+
+    assert slices(store) == slices(full)
+
+    # decoded p50 within alpha of the exact per-type median
+    got = {r[0]: r for r in qsketch_slice(spark, store, ["event_type"], [0.5]).collect()}
+    for et, rows in [("click", None)]:
+        vals = sorted(
+            r["value"] for r in events.where(
+                (F.col("event_type") == et) & F.col("value").isNotNull()
+            ).collect()
+            if not (math.isnan(r["value"]) or math.isinf(r["value"]))
+        )
+        exact = vals[math.ceil(0.5 * (len(vals) - 1))]
+        assert abs(got[et]["p50"] - exact) <= 0.01 * abs(exact) + 1e-9
+
+    n_pre = spark.read.parquet(f"{store}/cells").count()
+    compact_qsketch_rollup(spark, store)
+    assert slices(store) == slices(full)
+    assert spark.read.parquet(f"{store}/cells").count() < n_pre
+
+    # grain guards: value col, alpha, and cross-KIND misuse all refuse
+    with pytest.raises(ValueError, match="built as"):
+        append_qsketch_rollup(events, store, keys, "user_id")
+    with pytest.raises(ValueError, match="built as"):
+        append_qsketch_rollup(events, store, keys, "value", alpha=0.05)
+    from parquet_to_postgres_spark.operators import append_sketch_rollup
+
+    with pytest.raises(ValueError, match="built as"):
+        append_sketch_rollup(events, store, keys, "user_id")
+
+    # self-heal is the shared engine path
+    os.rename(f"{store}/cells", f"{store}/cells_old")
+    assert slices(store) == slices(full)
