@@ -2037,7 +2037,11 @@ def _sketch_meta_load(path: str) -> dict:
     if not os.path.exists(cells) and os.path.exists(back):
         os.rename(back, cells)
     with open(_sketch_meta_path(path)) as fh:
-        return json.load(fh)
+        stored = json.load(fh)
+    # pre-kind-tag stores (r13 early) were all HLL — migrate on read so
+    # a grain-identical append doesn't refuse (r13 review finding)
+    stored.setdefault("kind", "hll")
+    return stored
 
 
 def _sketch_meta_check(stored: dict, meta: dict, path: str) -> None:
@@ -2064,6 +2068,21 @@ def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
     if os.path.exists(build):
         shutil.rmtree(build)
     cells.write.mode("overwrite").partitionBy(*pk).parquet(f"{build}/cells")
+    wrote_rows = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(f"{build}/cells")
+        for f in files
+    )
+    if not wrote_rows:
+        # a zero-cell write leaves a parquet dir with no part files —
+        # every later read dies with 'Unable to infer schema'.  Refuse
+        # AFTER the write attempt (no duplicate computation; checked
+        # on the tmp sibling, so an existing store is untouched).
+        shutil.rmtree(build)
+        raise ValueError(
+            f"refusing to install an EMPTY store at {path!r} — the "
+            "input produced no cells (filter matched nothing?)"
+        )
     tmp = _sketch_meta_path(build) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -2089,11 +2108,18 @@ def _store_append(path: str, meta: dict, cells: DataFrame) -> None:
     )
 
 
-def _store_cells(spark, path: str, keys: "list[str]", where) -> DataFrame:
-    """Generic read side: validate slice keys ⊆ store keys, apply the
-    caller's filter (partition-key predicates prune directories at
-    planning time), return the cell frame + the stored meta."""
+def _store_cells(
+    spark, path: str, keys: "list[str]", where, kind: str
+) -> DataFrame:
+    """Generic read side: validate the store KIND and slice keys ⊆
+    store keys, apply the caller's filter (partition-key predicates
+    prune directories at planning time), return the cell frame."""
     stored = _sketch_meta_load(path)
+    if stored.get("kind") != kind:
+        raise ValueError(
+            f"store at {path!r} is kind {stored.get('kind')!r}, not "
+            f"{kind!r} — the documented cross-kind refusal"
+        )
     extra = [c for c in keys if c not in stored["keys"]]
     if extra:
         raise ValueError(
@@ -2105,7 +2131,7 @@ def _store_cells(spark, path: str, keys: "list[str]", where) -> DataFrame:
     return cells
 
 
-def _store_compact(spark, path: str, merge_fn) -> None:
+def _store_compact(spark, path: str, merge_fn, kind: str) -> None:
     """Generic compaction: re-merge every cell to one row per key
     combination (``merge_fn(cells, keys) -> DataFrame``) and replace
     the cell table via a write-to-tmp + two-rename swap.  The swap is
@@ -2117,6 +2143,11 @@ def _store_compact(spark, path: str, merge_fn) -> None:
     concurrent slice is in flight — a reader that listed files before
     the swap can lose them mid-scan."""
     stored = _sketch_meta_load(path)
+    if stored.get("kind") != kind:
+        raise ValueError(
+            f"store at {path!r} is kind {stored.get('kind')!r}, not "
+            f"{kind!r} — the documented cross-kind refusal"
+        )
     cells = spark.read.parquet(f"{path}/cells")
     merged = merge_fn(cells, stored["keys"])
     tmp = f"{path}/cells_compact_tmp"
@@ -2216,7 +2247,7 @@ def sketch_slice(
     use :func:`sketch_merge` directly to keep re-mergeable sketches.
     Cost: a scan of (pruned) CELL rows — bytes per cell — never the
     raw events."""
-    cells = _store_cells(spark, path, keys, where)
+    cells = _store_cells(spark, path, keys, where, kind="hll")
     return sketch_estimate(sketch_merge(cells, keys)).drop("hll")
 
 
@@ -2226,7 +2257,7 @@ def compact_sketch_rollup(spark, path: str) -> None:
     identically before and after (sketch union associativity); only
     the row count shrinks.  Swap semantics and the self-heal contract
     live in the shared :func:`_store_compact` engine."""
-    _store_compact(spark, path, sketch_merge)
+    _store_compact(spark, path, sketch_merge, kind="hll")
 
 
 # ---------------------------------------------------------------------------
@@ -2487,7 +2518,7 @@ def qsketch_slice(
     requested quantiles.  Output: (``keys...``, ``n_values``,
     ``p50``/``p99``/... per ``qs``); the raw entries are dropped —
     use :func:`qsketch_merge` directly to keep re-mergeable cells."""
-    cells = _store_cells(spark, path, keys, where)
+    cells = _store_cells(spark, path, keys, where, kind="qsketch")
     return qsketch_quantiles(qsketch_merge(cells, keys), qs).drop(
         "entries", "alpha"
     )
@@ -2498,4 +2529,4 @@ def compact_qsketch_rollup(spark, path: str) -> None:
     :func:`compact_sketch_rollup`, same engine, same self-heal
     contract; slices are BIT-identical before and after (integer
     bucket addition is associative)."""
-    _store_compact(spark, path, qsketch_merge)
+    _store_compact(spark, path, qsketch_merge, kind="qsketch")

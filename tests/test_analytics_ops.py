@@ -877,3 +877,45 @@ def test_qsketch_store_roundtrip_append_compact(spark, tmp_path):
     # self-heal is the shared engine path
     os.rename(f"{store}/cells", f"{store}/cells_old")
     assert slices(store) == slices(full)
+
+
+def test_store_cross_kind_and_empty_guards(spark, tmp_path):
+    """Read/compact-side cross-kind refusal (the append-only guard let
+    qsketch_slice die with UNRESOLVED_COLUMN on an HLL store — r13
+    review finding), legacy kind-less meta migration, and the
+    empty-store refusal that keeps a prior store intact."""
+    import json
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        _sketch_meta_path,
+        append_sketch_rollup,
+        compact_qsketch_rollup,
+        qsketch_slice,
+        sketch_slice,
+        write_qsketch_rollup,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 7, 1.0)], "g string, u int, v double")
+    hll = str(tmp_path / "hll")
+    write_sketch_rollup(df, hll, ["g"], "u")
+    with pytest.raises(ValueError, match="cross-kind"):
+        qsketch_slice(spark, hll, ["g"], [0.5])
+    with pytest.raises(ValueError, match="cross-kind"):
+        compact_qsketch_rollup(spark, hll)
+
+    # legacy meta without "kind" reads as an HLL store
+    meta = json.load(open(_sketch_meta_path(hll)))
+    del meta["kind"]
+    json.dump(meta, open(_sketch_meta_path(hll), "w"))
+    assert sketch_slice(spark, hll, ["g"]).count() == 1
+    append_sketch_rollup(df, hll, ["g"], "u")  # grain-identical append ok
+
+    # empty build refuses and leaves the existing store untouched
+    q = str(tmp_path / "q")
+    write_qsketch_rollup(df, q, ["g"], "v")
+    with pytest.raises(ValueError, match="EMPTY store"):
+        write_qsketch_rollup(df.where("v > 99"), q, ["g"], "v")
+    assert qsketch_slice(spark, q, ["g"], [0.5]).count() == 1
+    assert not os.path.exists(q + ".tmp_build")
