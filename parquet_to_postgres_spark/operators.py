@@ -2029,10 +2029,22 @@ def _sketch_meta_path(path: str) -> str:
 
 
 def _sketch_meta_load(path: str) -> dict:
-    """Load the store's recorded grain; also SELF-HEALS an interrupted
-    compaction: if ``cells`` is missing but the compaction backup
-    ``cells_old`` exists, the swap was cut between its two renames —
-    restore the backup before anyone reads a half-swapped store."""
+    """Load the store's recorded grain; also SELF-HEALS either
+    interrupted two-rename swap.  Store-level (:func:`_store_write`):
+    a crash between ``rename(path, path.old)`` and
+    ``rename(build, path)`` leaves the path absent with the complete
+    prior store at ``<path>.old`` — restore it (the unfinished build,
+    if any, is discarded by the next rebuild; the write never
+    completed, so "prior store survives any failure" means exactly
+    this).  Compaction-level (:func:`_store_compact`): ``cells``
+    missing but backup ``cells_old`` present — restore the backup
+    before anyone reads a half-swapped store.  (Store-level heal was
+    missing in r13 — a crash in that window made every later
+    read/append die on FileNotFoundError even though the prior store
+    sat intact at ``.old``; r13 advice finding.)"""
+    old = f"{path}.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     cells, back = os.path.join(path, "cells"), os.path.join(path, "cells_old")
     if not os.path.exists(cells) and os.path.exists(back):
         os.rename(back, cells)
@@ -2064,6 +2076,13 @@ def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
     delete-first form destroyed a good store when the rebuild
     raised)."""
     pk = meta["partition_keys"]
+    back = f"{path}.old"
+    # heal a previously-cut swap FIRST: otherwise the rmtree(back)
+    # below would destroy the only surviving copy of the prior store
+    # before the new build is installed (widens the crash window the
+    # r13 advice finding closed)
+    if not os.path.exists(path) and os.path.exists(back):
+        os.rename(back, path)
     build = f"{path}.tmp_build"
     if os.path.exists(build):
         shutil.rmtree(build)
@@ -2087,7 +2106,6 @@ def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, _sketch_meta_path(build))
-    back = f"{path}.old"
     if os.path.exists(back):
         shutil.rmtree(back)
     if os.path.exists(path):
@@ -2266,8 +2284,20 @@ def compact_sketch_rollup(spark, path: str) -> None:
 
 
 def _qsketch_gamma(alpha: float) -> float:
-    if not 0 < alpha < 1:
-        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    """γ = (1+α)/(1−α), with BOTH bounds enforced.  The lower bound is
+    load-bearing, not cosmetic: bucket ``idx = ceil(log_γ|x|)`` is
+    stored as an int, and |idx| ≤ ln(DBL_MAX)/ln γ ≈ 744/(2α) — at
+    α = 1e-6 that is ~372M (int-safe, and inside the 2^32 sort-key
+    lane in :func:`_qsketch_sorted`), but below ~1.7e-7 the int cast
+    wraps and quantiles silently corrupt (r13 advice finding: the old
+    2^22 packing already overflowed at α < ~8.5e-5 with wide-range
+    values, with no error raised)."""
+    if not 1e-6 <= alpha < 1:
+        raise ValueError(
+            f"alpha must be in [1e-6, 1), got {alpha} — below 1e-6 the "
+            "int bucket index overflows for extreme doubles and "
+            "quantiles silently corrupt"
+        )
     return (1 + alpha) / (1 - alpha)
 
 
@@ -2276,11 +2306,14 @@ def _qsketch_sorted(entries: Column) -> Column:
     comparator — negatives ascend as idx DESCENDS (value = −γ^i), so
     the plain field-order struct sort is wrong and a stored sort key
     would be redundant state (r13 review finding).  The comparator's
-    scalar key is sign·2^22 + (sign −1 ? −idx : idx); |idx| is bounded
-    by log_γ of the double range (~36k at α=1%), far inside 2^22."""
+    scalar key is sign·2^32 + (sign −1 ? −idx : idx), all in long
+    arithmetic; |idx| ≤ ~744/(2α) ≤ ~372M at the α ≥ 1e-6 floor
+    (:func:`_qsketch_gamma`), far inside the 2^32 lane — the old 2^22
+    lane overflowed below α ≈ 8.5e-5 on wide-range values and silently
+    misordered buckets (r13 advice finding)."""
     key = lambda e: (  # noqa: E731
-        e["sign"].cast("long") * F.lit(1 << 22)
-        + F.when(e["sign"] == -1, -e["idx"]).otherwise(e["idx"])
+        e["sign"].cast("long") * F.lit(1 << 32).cast("long")
+        + F.when(e["sign"] == -1, -e["idx"]).otherwise(e["idx"]).cast("long")
     )
     return F.array_sort(
         entries,

@@ -589,6 +589,37 @@ def test_sketch_store_rebuild_failure_preserves_prior_store(spark, tmp_path):
     assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
 
 
+def test_sketch_store_self_heals_interrupted_store_swap(spark, tmp_path):
+    """A crash between _store_write's two TOP-LEVEL renames leaves the
+    store path absent with the complete prior store at <path>.old —
+    the next read restores it, and a rebuild in that state must not
+    destroy the only surviving copy (both r14; the compaction-level
+    heal alone left this window dead, r13 advice finding)."""
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v int")
+    store = str(tmp_path / "cube")
+    write_sketch_rollup(df, store, ["g"], "v")
+    before = sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect()))
+
+    # read-side heal: simulate the torn swap, then slice
+    os.rename(store, store + ".old")
+    assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
+    assert os.path.exists(store) and not os.path.exists(store + ".old")
+
+    # write-side heal: torn swap again, then a rebuild whose input
+    # RAISES — the healed prior store must survive the failed rebuild
+    os.rename(store, store + ".old")
+    with pytest.raises(Exception):
+        write_sketch_rollup(df, store, ["g"], "no_such_column")
+    assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
+
+
 def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
     """availableNow stream through stream_sketch_rollup_writer: the
     continuously-ingested store slices identically to a one-shot batch
@@ -696,6 +727,45 @@ def test_qsketch_guarantee_on_mixed_sign_values(spark):
         exact = s[math.ceil(q * (n - 1))]
         est = got[col]
         assert abs(est - exact) <= alpha * abs(exact) + 1e-12, (q, est, exact)
+
+
+def test_qsketch_alpha_floor_and_wide_range_packing(spark):
+    """Two halves of the same r13 advice finding: (a) alpha below the
+    1e-6 floor refuses loudly instead of silently corrupting bucket
+    ids; (b) at alpha=1e-4 on values spanning ~600 decades the bucket
+    index reaches ~±3.5M — past the OLD 2^22 sort-key lane, which
+    misordered entries and broke quantile decode — and the widened
+    2^32 packing keeps every decoded quantile inside the alpha
+    guarantee."""
+    import math
+
+    from parquet_to_postgres_spark.operators import (
+        qsketch_quantiles,
+        qsketch_rollup,
+    )
+
+    df1 = spark.createDataFrame([("g", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="1e-6"):
+        qsketch_rollup(df1, ["k"], "v", alpha=5e-7)
+
+    alpha = 1e-4
+    vals = [1e-300, 1e-100, 1.0, 1e100, 1e300,
+            -1e-300, -1e-100, -1.0, -1e100, -1e300]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    got = qsketch_quantiles(
+        qsketch_rollup(df, ["k"], "v", alpha=alpha),
+        [0.0, 0.25, 0.5, 0.75, 1.0],
+    ).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    for q, col in [(0.0, "p0"), (0.25, "p25"), (0.5, "p50"),
+                   (0.75, "p75"), (1.0, "p100")]:
+        exact = s[math.ceil(q * (n - 1))]
+        # +1e-12: the representative 2γ^i/(γ+1) rounds in float a hair
+        # past the exact α bound (same slack as the guarantee test)
+        assert abs(got[col] - exact) <= alpha * abs(exact) + 1e-12, (
+            q, got[col], exact,
+        )
 
 
 def test_qsketch_merge_is_bit_exact(spark):
