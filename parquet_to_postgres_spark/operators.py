@@ -2028,6 +2028,28 @@ def _sketch_meta_path(path: str) -> str:
     return os.path.join(path, "_sketch_meta.json")
 
 
+def _heal_torn_swap(path: str, backup: str) -> None:
+    """Restore ``backup`` to ``path`` if a two-rename swap was cut
+    between its renames (``path`` absent, ``backup`` present) — the
+    ONE shared heal both the store-level swap (:func:`_store_write`)
+    and the compaction swap (:func:`_store_compact`) rely on; keep it
+    single-sourced, the condition is a crash-safety invariant.  The
+    rename tolerates racing healers/writers: a concurrent heal (or an
+    in-flight writer re-creating ``path``) makes our rename fail with
+    FileNotFoundError/ENOTEMPTY — in either case someone else already
+    produced a live ``path``, which is the goal state, so swallow it.
+    Concurrent WRITES against concurrent reads remain a documented
+    single-writer contract (same as compaction's): a reader healing
+    mid-swap can force the writer's final rename to fail loudly — the
+    writer retries; no state is lost because the build dir survives."""
+    if not os.path.exists(path) and os.path.exists(backup):
+        try:
+            os.rename(backup, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
+
+
 def _sketch_meta_load(path: str) -> dict:
     """Load the store's recorded grain; also SELF-HEALS either
     interrupted two-rename swap.  Store-level (:func:`_store_write`):
@@ -2042,12 +2064,9 @@ def _sketch_meta_load(path: str) -> dict:
     missing in r13 — a crash in that window made every later
     read/append die on FileNotFoundError even though the prior store
     sat intact at ``.old``; r13 advice finding.)"""
-    old = f"{path}.old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+    _heal_torn_swap(path, f"{path}.old")
     cells, back = os.path.join(path, "cells"), os.path.join(path, "cells_old")
-    if not os.path.exists(cells) and os.path.exists(back):
-        os.rename(back, cells)
+    _heal_torn_swap(cells, back)
     with open(_sketch_meta_path(path)) as fh:
         stored = json.load(fh)
     # pre-kind-tag stores (r13 early) were all HLL — migrate on read so
@@ -2081,8 +2100,7 @@ def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
     # below would destroy the only surviving copy of the prior store
     # before the new build is installed (widens the crash window the
     # r13 advice finding closed)
-    if not os.path.exists(path) and os.path.exists(back):
-        os.rename(back, path)
+    _heal_torn_swap(path, back)
     build = f"{path}.tmp_build"
     if os.path.exists(build):
         shutil.rmtree(build)
@@ -2286,7 +2304,9 @@ def compact_sketch_rollup(spark, path: str) -> None:
 def _qsketch_gamma(alpha: float) -> float:
     """γ = (1+α)/(1−α), with BOTH bounds enforced.  The lower bound is
     load-bearing, not cosmetic: bucket ``idx = ceil(log_γ|x|)`` is
-    stored as an int, and |idx| ≤ ln(DBL_MAX)/ln γ ≈ 744/(2α) — at
+    stored as an int, and |idx| is bounded by |ln| of the double range
+    INCLUDING subnormals (|ln 5e-324| ≈ 744.44, the worst case — not
+    ln DBL_MAX ≈ 709.78) over ln γ ≈ 2α, i.e. ≈ 744/(2α) — at
     α = 1e-6 that is ~372M (int-safe, and inside the 2^32 sort-key
     lane in :func:`_qsketch_sorted`), but below ~1.7e-7 the int cast
     wraps and quantiles silently corrupt (r13 advice finding: the old

@@ -612,11 +612,16 @@ def test_sketch_store_self_heals_interrupted_store_swap(spark, tmp_path):
     assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
     assert os.path.exists(store) and not os.path.exists(store + ".old")
 
-    # write-side heal: torn swap again, then a rebuild whose input
-    # RAISES — the healed prior store must survive the failed rebuild
+    # write-side heal: torn swap again, then a rebuild that fails
+    # INSIDE _store_write (zero-cells input hits the empty-store
+    # refusal AFTER the heal — an eager AnalysisException like a bad
+    # column name would never enter _store_write and would pin nothing;
+    # r14 review finding, verified by probe).  The healed prior store
+    # must survive the failed rebuild.
     os.rename(store, store + ".old")
-    with pytest.raises(Exception):
-        write_sketch_rollup(df, store, ["g"], "no_such_column")
+    with pytest.raises(ValueError, match="EMPTY store"):
+        write_sketch_rollup(df.where("v > 99"), store, ["g"], "v")
+    assert os.path.exists(store) and not os.path.exists(store + ".old")
     assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
 
 
