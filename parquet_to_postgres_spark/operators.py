@@ -12,8 +12,6 @@ scan→type-map→sink only); this is part of the §2B scale mandate.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -2025,32 +2023,46 @@ def frequent_items_summaries(df: DataFrame, col: str, k: int = 64) -> DataFrame:
 
 
 def _sketch_meta_path(path: str) -> str:
-    return os.path.join(path, "_sketch_meta.json")
+    # plain string join, not os.path.join — the path may carry a
+    # filesystem scheme (hdfs://, s3a://) the os module knows nothing
+    # about (r14: the store engine's portable-filesystem contract)
+    return f"{path}/_sketch_meta.json"
 
 
-def _heal_torn_swap(path: str, backup: str) -> None:
+def _heal_torn_swap(fs: "StoreFS", path: str, backup: str) -> None:
     """Restore ``backup`` to ``path`` if a two-rename swap was cut
     between its renames (``path`` absent, ``backup`` present) — the
     ONE shared heal both the store-level swap (:func:`_store_write`)
     and the compaction swap (:func:`_store_compact`) rely on; keep it
     single-sourced, the condition is a crash-safety invariant.  The
     rename tolerates racing healers/writers: a concurrent heal (or an
-    in-flight writer re-creating ``path``) makes our rename fail with
-    FileNotFoundError/ENOTEMPTY — in either case someone else already
-    produced a live ``path``, which is the goal state, so swallow it.
-    Concurrent WRITES against concurrent reads remain a documented
-    single-writer contract (same as compaction's): a reader healing
-    mid-swap can force the writer's final rename to fail loudly — the
-    writer retries; no state is lost because the build dir survives."""
-    if not os.path.exists(path) and os.path.exists(backup):
+    in-flight writer re-creating ``path``) makes our rename fail —
+    in either case someone else already produced a live ``path``,
+    which is the goal state, so swallow it.  Concurrent WRITES against
+    concurrent reads remain a documented single-writer contract (same
+    as compaction's): a reader healing mid-swap can force the writer's
+    final rename to fail loudly — the writer retries; no state is
+    lost because the build dir survives."""
+    if not fs.exists(path) and fs.exists(backup):
         try:
-            os.rename(backup, path)
+            fs.rename(backup, path)
         except OSError:
-            if not os.path.exists(path):
+            if not fs.exists(path):
                 raise
 
 
-def _sketch_meta_load(path: str) -> dict:
+def _store_fs(spark, path: str) -> "StoreFS":
+    """The store engine's filesystem handle — Hadoop FileSystem via
+    the session JVM (:class:`~.store_fs.StoreFS`), so the metadata/
+    swap/marker machinery works on every scheme Spark can write, not
+    just a driver-local POSIX disk (r13 advice finding; atomicity
+    contract per scheme documented in :mod:`~.store_fs`)."""
+    from .store_fs import StoreFS
+
+    return StoreFS(spark, path)
+
+
+def _sketch_meta_load(fs: "StoreFS", path: str) -> dict:
     """Load the store's recorded grain; also SELF-HEALS either
     interrupted two-rename swap.  Store-level (:func:`_store_write`):
     a crash between ``rename(path, path.old)`` and
@@ -2064,11 +2076,14 @@ def _sketch_meta_load(path: str) -> dict:
     missing in r13 — a crash in that window made every later
     read/append die on FileNotFoundError even though the prior store
     sat intact at ``.old``; r13 advice finding.)"""
-    _heal_torn_swap(path, f"{path}.old")
-    cells, back = os.path.join(path, "cells"), os.path.join(path, "cells_old")
-    _heal_torn_swap(cells, back)
-    with open(_sketch_meta_path(path)) as fh:
-        stored = json.load(fh)
+    _heal_torn_swap(fs, path, f"{path}.old")
+    _heal_torn_swap(fs, f"{path}/cells", f"{path}/cells_old")
+    meta_path = _sketch_meta_path(path)
+    if not fs.exists(meta_path):
+        raise FileNotFoundError(
+            f"no sketch store at {path!r} (missing {meta_path!r})"
+        )
+    stored = json.loads(fs.read_text(meta_path))
     # pre-kind-tag stores (r13 early) were all HLL — migrate on read so
     # a grain-identical append doesn't refuse (r13 review finding)
     stored.setdefault("kind", "hll")
@@ -2093,51 +2108,46 @@ def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
     (including one the input might itself be reading) survives any
     failure of the new build (r13 review finding; the bare
     delete-first form destroyed a good store when the rebuild
-    raised)."""
+    raised).  All metadata/swap I/O goes through Hadoop's FileSystem
+    (:func:`_store_fs`), so ``path`` may live on any scheme Spark can
+    write; per-scheme atomicity is documented in
+    :mod:`~.store_fs`."""
+    fs = _store_fs(cells.sparkSession, path)
     pk = meta["partition_keys"]
     back = f"{path}.old"
-    # heal a previously-cut swap FIRST: otherwise the rmtree(back)
+    # heal a previously-cut swap FIRST: otherwise the delete(back)
     # below would destroy the only surviving copy of the prior store
     # before the new build is installed (widens the crash window the
     # r13 advice finding closed)
-    _heal_torn_swap(path, back)
+    _heal_torn_swap(fs, path, back)
     build = f"{path}.tmp_build"
-    if os.path.exists(build):
-        shutil.rmtree(build)
+    fs.delete(build)
     cells.write.mode("overwrite").partitionBy(*pk).parquet(f"{build}/cells")
-    wrote_rows = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(f"{build}/cells")
-        for f in files
-    )
-    if not wrote_rows:
+    if not fs.has_file_suffix(f"{build}/cells", ".parquet"):
         # a zero-cell write leaves a parquet dir with no part files —
         # every later read dies with 'Unable to infer schema'.  Refuse
         # AFTER the write attempt (no duplicate computation; checked
         # on the tmp sibling, so an existing store is untouched).
-        shutil.rmtree(build)
+        fs.delete(build)
         raise ValueError(
             f"refusing to install an EMPTY store at {path!r} — the "
             "input produced no cells (filter matched nothing?)"
         )
-    tmp = _sketch_meta_path(build) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, _sketch_meta_path(build))
-    if os.path.exists(back):
-        shutil.rmtree(back)
-    if os.path.exists(path):
-        os.rename(path, back)
-    os.rename(build, path)
-    if os.path.exists(back):
-        shutil.rmtree(back)
+    # the build dir is not live until the swap below, so the meta file
+    # needs no tmp+rename of its own
+    fs.write_text(_sketch_meta_path(build), json.dumps(meta))
+    fs.delete(back)
+    if fs.exists(path):
+        fs.rename(path, back)
+    fs.rename(build, path)
+    fs.delete(back)
 
 
 def _store_append(path: str, meta: dict, cells: DataFrame) -> None:
     """Generic increment: validate the grain, append cell rows.  No
     read-modify-write — an existing key cell simply gains another row
     and merge-on-read resolves it."""
-    stored = _sketch_meta_load(path)
+    stored = _sketch_meta_load(_store_fs(cells.sparkSession, path), path)
     _sketch_meta_check(stored, meta, path)
     cells.write.mode("append").partitionBy(*stored["partition_keys"]).parquet(
         f"{path}/cells"
@@ -2150,7 +2160,7 @@ def _store_cells(
     """Generic read side: validate the store KIND and slice keys ⊆
     store keys, apply the caller's filter (partition-key predicates
     prune directories at planning time), return the cell frame."""
-    stored = _sketch_meta_load(path)
+    stored = _sketch_meta_load(_store_fs(spark, path), path)
     if stored.get("kind") != kind:
         raise ValueError(
             f"store at {path!r} is kind {stored.get('kind')!r}, not "
@@ -2171,14 +2181,15 @@ def _store_compact(spark, path: str, merge_fn, kind: str) -> None:
     """Generic compaction: re-merge every cell to one row per key
     combination (``merge_fn(cells, keys) -> DataFrame``) and replace
     the cell table via a write-to-tmp + two-rename swap.  The swap is
-    NOT atomic — POSIX cannot rename onto a non-empty directory — so
-    a crash between the two renames leaves ``cells`` absent and the
+    NOT atomic — no filesystem renames onto a non-empty directory —
+    so a crash between the two renames leaves ``cells`` absent and the
     originals intact in ``cells_old``; every reader/appender goes
     through :func:`_sketch_meta_load`, which restores that backup on
     next touch (self-heal, pinned in tests).  Run compaction when no
     concurrent slice is in flight — a reader that listed files before
     the swap can lose them mid-scan."""
-    stored = _sketch_meta_load(path)
+    fs = _store_fs(spark, path)
+    stored = _sketch_meta_load(fs, path)
     if stored.get("kind") != kind:
         raise ValueError(
             f"store at {path!r} is kind {stored.get('kind')!r}, not "
@@ -2187,16 +2198,14 @@ def _store_compact(spark, path: str, merge_fn, kind: str) -> None:
     cells = spark.read.parquet(f"{path}/cells")
     merged = merge_fn(cells, stored["keys"])
     tmp = f"{path}/cells_compact_tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    fs.delete(tmp)
     merged.write.mode("overwrite").partitionBy(*stored["partition_keys"]).parquet(tmp)
     old = f"{path}/cells"
     back = f"{path}/cells_old"
-    if os.path.exists(back):
-        shutil.rmtree(back)
-    os.rename(old, back)
-    os.rename(tmp, old)
-    shutil.rmtree(back)
+    fs.delete(back)
+    fs.rename(old, back)
+    fs.rename(tmp, old)
+    fs.delete(back)
 
 
 def _store_partition_keys(
@@ -2229,7 +2238,12 @@ def write_sketch_rollup(
     against it.  Durability (tmp-build + swap; failed rebuilds leave
     the prior store intact) is the shared :func:`_store_write`
     engine — the quantile cube (:func:`write_qsketch_rollup`) rides
-    the same machinery."""
+    the same machinery.  ``path`` may live on ANY filesystem Spark
+    can write (``file://``, ``hdfs://``, ``s3a://``, ...): metadata
+    and swap I/O go through Hadoop's FileSystem, with per-scheme
+    atomicity documented in :mod:`~.store_fs` (HDFS-like renames are
+    atomic; S3-like are copy+delete — prefer rebuild-into-new-path +
+    pointer flip there)."""
     pk = _store_partition_keys(keys, partition_keys)
     meta = {
         "kind": "hll",
@@ -2258,7 +2272,7 @@ def append_sketch_rollup(
     to the raw row count (both pinned in tests).  Run
     :func:`compact_sketch_rollup` occasionally to collapse
     accumulated rows per cell."""
-    stored = _sketch_meta_load(path)
+    stored = _sketch_meta_load(_store_fs(df.sparkSession, path), path)
     meta = {
         "kind": "hll",
         "keys": list(keys),
@@ -2521,7 +2535,9 @@ def write_qsketch_rollup(
     p99 over arbitrary key subsets from cell rows, never raw events;
     because quantile-bucket merges are integer addition, EVERY slice
     is bit-identical to what a raw rebuild at that grain would
-    answer — the store costs no additional approximation."""
+    answer — the store costs no additional approximation.  Same
+    filesystem contract as :func:`write_sketch_rollup` (any scheme
+    Spark can write; per-scheme atomicity in :mod:`~.store_fs`)."""
     pk = _store_partition_keys(keys, partition_keys)
     meta = {
         "kind": "qsketch",
@@ -2547,7 +2563,7 @@ def append_qsketch_rollup(
     replayed values).  Appends must be disjoint increments; use a
     batch ledger (:func:`~.streaming.ops.stream_sketch_rollup_writer`
     pattern) under streaming replays."""
-    stored = _sketch_meta_load(path)
+    stored = _sketch_meta_load(_store_fs(df.sparkSession, path), path)
     meta = {
         "kind": "qsketch",
         "keys": list(keys),

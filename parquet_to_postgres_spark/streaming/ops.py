@@ -985,51 +985,67 @@ def stream_sketch_rollup_writer(
 
     The store must exist (build it with a backfill
     ``write_sketch_rollup`` first) — checked up front, and grain
-    validation runs on every append."""
-    import os
+    validation runs on every append.
 
-    from ..operators import _sketch_meta_path, append_sketch_rollup
+    Filesystem contract: marker and meta I/O go through Hadoop's
+    FileSystem (:class:`~..store_fs.StoreFS`), so the store may live
+    on any scheme Spark can write.  The marker create is atomic on
+    file:// and HDFS-like filesystems (the exactly-once primitive);
+    on S3-like stores it is last-writer-wins — there the ledger
+    degrades to at-least-once under a concurrent duplicate writer,
+    same caveat class as the store swap (documented in
+    :mod:`~..store_fs`)."""
+    from ..operators import _sketch_meta_path, _store_fs, append_sketch_rollup
 
     if "/" in stream_id or not stream_id:
         raise ValueError(f"stream_id must be a non-empty flat name: {stream_id!r}")
 
     def write(df, batch_id) -> None:
-        if not os.path.exists(_sketch_meta_path(store_path)):
+        fs = _store_fs(df.sparkSession, store_path)
+        if not fs.exists(_sketch_meta_path(store_path)):
             raise ValueError(
                 f"no sketch store at {store_path!r} — build it with "
                 "write_sketch_rollup (a backfill batch) before streaming "
                 "into it"
             )
-        ledger = os.path.join(store_path, "_batches")
-        os.makedirs(ledger, exist_ok=True)
-        marker = os.path.join(ledger, f"{stream_id}_batch_{batch_id}")
-        if os.path.exists(marker):
+        ledger = f"{store_path}/_batches"
+        fs.mkdirs(ledger)
+        marker = f"{ledger}/{stream_id}_batch_{batch_id}"
+        if fs.exists(marker):
             return
         append_sketch_rollup(
             df, store_path, keys, distinct_col, lg_config_k
         )
-        with open(marker, "x") as fh:
-            fh.write("done")
+        fs.create_marker(marker)
 
     return write
 
 
 def prune_sketch_ledger(
-    store_path: str, stream_id: str, keep_last: int = 100
+    store_path: str, stream_id: str, keep_last: int = 100, spark=None
 ) -> int:
     """Drop a stream's oldest batch markers, keeping the newest
     ``keep_last`` ids — only batches that can still be replayed (the
     tail behind the checkpoint commit) are load-bearing, so run this
     at compaction time to stop the one-file-per-batch ledger growing
-    without bound.  Returns the number of markers removed."""
-    import os
+    without bound.  Returns the number of markers removed.  Marker
+    I/O goes through Hadoop's FileSystem on the active session's JVM
+    (pass ``spark`` explicitly if no session is active)."""
+    from pyspark.sql import SparkSession
 
-    ledger = os.path.join(store_path, "_batches")
-    if not os.path.isdir(ledger):
-        return 0
+    from ..operators import _store_fs
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "prune_sketch_ledger needs a SparkSession (none active) — "
+            "pass spark= explicitly"
+        )
+    fs = _store_fs(spark, store_path)
+    ledger = f"{store_path}/_batches"
     prefix = f"{stream_id}_batch_"
     ids = []
-    for name in os.listdir(ledger):
+    for name in fs.list_names(ledger):
         if name.startswith(prefix):
             try:
                 ids.append(int(name[len(prefix):]))
@@ -1038,5 +1054,5 @@ def prune_sketch_ledger(
     ids.sort()
     drop = ids[:-keep_last] if keep_last > 0 else ids
     for i in drop:
-        os.remove(os.path.join(ledger, f"{prefix}{i}"))
+        fs.delete(f"{ledger}/{prefix}{i}")
     return len(drop)

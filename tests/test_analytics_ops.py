@@ -625,6 +625,52 @@ def test_sketch_store_self_heals_interrupted_store_swap(spark, tmp_path):
     assert sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect())) == before
 
 
+def test_sketch_store_works_through_filesystem_scheme(spark, tmp_path):
+    """The r14 portable-filesystem contract: the FULL store lifecycle
+    (build, append, slice, compact, torn-swap heal) through an
+    explicit ``file://`` scheme URI — metadata/swap/marker I/O rides
+    Hadoop's FileSystem, which the old driver-local os.*/shutil
+    machinery could not do at all (os.path.exists('file:///x') is
+    simply False; r13 advice finding).  file:// is the one non-bare
+    scheme available in this sandbox; hdfs/s3a differ only in the
+    atomicity notes documented in store_fs."""
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        append_sketch_rollup,
+        compact_sketch_rollup,
+        sketch_slice,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, v int"
+    )
+    local = tmp_path / "cube"
+    store = f"file://{local}"
+    write_sketch_rollup(df, store, ["g"], "v")
+    # the driver-local path exists; the scheme URI is what the engine saw
+    assert os.path.exists(local / "_sketch_meta.json")
+
+    def slices():
+        return sorted(map(tuple, sketch_slice(spark, store, ["g"]).collect()))
+
+    before = {r[0]: r[1:] for r in slices()}
+    append_sketch_rollup(
+        spark.createDataFrame([("b", 4)], "g string, v int"), store, ["g"], "v"
+    )
+    after = slices()
+    by_g = {r[0]: r[1:] for r in after}
+    assert by_g["b"][0] == before["b"][0] + 1  # n_rows is additive
+    compact_sketch_rollup(spark, store)
+    assert slices() == after
+
+    # torn store-level swap, healed through the scheme path
+    os.rename(local, str(local) + ".old")
+    assert slices() == after
+    assert os.path.exists(local)
+
+
 def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
     """availableNow stream through stream_sketch_rollup_writer: the
     continuously-ingested store slices identically to a one-shot batch
