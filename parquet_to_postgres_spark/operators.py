@@ -2143,11 +2143,16 @@ def _store_write(path: str, meta: dict, cells: DataFrame) -> None:
     fs.delete(back)
 
 
-def _store_append(path: str, meta: dict, cells: DataFrame) -> None:
+def _store_append(
+    path: str, meta: dict, cells: DataFrame, stored: "dict | None" = None
+) -> None:
     """Generic increment: validate the grain, append cell rows.  No
     read-modify-write — an existing key cell simply gains another row
-    and merge-on-read resolves it."""
-    stored = _sketch_meta_load(_store_fs(cells.sparkSession, path), path)
+    and merge-on-read resolves it.  Callers that already loaded the
+    store meta pass it as ``stored`` to skip a second remote read
+    (r14 review finding)."""
+    if stored is None:
+        stored = _sketch_meta_load(_store_fs(cells.sparkSession, path), path)
     _sketch_meta_check(stored, meta, path)
     cells.write.mode("append").partitionBy(*stored["partition_keys"]).parquet(
         f"{path}/cells"
@@ -2280,7 +2285,10 @@ def append_sketch_rollup(
         "partition_keys": stored.get("partition_keys"),
         "lg_config_k": lg_config_k,
     }
-    _store_append(path, meta, sketch_rollup(df, keys, distinct_col, lg_config_k))
+    _store_append(
+        path, meta, sketch_rollup(df, keys, distinct_col, lg_config_k),
+        stored=stored,
+    )
 
 
 def sketch_slice(
@@ -2571,7 +2579,9 @@ def append_qsketch_rollup(
         "partition_keys": stored.get("partition_keys"),
         "alpha": float(alpha),
     }
-    _store_append(path, meta, qsketch_rollup(df, keys, value_col, alpha))
+    _store_append(
+        path, meta, qsketch_rollup(df, keys, value_col, alpha), stored=stored
+    )
 
 
 def qsketch_slice(

@@ -71,15 +71,29 @@ class StoreFS:
         """Move ``src`` to ``dst``.  The engine only ever renames onto
         an ABSENT destination (Hadoop rename onto an existing
         directory would move *into* it — different from POSIX
-        ``os.rename`` — so the absent-destination discipline is part
-        of the engine's contract, asserted here).  Raises ``OSError``
-        when the filesystem reports failure, matching what the
-        POSIX-era code raised so the heal's race guard keeps
-        working."""
-        if self._fs.exists(self._Path(dst)):
+        ``os.rename``, which raised ENOTEMPTY atomically).  The
+        dst-exists pre-check is a TOCTOU under the engine's sanctioned
+        reader-heal-vs-writer race, so nesting is also DETECTED after
+        the fact and undone: if ``dst/<basename(src)>`` appears that
+        wasn't ``src/<basename(src)>`` before, the rename moved src
+        *into* a concurrently created dst — move it back out and fail
+        loudly, restoring the fail-and-retry contract the POSIX code
+        had (r14 review finding: silent nesting corrupted n_rows by
+        double-reading old + compacted cells).  Raises ``OSError`` on
+        any filesystem-reported failure."""
+        if self.exists(dst):
             raise OSError(f"rename destination already exists: {dst!r}")
+        base = src.rstrip("/").rsplit("/", 1)[-1]
+        pre_nested = self.exists(f"{src}/{base}")
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
+        nested = f"{dst}/{base}"
+        if not pre_nested and self.exists(nested):
+            self._fs.rename(self._Path(nested), self._Path(src))
+            raise OSError(
+                f"rename raced a concurrent writer: {dst!r} already "
+                f"existed, src was moved INTO it; restored to {src!r}"
+            )
 
     def delete(self, path: str) -> None:
         """Recursive delete; absent path is a no-op (the engine uses

@@ -995,14 +995,20 @@ def stream_sketch_rollup_writer(
     degrades to at-least-once under a concurrent duplicate writer,
     same caveat class as the store swap (documented in
     :mod:`~..store_fs`)."""
-    from ..operators import _sketch_meta_path, _store_fs, append_sketch_rollup
+    from ..operators import _sketch_meta_load, _store_fs, append_sketch_rollup
 
     if "/" in stream_id or not stream_id:
         raise ValueError(f"stream_id must be a non-empty flat name: {stream_id!r}")
 
     def write(df, batch_id) -> None:
         fs = _store_fs(df.sparkSession, store_path)
-        if not fs.exists(_sketch_meta_path(store_path)):
+        try:
+            # _sketch_meta_load, not a bare exists() probe: the load
+            # path HEALS a torn store-level swap first — a bare probe
+            # permanently wedged the stream after a crash left the
+            # intact store at <path>.old (r14 review finding)
+            _sketch_meta_load(fs, store_path)
+        except FileNotFoundError:
             raise ValueError(
                 f"no sketch store at {store_path!r} — build it with "
                 "write_sketch_rollup (a backfill batch) before streaming "

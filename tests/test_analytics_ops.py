@@ -671,6 +671,69 @@ def test_sketch_store_works_through_filesystem_scheme(spark, tmp_path):
     assert os.path.exists(local)
 
 
+def test_storefs_rename_detects_concurrent_nesting(spark, tmp_path, monkeypatch):
+    """The dst-exists pre-check in StoreFS.rename is a TOCTOU: if a
+    concurrent healer re-creates dst between the check and the rename,
+    Hadoop moves src INTO dst and reports success — silent nesting
+    that double-counts cells (r14 review finding).  The post-rename
+    detection must undo the move and fail loudly, restoring the
+    POSIX-era ENOTEMPTY contract."""
+    import os
+
+    from parquet_to_postgres_spark.store_fs import StoreFS
+
+    fs = StoreFS(spark, str(tmp_path))
+    src, dst = f"{tmp_path}/src", f"{tmp_path}/dst"
+    fs.mkdirs(src)
+    fs.write_text(f"{src}/data.txt", "x")
+    real_exists = StoreFS.exists
+    state = {"fired": False}
+
+    def racing_exists(self, p):
+        if p == dst and not state["fired"]:
+            state["fired"] = True
+            # the concurrent healer landing mid-window: its own rename
+            # is atomic, so the dst it produces is always NON-empty
+            # (an empty dst would be cleanly replaced by POSIX rename)
+            os.makedirs(dst)
+            with open(f"{dst}/restored.txt", "w") as fh:
+                fh.write("y")
+            return False
+        return real_exists(self, p)
+
+    monkeypatch.setattr(StoreFS, "exists", racing_exists)
+    with pytest.raises(OSError, match="raced"):
+        fs.rename(src, dst)
+    monkeypatch.setattr(StoreFS, "exists", real_exists)
+    assert fs.exists(f"{src}/data.txt")  # src restored intact
+    assert not fs.exists(f"{dst}/src")  # no nested copy left behind
+
+
+def test_stream_writer_heals_torn_store_swap(spark, tmp_path):
+    """A torn store-level swap must not wedge the streaming writer: a
+    bare exists() probe raised 'no sketch store' forever while the
+    intact store sat at <path>.old (r14 review finding) — the writer
+    now goes through the healing meta load."""
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        sketch_slice,
+        write_sketch_rollup,
+    )
+    from parquet_to_postgres_spark.streaming.ops import (
+        stream_sketch_rollup_writer,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, user_id int")
+    store = str(tmp_path / "cube")
+    write_sketch_rollup(df, store, ["g"], "user_id")
+    os.rename(store, store + ".old")  # simulate the crash window
+    writer = stream_sketch_rollup_writer(store, ["g"], "user_id", stream_id="s1")
+    writer(spark.createDataFrame([("b", 2)], "g string, user_id int"), 0)
+    got = {r["g"]: r["n_rows"] for r in sketch_slice(spark, store, ["g"]).collect()}
+    assert got == {"a": 1, "b": 1}
+
+
 def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
     """availableNow stream through stream_sketch_rollup_writer: the
     continuously-ingested store slices identically to a one-shot batch
