@@ -1925,10 +1925,14 @@ def frequent_items(
 
     Contrast with :func:`diagnose_skew`: that is exact and costs a
     key-grain shuffle; this is the first-pass census for scans where
-    the key space is unbounded and NO shuffle is acceptable — the
-    summaries are ``P × (k+1)`` tiny rows (one decrement marker row
-    per partition), so the reduce side is constant at any corpus
-    size.  NULL keys are tracked as their own item (the outer-join
+    the key space is unbounded and no DATA-grain shuffle is
+    acceptable — the scan side is zero-shuffle, and the reduce side
+    is ITEM-grain, not constant (corrected r14): the summaries are
+    ``P × (k+1)`` tiny rows (one decrement marker row per partition),
+    merged by a map-side-combinable groupBy over at most that many
+    rows plus one single-partition compress, so the driver collect is
+    ≤ ``k+1`` rows at ANY partition count.  NULL keys are tracked as
+    their own item (the outer-join
     skew class) and returned as a NULL item row.  Which NON-guaranteed
     candidates survive can vary with partitioning; the bounds and the
     coverage guarantee always hold (pinned in
@@ -1951,21 +1955,60 @@ def frequent_items_merge(summaries: DataFrame, k: int = 64) -> DataFrame:
     the final (``item``, ``est_count``, ``max_count``) candidate
     table — THE documented merge rule, public so the union-of-scans
     workflow doesn't reimplement it from private sentinels (r13 review
-    finding): accumulate the decrement-marker rows, sum item counts,
-    one final Misra-Gries compress, and bounds = est + total
-    decrement.  ``frequent_items`` is exactly this merge over one
-    scan's summaries."""
+    finding): sum per-item counts, accumulate the decrement markers,
+    Misra-Gries compress to ≤ k, and bounds = est + total decrement.
+    ``frequent_items`` is exactly this merge over one scan's summaries.
+
+    The merge is DISTRIBUTED (r13 verdict finding — the old
+    all-summaries driver collect was linear in partition count: a
+    100 TB scan at 128 MB splits is ~800k tasks → ~50M summary rows
+    through one collect): an item-grain groupBy sum (map-side
+    combinable; ≤ P×(k+1) input rows, never corpus rows) feeds ONE
+    single-partition compress task, so the driver receives at most
+    ``k`` item rows plus one decrement row REGARDLESS of partition
+    count.  The PODS'12 merge is associative, so compressing
+    incrementally per Arrow batch inside that task preserves every
+    bound (est ≤ true ≤ est + total_dec, coverage at n/(k+1));
+    WHICH non-guaranteed candidates survive may differ from a
+    single-shot compress, exactly as it already did across
+    partitionings."""
+    import pandas as pd
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     spark = summaries.sparkSession
+    summed = summaries.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+
+    def compress(batches):
+        counts: dict[str, int] = {}
+        dec_total = 0
+        for pdf in batches:
+            for item, c in zip(pdf["item"], pdf["cnt"]):
+                if item == _MG_DEC:
+                    dec_total += int(c)
+                else:
+                    counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                counts, dec = _mg_compress(counts, k)
+                dec_total += dec
+        yield pd.DataFrame(
+            {
+                "item": list(counts.keys()) + [_MG_DEC],
+                "cnt": list(counts.values()) + [dec_total],
+            }
+        )
+
     merged: dict[str, int] = {}
     total_dec = 0
-    for r in summaries.collect():
+    final = summed.repartition(1).mapInPandas(
+        compress, "item string, cnt long"
+    )
+    for r in final.collect():
         if r["item"] == _MG_DEC:
             total_dec += r["cnt"]
         else:
-            merged[r["item"]] = merged.get(r["item"], 0) + r["cnt"]
-    merged, final_dec = _mg_compress(merged, k)
+            merged[r["item"]] = r["cnt"]
+    merged, final_dec = _mg_compress(merged, k)  # no-op when ≤ k; belt
     total_dec += final_dec
     rows = [
         (

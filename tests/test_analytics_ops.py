@@ -424,6 +424,38 @@ def test_frequent_items_summary_stage_has_no_exchange(spark):
     assert "MapInPandas" in p
 
 
+def test_frequent_items_merge_reduce_stage_is_bounded(spark):
+    """The r14 distributed pre-merge: the merge plan is an item-grain
+    partial+final aggregate followed by ONE single-partition compress
+    task — the driver-side collect is ≤ k+1 rows at any partition
+    count (the old form collected all P×(k+1) summary rows, linear in
+    P — r13 verdict finding)."""
+    from parquet_to_postgres_spark.operators import (
+        _MG_DEC,
+        frequent_items_summaries,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("v")
+    ).repartition(32)
+    summaries = frequent_items_summaries(df, "v", k=4)
+    summed = summaries.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    plan_df = summed.repartition(1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain(mode="simple")
+    p = buf.getvalue()
+    # item-grain exchange for the pre-merge, then the bounded stage
+    assert "Exchange SinglePartition" in p
+    assert "hashpartitioning(item" in p
+    # and the real merge emits <= k items + one decrement marker
+    from parquet_to_postgres_spark.operators import frequent_items_merge
+
+    got = frequent_items_merge(summaries, k=4).collect()
+    assert 0 < len(got) <= 4
+    assert all(r["item"] != _MG_DEC for r in got)
+
+
 def test_frequent_items_summaries_union_mergeable(spark):
     """Union of two scans' summary frames, merged once, still brackets
     the combined exact counts — the mergeability contract."""
