@@ -1950,33 +1950,17 @@ def frequent_items(
     return frequent_items_merge(frequent_items_summaries(df, col, k), k)
 
 
-def frequent_items_merge(summaries: DataFrame, k: int = 64) -> DataFrame:
-    """Merge a (unioned) :func:`frequent_items_summaries` frame into
-    the final (``item``, ``est_count``, ``max_count``) candidate
-    table — THE documented merge rule, public so the union-of-scans
-    workflow doesn't reimplement it from private sentinels (r13 review
-    finding): sum per-item counts, accumulate the decrement markers,
-    Misra-Gries compress to ≤ k, and bounds = est + total decrement.
-    ``frequent_items`` is exactly this merge over one scan's summaries.
-
-    The merge is DISTRIBUTED (r13 verdict finding — the old
-    all-summaries driver collect was linear in partition count: a
-    100 TB scan at 128 MB splits is ~800k tasks → ~50M summary rows
-    through one collect): an item-grain groupBy sum (map-side
-    combinable; ≤ P×(k+1) input rows, never corpus rows) feeds ONE
-    single-partition compress task, so the driver receives at most
-    ``k`` item rows plus one decrement row REGARDLESS of partition
-    count.  The PODS'12 merge is associative, so compressing
-    incrementally per Arrow batch inside that task preserves every
-    bound (est ≤ true ≤ est + total_dec, coverage at n/(k+1));
-    WHICH non-guaranteed candidates survive may differ from a
-    single-shot compress, exactly as it already did across
-    partitionings."""
+def _frequent_items_merge_frame(summaries: DataFrame, k: int) -> DataFrame:
+    """The distributed plan :func:`frequent_items_merge` collects —
+    exposed so the plan test pins the PRODUCTION path, not a copy
+    (r14 review finding): item-grain groupBy sum (map-side
+    combinable) → Exchange SinglePartition → one incremental
+    Misra-Gries compress task emitting ≤ k item rows + 1 decrement
+    marker."""
     import pandas as pd
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    spark = summaries.sparkSession
     summed = summaries.groupBy("item").agg(F.sum("cnt").alias("cnt"))
 
     def compress(batches):
@@ -1998,12 +1982,38 @@ def frequent_items_merge(summaries: DataFrame, k: int = 64) -> DataFrame:
             }
         )
 
+    return summed.repartition(1).mapInPandas(compress, "item string, cnt long")
+
+
+def frequent_items_merge(summaries: DataFrame, k: int = 64) -> DataFrame:
+    """Merge a (unioned) :func:`frequent_items_summaries` frame into
+    the final (``item``, ``est_count``, ``max_count``) candidate
+    table — THE documented merge rule, public so the union-of-scans
+    workflow doesn't reimplement it from private sentinels (r13 review
+    finding): sum per-item counts, accumulate the decrement markers,
+    Misra-Gries compress to ≤ k, and bounds = est + total decrement.
+    ``frequent_items`` is exactly this merge over one scan's summaries.
+
+    The merge is DISTRIBUTED (r13 verdict finding — the old
+    all-summaries driver collect was linear in partition count: a
+    100 TB scan at 128 MB splits is ~800k tasks → ~50M summary rows
+    through one collect): an item-grain groupBy sum (map-side
+    combinable; ≤ P×(k+1) input rows, never corpus rows) feeds ONE
+    single-partition compress task, so the driver receives at most
+    ``k`` item rows plus one decrement row REGARDLESS of partition
+    count.  The PODS'12 merge is associative, so compressing
+    incrementally per Arrow batch inside that task preserves every
+    bound (est ≤ true ≤ est + total_dec, coverage at n/(k+1));
+    WHICH non-guaranteed candidates survive may differ from a
+    single-shot compress — across partitionings, as before, and now
+    also run-to-run on identical input (Arrow batch boundaries and
+    shuffle arrival order into the compress task vary), so never
+    snapshot-compare below-threshold candidate sets; compare the
+    guaranteed (> n/(k+1)) items and the bounds."""
+    spark = summaries.sparkSession
     merged: dict[str, int] = {}
     total_dec = 0
-    final = summed.repartition(1).mapInPandas(
-        compress, "item string, cnt long"
-    )
-    for r in final.collect():
+    for r in _frequent_items_merge_frame(summaries, k).collect():
         if r["item"] == _MG_DEC:
             total_dec += r["cnt"]
         else:

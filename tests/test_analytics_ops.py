@@ -432,28 +432,33 @@ def test_frequent_items_merge_reduce_stage_is_bounded(spark):
     P — r13 verdict finding)."""
     from parquet_to_postgres_spark.operators import (
         _MG_DEC,
+        _frequent_items_merge_frame,
+        frequent_items_merge,
         frequent_items_summaries,
     )
 
-    df = spark.range(2000).select(
-        (F.col("id") % 7).cast("string").alias("v")
+    # "hot" exceeds n/(k+1) = 2600/5, so coverage GUARANTEES a
+    # non-empty result at any core count / partition layout (a uniform
+    # below-threshold fixture returned [] at SPARK_GRAFT_CPUS=1 — r14
+    # review finding, verified)
+    df = spark.createDataFrame(
+        [("hot",)] * 800 + [(f"t{i % 600}",) for i in range(1800)],
+        "v string",
     ).repartition(32)
     summaries = frequent_items_summaries(df, "v", k=4)
-    summed = summaries.groupBy("item").agg(F.sum("cnt").alias("cnt"))
-    plan_df = summed.repartition(1)
+    # pin the PRODUCTION plan — the frame the merge itself collects,
+    # not a copy rebuilt in the test (r14 review finding)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        plan_df.explain(mode="simple")
+        _frequent_items_merge_frame(summaries, 4).explain(mode="simple")
     p = buf.getvalue()
-    # item-grain exchange for the pre-merge, then the bounded stage
     assert "Exchange SinglePartition" in p
     assert "hashpartitioning(item" in p
-    # and the real merge emits <= k items + one decrement marker
-    from parquet_to_postgres_spark.operators import frequent_items_merge
-
+    assert "MapInPandas" in p
     got = frequent_items_merge(summaries, k=4).collect()
     assert 0 < len(got) <= 4
     assert all(r["item"] != _MG_DEC for r in got)
+    assert "hot" in {r["item"] for r in got}
 
 
 def test_frequent_items_summaries_union_mergeable(spark):
