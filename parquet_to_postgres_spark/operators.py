@@ -2266,6 +2266,42 @@ def _store_compact(spark, path: str, merge_fn, kind: str) -> None:
     fs.delete(back)
 
 
+def build_once(spark, path: str, key: dict, build_fn) -> bool:
+    """Content-keyed build-once/probe-many marker — THE shared
+    implementation behind every persisted artifact that is a
+    deterministic function of its inputs (the declared IVF-PQ gate
+    index; the sketch-cube gate store), unifying what were two
+    separate marker implementations (r13 verdict item 5; each had
+    separately grown a torn-marker fix in review).
+
+    If the marker at ``<path>/_built.json`` equals ``key`` the build
+    is skipped (probe-many).  Otherwise the marker is DROPPED first,
+    ``build_fn()`` runs, and the marker is rewritten only after it
+    completes — a crash mid-build leaves no marker, and a torn or
+    corrupt marker parses as stale, so neither can masquerade as
+    current; the failure direction is always "one redundant rebuild",
+    never "stale artifact served".  Returns True iff the build ran.
+
+    Marker I/O rides :class:`~.store_fs.StoreFS`, so the artifact may
+    live on any scheme Spark can write.  The marker write itself is
+    not crash-atomic on every scheme — a torn write is a corrupt
+    marker, which is the safe direction by construction."""
+    fs = _store_fs(spark, path)
+    marker = f"{path}/_built.json"
+    current = None
+    if fs.exists(marker):
+        try:
+            current = json.loads(fs.read_text(marker))
+        except (ValueError, OSError):
+            current = None  # torn/corrupt marker == stale
+    if current == key:
+        return False
+    fs.delete(marker)
+    build_fn()
+    fs.write_text(marker, json.dumps(key))
+    return True
+
+
 def _store_partition_keys(
     keys: "list[str]", partition_keys: "list[str] | None"
 ) -> "list[str]":

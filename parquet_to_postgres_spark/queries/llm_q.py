@@ -1176,12 +1176,15 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline.  Index content is a deterministic function of the key,
     so probing a prior process's store returns bit-identical rows (the
     cache branch — hit, corrupt marker, stale key — is pinned in
-    tests/test_ann_index.py::test_ivfpq_gate_probe_cache_branch)."""
+    tests/test_ann_index.py::test_ivfpq_gate_probe_cache_branch).
+    The marker machinery is the shared
+    :func:`~..operators.build_once` engine (r13 verdict item 5 — this
+    query previously carried its own copy)."""
     import hashlib
     import inspect
-    import json
     import os
 
+    from ..operators import build_once
     from .etl_q import _scratch
 
     t = Catalog(spark, sf_dir)
@@ -1207,17 +1210,8 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(
         f"ivfpq/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    marker = os.path.join(path, "_built.json")
-    current = None
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                current = json.load(fh)
-        except (ValueError, OSError):
-            current = None  # torn/corrupt marker == stale
-    if current != key:
-        if os.path.exists(marker):
-            os.remove(marker)
+
+    def build():
         c_unit_lab = corpus.where(S._nonzero_vec("embedding")).select(
             "label", S._unit("embedding").alias("uvec")
         )
@@ -1228,10 +1222,8 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, m=8, codes=16, pq_iterations=1, centroids=centroids
         )
         S.write_ivfpq_index(corpus, path, models=models)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(key, fh)
-        os.replace(tmp, marker)  # atomic: no torn marker is ever visible
+
+    build_once(spark, path, key, build)
     out = S.ivfpq_index_topk(
         spark, path, corpus, queries, k=10, n_probes=2, rerank=100
     )
