@@ -2267,33 +2267,45 @@ def _store_compact(spark, path: str, merge_fn, kind: str) -> None:
 
 
 def build_once(spark, path: str, key: dict, build_fn) -> bool:
-    """Content-keyed build-once/probe-many marker — THE shared
-    implementation behind every persisted artifact that is a
-    deterministic function of its inputs (the declared IVF-PQ gate
-    index; the sketch-cube gate store), unifying what were two
-    separate marker implementations (r13 verdict item 5; each had
-    separately grown a torn-marker fix in review).
+    """Content-keyed build-once/probe-many marker — the ONE marker
+    implementation for persisted artifacts that are a deterministic
+    function of their inputs (r13 verdict item 5: the IVF-PQ gate
+    query previously carried its own inline copy of this machinery;
+    it and the r14 sketch-cube gate query now share this).  Distinct
+    from the store GRAIN metadata (``_sketch_meta``), which guards
+    appends against mismatched grains — this guards whole-artifact
+    rebuild-vs-skip.
 
     If the marker at ``<path>/_built.json`` equals ``key`` the build
     is skipped (probe-many).  Otherwise the marker is DROPPED first,
     ``build_fn()`` runs, and the marker is rewritten only after it
     completes — a crash mid-build leaves no marker, and a torn or
-    corrupt marker parses as stale, so neither can masquerade as
-    current; the failure direction is always "one redundant rebuild",
-    never "stale artifact served".  Returns True iff the build ran.
+    corrupt or UNREADABLE marker is treated as stale (any read/parse
+    failure, including JVM-side I/O errors surfacing as py4j
+    exceptions — the old ``OSError`` arm could not catch those, r14
+    review finding), so neither can masquerade as current; the
+    failure direction is always "one redundant rebuild", never "stale
+    artifact served".  Returns True iff the build ran.
+
+    ``key`` must be JSON round-trippable — it is compared against the
+    marker's PARSED content, so a tuple or an int dict key would
+    never compare equal and would silently rebuild every call; the
+    key is normalized through a JSON round-trip up front to make
+    those callers cache correctly instead (r14 review finding).
 
     Marker I/O rides :class:`~.store_fs.StoreFS`, so the artifact may
     live on any scheme Spark can write.  The marker write itself is
     not crash-atomic on every scheme — a torn write is a corrupt
     marker, which is the safe direction by construction."""
+    key = json.loads(json.dumps(key))
     fs = _store_fs(spark, path)
     marker = f"{path}/_built.json"
     current = None
     if fs.exists(marker):
         try:
             current = json.loads(fs.read_text(marker))
-        except (ValueError, OSError):
-            current = None  # torn/corrupt marker == stale
+        except Exception:
+            current = None  # torn/corrupt/unreadable marker == stale
     if current == key:
         return False
     fs.delete(marker)
