@@ -60,8 +60,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "collect_nations",
     "funnel_counts",
     "retention_cohorts",
-    "salted_user_totals",
+    "attribution_report",
     "approx_sketches",
+    "sketch_cube_slice",
     "join_full_outer",
     "join_semi_anti",
     "join_dims_grid",
@@ -87,7 +88,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "weighted_sample",
     "span_dedup",
     "embedding_profile",
-    "cosine_threshold_join",
     "ann_topk",
     "ivfpq_index_probe",
     "udf_surface",

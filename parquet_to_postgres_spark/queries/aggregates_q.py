@@ -198,20 +198,24 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "salted_user_totals",
-    oracle="""
+SALTED_USER_TOTALS_ORACLE = """
     SELECT user_id, COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY user_id
-    """,
-    tags=("A1", "skew"),
-)
+    """
+
+
 def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-stage aggregation over the hot-key events
     table (few users, many events — exactly the shape that pins one
     reducer at 100 TB).  Identical results to a plain GROUP BY; the
-    salt only reshapes the shuffle."""
+    salt only reshapes the shuffle.
+
+    Rotated out of the 50-slot registry in round 14 (slot given to
+    attribution_report, the same events/user grain); A1 stays declared
+    via pricing_summary, and the skew-salting machinery keeps its
+    hot-key scale probe (tools/scale_probe.py SKEWED) plus full oracle
+    coverage in tests/test_registry.py."""
     from ..operators import salted_agg
 
     t = Catalog(spark, sf_dir)

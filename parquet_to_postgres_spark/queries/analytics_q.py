@@ -29,11 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import funnel_counts, retention_cohorts
+from ..operators import attribution_report, funnel_counts, retention_cohorts
 from ..tables import Catalog
 from . import register
 
 FUNNEL_STEPS = ("signup", "view", "purchase")
+ATTRIBUTION_TOUCHES = ("click", "view", "signup")
+ATTRIBUTION_LOOKBACK_S = 3600
 
 
 def _funnel_oracle(steps: "tuple[str, ...]" = FUNNEL_STEPS) -> str:
@@ -160,4 +162,191 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period_offset",
         "n_active",
         "cohort_size",
+    )
+
+
+# last_touch for the GATE: every credit is exactly 1.0, so the summed
+# credit is an integer-valued double — bit-deterministic on both
+# engines.  linear's 1/n fractional credits stay pytest-covered
+# (tests/test_analytics_ops.py has the cell-for-cell twin per model);
+# a float-fraction SUM would be the classic last-ulp hash flake the
+# verify skill warns about.
+ATTRIBUTION_ORACLE = f"""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type AS y FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    conv AS (SELECT user_id, t FROM base WHERE y = 'purchase'),
+    attr AS (
+      SELECT (SELECT g.y FROM base g
+              WHERE g.user_id = c.user_id
+                AND g.y IN {ATTRIBUTION_TOUCHES!r}
+                AND g.t < c.t
+                AND g.t >= c.t - {ATTRIBUTION_LOOKBACK_S * 1_000_000}
+              ORDER BY g.t DESC, g.y DESC LIMIT 1) AS touch_type
+      FROM conv c
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS DOUBLE) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) AS credit
+    FROM attr GROUP BY touch_type
+    """
+
+
+@register(
+    "attribution_report", oracle=ATTRIBUTION_ORACLE, tags=("ops", "analytics")
+)
+def attribution_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel attribution report (promoted to the gate in r14 —
+    VERDICT item 2): every purchase credited to the LAST qualifying
+    touch (click/view/signup) strictly before it within a 1-hour
+    lookback, rolled up per channel; unattributed conversions surface
+    as the NULL-channel row, never dropped.
+
+    Drives the library operator (operators.attribution_report over
+    attribute_conversions): ONE user-grain shuffle, RANGE-framed window
+    on unix_micros so boundary-microsecond ties are order-independent
+    (struct max, not row order), then a channel-grain rollup.  The
+    oracle replays the same rule as a correlated ORDER BY t DESC, y
+    DESC LIMIT 1 — the deterministic tie-break is part of the declared
+    semantics.  The lookback BITES on the fixture (some purchases have
+    only stale touches — pinned in tests/test_analytics_ops.py), so
+    the window-bound leg is non-vacuous."""
+    t = Catalog(spark, sf_dir)
+    return attribution_report(
+        t.events,
+        "user_id",
+        "ts",
+        "event_type",
+        "purchase",
+        list(ATTRIBUTION_TOUCHES),
+        model="last_touch",
+        lookback_seconds=ATTRIBUTION_LOOKBACK_S,
+    )
+
+
+# The sketch values themselves cannot hash-match DuckDB (engines'
+# sketches differ) — the approx_sketches oracle pattern: exact columns
+# hash-matched cell-for-cell, booleans asserting the estimate/α bound
+# (a sketch regression flips a cell and fails the gate).
+SKETCH_CUBE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE value IS NOT NULL
+                                   AND isfinite(value)) AS BIGINT) AS n_values,
+           COUNT(DISTINCT user_id) AS exact_users,
+           true AS hll_ok,
+           true AS p50_ok
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    """
+
+SKETCH_CUBE_SPLIT = "2024-01-16"
+
+
+@register("sketch_cube_slice", oracle=SKETCH_CUBE_ORACLE, tags=("A3", "A7", "ops"))
+def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted sketch-cube store on the gate (r14 — VERDICT item
+    3): build a DISTINCT-COUNT cube (Datasketches HLL via Spark's
+    hll_sketch_agg) and a QUANTILE cube (DDSketch-style log buckets) at
+    (day, event_type) grain, as a backfill ``write_*_rollup`` plus a
+    disjoint-increment ``append_*_rollup`` (build→append→slice, the
+    store's real lifecycle), then answer an event_type slice from CELL
+    rows — never re-scanning raw events.
+
+    Build-once/probe-many rides the shared content-keyed
+    :func:`~..operators.build_once` marker (source file stat + params +
+    a digest of the operators module and this builder — code edits
+    auto-invalidate), same economics as ivfpq_index_probe: the bench's
+    repeat runs price the PROBE (cell-row scans, planning-time
+    partition pruning), the first run / changed fixture / changed code
+    prices the build.
+
+    Output: exact ``n_rows`` (HLL store, additive over disjoint
+    increments) and ``n_values`` (quantile store, finite non-null
+    values) — both hash-matched against raw-event counts, certifying
+    the store lost nothing across build+append — plus ``exact_users``
+    and the bound booleans: ``hll_ok`` (store estimate within 10% of
+    exact distinct; lg_config_k=12 is ~2% rsd) and ``p50_ok`` (store
+    p50 between the exact quartiles — interpolation-free bracket, the
+    approx_sketches pattern)."""
+    import hashlib
+    import inspect
+    import os
+
+    from ..operators import (
+        append_qsketch_rollup,
+        append_sketch_rollup,
+        build_once,
+        qsketch_slice,
+        sketch_slice,
+        write_qsketch_rollup,
+        write_sketch_rollup,
+    )
+    from .etl_q import _scratch
+
+    t = Catalog(spark, sf_dir)
+    events = t.events.where(F.col("ts").isNotNull()).withColumn(
+        "day", F.to_date("ts")
+    )
+    from .. import operators as ops_mod
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # digest the WHOLE operators module + this builder: the store is a
+    # function of the rollup/merge/store code, and enumerating members
+    # by hand under-invalidates (the ivfpq lesson, r13) — a spurious
+    # rebuild costs seconds, a stale store serves wrong slices
+    code_digest = hashlib.md5(
+        (inspect.getsource(ops_mod) + inspect.getsource(sketch_cube_slice)).encode()
+    ).hexdigest()
+    key = {
+        "src": os.path.abspath(src),
+        "stat": [st.st_size, st.st_mtime_ns],
+        "params": {
+            "keys": ["day", "event_type"],
+            "hll": {"distinct_col": "user_id", "lg_config_k": 12},
+            "qsketch": {"value_col": "value", "alpha": 0.01},
+            "split": SKETCH_CUBE_SPLIT,
+        },
+        "code": code_digest,
+    }
+    path = _scratch(
+        f"sketchcube/gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    hll_store, q_store = f"{path}/hll", f"{path}/qsketch"
+    keys = ["day", "event_type"]
+    split = F.lit(SKETCH_CUBE_SPLIT).cast("date")
+
+    def build():
+        base = events.where(F.col("day") < split)
+        incr = events.where(F.col("day") >= split)
+        write_sketch_rollup(base, hll_store, keys, "user_id")
+        append_sketch_rollup(incr, hll_store, keys, "user_id")
+        write_qsketch_rollup(base, q_store, keys, "value")
+        append_qsketch_rollup(incr, q_store, keys, "value")
+
+    build_once(spark, path, key, build)
+    hll = sketch_slice(spark, hll_store, ["event_type"])
+    q = qsketch_slice(spark, q_store, ["event_type"], [0.5])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    return (
+        hll.join(q, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_values",
+            "exact_users",
+            (
+                F.abs(F.col("n_distinct_approx") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("hll_ok"),
+            (
+                (F.col("p50") >= F.col("p25")) & (F.col("p50") <= F.col("p75"))
+            ).alias("p50_ok"),
+        )
     )

@@ -224,6 +224,41 @@ def test_rotated_out_cosine_topk_still_matches_oracle(spark, duck):
     )
 
 
+def test_rotated_out_salted_user_totals_still_matches_oracle(spark, duck):
+    """salted_user_totals rotated out in round 14 (slot given to
+    attribution_report, same events/user grain); A1 stays declared via
+    pricing_summary, and the hot-key scale probe keeps measuring the
+    salting machinery."""
+    from parquet_to_postgres_spark.queries.aggregates_q import (
+        SALTED_USER_TOTALS_ORACLE,
+        salted_user_totals,
+    )
+
+    assert_matches_oracle(
+        salted_user_totals(spark, SF_SMOKE),
+        duck,
+        SALTED_USER_TOTALS_ORACLE,
+        "salted_user_totals",
+    )
+
+
+def test_rotated_out_cosine_threshold_join_still_matches_oracle(spark, duck):
+    """cosine_threshold_join rotated out in round 14 (slot given to
+    sketch_cube_slice); L4 stays declared via ann_topk and
+    ivfpq_index_probe."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        COSINE_THRESHOLD_JOIN_ORACLE,
+        cosine_threshold_join,
+    )
+
+    assert_matches_oracle(
+        cosine_threshold_join(spark, SF_SMOKE),
+        duck,
+        COSINE_THRESHOLD_JOIN_ORACLE,
+        "cosine_threshold_join",
+    )
+
+
 def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
     """exact_stats rotated out in round 12; A7 stays declared via
     approx_sketches and profile_drift_report."""

@@ -297,6 +297,14 @@ def main() -> int:
     specs = dict(specs)
     specs.setdefault("cube_orders", SimpleNamespace(builder=cube_orders))
 
+    # r14: salted_user_totals rotated off the declared gate but its
+    # hot-key probe (SKEWED) keeps measuring the salting machinery
+    from parquet_to_postgres_spark.queries.aggregates_q import salted_user_totals
+
+    specs.setdefault(
+        "salted_user_totals", SimpleNamespace(builder=salted_user_totals)
+    )
+
     # r13: attribution + sketch rollup are library operators (pytest
     # oracles, not declared queries) — probe them through direct
     # builders at the same fixture surface.
