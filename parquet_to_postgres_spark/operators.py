@@ -2314,6 +2314,30 @@ def build_once(spark, path: str, key: dict, build_fn) -> bool:
     return True
 
 
+def content_key(src_path: str, params: dict, *code_objs) -> dict:
+    """Build a :func:`build_once` key: source file identity (size +
+    mtime_ns), the model/build parameters, and an md5 of the given
+    code objects' SOURCE (pass whole modules, not hand-picked members
+    — hand-maintained digests under-invalidate and serve stale stores;
+    the r13 ivfpq lesson).  One helper so every content-keyed gate
+    store encodes the invalidation contract once (r14 review finding:
+    the key construction was copy-pasted per query)."""
+    import hashlib
+    import inspect
+    import os
+
+    st = os.stat(src_path)
+    digest = hashlib.md5(
+        "".join(inspect.getsource(o) for o in code_objs).encode()
+    ).hexdigest()
+    return {
+        "src": os.path.abspath(src_path),
+        "stat": [st.st_size, st.st_mtime_ns],
+        "params": params,
+        "code": digest,
+    }
+
+
 def _store_partition_keys(
     keys: "list[str]", partition_keys: "list[str] | None"
 ) -> "list[str]":

@@ -62,7 +62,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "retention_cohorts",
     "attribution_report",
     "approx_sketches",
-    "sketch_cube_slice",
     "join_full_outer",
     "join_semi_anti",
     "join_dims_grid",
@@ -90,6 +89,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "embedding_profile",
     "ann_topk",
     "ivfpq_index_probe",
+    # store-build tail: cold first run pays a multi-job persisted-store
+    # build (build-once amortized thereafter) — keep with the expensive
+    # tail so a time-budgeted cutoff hits it last, same as ivfpq above
+    "sketch_cube_slice",
     "udf_surface",
     "stream_windowed_aggs",
     "stream_session_windows",

@@ -237,7 +237,9 @@ SKETCH_CUBE_ORACLE = """
            COUNT(DISTINCT user_id) AS exact_users,
            true AS hll_ok,
            true AS p50_ok
-    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
     """
 
 SKETCH_CUBE_SPLIT = "2024-01-16"
@@ -269,14 +271,14 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct; lg_config_k=12 is ~2% rsd) and ``p50_ok`` (store
     p50 between the exact quartiles — interpolation-free bracket, the
     approx_sketches pattern)."""
-    import hashlib
-    import inspect
     import os
 
+    from .. import operators as ops_mod
     from ..operators import (
         append_qsketch_rollup,
         append_sketch_rollup,
         build_once,
+        content_key,
         qsketch_slice,
         sketch_slice,
         write_qsketch_rollup,
@@ -285,31 +287,27 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .etl_q import _scratch
 
     t = Catalog(spark, sf_dir)
-    events = t.events.where(F.col("ts").isNotNull()).withColumn(
-        "day", F.to_date("ts")
-    )
-    from .. import operators as ops_mod
-
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # digest the WHOLE operators module + this builder: the store is a
-    # function of the rollup/merge/store code, and enumerating members
-    # by hand under-invalidates (the ivfpq lesson, r13) — a spurious
-    # rebuild costs seconds, a stale store serves wrong slices
-    code_digest = hashlib.md5(
-        (inspect.getsource(ops_mod) + inspect.getsource(sketch_cube_slice)).encode()
-    ).hexdigest()
-    key = {
-        "src": os.path.abspath(src),
-        "stat": [st.st_size, st.st_mtime_ns],
-        "params": {
+    # event_type IS NOT NULL mirrors the oracle: a NULL group would
+    # never equi-join across the store legs and silently vanish from
+    # the Spark side only (r14 review finding — latent fixture-drift
+    # gate failure)
+    events = t.events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).withColumn("day", F.to_date("ts"))
+    # digest the WHOLE operators module + this builder (content_key's
+    # documented contract): a spurious rebuild costs seconds, a stale
+    # store serves wrong slices
+    key = content_key(
+        os.path.join(sf_dir, "events.parquet"),
+        {
             "keys": ["day", "event_type"],
             "hll": {"distinct_col": "user_id", "lg_config_k": 12},
             "qsketch": {"value_col": "value", "alpha": 0.01},
             "split": SKETCH_CUBE_SPLIT,
         },
-        "code": code_digest,
-    }
+        ops_mod,
+        sketch_cube_slice,
+    )
     path = _scratch(
         f"sketchcube/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
@@ -328,25 +326,47 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_once(spark, path, key, build)
     hll = sketch_slice(spark, hll_store, ["event_type"])
     q = qsketch_slice(spark, q_store, ["event_type"], [0.5])
+    # percentile ignores NULLs but not NaN/inf — feed it only the
+    # finite values the q store sketched (symmetry with qsketch's
+    # documented non-finite drop)
+    finite_v = (
+        "CASE WHEN value IS NOT NULL AND NOT isnan(value) "
+        "AND abs(value) != double('inf') THEN value END"
+    )
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.expr("percentile(value, 0.25)").alias("p25"),
-        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.expr(f"percentile({finite_v}, 0.25)").alias("p25"),
+        F.expr(f"percentile({finite_v}, 0.75)").alias("p75"),
     )
+    # left-join the quantile leg: qsketch_rollup drops non-finite/NULL
+    # values BEFORE grouping, so a group whose values are all
+    # unsketchable has NO q cell — the oracle keeps it with n_values=0,
+    # and an inner join would drop the whole row (r14 review finding).
+    # The hll leg groups ALL rows, so it owns the group spine.
+    # p50 is a DDSketch bucket REPRESENTATIVE (within α=1% of the true
+    # median, almost never equal to it), so the quartile bracket gets
+    # an α-scaled slack — a near-constant value column has
+    # p75-p25 below the bucket quantization and the bare bracket would
+    # flip false (r14 review finding; |true| <= |est|/(1-α), so
+    # 0.02·|est| covers α·|true| with margin).
+    slack = 0.02 * F.abs(F.col("p50")) + F.lit(1e-9)
     return (
-        hll.join(q, "event_type")
+        hll.join(q, "event_type", "left")
         .join(exact, "event_type")
         .select(
             "event_type",
             "n_rows",
-            "n_values",
+            F.coalesce("n_values", F.lit(0)).alias("n_values"),
             "exact_users",
             (
                 F.abs(F.col("n_distinct_approx") - F.col("exact_users"))
                 <= 0.10 * F.col("exact_users")
             ).alias("hll_ok"),
-            (
-                (F.col("p50") >= F.col("p25")) & (F.col("p50") <= F.col("p75"))
-            ).alias("p50_ok"),
+            F.when(F.coalesce("n_values", F.lit(0)) == 0, F.lit(True))
+            .otherwise(
+                (F.col("p50") >= F.col("p25") - slack)
+                & (F.col("p50") <= F.col("p75") + slack)
+            )
+            .alias("p50_ok"),
         )
     )

@@ -1183,33 +1183,25 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     The marker machinery is the shared
     :func:`~..operators.build_once` engine (r13 verdict item 5 — this
     query previously carried its own copy)."""
-    import hashlib
-    import inspect
     import os
 
-    from ..operators import build_once
+    from ..operators import build_once, content_key
     from .etl_q import _scratch
 
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
     corpus = emb.where(F.col("vec_id") >= 5)
     queries = emb.where(F.col("vec_id") < 5)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    # hash the WHOLE similarity module + this builder: the store is a
-    # function of a deep call closure (_unit, _centroid_arrays,
-    # pq_train, encode ...) and enumerating it by hand missed members
-    # (r13 review finding) — over-invalidation costs one rebuild,
-    # under-invalidation silently serves a stale index
-    code_digest = hashlib.md5(
-        (inspect.getsource(S) + inspect.getsource(ivfpq_index_probe)).encode()
-    ).hexdigest()
-    key = {
-        "src": os.path.abspath(src),
-        "stat": [st.st_size, st.st_mtime_ns],
-        "params": {"m": 8, "codes": 16, "pq_iterations": 1, "cells": "label-unit"},
-        "code": code_digest,
-    }
+    # digest the WHOLE similarity module + this builder (content_key's
+    # documented contract): the store is a function of a deep call
+    # closure (_unit, _centroid_arrays, pq_train, encode ...) and
+    # enumerating it by hand missed members (r13 review finding)
+    key = content_key(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        {"m": 8, "codes": 16, "pq_iterations": 1, "cells": "label-unit"},
+        S,
+        ivfpq_index_probe,
+    )
     path = _scratch(
         f"ivfpq/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
