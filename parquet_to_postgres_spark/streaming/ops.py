@@ -995,10 +995,61 @@ def stream_sketch_rollup_writer(
     degrades to at-least-once under a concurrent duplicate writer,
     same caveat class as the store swap (documented in
     :mod:`~..store_fs`)."""
-    from ..operators import _sketch_meta_load, _store_fs, append_sketch_rollup
+    from ..operators import append_sketch_rollup
 
+    return _stream_store_writer(
+        store_path,
+        stream_id,
+        "write_sketch_rollup",
+        lambda df: append_sketch_rollup(
+            df, store_path, keys, distinct_col, lg_config_k
+        ),
+    )
+
+
+def stream_qsketch_rollup_writer(
+    store_path: str,
+    keys: "list[str]",
+    value_col: str,
+    stream_id: str,
+    alpha: float = 0.01,
+) -> "callable":
+    """foreachBatch hook for the QUANTILE cube — the
+    :func:`stream_sketch_rollup_writer` twin on the same batch ledger,
+    and the ledger is LOAD-BEARING here, not just n_rows hygiene:
+    quantile buckets are plain integer counts, so a replayed batch
+    would double-count every affected bucket and silently weight the
+    decoded percentiles toward the replayed values
+    (:func:`~..operators.append_qsketch_rollup`'s documented
+    disjointness requirement — this writer is how a stream satisfies
+    it).  Same marker semantics, honest windows, stream_id contract,
+    and filesystem notes as the HLL twin; window (a) differs in
+    consequence — a crash between append and marker leaves one
+    at-least-once batch whose values are double-weighted until a
+    rebuild, which is exactly why the marker is written immediately
+    after the append."""
+    from ..operators import append_qsketch_rollup
+
+    return _stream_store_writer(
+        store_path,
+        stream_id,
+        "write_qsketch_rollup",
+        lambda df: append_qsketch_rollup(df, store_path, keys, value_col, alpha),
+    )
+
+
+def _stream_store_writer(
+    store_path: str, stream_id: str, backfill_fn_name: str, append_fn
+) -> "callable":
+    """The shared ledger machinery behind the store stream writers:
+    validate the stream_id, heal-and-check the store exists, skip
+    batches whose (stream_id, batch_id) marker is present, append via
+    ``append_fn(df)``, then create the marker.  Grain validation runs
+    inside every append (the store's own meta check)."""
     if "/" in stream_id or not stream_id:
         raise ValueError(f"stream_id must be a non-empty flat name: {stream_id!r}")
+
+    from ..operators import _sketch_meta_load, _store_fs
 
     def write(df, batch_id) -> None:
         fs = _store_fs(df.sparkSession, store_path)
@@ -1011,7 +1062,7 @@ def stream_sketch_rollup_writer(
         except FileNotFoundError:
             raise ValueError(
                 f"no sketch store at {store_path!r} — build it with "
-                "write_sketch_rollup (a backfill batch) before streaming "
+                f"{backfill_fn_name} (a backfill batch) before streaming "
                 "into it"
             )
         ledger = f"{store_path}/_batches"
@@ -1019,9 +1070,7 @@ def stream_sketch_rollup_writer(
         marker = f"{ledger}/{stream_id}_batch_{batch_id}"
         if fs.exists(marker):
             return
-        append_sketch_rollup(
-            df, store_path, keys, distinct_col, lg_config_k
-        )
+        append_fn(df)
         fs.create_marker(marker)
 
     return write

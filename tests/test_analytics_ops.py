@@ -845,6 +845,69 @@ def test_stream_sketch_rollup_writer_matches_batch(spark, tmp_path):
         stream_sketch_rollup_writer(store, keys, "user_id", stream_id="a/b")
 
 
+def test_stream_qsketch_rollup_writer_matches_batch(spark, tmp_path):
+    """The quantile-cube streaming twin (r14): availableNow stream
+    through stream_qsketch_rollup_writer slices BIT-identically to a
+    one-shot rebuild, and the ledger makes a replayed batch a no-op —
+    load-bearing here, since a re-appended quantile batch would
+    double-count integer buckets and skew every decoded percentile
+    (the HLL twin only over-counts n_rows)."""
+    from parquet_to_postgres_spark.operators import (
+        qsketch_slice,
+        write_qsketch_rollup,
+    )
+    from parquet_to_postgres_spark.streaming.ops import (
+        stream_qsketch_rollup_writer,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    seed = events.where(F.col("day") <= split)
+    delta = events.where(F.col("day") > split)
+
+    store = str(tmp_path / "qcube")
+    keys = ["day", "event_type"]
+    write_qsketch_rollup(seed, store, keys, "value")
+
+    src = str(tmp_path / "incoming")
+    delta.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    writer = stream_qsketch_rollup_writer(store, keys, "value", stream_id="s1")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = str(tmp_path / "qcube_full")
+    write_qsketch_rollup(events, full, keys, "value")
+
+    def slices(p):
+        return sorted(
+            map(tuple, qsketch_slice(spark, p, ["event_type"], [0.5, 0.99]).collect())
+        )
+
+    assert slices(store) == slices(full)
+
+    # replayed batch id -> ledger no-op; a re-append would shift the
+    # bucket counts and flip this equality (bit-exact, not bounds)
+    writer(delta, 0)
+    assert slices(store) == slices(full)
+
+    # missing store fails loudly and names the right backfill fn
+    ghost = str(tmp_path / "no_store")
+    w2 = stream_qsketch_rollup_writer(ghost, keys, "value", stream_id="s1")
+    with pytest.raises(ValueError, match="write_qsketch_rollup"):
+        w2(delta, 0)
+    with pytest.raises(ValueError, match="flat name"):
+        stream_qsketch_rollup_writer(store, keys, "value", stream_id="a/b")
+
+
 # ------------------------------------------------ quantile rollups ----
 
 
