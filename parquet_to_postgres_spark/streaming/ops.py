@@ -1042,35 +1042,37 @@ def _stream_store_writer(
     store_path: str, stream_id: str, backfill_fn_name: str, append_fn
 ) -> "callable":
     """The shared ledger machinery behind the store stream writers:
-    validate the stream_id, heal-and-check the store exists, skip
-    batches whose (stream_id, batch_id) marker is present, append via
-    ``append_fn(df)``, then create the marker.  Grain validation runs
-    inside every append (the store's own meta check)."""
+    validate the stream_id, skip batches whose (stream_id, batch_id)
+    marker is present, append via ``append_fn(df)``, then create the
+    marker.  The append path itself performs the healing meta load and
+    the grain validation (a torn store-level swap heals there — a bare
+    exists() probe wedged the stream, r14 review finding), so this
+    layer loads NOTHING of its own: one meta read per batch, not two
+    (r14 review finding — the write-level pre-load doubled the remote
+    meta I/O on every micro-batch).  A missing store surfaces as the
+    append's FileNotFoundError, translated to the friendly ValueError;
+    the ledger dir is only created AFTER a successful append, so a
+    misconfigured path leaves no junk half-store behind."""
     if "/" in stream_id or not stream_id:
         raise ValueError(f"stream_id must be a non-empty flat name: {stream_id!r}")
 
-    from ..operators import _sketch_meta_load, _store_fs
+    from ..operators import _store_fs
 
     def write(df, batch_id) -> None:
         fs = _store_fs(df.sparkSession, store_path)
+        ledger = f"{store_path}/_batches"
+        marker = f"{ledger}/{stream_id}_batch_{batch_id}"
+        if fs.exists(marker):
+            return
         try:
-            # _sketch_meta_load, not a bare exists() probe: the load
-            # path HEALS a torn store-level swap first — a bare probe
-            # permanently wedged the stream after a crash left the
-            # intact store at <path>.old (r14 review finding)
-            _sketch_meta_load(fs, store_path)
+            append_fn(df)
         except FileNotFoundError:
             raise ValueError(
                 f"no sketch store at {store_path!r} — build it with "
                 f"{backfill_fn_name} (a backfill batch) before streaming "
                 "into it"
             )
-        ledger = f"{store_path}/_batches"
         fs.mkdirs(ledger)
-        marker = f"{ledger}/{stream_id}_batch_{batch_id}"
-        if fs.exists(marker):
-            return
-        append_fn(df)
         fs.create_marker(marker)
 
     return write

@@ -899,6 +899,14 @@ def test_stream_qsketch_rollup_writer_matches_batch(spark, tmp_path):
     writer(delta, 0)
     assert slices(store) == slices(full)
 
+    # a SECOND stream lineage with restarting batch ids is NOT skipped
+    # (a bare-id ledger regression would silently drop it — and here
+    # the double-count is OBSERVABLE: the duplicate batch shifts the
+    # integer buckets, flipping the bit-exact equality above)
+    writer2 = stream_qsketch_rollup_writer(store, keys, "value", stream_id="s2")
+    writer2(delta, 0)
+    assert slices(store) != slices(full)
+
     # missing store fails loudly and names the right backfill fn
     ghost = str(tmp_path / "no_store")
     w2 = stream_qsketch_rollup_writer(ghost, keys, "value", stream_id="s1")
