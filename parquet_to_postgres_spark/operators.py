@@ -1877,6 +1877,223 @@ def sketch_estimate(
 
 
 # ---------------------------------------------------------------------------
+# KMV / bottom-k sketches (mergeable set-operation cardinalities)
+# ---------------------------------------------------------------------------
+
+
+def kmv_rollup(
+    df: DataFrame,
+    keys: "list[str]",
+    member_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pre-aggregate a mergeable BOTTOM-K (KMV) sketch cube: one row
+    per key combination carrying (``n_rows`` bigint, ``hashes``
+    array<bigint> — the ``k`` smallest distinct xxhash64 values of
+    ``member_col``, ascending, ``k`` int riding in the row).
+
+    This is the set-OPERATION companion to :func:`sketch_rollup`: HLL
+    answers "distinct users in this slice" but fundamentally cannot
+    intersect — "distinct users who did BOTH signup and purchase"
+    needs a sketch that keeps an actual SAMPLE of the member space.
+    The k minimum hash values are exactly that (Beyer et al.,
+    SIGMOD'07; the Jaccard estimator is Cohen's bottom-k): min-k of a
+    union is computable from the parts' min-k's, so the sketch merges
+    EXACTLY (bit-identical to building at the coarser grain — the
+    sketch is a deterministic function of the distinct-member set,
+    pinned in tests), and :func:`kmv_set_cardinalities` estimates
+    union / intersection / Jaccard between any two cells.
+
+    Contract mirrors :func:`sketch_rollup`: NULL members are not
+    sketched (not a distinct member); ``n_rows`` still counts their
+    rows.  Members are canonicalized to STRING before hashing —
+    xxhash64 is type-sensitive (INT 5 and BIGINT 5 hash differently)
+    and a width change would silently produce disjoint sketches for
+    identical data (the r12 bloom lesson).
+
+    Plan shape: a (keys, hash)-grain dedupe aggregate (map-side
+    partial), a per-key min-k rank planned as WindowGroupLimit (each
+    task pre-prunes to k rows per key BEFORE the exchange — k·P rows
+    shuffle, never the member space), one collect_list at cell grain,
+    plus a separate keys-grain count for ``n_rows`` joined back at
+    cell grain.  Cell size is ~8·k bytes at any corpus size."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not keys:
+        raise ValueError("keys must be non-empty (global = a constant key)")
+    h = F.xxhash64(F.col(member_col).cast("string"))
+    base = df.where(F.col(member_col).isNotNull()).select(
+        *keys, h.alias("__h")
+    )
+    ranked = (
+        base.groupBy(*keys, "__h")
+        .agg(F.lit(1).alias("__one"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.col("__h"))
+            ),
+        )
+        .where(F.col("__r") <= k)
+    )
+    cells = ranked.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__h")).alias("hashes")
+    )
+    n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    return n.join(cells, keys, "left").select(
+        *keys,
+        "n_rows",
+        F.coalesce("hashes", F.array().cast("array<bigint>")).alias("hashes"),
+        F.lit(int(k)).alias("k"),
+    )
+
+
+def kmv_merge(rollup: DataFrame, keys: "list[str]") -> DataFrame:
+    """Merge a KMV rollup to a coarser grain (``keys`` ⊆ build keys;
+    may be empty for one global row): min-k of the union of the
+    parts' hash samples — BIT-identical to building at the coarser
+    grain directly (both are the k smallest distinct member hashes),
+    the same exactness class as :func:`qsketch_merge`.  Sketches
+    built at different ``k`` refuse at runtime (a silent mixed-k
+    merge would bias every estimate: a truncated min-64 sample is not
+    a valid prefix of a min-256 sample)."""
+    # constant grouping key so the empty-keys global merge rides the
+    # same single code path (and an all-empty-hashes group still
+    # surfaces with its n_rows)
+    g = rollup.withColumn("__g", F.lit(1))
+    gcols = [*keys, "__g"]
+    n = g.groupBy(*gcols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("k").alias("__klo"),
+        F.max("k").alias("__khi"),
+    )
+    dedup = (
+        g.select(*gcols, "k", F.explode("hashes").alias("__h"))
+        .groupBy(*gcols, "__h")
+        .agg(F.max("k").alias("__k"))
+    )
+    ranked = dedup.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy(*gcols).orderBy(F.col("__h"))),
+    ).where(F.col("__r") <= F.col("__k"))
+    cells = ranked.groupBy(*gcols).agg(
+        F.sort_array(F.collect_list("__h")).alias("hashes")
+    )
+    # the guard rides INSIDE the selected k expression — a dropped
+    # assert_true column would be pruned by Catalyst and never fire
+    # (assert_true returns NULL on success, so the when() yields k)
+    guarded_k = F.when(
+        F.assert_true(
+            F.col("__klo") == F.col("__khi"),
+            F.lit("kmv sketches built at different k cannot merge"),
+        ).isNull(),
+        F.col("__klo"),
+    )
+    return n.join(cells, gcols, "left").select(
+        *keys,
+        "n_rows",
+        F.coalesce("hashes", F.array().cast("array<bigint>")).alias("hashes"),
+        guarded_k.alias("k"),
+    )
+
+
+def _kmv_u(h: Column) -> Column:
+    """Normalize a signed-64 hash to (0, 1]: u = h/2^64 + 0.5, with the
+    zero corner (h == −2^63) clamped — the estimator divides by u."""
+    u = h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)
+    return F.greatest(u, F.lit(2.0 ** -64))
+
+
+def _kmv_estimate_expr(hashes: Column, k: Column) -> Column:
+    """The KMV distinct estimate as a pure expression: exact |sample|
+    while the sample is exhaustive (m < k), else the unbiased
+    (k−1)/u_k with u_k the k-th smallest normalized hash (Beyer et
+    al., SIGMOD'07)."""
+    m = F.size(hashes)
+    return F.when(m < k, m.cast("long")).otherwise(
+        F.round((k.cast("double") - 1) / _kmv_u(F.element_at(hashes, -1)))
+        .cast("long")
+    )
+
+
+def kmv_estimate(
+    rollup: DataFrame, out_col: str = "n_distinct_approx"
+) -> DataFrame:
+    """Attach the KMV cardinality estimate (bigint) to a sketch table —
+    the read-side decode, a pure per-row expression (k comes FROM the
+    row, the qsketch alpha-in-band lesson).  Exact below k members;
+    ~1/√(k−2) relative error above (k=256 → ~6%)."""
+    return rollup.withColumn(
+        out_col, _kmv_estimate_expr(F.col("hashes"), F.col("k"))
+    )
+
+
+def kmv_set_cardinalities(
+    left: DataFrame,
+    right: DataFrame,
+    on: "list[str]",
+) -> DataFrame:
+    """THE reason KMV exists next to HLL: approximate
+    union / intersection / Jaccard cardinalities between two sketch
+    frames, per joined key row — "how many distinct users did BOTH
+    signup and purchase (per day)" answered from cell rows, never raw
+    events.
+
+    ``left`` and ``right`` are :func:`kmv_rollup` / :func:`kmv_merge`
+    outputs sharing the ``on`` key columns (inner-joined; pre-filter
+    and :func:`kmv_merge` each side to the comparison grain first).
+    Output per row: (``on...``, ``n_left``, ``n_right``, ``n_union``,
+    ``n_intersection`` bigints, ``jaccard`` double).
+
+    Estimators (all pure JVM array expressions, zero Python):
+    min-k of the union is the k smallest of the merged samples —
+    a TRUE KMV sketch of A∪B, so ``n_union`` is the standard
+    estimate; ``jaccard`` is Cohen's bottom-k estimator
+    |sample(A∪B) ∩ A ∩ B| / |sample(A∪B)|; ``n_intersection`` =
+    jaccard × n_union, rounded.  While both sides are exhaustive
+    (m < k) every output is EXACT (pinned in tests).  Mixed-k inputs
+    refuse at runtime, same guard as :func:`kmv_merge`."""
+    lk = left.select(
+        *on, F.col("hashes").alias("__ha"), F.col("k").alias("__ka")
+    )
+    rk = right.select(
+        *on, F.col("hashes").alias("__hb"), F.col("k").alias("__kb")
+    )
+    j = lk.join(rk, on)
+    k = F.col("__ka")
+    guarded_k = F.when(
+        F.assert_true(
+            F.col("__ka") == F.col("__kb"),
+            F.lit("kmv sketches built at different k cannot combine"),
+        ).isNull(),
+        k,
+    )
+    union_sample = F.slice(
+        F.array_sort(F.array_union("__ha", "__hb")), 1, guarded_k
+    )
+    m = F.size(union_sample)
+    in_both = F.size(
+        F.array_intersect(
+            F.array_intersect(union_sample, F.col("__ha")), F.col("__hb")
+        )
+    )
+    jaccard = F.when(
+        m > 0, in_both.cast("double") / m.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_union = _kmv_estimate_expr(union_sample, k)
+    return j.select(
+        *on,
+        _kmv_estimate_expr(F.col("__ha"), k).alias("n_left"),
+        _kmv_estimate_expr(F.col("__hb"), k).alias("n_right"),
+        n_union.alias("n_union"),
+        F.round(jaccard * n_union.cast("double"))
+        .cast("long")
+        .alias("n_intersection"),
+        jaccard.alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Frequent items (Misra-Gries mergeable heavy-hitter summaries)
 # ---------------------------------------------------------------------------
 

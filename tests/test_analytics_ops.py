@@ -916,6 +916,155 @@ def test_stream_qsketch_rollup_writer_matches_batch(spark, tmp_path):
         stream_qsketch_rollup_writer(store, keys, "value", stream_id="a/b")
 
 
+# ------------------------------------------------------ KMV sketches ----
+
+
+def test_kmv_exact_when_under_k(spark):
+    """While every sample is exhaustive (m < k) the KMV estimates are
+    EXACT — distinct counts, union, intersection, and Jaccard all
+    equal the true set values."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_estimate,
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    a_members = [f"u{i}" for i in range(30)]
+    b_members = [f"u{i}" for i in range(20, 50)]  # overlap 10, union 50
+    df = spark.createDataFrame(
+        [("a", m) for m in a_members] * 2 + [("b", m) for m in b_members],
+        "g string, member string",
+    ).withColumn("one", F.lit(1))
+    roll = kmv_rollup(df, ["g"], "member", k=256)
+    est = {r["g"]: r["n_distinct_approx"] for r in kmv_estimate(roll).collect()}
+    assert est == {"a": 30, "b": 30}
+    a = roll.where("g = 'a'").withColumn("one", F.lit(1))
+    b = roll.where("g = 'b'").withColumn("one", F.lit(1))
+    got = kmv_set_cardinalities(a, b, ["one"]).collect()[0]
+    assert (got["n_left"], got["n_right"]) == (30, 30)
+    assert got["n_union"] == 50 and got["n_intersection"] == 10
+    assert abs(got["jaccard"] - 10 / 50) < 1e-12
+
+
+def test_kmv_merge_is_bit_exact(spark):
+    """Merging per-day sketches equals building at the coarser grain
+    directly — hash-for-hash, the same exactness class as qsketch
+    (the sketch is a deterministic function of the distinct-member
+    set)."""
+    from parquet_to_postgres_spark.operators import kmv_merge, kmv_rollup
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    fine = kmv_rollup(events, ["day", "event_type"], "user_id", k=64)
+    merged = kmv_merge(fine, ["event_type"])
+    direct = kmv_rollup(events, ["event_type"], "user_id", k=64)
+
+    def canon(df):
+        return sorted(
+            (r["event_type"], r["n_rows"], r["k"], tuple(r["hashes"]))
+            for r in df.collect()
+        )
+
+    assert canon(merged) == canon(direct)
+    # global merge (empty keys) == one-constant-key global build
+    g = kmv_merge(fine, [])
+    direct_g = kmv_rollup(
+        events.withColumn("all", F.lit("x")), ["all"], "user_id", k=64
+    )
+    assert sorted(tuple(r["hashes"]) for r in g.collect()) == sorted(
+        tuple(r["hashes"]) for r in direct_g.collect()
+    )
+
+
+def test_kmv_estimate_and_set_ops_error_bounds(spark):
+    """Above k the estimators are approximate with known error
+    (~1/√(k−2) rsd at k=256): deterministic fixture (xxhash64 is
+    seedless-stable), generous 4σ-ish bounds."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_estimate,
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    a = [(f"m{i}",) for i in range(3000)]
+    b = [(f"m{i}",) for i in range(2000, 4000)]  # |B|=2000, overlap 1000
+    k = 256
+    ra = kmv_rollup(
+        spark.createDataFrame(a, "member string").withColumn("g", F.lit(1)),
+        ["g"], "member", k=k,
+    )
+    rb = kmv_rollup(
+        spark.createDataFrame(b, "member string").withColumn("g", F.lit(1)),
+        ["g"], "member", k=k,
+    )
+    est_a = kmv_estimate(ra).collect()[0]["n_distinct_approx"]
+    assert abs(est_a - 3000) <= 0.25 * 3000, est_a
+    got = kmv_set_cardinalities(ra, rb, ["g"]).collect()[0]
+    assert abs(got["n_union"] - 4000) <= 0.25 * 4000, got
+    assert abs(got["n_intersection"] - 1000) <= 0.35 * 1000, got
+    assert abs(got["jaccard"] - 0.25) <= 0.1, got
+
+
+def test_kmv_type_canonicalization_and_nulls(spark):
+    """INT and BIGINT member columns sketch IDENTICALLY (members are
+    cast to string before xxhash64 — the r12 bloom width lesson), and
+    NULL members are not sketched while their rows still count."""
+    from parquet_to_postgres_spark.operators import kmv_rollup
+
+    ints = spark.createDataFrame(
+        [("g", 5), ("g", 7), ("g", None)], "g string, m int"
+    )
+    longs = spark.createDataFrame(
+        [("g", 5), ("g", 7), ("g", None)], "g string, m bigint"
+    )
+    ri = kmv_rollup(ints, ["g"], "m", k=8).collect()[0]
+    rl = kmv_rollup(longs, ["g"], "m", k=8).collect()[0]
+    assert list(ri["hashes"]) == list(rl["hashes"]) and len(ri["hashes"]) == 2
+    assert ri["n_rows"] == 3  # the NULL-member row still counts
+
+
+def test_kmv_validation_and_mixed_k_refusal(spark):
+    from parquet_to_postgres_spark.operators import (
+        kmv_merge,
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    df = spark.createDataFrame([("g", "x")], "g string, m string")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_rollup(df, ["g"], "m", k=1)
+    with pytest.raises(ValueError, match="keys must be"):
+        kmv_rollup(df, [], "m")
+    r8 = kmv_rollup(df, ["g"], "m", k=8)
+    r16 = kmv_rollup(df, ["g"], "m", k=16)
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="different k"):
+        kmv_merge(r8.unionByName(r16), []).collect()
+    with pytest.raises(Exception, match="different k"):
+        kmv_set_cardinalities(r8, r16, ["g"]).collect()
+
+
+def test_kmv_rollup_min_k_prune_plan(spark):
+    """The per-key min-k rank filter plans as WindowGroupLimit — each
+    task pre-prunes to k rows per key BEFORE the exchange, the
+    property that keeps the build's shuffle k·P-bounded instead of
+    member-grain.  Zero Python anywhere."""
+    from parquet_to_postgres_spark.operators import kmv_rollup
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("m"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmv_rollup(df, ["g"], "m", k=16).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "WindowGroupLimit" in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
 # ------------------------------------------------ quantile rollups ----
 
 

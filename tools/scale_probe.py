@@ -91,6 +91,9 @@ HEAVY = [
     # the VALUE RANGE, so near-flat under 10x rows.
     "frequent_items_census",
     "qsketch_rollup_merge",
+    # r14: KMV set-op cardinalities — k·P-bounded build shuffle
+    # (WindowGroupLimit prune), near-flat expected at 10x
+    "kmv_set_ops",
 ]
 # skew-sensitive queries re-run on the hot-key variant.  funnel_counts
 # is included DELIBERATELY: its per-user collect+fold holds one user's
@@ -360,6 +363,30 @@ def main() -> int:
 
     specs["frequent_items_census"] = SimpleNamespace(builder=_frequent_probe)
     specs["qsketch_rollup_merge"] = SimpleNamespace(builder=_qsketch_probe)
+
+    # r14: KMV set-operation cardinalities.  The min-k prune plans as
+    # WindowGroupLimit, so the build shuffle is k·P-bounded — the
+    # probe should show near-flat shuffle under 10x rows (distinct
+    # users also grow 10x under the synthesis, but only k hashes ride
+    # per cell).
+    from parquet_to_postgres_spark.operators import (
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    def _kmv_probe(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        a = kmv_rollup(
+            events.where(F.col("event_type") == "signup"), ["day"], "user_id"
+        )
+        b = kmv_rollup(
+            events.where(F.col("event_type") == "purchase"), ["day"], "user_id"
+        )
+        return kmv_set_cardinalities(a, b, ["day"])
+
+    specs["kmv_set_ops"] = SimpleNamespace(builder=_kmv_probe)
     out: dict[str, dict] = {}
     for name in HEAVY:
         row = {}
