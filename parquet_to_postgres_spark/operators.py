@@ -1925,26 +1925,37 @@ def kmv_rollup(
     base = df.where(F.col(member_col).isNotNull()).select(
         *keys, h.alias("__h")
     )
-    ranked = (
-        base.groupBy(*keys, "__h")
-        .agg(F.lit(1).alias("__one"))
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy(*keys).orderBy(F.col("__h"))
-            ),
-        )
-        .where(F.col("__r") <= k)
-    )
+    ranked = base.distinct().withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy(*keys).orderBy(F.col("__h"))),
+    ).where(F.col("__r") <= k)
     cells = ranked.groupBy(*keys).agg(
         F.sort_array(F.collect_list("__h")).alias("hashes")
     )
     n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    return n.join(cells, keys, "left").select(
+    return _kmv_attach(n, cells, keys).select(
         *keys,
         "n_rows",
         F.coalesce("hashes", F.array().cast("array<bigint>")).alias("hashes"),
         F.lit(int(k)).alias("k"),
+    )
+
+
+def _kmv_attach(n: DataFrame, cells: DataFrame, keys: "list[str]") -> DataFrame:
+    """Left-join the hash cells onto the count spine NULL-SAFELY: a
+    plain equi-join never matches NULL == NULL, so a NULL key value
+    would silently get an empty sketch for a populated cell — the HLL
+    cube (single groupBy, no join) sketches that slice correctly and
+    the two cubes would disagree (r14 review finding)."""
+    renamed = cells.select(
+        *[F.col(c).alias(f"__ck_{c}") for c in keys], "hashes"
+    )
+    cond = None
+    for c in keys:
+        leg = n[c].eqNullSafe(renamed[f"__ck_{c}"])
+        cond = leg if cond is None else (cond & leg)
+    return n.join(renamed, cond, "left").drop(
+        *[f"__ck_{c}" for c in keys]
     )
 
 
@@ -1979,21 +1990,25 @@ def kmv_merge(rollup: DataFrame, keys: "list[str]") -> DataFrame:
     cells = ranked.groupBy(*gcols).agg(
         F.sort_array(F.collect_list("__h")).alias("hashes")
     )
-    # the guard rides INSIDE the selected k expression — a dropped
-    # assert_true column would be pruned by Catalyst and never fire
-    # (assert_true returns NULL on success, so the when() yields k)
-    guarded_k = F.when(
-        F.assert_true(
-            F.col("__klo") == F.col("__khi"),
-            F.lit("kmv sketches built at different k cannot merge"),
-        ).isNull(),
-        F.col("__klo"),
-    )
-    return n.join(cells, gcols, "left").select(
+    # the mixed-k guard rides INSIDE both sketch outputs — a dropped
+    # assert_true column would be pruned by Catalyst and never fire,
+    # and guarding only k would let `.select("hashes")` walk off with
+    # an incoherent truncated blend (both r14 review findings).
+    # assert_true returns NULL on success, so the when() yields the
+    # wrapped value.
+    chk = F.assert_true(
+        F.col("__klo") == F.col("__khi"),
+        F.lit("kmv sketches built at different k cannot merge"),
+    ).isNull()
+    joined = _kmv_attach(n, cells, gcols)
+    return joined.select(
         *keys,
         "n_rows",
-        F.coalesce("hashes", F.array().cast("array<bigint>")).alias("hashes"),
-        guarded_k.alias("k"),
+        F.when(
+            chk,
+            F.coalesce("hashes", F.array().cast("array<bigint>")),
+        ).alias("hashes"),
+        F.when(chk, F.col("__klo")).alias("k"),
     )
 
 
@@ -2050,27 +2065,41 @@ def kmv_set_cardinalities(
     a TRUE KMV sketch of A∪B, so ``n_union`` is the standard
     estimate; ``jaccard`` is Cohen's bottom-k estimator
     |sample(A∪B) ∩ A ∩ B| / |sample(A∪B)|; ``n_intersection`` =
-    jaccard × n_union, rounded.  While both sides are exhaustive
-    (m < k) every output is EXACT (pinned in tests).  Mixed-k inputs
-    refuse at runtime, same guard as :func:`kmv_merge`."""
+    jaccard × n_union, rounded.  Exactness condition, stated
+    precisely: every output is EXACT while |A∪B| < k (the union
+    sample never saturates) — per-side exhaustiveness is NOT enough,
+    since two exhaustive samples can union past k and re-enter the
+    estimator (r14 review finding; pinned in tests).  The join on
+    ``on`` is NULL-SAFE (a NULL key cell would otherwise silently
+    vanish from the comparison), and mixed-k inputs refuse at runtime
+    through every output column, same guard as :func:`kmv_merge`."""
     lk = left.select(
-        *on, F.col("hashes").alias("__ha"), F.col("k").alias("__ka")
+        *[F.col(c).alias(f"__l_{c}") for c in on],
+        F.col("hashes").alias("__ha"),
+        F.col("k").alias("__ka"),
     )
     rk = right.select(
-        *on, F.col("hashes").alias("__hb"), F.col("k").alias("__kb")
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        F.col("hashes").alias("__hb"),
+        F.col("k").alias("__kb"),
     )
-    j = lk.join(rk, on)
-    k = F.col("__ka")
-    guarded_k = F.when(
+    cond = None
+    for c in on:
+        leg = lk[f"__l_{c}"].eqNullSafe(rk[f"__r_{c}"])
+        cond = leg if cond is None else (cond & leg)
+    j = lk.join(rk, cond)
+    # the mixed-k guard rides inside EVERY estimate (via guarded k):
+    # guarding only the union leg let a caller select n_right alone,
+    # prune the guarded expression, and read a ~k_a/k_b-biased
+    # estimate with no error (r14 review finding)
+    k = F.when(
         F.assert_true(
             F.col("__ka") == F.col("__kb"),
             F.lit("kmv sketches built at different k cannot combine"),
         ).isNull(),
-        k,
+        F.col("__ka"),
     )
-    union_sample = F.slice(
-        F.array_sort(F.array_union("__ha", "__hb")), 1, guarded_k
-    )
+    union_sample = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)
     m = F.size(union_sample)
     in_both = F.size(
         F.array_intersect(
@@ -2082,7 +2111,7 @@ def kmv_set_cardinalities(
     ).otherwise(F.lit(0.0))
     n_union = _kmv_estimate_expr(union_sample, k)
     return j.select(
-        *on,
+        *[F.col(f"__l_{c}").alias(c) for c in on],
         _kmv_estimate_expr(F.col("__ha"), k).alias("n_left"),
         _kmv_estimate_expr(F.col("__hb"), k).alias("n_right"),
         n_union.alias("n_union"),

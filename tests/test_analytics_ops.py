@@ -1038,12 +1038,77 @@ def test_kmv_validation_and_mixed_k_refusal(spark):
         kmv_rollup(df, [], "m")
     r8 = kmv_rollup(df, ["g"], "m", k=8)
     r16 = kmv_rollup(df, ["g"], "m", k=16)
-    import py4j.protocol
-
     with pytest.raises(Exception, match="different k"):
         kmv_merge(r8.unionByName(r16), []).collect()
     with pytest.raises(Exception, match="different k"):
         kmv_set_cardinalities(r8, r16, ["g"]).collect()
+    # the guard must fire even when the consumer selects a SINGLE
+    # column — a guard living only in one output expression gets
+    # pruned by Catalyst and a biased estimate escapes silently
+    # (r14 review finding)
+    with pytest.raises(Exception, match="different k"):
+        kmv_set_cardinalities(r8, r16, ["g"]).select("n_right").collect()
+    with pytest.raises(Exception, match="different k"):
+        kmv_merge(r8.unionByName(r16), []).select("hashes").collect()
+
+
+def test_kmv_null_keys_sketch_correctly(spark):
+    """A NULL key value is a real group (the outer-join skew class):
+    the count spine and the hash cells must rejoin NULL-SAFELY — a
+    plain equi-join gave NULL-key cells an empty sketch (estimate 0
+    for a populated group) while the HLL cube sketched the same slice
+    correctly (r14 review finding)."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "u1"), (None, "u2"), ("a", "u1")], "g string, m string"
+    )
+    roll = kmv_rollup(df, ["g"], "m", k=8)
+    est = {r["g"]: r["n_distinct_approx"] for r in kmv_estimate(roll).collect()}
+    assert est == {None: 2, "a": 1}
+    # merge preserves the NULL-key group too
+    merged = kmv_merge(roll.withColumn("extra", F.lit(1)), ["g"])
+    est_m = {
+        r["g"]: r["n_distinct_approx"] for r in kmv_estimate(merged).collect()
+    }
+    assert est_m == est
+    # and the set-op join keeps the NULL-key comparison row
+    got = {
+        r["g"]: r["n_intersection"]
+        for r in kmv_set_cardinalities(roll, roll, ["g"]).collect()
+    }
+    assert got == {None: 2, "a": 1}
+
+
+def test_kmv_union_saturation_is_estimated_not_exact(spark):
+    """Two EXHAUSTIVE sides (each m < k) can still union past k — the
+    output re-enters the estimator there, so exactness is conditioned
+    on |A∪B| < k, not per-side exhaustiveness (r14 review finding:
+    the docstring originally overclaimed)."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    k = 64
+    a = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(50)], "g string, m string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"b{i}") for i in range(50)], "g string, m string"
+    )
+    ra, rb = kmv_rollup(a, ["g"], "m", k=k), kmv_rollup(b, ["g"], "m", k=k)
+    got = kmv_set_cardinalities(ra, rb, ["g"]).collect()[0]
+    assert got["n_left"] == 50 and got["n_right"] == 50  # sides exact
+    # union (100 > k=64) is an estimate: inside the k=64 error band
+    # (~12.5% rsd), and disjoint sets keep intersection ~0
+    assert abs(got["n_union"] - 100) <= 0.5 * 100, got
+    assert got["n_intersection"] <= 5, got
 
 
 def test_kmv_rollup_min_k_prune_plan(spark):
