@@ -2122,6 +2122,90 @@ def kmv_set_cardinalities(
     )
 
 
+def write_kmv_rollup(
+    df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    member_col: str,
+    partition_keys: "list[str] | None" = None,
+    k: int = 256,
+) -> None:
+    """Materialize a :func:`kmv_rollup` as a partitioned store — the
+    SET-OPERATION member of the store family, on the same engine as
+    the HLL cube (:func:`write_sketch_rollup`) and the quantile cube
+    (:func:`write_qsketch_rollup`): tmp-build + swap durability, grain
+    metadata validated on append/slice, planning-time partition
+    pruning, merge-on-read appends, compaction with self-heal, and the
+    portable filesystem contract (:mod:`~.store_fs`).  A store per
+    audience dimension answers "overlap between ANY two slices"
+    (:func:`kmv_set_cardinalities` over two :func:`kmv_slice` calls)
+    from cell rows, never raw events."""
+    pk = _store_partition_keys(keys, partition_keys)
+    meta = {
+        "kind": "kmv",
+        "keys": list(keys),
+        "member_col": member_col,
+        "partition_keys": pk,
+        "k": int(k),
+    }
+    _store_write(path, meta, kmv_rollup(df, keys, member_col, k))
+
+
+def append_kmv_rollup(
+    df: DataFrame,
+    path: str,
+    keys: "list[str]",
+    member_col: str,
+    k: int = 256,
+) -> None:
+    """Append an ingest increment's KMV cells.  Like the HLL store —
+    and unlike the quantile store — the SKETCH is idempotent for
+    re-appended data (min-k of a union absorbs duplicate hashes), so
+    replays never bias an estimate; ``n_rows`` is additive and only
+    disjoint increments keep it equal to the raw row count (the HLL
+    twin's exact caveat)."""
+    stored = _sketch_meta_load(_store_fs(df.sparkSession, path), path)
+    meta = {
+        "kind": "kmv",
+        "keys": list(keys),
+        "member_col": member_col,
+        "partition_keys": stored.get("partition_keys"),
+        "k": int(k),
+    }
+    _store_append(
+        path, meta, kmv_rollup(df, keys, member_col, k), stored=stored
+    )
+
+
+def kmv_slice(
+    spark,
+    path: str,
+    keys: "list[str]",
+    where: "Column | None" = None,
+    estimate: bool = True,
+) -> DataFrame:
+    """Answer a slice from the KMV store: optional filter (partition-
+    key predicates prune directories at planning time), merge to the
+    surviving ``keys`` (may be empty for one global row).  With
+    ``estimate=True`` (default) returns (``keys...``, ``n_rows``,
+    ``n_distinct_approx``) — the sketch columns dropped; pass
+    ``estimate=False`` to keep (``hashes``, ``k``) re-mergeable rows,
+    e.g. to feed two slices into :func:`kmv_set_cardinalities` for an
+    audience-overlap report."""
+    cells = _store_cells(spark, path, keys, where, kind="kmv")
+    merged = kmv_merge(cells, keys)
+    if not estimate:
+        return merged
+    return kmv_estimate(merged).drop("hashes", "k")
+
+
+def compact_kmv_rollup(spark, path: str) -> None:
+    """Collapse accumulated append rows — min-k union is associative,
+    so slices read identically before and after (bit-exact, the
+    qsketch class); same shared engine, same self-heal contract."""
+    _store_compact(spark, path, kmv_merge, kind="kmv")
+
+
 # ---------------------------------------------------------------------------
 # Frequent items (Misra-Gries mergeable heavy-hitter summaries)
 # ---------------------------------------------------------------------------

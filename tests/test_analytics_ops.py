@@ -1130,6 +1130,110 @@ def test_kmv_rollup_min_k_prune_plan(spark):
     assert "Python" not in p and "ArrowEval" not in p
 
 
+def test_kmv_store_roundtrip_append_compact(spark, tmp_path):
+    """The KMV store on the shared engine: incremental build+append
+    slices BIT-identically to a one-shot rebuild (min-k union is
+    deterministic), re-appended overlapping DATA never changes an
+    estimate (idempotent, the HLL class), compaction shrinks rows
+    without changing any slice, grain guards refuse, and two slices
+    feed kmv_set_cardinalities for the audience-overlap report."""
+    import os
+
+    from parquet_to_postgres_spark.operators import (
+        append_kmv_rollup,
+        compact_kmv_rollup,
+        kmv_set_cardinalities,
+        kmv_slice,
+        write_kmv_rollup,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    keys = ["day", "event_type"]
+    store = str(tmp_path / "kmv")
+    write_kmv_rollup(events.where(F.col("day") <= split), store, keys, "user_id")
+    append_kmv_rollup(
+        events.where(F.col("day") > split), store, keys, "user_id"
+    )
+    full = str(tmp_path / "kmv_full")
+    write_kmv_rollup(events, full, keys, "user_id")
+
+    def slices(p):
+        return sorted(
+            map(tuple, kmv_slice(spark, p, ["event_type"]).collect())
+        )
+
+    assert slices(store) == slices(full)
+
+    # overlapping re-append: estimates unchanged (min-k absorbs
+    # duplicate hashes), n_rows additive — the HLL contract
+    before = {
+        r[0]: r[2]
+        for r in slices(store)  # (event_type, n_rows, n_distinct_approx)
+    }
+    append_kmv_rollup(
+        events.where(F.col("day") > split), store, keys, "user_id"
+    )
+    after_rows = slices(store)
+    assert {r[0]: r[2] for r in after_rows} == before
+
+    n_pre = spark.read.parquet(f"{store}/cells").count()
+    compact_kmv_rollup(spark, store)
+    assert slices(store) == after_rows
+    assert spark.read.parquet(f"{store}/cells").count() < n_pre
+
+    # grain/kind guards
+    with pytest.raises(ValueError, match="built as"):
+        append_kmv_rollup(events, store, keys, "event_id")
+    from parquet_to_postgres_spark.operators import append_sketch_rollup
+
+    with pytest.raises(ValueError, match="built as"):
+        append_sketch_rollup(events, store, keys, "user_id")
+    with pytest.raises(ValueError, match="cross-kind"):
+        from parquet_to_postgres_spark.operators import qsketch_slice
+
+        qsketch_slice(spark, store, ["event_type"], [0.5])
+
+    # the audience-overlap report: signup-vs-purchase users per day,
+    # from re-mergeable slices (estimate=False), never raw events
+    a = kmv_slice(
+        spark, store, ["day"],
+        where=F.col("event_type") == "signup", estimate=False,
+    )
+    b = kmv_slice(
+        spark, store, ["day"],
+        where=F.col("event_type") == "purchase", estimate=False,
+    )
+    overlap = kmv_set_cardinalities(a, b, ["day"])
+    got = overlap.collect()
+    assert got  # rows exist
+    # exact check on one day (fixture cells are far under k=256, so
+    # every output is exact): replay from raw events
+    d0 = got[0]["day"]
+    su = {
+        r["user_id"]
+        for r in events.where(
+            (F.col("day") == d0) & (F.col("event_type") == "signup")
+        ).collect()
+    }
+    pu = {
+        r["user_id"]
+        for r in events.where(
+            (F.col("day") == d0) & (F.col("event_type") == "purchase")
+        ).collect()
+    }
+    row0 = [r for r in got if r["day"] == d0][0]
+    assert row0["n_union"] == len(su | pu)
+    assert row0["n_intersection"] == len(su & pu)
+
+    # self-heal through the shared engine
+    os.rename(f"{store}/cells", f"{store}/cells_old")
+    assert slices(store) == after_rows
+
+
 # ------------------------------------------------ quantile rollups ----
 
 
