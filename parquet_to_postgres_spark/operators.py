@@ -2122,6 +2122,15 @@ def kmv_set_cardinalities(
     )
 
 
+def _store_meta(kind: str, keys: "list[str]", pk, **params) -> dict:
+    """One grain-meta constructor per store WRITE/APPEND pair —
+    _sketch_meta_check compares full dicts, so a field added to one
+    literal but not its twin would make every append refuse with
+    'built as' (r14 review finding: the dict literal was duplicated
+    per family, three families deep)."""
+    return {"kind": kind, "keys": list(keys), "partition_keys": pk, **params}
+
+
 def write_kmv_rollup(
     df: DataFrame,
     path: str,
@@ -2141,13 +2150,7 @@ def write_kmv_rollup(
     (:func:`kmv_set_cardinalities` over two :func:`kmv_slice` calls)
     from cell rows, never raw events."""
     pk = _store_partition_keys(keys, partition_keys)
-    meta = {
-        "kind": "kmv",
-        "keys": list(keys),
-        "member_col": member_col,
-        "partition_keys": pk,
-        "k": int(k),
-    }
+    meta = _store_meta("kmv", keys, pk, member_col=member_col, k=int(k))
     _store_write(path, meta, kmv_rollup(df, keys, member_col, k))
 
 
@@ -2165,13 +2168,10 @@ def append_kmv_rollup(
     disjoint increments keep it equal to the raw row count (the HLL
     twin's exact caveat)."""
     stored = _sketch_meta_load(_store_fs(df.sparkSession, path), path)
-    meta = {
-        "kind": "kmv",
-        "keys": list(keys),
-        "member_col": member_col,
-        "partition_keys": stored.get("partition_keys"),
-        "k": int(k),
-    }
+    meta = _store_meta(
+        "kmv", keys, stored.get("partition_keys"),
+        member_col=member_col, k=int(k),
+    )
     _store_append(
         path, meta, kmv_rollup(df, keys, member_col, k), stored=stored
     )
@@ -2705,13 +2705,9 @@ def write_sketch_rollup(
     atomic; S3-like are copy+delete — prefer rebuild-into-new-path +
     pointer flip there)."""
     pk = _store_partition_keys(keys, partition_keys)
-    meta = {
-        "kind": "hll",
-        "keys": list(keys),
-        "distinct_col": distinct_col,
-        "partition_keys": pk,
-        "lg_config_k": lg_config_k,
-    }
+    meta = _store_meta(
+        "hll", keys, pk, distinct_col=distinct_col, lg_config_k=lg_config_k
+    )
     _store_write(path, meta, sketch_rollup(df, keys, distinct_col, lg_config_k))
 
 
@@ -2733,13 +2729,10 @@ def append_sketch_rollup(
     :func:`compact_sketch_rollup` occasionally to collapse
     accumulated rows per cell."""
     stored = _sketch_meta_load(_store_fs(df.sparkSession, path), path)
-    meta = {
-        "kind": "hll",
-        "keys": list(keys),
-        "distinct_col": distinct_col,
-        "partition_keys": stored.get("partition_keys"),
-        "lg_config_k": lg_config_k,
-    }
+    meta = _store_meta(
+        "hll", keys, stored.get("partition_keys"),
+        distinct_col=distinct_col, lg_config_k=lg_config_k,
+    )
     _store_append(
         path, meta, sketch_rollup(df, keys, distinct_col, lg_config_k),
         stored=stored,
@@ -3002,13 +2995,9 @@ def write_qsketch_rollup(
     filesystem contract as :func:`write_sketch_rollup` (any scheme
     Spark can write; per-scheme atomicity in :mod:`~.store_fs`)."""
     pk = _store_partition_keys(keys, partition_keys)
-    meta = {
-        "kind": "qsketch",
-        "keys": list(keys),
-        "value_col": value_col,
-        "partition_keys": pk,
-        "alpha": float(alpha),
-    }
+    meta = _store_meta(
+        "qsketch", keys, pk, value_col=value_col, alpha=float(alpha)
+    )
     _store_write(path, meta, qsketch_rollup(df, keys, value_col, alpha))
 
 
@@ -3027,13 +3016,10 @@ def append_qsketch_rollup(
     batch ledger (:func:`~.streaming.ops.stream_sketch_rollup_writer`
     pattern) under streaming replays."""
     stored = _sketch_meta_load(_store_fs(df.sparkSession, path), path)
-    meta = {
-        "kind": "qsketch",
-        "keys": list(keys),
-        "value_col": value_col,
-        "partition_keys": stored.get("partition_keys"),
-        "alpha": float(alpha),
-    }
+    meta = _store_meta(
+        "qsketch", keys, stored.get("partition_keys"),
+        value_col=value_col, alpha=float(alpha),
+    )
     _store_append(
         path, meta, qsketch_rollup(df, keys, value_col, alpha), stored=stored
     )
