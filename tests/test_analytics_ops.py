@@ -1130,6 +1130,55 @@ def test_kmv_rollup_min_k_prune_plan(spark):
     assert "Python" not in p and "ArrowEval" not in p
 
 
+def test_kmv_set_ops_match_duckdb_exact_in_exhaustive_regime(spark, duck):
+    """Engine-independent oracle for the audience-overlap report: with
+    k above every daily audience, kmv_set_cardinalities' outputs are
+    EXACT set cardinalities — replayable cell-for-cell by DuckDB
+    COUNT(DISTINCT) set algebra on the raw fixture (the same
+    exact-regime division of labor as approx_sketches: the hash
+    SAMPLE can't cross engines, the exact outputs can)."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    a = kmv_rollup(
+        events.where(F.col("event_type") == "signup"), ["day"], "user_id",
+        k=4096,
+    )
+    b = kmv_rollup(
+        events.where(F.col("event_type") == "purchase"), ["day"], "user_id",
+        k=4096,
+    )
+    got = sorted(
+        (r["day"], r["n_left"], r["n_right"], r["n_union"], r["n_intersection"])
+        for r in kmv_set_cardinalities(a, b, ["day"]).collect()
+    )
+    want = sorted(
+        (str(r[0]), r[1], r[2], r[3], r[4])
+        for r in duck.sql("""
+            WITH s AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                              user_id FROM events WHERE event_type = 'signup'),
+                 p AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                              user_id FROM events WHERE event_type = 'purchase')
+            SELECT day,
+                   (SELECT COUNT(DISTINCT user_id) FROM s WHERE s.day = d.day) AS n_left,
+                   (SELECT COUNT(DISTINCT user_id) FROM p WHERE p.day = d.day) AS n_right,
+                   (SELECT COUNT(DISTINCT user_id) FROM (
+                       SELECT user_id FROM s WHERE s.day = d.day
+                       UNION SELECT user_id FROM p WHERE p.day = d.day)) AS n_union,
+                   (SELECT COUNT(DISTINCT user_id) FROM (
+                       SELECT user_id FROM s WHERE s.day = d.day
+                       INTERSECT SELECT user_id FROM p WHERE p.day = d.day)) AS n_intersection
+            FROM (SELECT DISTINCT day FROM s INTERSECT SELECT DISTINCT day FROM p) d
+        """).fetchall()
+    )
+    assert got and got == want
+
+
 def test_kmv_store_roundtrip_append_compact(spark, tmp_path):
     """The KMV store on the shared engine: incremental build+append
     slices BIT-identically to a one-shot rebuild (min-k union is
