@@ -1911,12 +1911,19 @@ def kmv_rollup(
     and a width change would silently produce disjoint sketches for
     identical data (the r12 bloom lesson).
 
-    Plan shape: a (keys, hash)-grain dedupe aggregate (map-side
-    partial), a per-key min-k rank planned as WindowGroupLimit (each
-    task pre-prunes to k rows per key BEFORE the exchange — k·P rows
-    shuffle, never the member space), one collect_list at cell grain,
-    plus a separate keys-grain count for ``n_rows`` joined back at
-    cell grain.  Cell size is ~8·k bytes at any corpus size."""
+    Plan shape — ONE exchange, k-per-task-bounded: the min-k filter is
+    a DENSE_RANK ≤ k (dense, so duplicate hashes don't consume rank
+    slots), which Spark plans as a PARTIAL WindowGroupLimit before the
+    shuffle plus a final one after — each input task forwards at most
+    its k smallest distinct hashes per key (times any same-task
+    duplicate copies), never the member space; the dedupe+collect then
+    rides the window's own (keys) partitioning as a no-exchange
+    ObjectHashAggregate.  (The first form deduped via ``distinct()``
+    BEFORE the rank, which forced a distinct-member-grain exchange —
+    measured 6× shuffle growth at 10× input; the dense_rank form was
+    re-measured near-flat, r14.)  A separate keys-grain count supplies
+    ``n_rows``, rejoined null-safely at cell grain.  Cell size is
+    ~8·k bytes at any corpus size."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if not keys:
@@ -1925,12 +1932,12 @@ def kmv_rollup(
     base = df.where(F.col(member_col).isNotNull()).select(
         *keys, h.alias("__h")
     )
-    ranked = base.distinct().withColumn(
+    ranked = base.withColumn(
         "__r",
-        F.row_number().over(Window.partitionBy(*keys).orderBy(F.col("__h"))),
+        F.dense_rank().over(Window.partitionBy(*keys).orderBy(F.col("__h"))),
     ).where(F.col("__r") <= k)
     cells = ranked.groupBy(*keys).agg(
-        F.sort_array(F.collect_list("__h")).alias("hashes")
+        F.sort_array(F.collect_set("__h")).alias("hashes")
     )
     n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     return _kmv_attach(n, cells, keys).select(
