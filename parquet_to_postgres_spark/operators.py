@@ -1911,19 +1911,34 @@ def kmv_rollup(
     and a width change would silently produce disjoint sketches for
     identical data (the r12 bloom lesson).
 
-    Plan shape — ONE exchange, k-per-task-bounded: the min-k filter is
-    a DENSE_RANK ≤ k (dense, so duplicate hashes don't consume rank
-    slots), which Spark plans as a PARTIAL WindowGroupLimit before the
-    shuffle plus a final one after — each input task forwards at most
-    its k smallest distinct hashes per key (times any same-task
-    duplicate copies), never the member space; the dedupe+collect then
-    rides the window's own (keys) partitioning as a no-exchange
-    ObjectHashAggregate.  (The first form deduped via ``distinct()``
-    BEFORE the rank, which forced a distinct-member-grain exchange —
-    measured 6× shuffle growth at 10× input; the dense_rank form was
-    re-measured near-flat, r14.)  A separate keys-grain count supplies
-    ``n_rows``, rejoined null-safely at cell grain.  Cell size is
-    ~8·k bytes at any corpus size."""
+    Plan shape, TWO regimes (same sketch either way — min-k of the
+    distinct hashes; which plan wins is k-dependent, r14 review
+    finding):
+
+    - ``k < spark.sql.optimizer.windowGroupLimitThreshold`` (default
+      1000), the normal regime: the min-k filter is a DENSE_RANK ≤ k
+      (dense, so duplicate hashes don't consume rank slots), which
+      Spark plans as a PARTIAL WindowGroupLimit before the shuffle
+      plus a final one after — each input task forwards at most its k
+      smallest distinct hashes per key TIMES any same-task duplicate
+      copies, never the member space; the dedupe+collect then rides
+      the window's own (keys) partitioning as a no-exchange
+      ObjectHashAggregate.  Measured byte-FLAT shuffle at 10× input
+      (vs 6× growth for the distinct-first form).  Skew caveat: the
+      duplicate copies are unbounded by k — a hot member repeated
+      millions of times in one task whose hash makes the cell's min-k
+      ships every same-task copy across the exchange (bounded by
+      rows-per-task, not by k).
+    - ``k ≥`` the threshold: InferWindowGroupLimit does not fire at
+      all, which would degrade to an EVENT-grain exchange + per-key
+      sort — strictly worse than deduping first — so this regime
+      falls back to the distinct()-first form: a map-side-combined
+      dedupe (member-grain exchange, hot members collapsed to one row
+      per task) then row_number.
+
+    A separate keys-grain count supplies ``n_rows``, rejoined
+    null-safely at cell grain.  Cell size is ~8·k bytes at any corpus
+    size."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if not keys:
@@ -1932,10 +1947,20 @@ def kmv_rollup(
     base = df.where(F.col(member_col).isNotNull()).select(
         *keys, h.alias("__h")
     )
-    ranked = base.withColumn(
-        "__r",
-        F.dense_rank().over(Window.partitionBy(*keys).orderBy(F.col("__h"))),
-    ).where(F.col("__r") <= k)
+    w = Window.partitionBy(*keys).orderBy(F.col("__h"))
+    thr = int(
+        df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+        )
+    )
+    if k < thr:
+        ranked = base.withColumn("__r", F.dense_rank().over(w)).where(
+            F.col("__r") <= k
+        )
+    else:
+        ranked = base.distinct().withColumn(
+            "__r", F.row_number().over(w)
+        ).where(F.col("__r") <= k)
     cells = ranked.groupBy(*keys).agg(
         F.sort_array(F.collect_set("__h")).alias("hashes")
     )

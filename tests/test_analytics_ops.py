@@ -1129,8 +1129,32 @@ def test_kmv_rollup_min_k_prune_plan(spark):
     with contextlib.redirect_stdout(buf):
         kmv_rollup(df, ["g"], "m", k=16).explain(mode="formatted")
     p = buf.getvalue()
-    assert p.count("WindowGroupLimit") >= 2, p  # partial + final
+    # formatted output prints every node TWICE (tree + detail header),
+    # so one node == count 2; partial + final == count 4.  A bare
+    # >= 2 could not detect losing the partial limit (r14 review
+    # finding, verified live).
+    assert p.count("WindowGroupLimit") >= 4, p
     assert "Python" not in p and "ArrowEval" not in p
+
+    # k >= windowGroupLimitThreshold: InferWindowGroupLimit never
+    # fires, so the build falls back to the distinct()-first form
+    # (member-grain dedupe beats an event-grain window sort) — and the
+    # sketch is IDENTICAL either way
+    thr = int(
+        spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+    )
+    big_k = thr + 7
+    small = spark.createDataFrame(
+        [("g", f"m{i}") for i in range(40)] * 3, "g string, m string"
+    )
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        kmv_rollup(small, ["g"], "m", k=big_k).explain(mode="formatted")
+    assert "WindowGroupLimit" not in buf2.getvalue()
+    lo = kmv_rollup(small, ["g"], "m", k=64).collect()[0]
+    hi = kmv_rollup(small, ["g"], "m", k=big_k).collect()[0]
+    # 40 distinct members < both k's: identical exhaustive sketches
+    assert list(lo["hashes"]) == list(hi["hashes"]) and len(hi["hashes"]) == 40
 
 
 def test_kmv_set_ops_match_duckdb_exact_in_exhaustive_regime(spark, duck):
