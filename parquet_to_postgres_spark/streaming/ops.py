@@ -1038,6 +1038,30 @@ def stream_qsketch_rollup_writer(
     )
 
 
+def stream_kmv_rollup_writer(
+    store_path: str,
+    keys: "list[str]",
+    member_col: str,
+    stream_id: str,
+    k: int = 256,
+) -> "callable":
+    """foreachBatch hook for the KMV set-operation cube — third kind
+    on the shared batch ledger.  Replay consequences sit between the
+    twins: the SKETCH is idempotent for re-appended data (min-k union
+    absorbs duplicate hashes, like HLL) so set-operation estimates
+    never bias, while ``n_rows`` is additive (the ledger keeps it equal
+    to rows ingested).  Same marker semantics, honest windows,
+    stream_id contract, and filesystem notes as the other two."""
+    from ..operators import append_kmv_rollup
+
+    return _stream_store_writer(
+        store_path,
+        stream_id,
+        "write_kmv_rollup",
+        lambda df: append_kmv_rollup(df, store_path, keys, member_col, k),
+    )
+
+
 def _stream_store_writer(
     store_path: str, stream_id: str, backfill_fn_name: str, append_fn
 ) -> "callable":

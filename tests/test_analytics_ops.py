@@ -1310,6 +1310,60 @@ def test_kmv_store_roundtrip_append_compact(spark, tmp_path):
     assert slices(store) == after_rows
 
 
+def test_stream_kmv_rollup_writer_matches_batch(spark, tmp_path):
+    """Third kind on the shared ledger: availableNow stream through
+    stream_kmv_rollup_writer slices bit-identically to a one-shot
+    rebuild; replays are no-ops (n_rows included — the sketch alone
+    would forgive them, n_rows would not)."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_slice,
+        write_kmv_rollup,
+    )
+    from parquet_to_postgres_spark.streaming.ops import (
+        stream_kmv_rollup_writer,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    seed = events.where(F.col("day") <= split)
+    delta = events.where(F.col("day") > split)
+
+    store = str(tmp_path / "kcube")
+    keys = ["day", "event_type"]
+    write_kmv_rollup(seed, store, keys, "user_id")
+
+    src = str(tmp_path / "incoming")
+    delta.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    writer = stream_kmv_rollup_writer(store, keys, "user_id", stream_id="s1")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = str(tmp_path / "kcube_full")
+    write_kmv_rollup(events, full, keys, "user_id")
+
+    def slices(p):
+        return sorted(
+            map(tuple, kmv_slice(spark, p, ["event_type"]).collect())
+        )
+
+    assert slices(store) == slices(full)
+    writer(delta, 0)  # replay -> ledger no-op, n_rows unchanged
+    assert slices(store) == slices(full)
+    ghost = str(tmp_path / "no_store")
+    w2 = stream_kmv_rollup_writer(ghost, keys, "user_id", stream_id="s1")
+    with pytest.raises(ValueError, match="write_kmv_rollup"):
+        w2(delta, 0)
+
+
 # ------------------------------------------------ quantile rollups ----
 
 
