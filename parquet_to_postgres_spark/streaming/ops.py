@@ -1046,12 +1046,13 @@ def stream_kmv_rollup_writer(
     k: int = 256,
 ) -> "callable":
     """foreachBatch hook for the KMV set-operation cube — third kind
-    on the shared batch ledger.  Replay consequences sit between the
-    twins: the SKETCH is idempotent for re-appended data (min-k union
-    absorbs duplicate hashes, like HLL) so set-operation estimates
-    never bias, while ``n_rows`` is additive (the ledger keeps it equal
-    to rows ingested).  Same marker semantics, honest windows,
-    stream_id contract, and filesystem notes as the other two."""
+    on the shared batch ledger.  Replay consequences MATCH the HLL
+    twin exactly: the sketch is fully estimate-neutral under
+    re-appended data (min-k union absorbs duplicate hashes), so only
+    the additive ``n_rows`` needs the ledger — no rebuild-after-crash
+    handling beyond the HLL twin's.  Same marker semantics, honest
+    windows, stream_id contract, and filesystem notes as the other
+    two."""
     from ..operators import append_kmv_rollup
 
     return _stream_store_writer(

@@ -1358,10 +1358,25 @@ def test_stream_kmv_rollup_writer_matches_batch(spark, tmp_path):
     assert slices(store) == slices(full)
     writer(delta, 0)  # replay -> ledger no-op, n_rows unchanged
     assert slices(store) == slices(full)
+
+    # a SECOND lineage with restarting batch ids is NOT skipped —
+    # observable here through n_rows inflating (the sketch alone would
+    # forgive the duplicate; a bare-batch-id ledger regression would
+    # leave this equality standing)
+    writer2 = stream_kmv_rollup_writer(store, keys, "user_id", stream_id="s2")
+    writer2(delta, 0)
+    assert slices(store) != slices(full)
+
+    # missing store: loud refusal naming the backfill fn, no junk dir
+    import os
+
     ghost = str(tmp_path / "no_store")
-    w2 = stream_kmv_rollup_writer(ghost, keys, "user_id", stream_id="s1")
+    w3 = stream_kmv_rollup_writer(ghost, keys, "user_id", stream_id="s1")
     with pytest.raises(ValueError, match="write_kmv_rollup"):
-        w2(delta, 0)
+        w3(delta, 0)
+    assert not os.path.exists(ghost)
+    with pytest.raises(ValueError, match="flat name"):
+        stream_kmv_rollup_writer(store, keys, "user_id", stream_id="a/b")
 
 
 # ------------------------------------------------ quantile rollups ----
