@@ -501,3 +501,67 @@ def test_frequent_items_bounds_hold_for_any_input(spark, vals, k, parts):
     for item, c in exact.items():
         if c > n / (k + 1):
             assert item in got, (item, c, k, parts)
+
+
+@PROP
+@given(
+    st.lists(
+        st.integers(0, 120), min_size=1, max_size=80
+    ),
+    st.lists(
+        st.integers(60, 200), min_size=1, max_size=80
+    ),
+    st.sampled_from([2, 8, 64]),
+    st.integers(1, 4),
+)
+def test_kmv_properties(spark, a_members, b_members, k, parts):
+    """Property, for ANY two member multisets, k, and partitioning:
+    (1) splitting A into two rollups then kmv_merge-ing is
+    hash-for-hash identical to the direct build (the sketch is a
+    deterministic function of the distinct-member set); (2) estimates
+    are exact whenever the sample is exhaustive; (3) set-operation
+    outputs are exact whenever |A∪B| < k; (4) est_count ≤ k always."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark.operators import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    mk = lambda ms: spark.createDataFrame(  # noqa: E731
+        [("g", str(m)) for m in ms], "g string, m string"
+    ).repartition(parts)
+    ra = kmv_rollup(mk(a_members), ["g"], "m", k=k)
+    rb = kmv_rollup(mk(b_members), ["g"], "m", k=k)
+
+    # (1) split-merge == direct (split A at an arbitrary point)
+    cut = len(a_members) // 2
+    if cut and cut < len(a_members):
+        split = kmv_merge(
+            kmv_rollup(mk(a_members[:cut]), ["g"], "m", k=k).unionByName(
+                kmv_rollup(mk(a_members[cut:]), ["g"], "m", k=k)
+            ),
+            ["g"],
+        ).collect()[0]
+        direct = ra.collect()[0]
+        assert list(split["hashes"]) == list(direct["hashes"])
+        assert split["n_rows"] == direct["n_rows"] == len(a_members)
+
+    # (2) exhaustive-sample exactness; (4) bounded sample
+    for roll, ms in ((ra, a_members), (rb, b_members)):
+        row = kmv_estimate(roll).collect()[0]
+        n_dist = len(set(ms))
+        assert len(row["hashes"]) == min(n_dist, k)
+        if n_dist < k:
+            assert row["n_distinct_approx"] == n_dist
+
+    # (3) set-op exactness below union saturation
+    sa, sb = set(a_members), set(b_members)
+    if len(sa | sb) < k:
+        got = kmv_set_cardinalities(ra, rb, ["g"]).collect()[0]
+        assert got["n_left"] == len(sa)
+        assert got["n_right"] == len(sb)
+        assert got["n_union"] == len(sa | sb)
+        assert got["n_intersection"] == len(sa & sb)
