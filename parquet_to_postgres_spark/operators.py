@@ -1973,19 +1973,32 @@ def kmv_rollup(
     )
 
 
+def _eq_null_safe_all(
+    left: DataFrame, right: DataFrame, pairs: "list[tuple[str, str]]"
+) -> Column:
+    """AND-fold of ``eqNullSafe`` legs over (left_col, right_col)
+    pairs — THE null-safe join condition for rejoining split
+    aggregates: a plain equi-join never matches NULL == NULL, so a
+    NULL key group silently vanishes from one side only (r14 review
+    findings; kept single-sourced so a join-semantics fix cannot land
+    on one call site and miss the other)."""
+    cond = None
+    for lc, rc in pairs:
+        leg = left[lc].eqNullSafe(right[rc])
+        cond = leg if cond is None else (cond & leg)
+    return cond
+
+
 def _kmv_attach(n: DataFrame, cells: DataFrame, keys: "list[str]") -> DataFrame:
     """Left-join the hash cells onto the count spine NULL-SAFELY: a
-    plain equi-join never matches NULL == NULL, so a NULL key value
-    would silently get an empty sketch for a populated cell — the HLL
-    cube (single groupBy, no join) sketches that slice correctly and
-    the two cubes would disagree (r14 review finding)."""
+    NULL key value would otherwise silently get an empty sketch for a
+    populated cell — the HLL cube (single groupBy, no join) sketches
+    that slice correctly and the two cubes would disagree (r14 review
+    finding)."""
     renamed = cells.select(
         *[F.col(c).alias(f"__ck_{c}") for c in keys], "hashes"
     )
-    cond = None
-    for c in keys:
-        leg = n[c].eqNullSafe(renamed[f"__ck_{c}"])
-        cond = leg if cond is None else (cond & leg)
+    cond = _eq_null_safe_all(n, renamed, [(c, f"__ck_{c}") for c in keys])
     return n.join(renamed, cond, "left").drop(
         *[f"__ck_{c}" for c in keys]
     )
@@ -2115,10 +2128,7 @@ def kmv_set_cardinalities(
         F.col("hashes").alias("__hb"),
         F.col("k").alias("__kb"),
     )
-    cond = None
-    for c in on:
-        leg = lk[f"__l_{c}"].eqNullSafe(rk[f"__r_{c}"])
-        cond = leg if cond is None else (cond & leg)
+    cond = _eq_null_safe_all(lk, rk, [(f"__l_{c}", f"__r_{c}") for c in on])
     j = lk.join(rk, cond)
     # the mixed-k guard rides inside EVERY estimate (via guarded k):
     # guarding only the union leg let a caller select n_right alone,

@@ -348,7 +348,12 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an α-scaled slack — a near-constant value column has
     # p75-p25 below the bucket quantization and the bare bracket would
     # flip false (r14 review finding; |true| <= |est|/(1-α), so
-    # 0.02·|est| covers α·|true| with margin).
+    # 0.02·|est| covers α·|true| with margin).  The bracket is only
+    # provably sound for n >= 3: at n=2 the store's p50 is the LARGER
+    # value (rank ceil(0.5·(n−1)) = 1) while the exact p75 interpolates
+    # between the two — ceil(0.5m) <= 0.75m fails at m=1 (second r14
+    # review finding) — so tiny groups pass trivially; the α guarantee
+    # itself is pytest-pinned against exact sorted ranks.
     slack = 0.02 * F.abs(F.col("p50")) + F.lit(1e-9)
     return (
         hll.join(q, "event_type", "left")
@@ -362,7 +367,7 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("n_distinct_approx") - F.col("exact_users"))
                 <= 0.10 * F.col("exact_users")
             ).alias("hll_ok"),
-            F.when(F.coalesce("n_values", F.lit(0)) == 0, F.lit(True))
+            F.when(F.coalesce("n_values", F.lit(0)) < 3, F.lit(True))
             .otherwise(
                 (F.col("p50") >= F.col("p25") - slack)
                 & (F.col("p50") <= F.col("p75") + slack)

@@ -89,10 +89,31 @@ class StoreFS:
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
         nested = f"{dst}/{base}"
         if not pre_nested and self.exists(nested):
-            self._fs.rename(self._Path(nested), self._Path(src))
+            # the undo can itself fail or re-nest (the racing writer
+            # may have re-created src) — report what actually happened
+            # instead of unconditionally claiming restoration (r14
+            # review finding)
+            undone = False
+            try:
+                undone = bool(
+                    self._fs.rename(self._Path(nested), self._Path(src))
+                )
+            except Exception:
+                undone = False
+            recovered = (
+                undone
+                and self.exists(src)
+                and not self.exists(f"{src}/{base}")
+            )
             raise OSError(
                 f"rename raced a concurrent writer: {dst!r} already "
-                f"existed, src was moved INTO it; restored to {src!r}"
+                f"existed, src was moved INTO it; "
+                + (
+                    f"restored to {src!r}"
+                    if recovered
+                    else f"NOT cleanly restored — recover manually from "
+                    f"{nested!r} or {src}/{base}"
+                )
             )
 
     def delete(self, path: str) -> None:
