@@ -37,6 +37,12 @@ sink — a single-node Postgres COPY — never has to think about):
 
 from __future__ import annotations
 
+try:  # py4j ships with pyspark; the fallback keeps import-time honest
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover - pyspark always bundles py4j
+    class Py4JError(Exception):
+        pass
+
 
 class StoreFS:
     """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for the
@@ -85,7 +91,17 @@ class StoreFS:
             raise OSError(f"rename destination already exists: {dst!r}")
         base = src.rstrip("/").rsplit("/", 1)[-1]
         pre_nested = self.exists(f"{src}/{base}")
-        if not self._fs.rename(self._Path(src), self._Path(dst)):
+        # JVM-side failures surface as Py4JJavaError, NOT OSError —
+        # HDFS throws IOException when src vanishes under a racing
+        # heal instead of returning false, and _heal_torn_swap's
+        # `except OSError` converge-on-race arm must cover that path
+        # too (r15 advice finding; same py4j-vs-OSError class as the
+        # r14 build_once marker read).
+        try:
+            renamed = bool(self._fs.rename(self._Path(src), self._Path(dst)))
+        except Py4JError as exc:
+            raise OSError(f"rename failed: {src!r} -> {dst!r}: {exc}") from exc
+        if not renamed:
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
         nested = f"{dst}/{base}"
         if not pre_nested and self.exists(nested):
@@ -118,8 +134,12 @@ class StoreFS:
 
     def delete(self, path: str) -> None:
         """Recursive delete; absent path is a no-op (the engine uses
-        this only to clear swap leftovers)."""
-        self._fs.delete(self._Path(path), True)
+        this only to clear swap leftovers).  JVM failures re-raise as
+        ``OSError`` — same contract as :meth:`rename`."""
+        try:
+            self._fs.delete(self._Path(path), True)
+        except Py4JError as exc:
+            raise OSError(f"delete failed: {path!r}: {exc}") from exc
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))

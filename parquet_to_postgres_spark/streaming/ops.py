@@ -1092,6 +1092,15 @@ def _stream_store_writer(
         try:
             append_fn(df)
         except FileNotFoundError:
+            # Only a truly ABSENT store earns the friendly build-it
+            # message: an unrelated transient FileNotFoundError (e.g.
+            # a cell part file removed by a concurrent compaction
+            # mid-append) must surface as itself, or the real cause is
+            # hidden behind a wrong diagnosis (r15 advice finding).
+            from ..operators import _sketch_meta_path
+
+            if fs.exists(_sketch_meta_path(store_path)):
+                raise
             raise ValueError(
                 f"no sketch store at {store_path!r} — build it with "
                 f"{backfill_fn_name} (a backfill batch) before streaming "

@@ -746,6 +746,62 @@ def test_storefs_rename_detects_concurrent_nesting(spark, tmp_path, monkeypatch)
     assert not fs.exists(f"{dst}/src")  # no nested copy left behind
 
 
+def test_storefs_jvm_errors_surface_as_oserror(spark, tmp_path):
+    """py4j JVM I/O errors are Py4JJavaError, NOT OSError (the r14
+    build_once lesson) — but _heal_torn_swap's converge-on-race arm is
+    `except OSError`, so StoreFS.rename/delete must translate JVM-side
+    failures (HDFS throws IOException when src vanishes under a racing
+    heal instead of returning false) or the documented heal path
+    crashes a reader (r15 advice finding)."""
+    from py4j.protocol import Py4JError
+
+    from parquet_to_postgres_spark.store_fs import StoreFS
+
+    fs = StoreFS(spark, str(tmp_path))
+
+    class _JvmBoom:
+        def exists(self, p):
+            return False
+
+        def rename(self, a, b):
+            raise Py4JError("java.io.IOException: src vanished")
+
+        def delete(self, p, recursive):
+            raise Py4JError("java.io.IOException: lease expired")
+
+    fs._fs = _JvmBoom()
+    with pytest.raises(OSError, match="rename failed"):
+        fs.rename(f"{tmp_path}/a", f"{tmp_path}/b")
+    with pytest.raises(OSError, match="delete failed"):
+        fs.delete(f"{tmp_path}/a")
+
+
+def test_stream_writer_reraises_unrelated_file_not_found(spark, tmp_path):
+    """_stream_store_writer's friendly 'no sketch store — build it'
+    translation must fire ONLY when the store meta is truly absent: an
+    unrelated transient FileNotFoundError escaping the append (e.g. a
+    cell part file removed by a concurrent compaction mid-append) is a
+    different failure and must surface as itself, not be misdiagnosed
+    (r15 advice finding)."""
+    from parquet_to_postgres_spark.operators import write_sketch_rollup
+    from parquet_to_postgres_spark.streaming.ops import _stream_store_writer
+
+    store = str(tmp_path / "cube")
+    batch = spark.createDataFrame([("a", 1)], "g string, user_id int")
+
+    def flaky_append(df):
+        raise FileNotFoundError("part-00000.parquet vanished mid-append")
+
+    writer = _stream_store_writer(store, "s1", "write_sketch_rollup", flaky_append)
+    # no store at all → the friendly build-it diagnosis
+    with pytest.raises(ValueError, match="no sketch store"):
+        writer(batch, 0)
+    # store present (meta exists) → the real error must pass through
+    write_sketch_rollup(batch, store, ["g"], "user_id")
+    with pytest.raises(FileNotFoundError, match="vanished mid-append"):
+        writer(batch, 1)
+
+
 def test_stream_writer_heals_torn_store_swap(spark, tmp_path):
     """A torn store-level swap must not wedge the streaming writer: a
     bare exists() probe raised 'no sketch store' forever while the
