@@ -37,11 +37,46 @@ sink — a single-node Postgres COPY — never has to think about):
 
 from __future__ import annotations
 
+import functools
+
 try:  # py4j ships with pyspark; the fallback keeps import-time honest
-    from py4j.protocol import Py4JError
+    from py4j.protocol import Py4JJavaError
 except ImportError:  # pragma: no cover - pyspark always bundles py4j
-    class Py4JError(Exception):
+    class Py4JJavaError(Exception):
         pass
+
+
+def _oserror_on_jvm_failure(method):
+    """JVM-side I/O failures surface as Py4JJavaError, NOT OSError —
+    but the engine's heal/converge arms (`_heal_torn_swap`) and the
+    rename docstring contract speak OSError (r15 advice finding; same
+    py4j-vs-OSError class as the r14 build_once marker read).  One
+    decorator over every JVM-touching method, so the translation
+    cannot drift per call site (the first per-call version missed
+    rename's own exists() probes — r15 review finding).
+
+    Scope, deliberately narrow: Py4JJavaError means the JVM RAN the
+    call and Java threw (IOException, safe-mode, lease expiry) — a
+    filesystem failure, hence OSError.  Py4JNetworkError/protocol
+    errors mean the gateway itself is broken — relabeling those as
+    filesystem errors would let a heal arm swallow a dead gateway as
+    a benign race, so they propagate as themselves (r15 review
+    finding).  The message uses ``errmsg`` (driver-local), never
+    ``str(exc)``: Py4JJavaError.__str__ performs a NEW gateway
+    round-trip to fetch the Java stack trace and can itself raise
+    exactly when the gateway is unhealthy (r15 review finding)."""
+
+    @functools.wraps(method)
+    def wrapped(self, *args, **kwargs):
+        try:
+            return method(self, *args, **kwargs)
+        except Py4JJavaError as exc:
+            msg = getattr(exc, "errmsg", None) or "JVM I/O error"
+            raise OSError(
+                f"{method.__name__} failed on {args!r}: {msg}"
+            ) from exc
+
+    return wrapped
 
 
 class StoreFS:
@@ -70,9 +105,11 @@ class StoreFS:
             pass
         self._fs = fs
 
+    @_oserror_on_jvm_failure
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))
 
+    @_oserror_on_jvm_failure
     def rename(self, src: str, dst: str) -> None:
         """Move ``src`` to ``dst``.  The engine only ever renames onto
         an ABSENT destination (Hadoop rename onto an existing
@@ -91,17 +128,7 @@ class StoreFS:
             raise OSError(f"rename destination already exists: {dst!r}")
         base = src.rstrip("/").rsplit("/", 1)[-1]
         pre_nested = self.exists(f"{src}/{base}")
-        # JVM-side failures surface as Py4JJavaError, NOT OSError —
-        # HDFS throws IOException when src vanishes under a racing
-        # heal instead of returning false, and _heal_torn_swap's
-        # `except OSError` converge-on-race arm must cover that path
-        # too (r15 advice finding; same py4j-vs-OSError class as the
-        # r14 build_once marker read).
-        try:
-            renamed = bool(self._fs.rename(self._Path(src), self._Path(dst)))
-        except Py4JError as exc:
-            raise OSError(f"rename failed: {src!r} -> {dst!r}: {exc}") from exc
-        if not renamed:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise OSError(f"rename failed: {src!r} -> {dst!r}")
         nested = f"{dst}/{base}"
         if not pre_nested and self.exists(nested):
@@ -132,18 +159,17 @@ class StoreFS:
                 )
             )
 
+    @_oserror_on_jvm_failure
     def delete(self, path: str) -> None:
         """Recursive delete; absent path is a no-op (the engine uses
-        this only to clear swap leftovers).  JVM failures re-raise as
-        ``OSError`` — same contract as :meth:`rename`."""
-        try:
-            self._fs.delete(self._Path(path), True)
-        except Py4JError as exc:
-            raise OSError(f"delete failed: {path!r}: {exc}") from exc
+        this only to clear swap leftovers)."""
+        self._fs.delete(self._Path(path), True)
 
+    @_oserror_on_jvm_failure
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))
 
+    @_oserror_on_jvm_failure
     def read_text(self, path: str) -> str:
         """Read a SMALL text file (store meta / markers, ~200 bytes)
         via a JVM BufferedReader — a few py4j calls, no per-byte
@@ -162,6 +188,7 @@ class StoreFS:
         finally:
             stream.close()
 
+    @_oserror_on_jvm_failure
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._Path(path), True)
         try:
@@ -169,12 +196,14 @@ class StoreFS:
         finally:
             out.close()
 
+    @_oserror_on_jvm_failure
     def create_marker(self, path: str) -> bool:
         """Atomically create an empty file; ``False`` if it already
         exists.  Atomic on file://+HDFS (the ledger's exactly-once
         primitive); last-writer-wins on S3 — documented above."""
         return bool(self._fs.createNewFile(self._Path(path)))
 
+    @_oserror_on_jvm_failure
     def list_names(self, dirpath: str) -> "list[str]":
         """Names (not paths) of the direct children of ``dirpath``;
         empty list if the directory is absent."""
@@ -183,6 +212,7 @@ class StoreFS:
             return []
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
+    @_oserror_on_jvm_failure
     def has_file_suffix(self, dirpath: str, suffix: str) -> bool:
         """True if any file under ``dirpath`` (recursive) ends with
         ``suffix`` — the engine's wrote-any-parquet check; stops at

@@ -753,27 +753,44 @@ def test_storefs_jvm_errors_surface_as_oserror(spark, tmp_path):
     failures (HDFS throws IOException when src vanishes under a racing
     heal instead of returning false) or the documented heal path
     crashes a reader (r15 advice finding)."""
-    from py4j.protocol import Py4JError
+    from types import SimpleNamespace
+
+    from py4j.protocol import Py4JJavaError, Py4JNetworkError
 
     from parquet_to_postgres_spark.store_fs import StoreFS
 
     fs = StoreFS(spark, str(tmp_path))
+    # a real Py4JJavaError (fake target id; __str__ would round-trip
+    # to the gateway, which the translation must never trigger)
+    jerr = Py4JJavaError(
+        "An error occurred while calling o1.rename.",
+        SimpleNamespace(_target_id="o0"),
+    )
 
     class _JvmBoom:
         def exists(self, p):
             return False
 
         def rename(self, a, b):
-            raise Py4JError("java.io.IOException: src vanished")
+            raise jerr
 
         def delete(self, p, recursive):
-            raise Py4JError("java.io.IOException: lease expired")
+            raise jerr
+
+        def mkdirs(self, p):
+            raise Py4JNetworkError("gateway is down")
 
     fs._fs = _JvmBoom()
     with pytest.raises(OSError, match="rename failed"):
         fs.rename(f"{tmp_path}/a", f"{tmp_path}/b")
     with pytest.raises(OSError, match="delete failed"):
         fs.delete(f"{tmp_path}/a")
+    # gateway/protocol failures are NOT filesystem errors: relabeling
+    # them OSError would let a heal arm swallow a dead gateway as a
+    # benign race — they must propagate as themselves (r15 review
+    # finding narrowing the catch from Py4JError to Py4JJavaError)
+    with pytest.raises(Py4JNetworkError):
+        fs.mkdirs(f"{tmp_path}/c")
 
 
 def test_stream_writer_reraises_unrelated_file_not_found(spark, tmp_path):
