@@ -2117,7 +2117,14 @@ def kmv_set_cardinalities(
     estimator (r14 review finding; pinned in tests).  The join on
     ``on`` is NULL-SAFE (a NULL key cell would otherwise silently
     vanish from the comparison), and mixed-k inputs refuse at runtime
-    through every output column, same guard as :func:`kmv_merge`."""
+    through every output column, same guard as :func:`kmv_merge`.
+
+    ``on=[]`` is the GLOBAL-grain comparison (two
+    ``kmv_merge(..., [])`` outputs → one overall-overlap row): the
+    cross join that implements it is correct for exactly one row per
+    side, so a row-count guard rides inside every output — multi-row
+    inputs at ``on=[]`` refuse at runtime instead of silently
+    cross-producting every pair (r15 advice finding)."""
     lk = left.select(
         *[F.col(c).alias(f"__l_{c}") for c in on],
         F.col("hashes").alias("__ha"),
@@ -2128,17 +2135,36 @@ def kmv_set_cardinalities(
         F.col("hashes").alias("__hb"),
         F.col("k").alias("__kb"),
     )
-    cond = _eq_null_safe_all(lk, rk, [(f"__l_{c}", f"__r_{c}") for c in on])
-    j = lk.join(rk, cond)
+    if on:
+        cond = _eq_null_safe_all(lk, rk, [(f"__l_{c}", f"__r_{c}") for c in on])
+        j = lk.join(rk, cond)
+        single = F.lit(True)
+    else:
+        # the single-partition window is fine here BY CONSTRUCTION:
+        # valid inputs are one global row each, and invalid ones are
+        # being counted only to refuse
+        wall = Window.partitionBy()
+        lk = lk.withColumn("__nl", F.count(F.lit(1)).over(wall))
+        rk = rk.withColumn("__nr", F.count(F.lit(1)).over(wall))
+        j = lk.crossJoin(rk)
+        single = F.assert_true(
+            (F.col("__nl") == 1) & (F.col("__nr") == 1),
+            F.lit(
+                "kmv_set_cardinalities(on=[]) compares two GLOBAL "
+                "sketches — kmv_merge each side to [] (one row) first"
+            ),
+        ).isNull()
     # the mixed-k guard rides inside EVERY estimate (via guarded k):
     # guarding only the union leg let a caller select n_right alone,
     # prune the guarded expression, and read a ~k_a/k_b-biased
-    # estimate with no error (r14 review finding)
+    # estimate with no error (r14 review finding); the on=[]
+    # single-row guard rides the same lane for the same reason
     k = F.when(
         F.assert_true(
             F.col("__ka") == F.col("__kb"),
             F.lit("kmv sketches built at different k cannot combine"),
-        ).isNull(),
+        ).isNull()
+        & single,
         F.col("__ka"),
     )
     union_sample = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)

@@ -1125,6 +1125,42 @@ def test_kmv_validation_and_mixed_k_refusal(spark):
         kmv_merge(r8.unionByName(r16), []).select("hashes").collect()
 
 
+def test_kmv_global_grain_set_cardinalities(spark):
+    """on=[] is the global-grain comparison: two kmv_merge(..., [])
+    single rows cross-join into one overall-overlap row with the same
+    exact-under-k values as a keyed comparison — but MULTI-row inputs
+    must refuse at runtime through every output column instead of
+    silently cross-producting (r15 advice finding: _eq_null_safe_all
+    over zero pairs returned None and lk.join(rk, None) was an
+    unconditioned cross join for any cardinality)."""
+    from parquet_to_postgres_spark.operators import (
+        kmv_merge,
+        kmv_rollup,
+        kmv_set_cardinalities,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(30)]
+        + [("d2", f"u{i}") for i in range(20, 50)],
+        "day string, member string",
+    )
+    roll = kmv_rollup(df, ["day"], "member", k=256)
+    a = kmv_merge(roll.where("day = 'd1'"), [])
+    b = kmv_merge(roll.where("day = 'd2'"), [])
+    got = kmv_set_cardinalities(a, b, []).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_left"], r["n_right"]) == (30, 30)
+    assert r["n_union"] == 50 and r["n_intersection"] == 10
+    # a per-day (multi-row) frame passed at global grain must refuse —
+    # including when the consumer selects a single column (the
+    # Catalyst-pruning lane every guard in this family rides)
+    with pytest.raises(Exception, match="GLOBAL"):
+        kmv_set_cardinalities(roll, b, []).collect()
+    with pytest.raises(Exception, match="GLOBAL"):
+        kmv_set_cardinalities(roll, b, []).select("n_right").collect()
+
+
 def test_kmv_null_keys_sketch_correctly(spark):
     """A NULL key value is a real group (the outer-join skew class):
     the count spine and the hash cells must rejoin NULL-SAFELY — a
