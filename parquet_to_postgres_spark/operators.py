@@ -2122,9 +2122,14 @@ def kmv_set_cardinalities(
     ``on=[]`` is the GLOBAL-grain comparison (two
     ``kmv_merge(..., [])`` outputs → one overall-overlap row): the
     cross join that implements it is correct for exactly one row per
-    side, so a row-count guard rides inside every output — multi-row
-    inputs at ``on=[]`` refuse at runtime instead of silently
-    cross-producting every pair (r15 advice finding)."""
+    side, so each side is folded to one row and a row-count guard
+    rides inside every output — multi-row OR zero-row inputs at
+    ``on=[]`` refuse at runtime on any value access instead of
+    silently cross-producting / vanishing (r15 advice + review
+    findings).  Honest boundary: a bare ``.count()`` on the result
+    evaluates no output expression, so it reads 1 (the folded shape)
+    without refusing — no cross-product cardinality can leak, but
+    misuse is only caught when a value is read."""
     lk = left.select(
         *[F.col(c).alias(f"__l_{c}") for c in on],
         F.col("hashes").alias("__ha"),
@@ -2140,31 +2145,46 @@ def kmv_set_cardinalities(
         j = lk.join(rk, cond)
         single = F.lit(True)
     else:
-        # the single-partition window is fine here BY CONSTRUCTION:
-        # valid inputs are one global row each, and invalid ones are
-        # being counted only to refuse
-        wall = Window.partitionBy()
-        lk = lk.withColumn("__nl", F.count(F.lit(1)).over(wall))
-        rk = rk.withColumn("__nr", F.count(F.lit(1)).over(wall))
+        # Fold each side to EXACTLY one row (groupBy().agg yields one
+        # row even on empty input) before the cross join, so the
+        # output frame always has exactly one row to evaluate the
+        # guard on: a zero-row side can no longer bypass it by
+        # producing an empty join (no row, no assert), and .count()
+        # always reads 1 — never a silent cross-product cardinality
+        # (both r15 review findings on the windowed-count version).
+        # first() over an invalid multi-row side is arbitrary, but the
+        # guard refuses before any such value can escape.
+        def _one(side, h, kk, n):
+            return side.groupBy().agg(
+                F.count(F.lit(1)).alias(n),
+                F.first(h).alias(h),
+                F.first(kk).alias(kk),
+            )
+
+        lk = _one(lk, "__ha", "__ka", "__nl")
+        rk = _one(rk, "__hb", "__kb", "__nr")
         j = lk.crossJoin(rk)
         single = F.assert_true(
             (F.col("__nl") == 1) & (F.col("__nr") == 1),
             F.lit(
                 "kmv_set_cardinalities(on=[]) compares two GLOBAL "
-                "sketches — kmv_merge each side to [] (one row) first"
+                "sketches (one row per side, zero-row sides included) "
+                "— kmv_merge each side to [] first"
             ),
         ).isNull()
     # the mixed-k guard rides inside EVERY estimate (via guarded k):
     # guarding only the union leg let a caller select n_right alone,
     # prune the guarded expression, and read a ~k_a/k_b-biased
     # estimate with no error (r14 review finding); the on=[]
-    # single-row guard rides the same lane for the same reason
+    # single-row guard rides the same lane, ORDERED FIRST so an empty
+    # side's NULL __ka refuses with the GLOBAL message, not a
+    # misleading mixed-k one (assert_true throws on NULL conditions)
     k = F.when(
-        F.assert_true(
+        single
+        & F.assert_true(
             F.col("__ka") == F.col("__kb"),
             F.lit("kmv sketches built at different k cannot combine"),
-        ).isNull()
-        & single,
+        ).isNull(),
         F.col("__ka"),
     )
     union_sample = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)

@@ -1159,6 +1159,18 @@ def test_kmv_global_grain_set_cardinalities(spark):
         kmv_set_cardinalities(roll, b, []).collect()
     with pytest.raises(Exception, match="GLOBAL"):
         kmv_set_cardinalities(roll, b, []).select("n_right").collect()
+    # a ZERO-row side must refuse too (with the GLOBAL message, not a
+    # misleading mixed-k one from its NULL k), never silently produce
+    # an empty frame — each side is folded to exactly one row before
+    # the cross join so the guard always has a row to evaluate on
+    # (r15 review finding)
+    with pytest.raises(Exception, match="GLOBAL"):
+        kmv_set_cardinalities(a, b.limit(0), []).collect()
+    # honest boundary, pinned: a bare .count() evaluates no output
+    # expression, so it reads the folded shape (always 1) — misuse
+    # can't leak a cross-product cardinality, but only a value read
+    # refuses
+    assert kmv_set_cardinalities(roll, b, []).count() == 1
 
 
 def test_kmv_null_keys_sketch_correctly(spark):
