@@ -2732,25 +2732,52 @@ def build_once(spark, path: str, key: dict, build_fn) -> bool:
     return True
 
 
-def content_key(src_path: str, params: dict, *code_objs) -> dict:
+def content_key(src_path: str, params: dict, *code_objs, spark=None) -> dict:
     """Build a :func:`build_once` key: source file identity (size +
-    mtime_ns), the model/build parameters, and an md5 of the given
+    mtime), the model/build parameters, and an md5 of the given
     code objects' SOURCE (pass whole modules, not hand-picked members
     — hand-maintained digests under-invalidate and serve stale stores;
     the r13 ivfpq lesson).  One helper so every content-keyed gate
     store encodes the invalidation contract once (r14 review finding:
-    the key construction was copy-pasted per query)."""
+    the key construction was copy-pasted per query).
+
+    Source identity is scheme-portable: a ``src_path`` carrying a
+    filesystem scheme (``hdfs://``, ``s3a://``, ``file://``...) is
+    stat'd through Hadoop's FileSystem (length + modificationTime
+    millis) on the active session's JVM — ``os.stat`` on such a path
+    simply fails even though the rest of the store machinery went
+    scheme-portable in r14 (r15 verdict/advice item; pass ``spark=``
+    if no session is active).  A BARE path remains a DRIVER-LOCAL
+    POSIX stat (size + mtime_ns) — deliberately not routed through
+    Hadoop, where a scheme-less path would resolve against
+    ``fs.defaultFS`` and silently stat a different file than the
+    driver-local one the caller meant."""
     import hashlib
     import inspect
     import os
 
-    st = os.stat(src_path)
     digest = hashlib.md5(
         "".join(inspect.getsource(o) for o in code_objs).encode()
     ).hexdigest()
+    if "://" in src_path:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"content_key on scheme URI {src_path!r} needs a "
+                "SparkSession (none active) — pass spark= explicitly"
+            )
+        src = src_path
+        stat = list(_store_fs(spark, src_path).file_status(src_path))
+    else:
+        st = os.stat(src_path)
+        src = os.path.abspath(src_path)
+        stat = [st.st_size, st.st_mtime_ns]
     return {
-        "src": os.path.abspath(src_path),
-        "stat": [st.st_size, st.st_mtime_ns],
+        "src": src,
+        "stat": stat,
         "params": params,
         "code": digest,
     }

@@ -204,6 +204,16 @@ class StoreFS:
         return bool(self._fs.createNewFile(self._Path(path)))
 
     @_oserror_on_jvm_failure
+    def file_status(self, path: str) -> "tuple[int, int]":
+        """(length, modificationTime-millis) of ``path`` — the
+        scheme-portable source-identity pair :func:`~.operators.
+        content_key` uses where ``os.stat`` cannot reach (hdfs://,
+        s3a://).  Directories report length 0 and the directory
+        mtime, same shape as the POSIX stat the local path takes."""
+        st = self._fs.getFileStatus(self._Path(path))
+        return int(st.getLen()), int(st.getModificationTime())
+
+    @_oserror_on_jvm_failure
     def list_names(self, dirpath: str) -> "list[str]":
         """Names (not paths) of the direct children of ``dirpath``;
         empty list if the directory is absent."""

@@ -746,6 +746,39 @@ def test_storefs_rename_detects_concurrent_nesting(spark, tmp_path, monkeypatch)
     assert not fs.exists(f"{dst}/src")  # no nested copy left behind
 
 
+def test_content_key_stats_scheme_uris_through_hadoop(spark, tmp_path):
+    """content_key was the one remaining driver-local os.stat in the
+    build-once path after the r14 StoreFS port: a gate artifact whose
+    src_path lives on hdfs://s3a:// failed os.stat even though the
+    marker/store I/O is scheme-portable (r15 verdict/advice item).
+    Scheme URIs now stat through Hadoop FileStatus (length +
+    modificationTime); bare paths stay deliberately driver-local
+    POSIX (a scheme-less path routed through Hadoop would resolve
+    against fs.defaultFS and stat a DIFFERENT file than the caller
+    meant)."""
+    from parquet_to_postgres_spark.operators import build_once, content_key
+
+    src = tmp_path / "src.txt"
+    src.write_text("v1")
+    uri = f"file://{src}"
+    k1 = content_key(uri, {"p": 1})
+    assert content_key(uri, {"p": 1}, spark=spark) == k1  # explicit session too
+    assert k1["src"] == uri and k1["stat"][0] == 2  # Hadoop length
+    # a source change invalidates (the size leg moves even within one
+    # mtime millisecond)
+    src.write_text("v2-longer")
+    assert content_key(uri, {"p": 1}) != k1
+    # the scheme key drives the shared marker engine end-to-end
+    art = f"file://{tmp_path}/artifact"
+    calls = []
+    assert build_once(spark, art, k1, lambda: calls.append(1)) is True
+    assert build_once(spark, art, k1, lambda: calls.append(1)) is False
+    assert calls == [1]
+    # bare paths: unchanged driver-local stat (mtime_ns resolution)
+    bare = content_key(str(src), {"p": 1})
+    assert bare["stat"][0] == len("v2-longer")
+
+
 def test_storefs_jvm_errors_surface_as_oserror(spark, tmp_path):
     """py4j JVM I/O errors are Py4JJavaError, NOT OSError (the r14
     build_once lesson) — but _heal_torn_swap's converge-on-race arm is
