@@ -2755,11 +2755,15 @@ def content_key(src_path: str, params: dict, *code_objs, spark=None) -> dict:
     import hashlib
     import inspect
     import os
+    import re
 
     digest = hashlib.md5(
         "".join(inspect.getsource(o) for o in code_objs).encode()
     ).hexdigest()
-    if "://" in src_path:
+    # single-slash scheme URIs (dbfs:/, file:/x, hdfs:/nn/path) are
+    # valid Hadoop paths too — '"://" in path' missed them and sent
+    # them to os.stat, which fails (r15 review finding)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/", src_path):
         if spark is None:
             from pyspark.sql import SparkSession
 

@@ -307,6 +307,9 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         ops_mod,
         sketch_cube_slice,
+        # explicit session: getActiveSession is thread-local and can
+        # be None in a multithreaded driver (r15 review finding)
+        spark=spark,
     )
     path = _scratch(
         f"sketchcube/gate_{os.path.basename(os.path.normpath(sf_dir))}"

@@ -1201,6 +1201,9 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"m": 8, "codes": 16, "pq_iterations": 1, "cells": "label-unit"},
         S,
         ivfpq_index_probe,
+        # explicit session: getActiveSession is thread-local and can
+        # be None in a multithreaded driver (r15 review finding)
+        spark=spark,
     )
     path = _scratch(
         f"ivfpq/gate_{os.path.basename(os.path.normpath(sf_dir))}"

@@ -777,6 +777,33 @@ def test_content_key_stats_scheme_uris_through_hadoop(spark, tmp_path):
     # bare paths: unchanged driver-local stat (mtime_ns resolution)
     bare = content_key(str(src), {"p": 1})
     assert bare["stat"][0] == len("v2-longer")
+    # single-slash scheme URIs (dbfs:/, file:/x) are valid Hadoop
+    # paths — the '"://" in path' test missed them and os.stat died
+    # (r15 review finding)
+    single = content_key(f"file:{src}", {"p": 1})
+    assert single["stat"][0] == len("v2-longer")
+    # an absent scheme source raises FileNotFoundError, matching the
+    # POSIX branch (r15 review finding: the JVM FileNotFoundException
+    # surfaced as a generic OSError)
+    with pytest.raises(FileNotFoundError):
+        content_key(f"file://{tmp_path}/nope.txt", {"p": 1})
+    # DIRECTORY sources (the common case — Spark sources are parquet
+    # dirs): Hadoop dir statuses have length 0 everywhere and S3A
+    # reports dir mtime 0 too, so the naive [len, mtime] identity is a
+    # degenerate constant there and an in-place regeneration would
+    # serve a STALE artifact (r15 review finding).  The dir identity
+    # is [total content length, file count, newest mtime] — adding or
+    # growing a part file must move it.
+    d = tmp_path / "dataset"
+    d.mkdir()
+    (d / "part-0").write_text("aaaa")
+    duri = f"file://{d}"
+    dk1 = content_key(duri, {"p": 1})
+    assert dk1["stat"][0] == 4 and dk1["stat"][1] == 1
+    (d / "part-1").write_text("bb")
+    dk2 = content_key(duri, {"p": 1})
+    assert dk2["stat"][0] == 6 and dk2["stat"][1] == 2
+    assert dk1 != dk2
 
 
 def test_storefs_jvm_errors_surface_as_oserror(spark, tmp_path):
