@@ -61,7 +61,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "funnel_counts",
     "retention_cohorts",
     "attribution_report",
-    "approx_sketches",
     "join_full_outer",
     "join_semi_anti",
     "join_dims_grid",
@@ -93,6 +92,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # build (build-once amortized thereafter) — keep with the expensive
     # tail so a time-budgeted cutoff hits it last, same as ivfpq above
     "sketch_cube_slice",
+    "kmv_audience_overlap",
     "udf_surface",
     "stream_windowed_aggs",
     "stream_session_windows",

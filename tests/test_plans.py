@@ -877,3 +877,18 @@ def test_cosine_two_stage_topk_plan_shape(spark):
     import re
 
     assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_kmv_audience_overlap_slices_prune_partitions(spark):
+    """The r15 gate promotion's probe plan: both audience slices scan
+    the KMV store's CELL rows with a planning-time PartitionFilter on
+    event_type (the store is partitioned by it — each slice reads ONE
+    directory), and the whole report stays JVM-side.  The regex
+    demands a NON-empty filter: an unfiltered partitioned scan still
+    stringifies 'PartitionFilters: []' (verify-skill gotcha)."""
+    import re
+
+    p = plan(build("kmv_audience_overlap", spark))
+    hits = re.findall(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", p)
+    assert len(hits) >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

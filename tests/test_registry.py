@@ -259,6 +259,25 @@ def test_rotated_out_cosine_threshold_join_still_matches_oracle(spark, duck):
     )
 
 
+def test_rotated_out_approx_sketches_still_matches_oracle(spark, duck):
+    """approx_sketches rotated out in round 15 (slot given to
+    kmv_audience_overlap — the same sketch-bound-boolean grain plus a
+    persisted-store lifecycle and set-intersection); A3 stays declared
+    via sketch_cube_slice + kmv_audience_overlap, A7 via
+    profile_drift_report + sketch_cube_slice."""
+    from parquet_to_postgres_spark.queries.aggregates_q import (
+        APPROX_SKETCHES_ORACLE,
+        approx_sketches,
+    )
+
+    assert_matches_oracle(
+        approx_sketches(spark, SF_SMOKE),
+        duck,
+        APPROX_SKETCHES_ORACLE,
+        "approx_sketches",
+    )
+
+
 def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
     """exact_stats rotated out in round 12; A7 stays declared via
     approx_sketches and profile_drift_report."""
