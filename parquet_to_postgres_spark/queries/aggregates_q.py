@@ -165,7 +165,8 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums — same cost as the native versions at 100 TB.
 
     Rotated out of the 50-slot registry in round 12; A7 stays declared
-    via approx_sketches and profile_drift_report.  Full oracle coverage
+    via profile_drift_report and sketch_cube_slice (approx_sketches
+    itself rotated out in r15).  Full oracle coverage
     continues in tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     q, d = dec("l_quantity"), dec("l_discount")

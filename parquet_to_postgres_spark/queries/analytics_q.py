@@ -271,20 +271,17 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct; lg_config_k=12 is ~2% rsd) and ``p50_ok`` (store
     p50 between the exact quartiles — interpolation-free bracket, the
     approx_sketches pattern)."""
-    import os
-
     from .. import operators as ops_mod
     from ..operators import (
         append_qsketch_rollup,
         append_sketch_rollup,
         build_once,
-        content_key,
         qsketch_slice,
         sketch_slice,
         write_qsketch_rollup,
         write_sketch_rollup,
     )
-    from .etl_q import _scratch
+    from ._util import gate_store
 
     t = Catalog(spark, sf_dir)
     # event_type IS NOT NULL mirrors the oracle: a NULL group would
@@ -297,8 +294,8 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest the WHOLE operators module + this builder (content_key's
     # documented contract): a spurious rebuild costs seconds, a stale
     # store serves wrong slices
-    key = content_key(
-        os.path.join(sf_dir, "events.parquet"),
+    path, key = gate_store(
+        spark, sf_dir, "events.parquet", "sketchcube",
         {
             "keys": ["day", "event_type"],
             "hll": {"distinct_col": "user_id", "lg_config_k": 12},
@@ -307,12 +304,6 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         ops_mod,
         sketch_cube_slice,
-        # explicit session: getActiveSession is thread-local and can
-        # be None in a multithreaded driver (r15 review finding)
-        spark=spark,
-    )
-    path = _scratch(
-        f"sketchcube/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     hll_store, q_store = f"{path}/hll", f"{path}/qsketch"
     keys = ["day", "event_type"]
@@ -454,18 +445,15 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors scale with |A u B|, not |A n B|).  Both regimes are LIVE on
     the sf0.01 gate fixture: 28/30 days have exhaustive side sketches,
     every daily union (80-97 members > k) exercises the estimator."""
-    import os
-
     from .. import operators as ops_mod
     from ..operators import (
         append_kmv_rollup,
         build_once,
-        content_key,
         kmv_set_cardinalities,
         kmv_slice,
         write_kmv_rollup,
     )
-    from .etl_q import _scratch
+    from ._util import gate_store
 
     t = Catalog(spark, sf_dir)
     k = KMV_OVERLAP_K
@@ -473,8 +461,8 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     ).withColumn("day", F.to_date("ts").cast("string"))
     keys = ["event_type", "day"]
-    key = content_key(
-        os.path.join(sf_dir, "events.parquet"),
+    path, key = gate_store(
+        spark, sf_dir, "events.parquet", "kmvoverlap",
         {
             "keys": keys,
             "member_col": "user_id",
@@ -483,12 +471,6 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         ops_mod,
         kmv_audience_overlap,
-        # explicit session: getActiveSession is thread-local and can
-        # be None in a multithreaded driver (r15 review finding)
-        spark=spark,
-    )
-    path = _scratch(
-        f"kmvoverlap/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     store = f"{path}/store"
 
@@ -554,7 +536,15 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.abs(est - F.col(exact_col)) <= band * F.col(scale_col))
         )
 
-    jac_exact = F.col("n_overlap").cast("double") / F.col("n_union").cast("double")
+    # zero-guarded like the estimator's own m > 0 arm: a day whose
+    # users are all NULL has cells (n_rows > 0, empty sketches) and an
+    # exact union of 0 — a bare division would make jaccard_ok NULL
+    # and hash-mismatch the oracle's literal true (r15 review finding,
+    # the r14 NULL-group latent-drift class)
+    jac_exact = F.when(
+        F.col("n_union") > 0,
+        F.col("n_overlap").cast("double") / F.col("n_union").cast("double"),
+    ).otherwise(F.lit(0.0))
     return (
         ov.join(rows_a, "day")
         .join(rows_b, "day")

@@ -1183,10 +1183,8 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     The marker machinery is the shared
     :func:`~..operators.build_once` engine (r13 verdict item 5 — this
     query previously carried its own copy)."""
-    import os
-
-    from ..operators import build_once, content_key
-    from .etl_q import _scratch
+    from ..operators import build_once
+    from ._util import gate_store
 
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
@@ -1196,17 +1194,11 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documented contract): the store is a function of a deep call
     # closure (_unit, _centroid_arrays, pq_train, encode ...) and
     # enumerating it by hand missed members (r13 review finding)
-    key = content_key(
-        os.path.join(sf_dir, "embeddings.parquet"),
+    path, key = gate_store(
+        spark, sf_dir, "embeddings.parquet", "ivfpq",
         {"m": 8, "codes": 16, "pq_iterations": 1, "cells": "label-unit"},
         S,
         ivfpq_index_probe,
-        # explicit session: getActiveSession is thread-local and can
-        # be None in a multithreaded driver (r15 review finding)
-        spark=spark,
-    )
-    path = _scratch(
-        f"ivfpq/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
 
     def build():

@@ -280,7 +280,8 @@ def test_rotated_out_approx_sketches_still_matches_oracle(spark, duck):
 
 def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
     """exact_stats rotated out in round 12; A7 stays declared via
-    approx_sketches and profile_drift_report."""
+    profile_drift_report and sketch_cube_slice (approx_sketches itself
+    rotated out in r15)."""
     from parquet_to_postgres_spark.queries.aggregates_q import (
         EXACT_STATS_ORACLE,
         exact_stats,
