@@ -61,6 +61,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "funnel_counts",
     "retention_cohorts",
     "attribution_report",
+    "heavy_hitters_census",
     "join_full_outer",
     "join_semi_anti",
     "join_dims_grid",
@@ -82,7 +83,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_jdbc_roundtrip",
     "etl_pg_roundtrip",
     "corpus_preprocess",
-    "text_metrics",
     "weighted_sample",
     "span_dedup",
     "embedding_profile",

@@ -580,3 +580,93 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ok"),
         )
     )
+
+
+# The census oracle pins the operator's DETERMINISTIC guarantees and
+# nothing more: WHICH non-guaranteed candidates survive Misra-Gries
+# compression varies with partitioning and Arrow batch boundaries (the
+# documented contract), but (1) every item whose true frequency
+# exceeds n/(k+1) is GUARANTEED present (Agarwal et al., PODS'12
+# mergeability), and (2) est <= true <= max holds for every returned
+# item — so the query emits the guaranteed items with their EXACT
+# counts (hash-matched) plus the two theorem booleans, and never the
+# run-varying est/max values themselves.
+CENSUS_K = 128
+HEAVY_HITTERS_CENSUS_ORACLE = f"""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(n_events) AS n FROM counts)
+    SELECT item, n_events, true AS present, true AS bounds_ok
+    FROM counts, tot WHERE n_events > n / {CENSUS_K + 1}.0
+    """
+
+
+@register(
+    "heavy_hitters_census",
+    oracle=HEAVY_HITTERS_CENSUS_ORACLE,
+    tags=("analytics", "census"),
+)
+def heavy_hitters_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Misra-Gries heavy-hitter census on the gate (promoted r15 —
+    VERDICT item 2): the zero-DATA-shuffle first-pass census
+    (:func:`~..operators.frequent_items`) over event actors, certified
+    through its deterministic theorems.  Each partition folds into a
+    <= k-entry summary with NO exchange (mapInPandas straight off the
+    scan — plan-pinned in tests/test_analytics_ops.py); the merge is
+    item-grain (<= P*(k+1) tiny rows), never event-grain.
+
+    k=128 is chosen so BOTH operator regimes are live on the gate
+    fixture: sf0.01 has 150 distinct users, so the summaries compress
+    (real decrements, est < exact) AND 19 users still clear the
+    n/(k+1) coverage threshold; sf0.001's 15 users stay under k
+    (exact regime, zero decrement).
+
+    Output, one row per GUARANTEED item (true frequency > n/(k+1),
+    recomputed exactly in-query): the item, its exact count (both
+    hash-matched against DuckDB's exact GROUP BY), ``present`` (the
+    PODS'12 coverage theorem: a guaranteed item is in the census under
+    ANY partitioning), and ``bounds_ok`` (est <= exact <= max).  The
+    run-varying est/max values are deliberately NOT emitted — the
+    docstring contract says never to snapshot-compare them."""
+    from ..operators import frequent_items
+
+    t = Catalog(spark, sf_dir)
+    k = CENSUS_K
+    census = frequent_items(t.events, "user_id", k=k).select(
+        F.col("item").alias("__c_item"),
+        "est_count",
+        "max_count",
+        F.lit(True).alias("__present"),
+    )
+    exact = t.events.groupBy(
+        F.col("user_id").cast("string").alias("item")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # the threshold total rides a single-row broadcast cross join, not
+    # a window over the user-grain frame (an unbounded window would
+    # single-partition the whole user table at scale); counted straight
+    # off the scan — summing the exact leg's groups would rebuild the
+    # whole item-grain aggregate a second time
+    total = t.events.agg(F.count(F.lit(1)).alias("__n"))
+    guaranteed = exact.crossJoin(F.broadcast(total)).where(
+        F.col("n_events") > F.col("__n") / F.lit(float(k + 1))
+    )
+    # census is a <= k-row local frame; NULL-SAFE join so a NULL-user
+    # heavy hitter (the census tracks NULL as its own item) cannot
+    # silently read as absent
+    j = guaranteed.join(
+        F.broadcast(census),
+        F.col("item").eqNullSafe(F.col("__c_item")),
+        "left",
+    )
+    return j.select(
+        "item",
+        "n_events",
+        F.coalesce("__present", F.lit(False)).alias("present"),
+        (
+            F.coalesce("__present", F.lit(False))
+            & (F.col("est_count") <= F.col("n_events"))
+            & (F.col("n_events") <= F.col("max_count"))
+        ).alias("bounds_ok"),
+    )

@@ -434,9 +434,7 @@ def term_frequency_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_metrics",
-    oracle=f"""
+TEXT_METRICS_ORACLE = f"""
     SELECT doc_id, lang,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
@@ -457,9 +455,9 @@ def term_frequency_top(spark: SparkSession, sf_dir: str) -> DataFrame:
            {X.sql_lang_id("text")} AS lang_pred,
            {X.sql_fingerprint("text")} AS fp
     FROM documents
-    """,
-    tags=("L5", "L6"),
-)
+    """
+
+
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5+L6 per-doc text analysis in one scan: whitespace + BPE-ish
     token counts, quality features (length / mean-token-length /
@@ -469,7 +467,13 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is JVM-side builtins and higher-order functions — one
     linear pass, no Python, the per-document feature-extraction shape a
-    100 TB training pipeline runs first."""
+    100 TB training pipeline runs first.
+
+    Rotated out of the 50-slot registry in round 15 (slot given to
+    heavy_hitters_census); L5/L6 stay declared via corpus_preprocess,
+    F1 via scalar_functions.  Full oracle coverage continues in
+    tests/test_registry.py, and the JVM-only plan pin stays in
+    tests/test_plans.py (importing the function directly)."""
     t = Catalog(spark, sf_dir)
     feats = X.quality_features("text")
     feats[0] = feats[0].cast("long")  # n_chars_calc: match DuckDB BIGINT

@@ -259,6 +259,24 @@ def test_rotated_out_cosine_threshold_join_still_matches_oracle(spark, duck):
     )
 
 
+def test_rotated_out_text_metrics_still_matches_oracle(spark, duck):
+    """text_metrics rotated out in round 15 (slot given to
+    heavy_hitters_census); L5/L6 stay declared via corpus_preprocess,
+    F1 via scalar_functions; the JVM-only plan pin moved to a direct
+    import in test_plans.test_no_python_in_jvm_hot_paths."""
+    from parquet_to_postgres_spark.queries.llm_q import (
+        TEXT_METRICS_ORACLE,
+        text_metrics,
+    )
+
+    assert_matches_oracle(
+        text_metrics(spark, SF_SMOKE),
+        duck,
+        TEXT_METRICS_ORACLE,
+        "text_metrics",
+    )
+
+
 def test_rotated_out_approx_sketches_still_matches_oracle(spark, duck):
     """approx_sketches rotated out in round 15 (slot given to
     kmv_audience_overlap — the same sketch-bound-boolean grain plus a
