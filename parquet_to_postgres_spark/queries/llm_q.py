@@ -712,8 +712,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine reproducibility exactly where a 100 TB corpus lives.
 
     Rotated out of the 50-slot registry in round 12 (slot given to the
-    A-ES weighted_sample); L6 stays declared via text_metrics and
-    corpus_preprocess.  Full oracle coverage continues in
+    A-ES weighted_sample); L6 stays declared via corpus_preprocess
+    (text_metrics itself rotated out in r15).  Full oracle coverage
+    continues in
     tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     bucket = (

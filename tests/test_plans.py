@@ -913,9 +913,12 @@ def test_heavy_hitters_census_plan_shape(spark):
     assert p.count("hashpartitioning") == 1, p
     assert "BroadcastNestedLoopJoin Cross" in p or "Cross BuildRight" in p, p
     assert "BroadcastHashJoin" in p, p
-    assert "struct<user_id:bigint>" in p, p
     # only pruned event scans — the exact leg reads user_id alone and
-    # the count leg reads NO columns (struct<>); nothing wider
+    # the count leg reads NO columns (struct<>); the full-schema set
+    # comparison (not a prefix lookahead) so a widened scan whose
+    # ReadSchema merely STARTS with user_id still fails (r15 review
+    # finding)
     import re
 
-    assert not re.search(r"ReadSchema: struct<(?!user_id|>)[^>]*>", p), p
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", p)
+    assert schemas and set(schemas) <= {"struct<>", "struct<user_id:bigint>"}, p

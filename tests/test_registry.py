@@ -84,7 +84,8 @@ def test_rotated_out_array_functions_still_matches_oracle(spark, duck):
 
 def test_rotated_out_term_frequency_top_still_matches_oracle(spark, duck):
     """term_frequency_top gave its slot to join_interval_overlap in
-    round 7 (L5 stays declared via tf_idf_top / text_metrics); full
+    round 7 (L5 stays declared via corpus_preprocess — tf_idf_top and
+    text_metrics themselves rotated out in r12/r15); full
     oracle coverage continues here."""
     from parquet_to_postgres_spark.queries.llm_q import (
         TERM_FREQUENCY_TOP_ORACLE,
@@ -145,8 +146,8 @@ def test_rotated_out_textsim_pairs_still_matches_oracle(spark, duck):
 def test_rotated_out_training_data_prep_still_matches_oracle(spark, duck):
     """training_data_prep gave its slot to span_dedup in round 7 (its
     L1/L5/L6 axes stay declared via corpus_preprocess /
-    near_dedup_corpus / text_metrics / tf_idf_top / stratified_sample);
-    full oracle coverage continues here."""
+    near_dedup_corpus — the other witnesses of that era rotated out in
+    r12/r15); full oracle coverage continues here."""
     from parquet_to_postgres_spark.queries.llm_q import (
         TRAINING_DATA_PREP_ORACLE,
         training_data_prep,
@@ -312,7 +313,7 @@ def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
 
 def test_rotated_out_tf_idf_top_still_matches_oracle(spark, duck):
     """tf_idf_top rotated out in round 12; L5 stays declared via
-    text_metrics and corpus_preprocess."""
+    corpus_preprocess (text_metrics itself rotated out in r15)."""
     from parquet_to_postgres_spark.queries.pipeline_q import (
         TF_IDF_TOP_ORACLE,
         tf_idf_top,
@@ -325,7 +326,8 @@ def test_rotated_out_tf_idf_top_still_matches_oracle(spark, duck):
 
 def test_rotated_out_stratified_sample_still_matches_oracle(spark, duck):
     """stratified_sample gave its slot to the A-ES weighted_sample in
-    round 12; L6 stays declared via text_metrics and corpus_preprocess."""
+    round 12; L6 stays declared via corpus_preprocess (text_metrics
+    itself rotated out in r15)."""
     from parquet_to_postgres_spark.queries.llm_q import (
         STRATIFIED_SAMPLE_ORACLE,
         stratified_sample,
