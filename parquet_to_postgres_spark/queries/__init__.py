@@ -59,7 +59,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cube_orders",
     "collect_nations",
     "funnel_counts",
-    "retention_cohorts",
     "attribution_report",
     "heavy_hitters_census",
     "join_full_outer",
@@ -84,6 +83,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_pg_roundtrip",
     "corpus_preprocess",
     "weighted_sample",
+    "stratified_weighted_sample",
     "span_dedup",
     "embedding_profile",
     "ann_topk",

@@ -140,7 +140,6 @@ RETENTION_ORACLE = """
     """
 
 
-@register("retention_cohorts", oracle=RETENTION_ORACLE, tags=("ops", "analytics"))
 def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
     ISO week, counted distinct in every week they return, with the
@@ -151,7 +150,15 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r12 fragmentation finding).  Plan shape: a map-side-combinable
     min for first activity, an equi-join back on the user key, one
     (cohort, offset) count-distinct — all shuffles on shrinking grains,
-    nothing collected."""
+    nothing collected.
+
+    Rotated out of the 50-slot registry in round 15 (slot given to
+    stratified_weighted_sample, closing L9b's declared-cover gap); the
+    analytics family stays declared via funnel_counts +
+    attribution_report, and the operator keeps its cell-for-cell
+    DuckDB twins in tests/test_funnel.py plus full oracle coverage in
+    tests/test_registry.py; the scale probe keeps measuring it via a
+    direct-import builder."""
     t = Catalog(spark, sf_dir)
     out = retention_cohorts(t.events, "user_id", "ts", period="week")
     # the operator's cohort is a DATE; the gate compares through pandas,

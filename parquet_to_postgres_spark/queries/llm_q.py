@@ -1062,6 +1062,56 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATIFIED_WEIGHTED_SAMPLE_K = 25
+STRATIFIED_WEIGHTED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               -ln((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13))::BIGINT
+                    + 1.0) / 4503599627370497.0) / n_chars,
+               doc_id) AS rk
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars > 0
+    ) WHERE rk <= {STRATIFIED_WEIGHTED_SAMPLE_K}
+    """
+
+
+@register(
+    "stratified_weighted_sample",
+    oracle=STRATIFIED_WEIGHTED_SAMPLE_ORACLE,
+    tags=("L9b", "sampling"),
+)
+def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9b on the gate (promoted r15 — VERDICT item 5): PER-STRATUM
+    exact weighted sampling without replacement — 25 documents from
+    EACH language, drawn with probability proportional to length by
+    the same deterministic Efraimidis-Spirakis priority as the global
+    weighted_sample demo (P(row first in its stratum) = w / stratum
+    weight sum) — the curriculum-mix primitive where every language
+    keeps its own quota but selection within it is length-weighted.
+
+    Drives the library operator (operators.weighted_sample_by): the
+    rank-over-window filter plans as WindowGroupLimit, so each task
+    pre-prunes to its local top-k per stratum BEFORE the exchange —
+    at most k*P rows per stratum cross the shuffle, never the
+    stratum's population (plan-pinned here and replayed in pure
+    Python in tests/test_runtime_filters.py).  The md5-derived
+    priority is replayed exactly by the DuckDB oracle (same A-ES
+    determinism argument as weighted_sample — the ln is the one
+    libm-dependent step, never emitted)."""
+    from ..operators import weighted_sample_by
+
+    t = Catalog(spark, sf_dir)
+    return weighted_sample_by(
+        t.documents.select("doc_id", "lang", "source", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        strata_col="lang",
+        k=STRATIFIED_WEIGHTED_SAMPLE_K,
+        salt=0,
+    )
+
+
 # ------------------------------------------------------- IVF-PQ probe ----
 
 

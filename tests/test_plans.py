@@ -922,3 +922,16 @@ def test_heavy_hitters_census_plan_shape(spark):
 
     schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", p)
     assert schemas and set(schemas) <= {"struct<>", "struct<user_id:bigint>"}, p
+
+
+def test_stratified_weighted_sample_plans_window_group_limit(spark):
+    """The r15 L9b promotion's plan contract: the per-stratum rank
+    filter plans as WindowGroupLimit (each task pre-prunes to its
+    local top-k per stratum BEFORE the exchange, so at most k*P rows
+    per stratum are shuffled — never the stratum's population), and no
+    GLOBAL sort of the document stream appears."""
+    import re
+
+    p = plan(build("stratified_weighted_sample", spark), mode="simple")
+    assert "WindowGroupLimit" in p, p
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p

@@ -339,3 +339,23 @@ def test_rotated_out_stratified_sample_still_matches_oracle(spark, duck):
         STRATIFIED_SAMPLE_ORACLE,
         "stratified_sample",
     )
+
+
+def test_rotated_out_retention_cohorts_still_matches_oracle(spark, duck):
+    """retention_cohorts rotated out in round 15 (slot given to
+    stratified_weighted_sample, closing L9b's declared-cover gap); the
+    analytics family stays declared via funnel_counts +
+    attribution_report, the operator keeps its cell-for-cell twins in
+    tests/test_funnel.py, and the scale probe measures it via a
+    direct-import builder."""
+    from parquet_to_postgres_spark.queries.analytics_q import (
+        RETENTION_ORACLE,
+        retention_cohorts_q,
+    )
+
+    assert_matches_oracle(
+        retention_cohorts_q(spark, SF_SMOKE),
+        duck,
+        RETENTION_ORACLE,
+        "retention_cohorts",
+    )
