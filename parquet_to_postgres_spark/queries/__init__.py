@@ -59,8 +59,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "cube_orders",
     "collect_nations",
     "funnel_counts",
+    "retention_cohorts",
     "attribution_report",
-    "heavy_hitters_census",
+    "approx_sketches",
     "join_full_outer",
     "join_semi_anti",
     "join_dims_grid",
@@ -82,8 +83,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_jdbc_roundtrip",
     "etl_pg_roundtrip",
     "corpus_preprocess",
+    "text_metrics",
     "weighted_sample",
-    "stratified_weighted_sample",
     "span_dedup",
     "embedding_profile",
     "ann_topk",
@@ -92,7 +93,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     # build (build-once amortized thereafter) — keep with the expensive
     # tail so a time-budgeted cutoff hits it last, same as ivfpq above
     "sketch_cube_slice",
-    "kmv_audience_overlap",
     "udf_surface",
     "stream_windowed_aggs",
     "stream_session_windows",

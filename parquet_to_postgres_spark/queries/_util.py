@@ -60,29 +60,3 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM({sql_dec(expr)}) AS DOUBLE) / COUNT({expr}) AS {alias}"
-
-
-def gate_store(spark, sf_dir: str, src_table: str, subdir: str,
-               params: dict, *code_objs) -> "tuple[str, dict]":
-    """(scratch path, content key) for a build-once gate store — the
-    shared scaffolding of every declared query that amortizes a heavy
-    build behind :func:`~..operators.build_once` (ivfpq_index_probe,
-    sketch_cube_slice, kmv_audience_overlap).  Single-sourced so the
-    invalidation contract (source stat + params + module digests) and
-    the session handling cannot drift per query (r15 review finding:
-    the block was copy-pasted three times; the r15 spark= fix had to
-    land in two places).  ``spark`` is passed explicitly because
-    ``getActiveSession`` is thread-local and can be None in a
-    multithreaded driver."""
-    import os
-
-    from ..operators import content_key
-    from .etl_q import _scratch
-
-    key = content_key(
-        os.path.join(sf_dir, src_table), params, *code_objs, spark=spark
-    )
-    path = _scratch(
-        f"{subdir}/gate_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    return path, key

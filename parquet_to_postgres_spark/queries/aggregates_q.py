@@ -44,16 +44,18 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_SKETCHES_ORACLE = """
+@register(
+    "approx_sketches",
+    oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS exact_users,
            true AS hll_ok,
            true AS p50_ok
     FROM events GROUP BY event_type
-    """
-
-
+    """,
+    tags=("A3", "A7"),
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 + approx-A7: HLL count-distinct and KLL-ish quantile sketches,
     verified through deterministic error-bound assertions.
@@ -68,14 +70,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the sketches replace exact count-distinct's full shuffle
     with constant-size map-side-merged state — that is the point of A3.
-
-    Rotated out of the 50-slot registry in round 15 (slot given to
-    kmv_audience_overlap — the same sketch-bound-boolean grain, plus a
-    persisted-store lifecycle and the set-INTERSECTION capability this
-    demo lacks); A3 stays declared via sketch_cube_slice +
-    kmv_audience_overlap, A7 via profile_drift_report +
-    sketch_cube_slice.  Full oracle coverage continues in
-    tests/test_registry.py."""
+    """
     t = Catalog(spark, sf_dir)
     agg = t.events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -165,8 +160,7 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums — same cost as the native versions at 100 TB.
 
     Rotated out of the 50-slot registry in round 12; A7 stays declared
-    via profile_drift_report and sketch_cube_slice (approx_sketches
-    itself rotated out in r15).  Full oracle coverage
+    via approx_sketches and profile_drift_report.  Full oracle coverage
     continues in tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     q, d = dec("l_quantity"), dec("l_discount")

@@ -140,6 +140,7 @@ RETENTION_ORACLE = """
     """
 
 
+@register("retention_cohorts", oracle=RETENTION_ORACLE, tags=("ops", "analytics"))
 def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
     ISO week, counted distinct in every week they return, with the
@@ -150,15 +151,7 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r12 fragmentation finding).  Plan shape: a map-side-combinable
     min for first activity, an equi-join back on the user key, one
     (cohort, offset) count-distinct — all shuffles on shrinking grains,
-    nothing collected.
-
-    Rotated out of the 50-slot registry in round 15 (slot given to
-    stratified_weighted_sample, closing L9b's declared-cover gap); the
-    analytics family stays declared via funnel_counts +
-    attribution_report, and the operator keeps its cell-for-cell
-    DuckDB twins in tests/test_funnel.py plus full oracle coverage in
-    tests/test_registry.py; the scale probe keeps measuring it via a
-    direct-import builder."""
+    nothing collected."""
     t = Catalog(spark, sf_dir)
     out = retention_cohorts(t.events, "user_id", "ts", period="week")
     # the operator's cohort is a DATE; the gate compares through pandas,
@@ -278,17 +271,20 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct; lg_config_k=12 is ~2% rsd) and ``p50_ok`` (store
     p50 between the exact quartiles — interpolation-free bracket, the
     approx_sketches pattern)."""
+    import os
+
     from .. import operators as ops_mod
     from ..operators import (
         append_qsketch_rollup,
         append_sketch_rollup,
         build_once,
+        content_key,
         qsketch_slice,
         sketch_slice,
         write_qsketch_rollup,
         write_sketch_rollup,
     )
-    from ._util import gate_store
+    from .etl_q import _scratch
 
     t = Catalog(spark, sf_dir)
     # event_type IS NOT NULL mirrors the oracle: a NULL group would
@@ -301,8 +297,8 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest the WHOLE operators module + this builder (content_key's
     # documented contract): a spurious rebuild costs seconds, a stale
     # store serves wrong slices
-    path, key = gate_store(
-        spark, sf_dir, "events.parquet", "sketchcube",
+    key = content_key(
+        os.path.join(sf_dir, "events.parquet"),
         {
             "keys": ["day", "event_type"],
             "hll": {"distinct_col": "user_id", "lg_config_k": 12},
@@ -311,6 +307,12 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         ops_mod,
         sketch_cube_slice,
+        # explicit session: getActiveSession is thread-local and can
+        # be None in a multithreaded driver (r15 review finding)
+        spark=spark,
+    )
+    path = _scratch(
+        f"sketchcube/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     hll_store, q_store = f"{path}/hll", f"{path}/qsketch"
     keys = ["day", "event_type"]
@@ -375,305 +377,4 @@ def sketch_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("p50_ok"),
         )
-    )
-
-
-# The audience-overlap oracle: the hash-matched legs are EXACT values
-# DuckDB recomputes from raw events (store row counts certify the
-# build+append lifecycle lost nothing; the distinct legs anchor the
-# bound booleans to a verified baseline); the booleans state the KMV
-# estimator's guarantees — EQUALITY whenever the true cardinality is
-# under k (a min-k sample of < k members is exhaustive, so the
-# estimate IS the exact count) and a 4-sigma band above it.  Both
-# regimes are live on the sf0.01 fixture at k=64: 28 of 30 days have
-# exact side sketches, every daily union (80-97 users) estimates.
-KMV_OVERLAP_K = 64
-KMV_AUDIENCE_OVERLAP_ORACLE = """
-    WITH base AS (
-      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id, event_type
-      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-    ),
-    s AS (SELECT day, user_id FROM base WHERE event_type = 'signup'),
-    p AS (SELECT day, user_id FROM base WHERE event_type = 'purchase'),
-    days AS (SELECT day FROM s GROUP BY day
-             INTERSECT SELECT day FROM p GROUP BY day)
-    SELECT d.day,
-      (SELECT COUNT(*) FROM s WHERE s.day = d.day) AS n_signup_rows,
-      (SELECT COUNT(*) FROM p WHERE p.day = d.day) AS n_purchase_rows,
-      (SELECT COUNT(DISTINCT user_id) FROM s WHERE s.day = d.day) AS n_signup,
-      (SELECT COUNT(DISTINCT user_id) FROM p WHERE p.day = d.day) AS n_purchase,
-      (SELECT COUNT(DISTINCT user_id) FROM (
-          SELECT user_id FROM s WHERE s.day = d.day
-          UNION SELECT user_id FROM p WHERE p.day = d.day)) AS n_union,
-      (SELECT COUNT(DISTINCT user_id) FROM (
-          SELECT user_id FROM s WHERE s.day = d.day
-          INTERSECT SELECT user_id FROM p WHERE p.day = d.day)) AS n_overlap,
-      true AS sides_ok,
-      true AS union_ok,
-      true AS overlap_ok,
-      true AS jaccard_ok
-    FROM days d
-    """
-
-
-@register(
-    "kmv_audience_overlap",
-    oracle=KMV_AUDIENCE_OVERLAP_ORACLE,
-    tags=("A3", "analytics", "store"),
-)
-def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The KMV set-operation family on the gate (promoted r15 — VERDICT
-    item 1): per-day audience overlap — how many distinct users did
-    BOTH signup and purchase — answered from persisted KMV bottom-k
-    sketch cells, never raw events.  This is the question the HLL cube
-    cannot answer (HLL unions but never intersects); the KMV min-k
-    sample supports union, INTERSECTION, and Jaccard between any two
-    cells (Beyer et al. SIGMOD'07; Cohen's bottom-k estimator).
-
-    Lifecycle under test, same shape as sketch_cube_slice: backfill
-    ``write_kmv_rollup`` + disjoint-increment ``append_kmv_rollup``
-    (split at SKETCH_CUBE_SPLIT) behind the shared content-keyed
-    :func:`~..operators.build_once` marker; the report is two
-    ``kmv_slice(estimate=False)`` re-mergeable slices (partition
-    pruning on event_type at planning time) through
-    :func:`~..operators.kmv_set_cardinalities`.
-
-    Output per day: the store's additive ``n_*_rows`` (exact — hash-
-    matched, certifying zero loss across build+append), the exact
-    distinct legs recomputed from raw (hash-matched; union via one
-    grouped triple count-distinct, overlap by inclusion-exclusion),
-    and four booleans binding the sketch estimates to them:
-    EXACT-EQUALITY whenever the true cardinality is under k=64 (an
-    unsaturated min-k sample is the member set itself — conditioned on
-    the EXACT count, not the estimate: a saturated sketch of ~k
-    members can estimate below k without being exact), a 4-sigma
-    relative band (4/sqrt(k-2) ~ 0.51) above it; the intersection and
-    Jaccard bands are stated against the union (Cohen's estimator
-    errors scale with |A u B|, not |A n B|).  Both regimes are LIVE on
-    the sf0.01 gate fixture: 28/30 days have exhaustive side sketches,
-    every daily union (80-97 members > k) exercises the estimator."""
-    from .. import operators as ops_mod
-    from ..operators import (
-        append_kmv_rollup,
-        build_once,
-        kmv_set_cardinalities,
-        kmv_slice,
-        write_kmv_rollup,
-    )
-    from ._util import gate_store
-
-    t = Catalog(spark, sf_dir)
-    k = KMV_OVERLAP_K
-    events = t.events.where(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
-    ).withColumn("day", F.to_date("ts").cast("string"))
-    keys = ["event_type", "day"]
-    path, key = gate_store(
-        spark, sf_dir, "events.parquet", "kmvoverlap",
-        {
-            "keys": keys,
-            "member_col": "user_id",
-            "k": k,
-            "split": SKETCH_CUBE_SPLIT,
-        },
-        ops_mod,
-        kmv_audience_overlap,
-    )
-    store = f"{path}/store"
-
-    def build():
-        base = events.where(F.col("day") < SKETCH_CUBE_SPLIT)
-        incr = events.where(F.col("day") >= SKETCH_CUBE_SPLIT)
-        # partitioned by event_type so each audience slice prunes to
-        # ONE directory at planning time
-        write_kmv_rollup(
-            base, store, keys, "user_id",
-            partition_keys=["event_type"], k=k,
-        )
-        append_kmv_rollup(incr, store, keys, "user_id", k=k)
-
-    build_once(spark, path, key, build)
-    a = kmv_slice(
-        spark, store, ["day"],
-        where=F.col("event_type") == "signup", estimate=False,
-    )
-    b = kmv_slice(
-        spark, store, ["day"],
-        where=F.col("event_type") == "purchase", estimate=False,
-    )
-    # rename the estimate legs up front: the exact certification frame
-    # reuses the natural names (n_union ...) for the HASH-MATCHED
-    # columns, and an un-renamed join would be ambiguous
-    ov = kmv_set_cardinalities(a, b, ["day"]).select(
-        "day",
-        F.col("n_left").alias("est_signup"),
-        F.col("n_right").alias("est_purchase"),
-        F.col("n_union").alias("est_union"),
-        F.col("n_intersection").alias("est_overlap"),
-        "jaccard",
-    )
-    rows_a = a.select("day", F.col("n_rows").alias("n_signup_rows"))
-    rows_b = b.select("day", F.col("n_rows").alias("n_purchase_rows"))
-    # the exact certification leg: one grouped scan, overlap by
-    # inclusion-exclusion (countDistinct over both types = |A u B|)
-    sig = F.when(F.col("event_type") == "signup", F.col("user_id"))
-    pur = F.when(F.col("event_type") == "purchase", F.col("user_id"))
-    exact = (
-        events.where(F.col("event_type").isin("signup", "purchase"))
-        .groupBy("day")
-        .agg(
-            F.countDistinct(sig).alias("n_signup"),
-            F.countDistinct(pur).alias("n_purchase"),
-            F.countDistinct("user_id").alias("n_union"),
-        )
-        .withColumn(
-            "n_overlap",
-            F.col("n_signup") + F.col("n_purchase") - F.col("n_union"),
-        )
-    )
-    band = 4.0 / (k - 2) ** 0.5  # 4 sigma of the KMV rsd 1/sqrt(k-2)
-
-    def est_ok(est, exact_col, scale_col):
-        # exactness conditioned on the EXACT count being under k: an
-        # unsaturated min-k sample is the member set itself; a
-        # saturated sketch of ~k members can ESTIMATE below k without
-        # being exact, so conditioning on the estimate would be wrong
-        return (
-            F.when(F.col(exact_col) < k, est == F.col(exact_col))
-            .otherwise(F.abs(est - F.col(exact_col)) <= band * F.col(scale_col))
-        )
-
-    # zero-guarded like the estimator's own m > 0 arm: a day whose
-    # users are all NULL has cells (n_rows > 0, empty sketches) and an
-    # exact union of 0 — a bare division would make jaccard_ok NULL
-    # and hash-mismatch the oracle's literal true (r15 review finding,
-    # the r14 NULL-group latent-drift class)
-    jac_exact = F.when(
-        F.col("n_union") > 0,
-        F.col("n_overlap").cast("double") / F.col("n_union").cast("double"),
-    ).otherwise(F.lit(0.0))
-    return (
-        ov.join(rows_a, "day")
-        .join(rows_b, "day")
-        .join(exact, "day")
-        .select(
-            "day",
-            "n_signup_rows",
-            "n_purchase_rows",
-            "n_signup",
-            "n_purchase",
-            "n_union",
-            "n_overlap",
-            (
-                est_ok(F.col("est_signup"), "n_signup", "n_signup")
-                & est_ok(F.col("est_purchase"), "n_purchase", "n_purchase")
-            ).alias("sides_ok"),
-            est_ok(F.col("est_union"), "n_union", "n_union").alias("union_ok"),
-            # intersection/Jaccard errors scale with the UNION
-            F.when(
-                F.col("n_union") < k,
-                F.col("est_overlap") == F.col("n_overlap"),
-            )
-            .otherwise(
-                F.abs(F.col("est_overlap") - F.col("n_overlap"))
-                <= band * F.col("n_union")
-            )
-            .alias("overlap_ok"),
-            F.when(
-                F.col("n_union") < k,
-                F.abs(F.col("jaccard") - jac_exact) < 1e-12,
-            )
-            .otherwise(F.abs(F.col("jaccard") - jac_exact) <= 0.25)
-            .alias("jaccard_ok"),
-        )
-    )
-
-
-# The census oracle pins the operator's DETERMINISTIC guarantees and
-# nothing more: WHICH non-guaranteed candidates survive Misra-Gries
-# compression varies with partitioning and Arrow batch boundaries (the
-# documented contract), but (1) every item whose true frequency
-# exceeds n/(k+1) is GUARANTEED present (Agarwal et al., PODS'12
-# mergeability), and (2) est <= true <= max holds for every returned
-# item — so the query emits the guaranteed items with their EXACT
-# counts (hash-matched) plus the two theorem booleans, and never the
-# run-varying est/max values themselves.
-CENSUS_K = 128
-HEAVY_HITTERS_CENSUS_ORACLE = f"""
-    WITH counts AS (
-      SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS n_events
-      FROM events GROUP BY user_id
-    ),
-    tot AS (SELECT SUM(n_events) AS n FROM counts)
-    SELECT item, n_events, true AS present, true AS bounds_ok
-    FROM counts, tot WHERE n_events > n / {CENSUS_K + 1}.0
-    """
-
-
-@register(
-    "heavy_hitters_census",
-    oracle=HEAVY_HITTERS_CENSUS_ORACLE,
-    tags=("analytics", "census"),
-)
-def heavy_hitters_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Misra-Gries heavy-hitter census on the gate (promoted r15 —
-    VERDICT item 2): the zero-DATA-shuffle first-pass census
-    (:func:`~..operators.frequent_items`) over event actors, certified
-    through its deterministic theorems.  Each partition folds into a
-    <= k-entry summary with NO exchange (mapInPandas straight off the
-    scan — plan-pinned in tests/test_analytics_ops.py); the merge is
-    item-grain (<= P*(k+1) tiny rows), never event-grain.
-
-    k=128 is chosen so BOTH operator regimes are live on the gate
-    fixture: sf0.01 has 150 distinct users, so the summaries compress
-    (real decrements, est < exact) AND 19 users still clear the
-    n/(k+1) coverage threshold; sf0.001's 15 users stay under k
-    (exact regime, zero decrement).
-
-    Output, one row per GUARANTEED item (true frequency > n/(k+1),
-    recomputed exactly in-query): the item, its exact count (both
-    hash-matched against DuckDB's exact GROUP BY), ``present`` (the
-    PODS'12 coverage theorem: a guaranteed item is in the census under
-    ANY partitioning), and ``bounds_ok`` (est <= exact <= max).  The
-    run-varying est/max values are deliberately NOT emitted — the
-    docstring contract says never to snapshot-compare them."""
-    from ..operators import frequent_items
-
-    t = Catalog(spark, sf_dir)
-    k = CENSUS_K
-    census = frequent_items(t.events, "user_id", k=k).select(
-        F.col("item").alias("__c_item"),
-        "est_count",
-        "max_count",
-        F.lit(True).alias("__present"),
-    )
-    exact = t.events.groupBy(
-        F.col("user_id").cast("string").alias("item")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    # the threshold total rides a single-row broadcast cross join, not
-    # a window over the user-grain frame (an unbounded window would
-    # single-partition the whole user table at scale); counted straight
-    # off the scan — summing the exact leg's groups would rebuild the
-    # whole item-grain aggregate a second time
-    total = t.events.agg(F.count(F.lit(1)).alias("__n"))
-    guaranteed = exact.crossJoin(F.broadcast(total)).where(
-        F.col("n_events") > F.col("__n") / F.lit(float(k + 1))
-    )
-    # census is a <= k-row local frame; NULL-SAFE join so a NULL-user
-    # heavy hitter (the census tracks NULL as its own item) cannot
-    # silently read as absent
-    j = guaranteed.join(
-        F.broadcast(census),
-        F.col("item").eqNullSafe(F.col("__c_item")),
-        "left",
-    )
-    return j.select(
-        "item",
-        "n_events",
-        F.coalesce("__present", F.lit(False)).alias("present"),
-        (
-            F.coalesce("__present", F.lit(False))
-            & (F.col("est_count") <= F.col("n_events"))
-            & (F.col("n_events") <= F.col("max_count"))
-        ).alias("bounds_ok"),
     )

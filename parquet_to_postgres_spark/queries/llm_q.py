@@ -434,7 +434,9 @@ def term_frequency_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_METRICS_ORACLE = f"""
+@register(
+    "text_metrics",
+    oracle=f"""
     SELECT doc_id, lang,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
@@ -455,9 +457,9 @@ TEXT_METRICS_ORACLE = f"""
            {X.sql_lang_id("text")} AS lang_pred,
            {X.sql_fingerprint("text")} AS fp
     FROM documents
-    """
-
-
+    """,
+    tags=("L5", "L6"),
+)
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5+L6 per-doc text analysis in one scan: whitespace + BPE-ish
     token counts, quality features (length / mean-token-length /
@@ -467,13 +469,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is JVM-side builtins and higher-order functions — one
     linear pass, no Python, the per-document feature-extraction shape a
-    100 TB training pipeline runs first.
-
-    Rotated out of the 50-slot registry in round 15 (slot given to
-    heavy_hitters_census); L5/L6 stay declared via corpus_preprocess,
-    F1 via scalar_functions.  Full oracle coverage continues in
-    tests/test_registry.py, and the JVM-only plan pin stays in
-    tests/test_plans.py (importing the function directly)."""
+    100 TB training pipeline runs first."""
     t = Catalog(spark, sf_dir)
     feats = X.quality_features("text")
     feats[0] = feats[0].cast("long")  # n_chars_calc: match DuckDB BIGINT
@@ -712,9 +708,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine reproducibility exactly where a 100 TB corpus lives.
 
     Rotated out of the 50-slot registry in round 12 (slot given to the
-    A-ES weighted_sample); L6 stays declared via corpus_preprocess
-    (text_metrics itself rotated out in r15).  Full oracle coverage
-    continues in
+    A-ES weighted_sample); L6 stays declared via text_metrics and
+    corpus_preprocess.  Full oracle coverage continues in
     tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     bucket = (
@@ -1062,56 +1057,6 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STRATIFIED_WEIGHTED_SAMPLE_K = 25
-STRATIFIED_WEIGHTED_SAMPLE_ORACLE = f"""
-    SELECT doc_id, lang, source, n_chars FROM (
-      SELECT doc_id, lang, source, n_chars,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
-               -ln((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13))::BIGINT
-                    + 1.0) / 4503599627370497.0) / n_chars,
-               doc_id) AS rk
-      FROM documents
-      WHERE doc_id IS NOT NULL AND n_chars > 0
-    ) WHERE rk <= {STRATIFIED_WEIGHTED_SAMPLE_K}
-    """
-
-
-@register(
-    "stratified_weighted_sample",
-    oracle=STRATIFIED_WEIGHTED_SAMPLE_ORACLE,
-    tags=("L9b", "sampling"),
-)
-def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L9b on the gate (promoted r15 — VERDICT item 5): PER-STRATUM
-    exact weighted sampling without replacement — 25 documents from
-    EACH language, drawn with probability proportional to length by
-    the same deterministic Efraimidis-Spirakis priority as the global
-    weighted_sample demo (P(row first in its stratum) = w / stratum
-    weight sum) — the curriculum-mix primitive where every language
-    keeps its own quota but selection within it is length-weighted.
-
-    Drives the library operator (operators.weighted_sample_by): the
-    rank-over-window filter plans as WindowGroupLimit, so each task
-    pre-prunes to its local top-k per stratum BEFORE the exchange —
-    at most k*P rows per stratum cross the shuffle, never the
-    stratum's population (plan-pinned here and replayed in pure
-    Python in tests/test_runtime_filters.py).  The md5-derived
-    priority is replayed exactly by the DuckDB oracle (same A-ES
-    determinism argument as weighted_sample — the ln is the one
-    libm-dependent step, never emitted)."""
-    from ..operators import weighted_sample_by
-
-    t = Catalog(spark, sf_dir)
-    return weighted_sample_by(
-        t.documents.select("doc_id", "lang", "source", "n_chars"),
-        id_col="doc_id",
-        weight_col="n_chars",
-        strata_col="lang",
-        k=STRATIFIED_WEIGHTED_SAMPLE_K,
-        salt=0,
-    )
-
-
 # ------------------------------------------------------- IVF-PQ probe ----
 
 
@@ -1238,8 +1183,10 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     The marker machinery is the shared
     :func:`~..operators.build_once` engine (r13 verdict item 5 — this
     query previously carried its own copy)."""
-    from ..operators import build_once
-    from ._util import gate_store
+    import os
+
+    from ..operators import build_once, content_key
+    from .etl_q import _scratch
 
     t = Catalog(spark, sf_dir)
     emb = t.embeddings
@@ -1249,11 +1196,17 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documented contract): the store is a function of a deep call
     # closure (_unit, _centroid_arrays, pq_train, encode ...) and
     # enumerating it by hand missed members (r13 review finding)
-    path, key = gate_store(
-        spark, sf_dir, "embeddings.parquet", "ivfpq",
+    key = content_key(
+        os.path.join(sf_dir, "embeddings.parquet"),
         {"m": 8, "codes": 16, "pq_iterations": 1, "cells": "label-unit"},
         S,
         ivfpq_index_probe,
+        # explicit session: getActiveSession is thread-local and can
+        # be None in a multithreaded driver (r15 review finding)
+        spark=spark,
+    )
+    path = _scratch(
+        f"ivfpq/gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
 
     def build():

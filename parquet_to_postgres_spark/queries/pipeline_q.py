@@ -214,8 +214,7 @@ def tf_idf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact.
 
     Rotated out of the 50-slot registry in round 12; L5 stays declared
-    via corpus_preprocess (text_metrics itself rotated out in r15).
-    Full oracle coverage
+    via text_metrics and corpus_preprocess.  Full oracle coverage
     continues in tests/test_registry.py."""
     t = Catalog(spark, sf_dir)
     scored = X.tf_idf(t.documents, top_k=None)

@@ -75,19 +75,12 @@ def test_top_k_global_avoids_full_sort(spark):
 
 def test_no_python_in_jvm_hot_paths(spark):
     # Python evaluation is opt-in (L8 UDF queries only); relational and
-    # text queries must stay JVM-side.  text_metrics rotated out of the
-    # registry in r15 but keeps this plan pin via direct import.
-    from parquet_to_postgres_spark.queries.llm_q import text_metrics
-
-    for name in ("pricing_summary", "scalar_functions", "join_star_revenue"):
+    # text queries must stay JVM-side.
+    for name in ("pricing_summary", "text_metrics", "scalar_functions", "join_star_revenue"):
         p = plan(build(name, spark))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
             f"{name} fell out of the JVM into Python"
         )
-    p = plan(text_metrics(spark, SF_SMOKE))
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
-        "text_metrics fell out of the JVM into Python"
-    )
 
 
 def test_projection_prunes_scan_schema(spark):
@@ -883,55 +876,4 @@ def test_cosine_two_stage_topk_plan_shape(spark):
     # is local (the "false" flag = no global ordering requirement)
     import re
 
-    assert not re.search(r"Sort \[[^\]]*\], true", p), p
-
-
-def test_kmv_audience_overlap_slices_prune_partitions(spark):
-    """The r15 gate promotion's probe plan: both audience slices scan
-    the KMV store's CELL rows with a planning-time PartitionFilter on
-    event_type (the store is partitioned by it — each slice reads ONE
-    directory), and the whole report stays JVM-side.  The regex
-    demands a NON-empty filter: an unfiltered partitioned scan still
-    stringifies 'PartitionFilters: []' (verify-skill gotcha)."""
-    import re
-
-    p = plan(build("kmv_audience_overlap", spark))
-    hits = re.findall(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", p)
-    assert len(hits) >= 2, p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-
-
-def test_heavy_hitters_census_plan_shape(spark):
-    """The r15 census promotion's plan contracts: the exact leg is the
-    ONLY item-grain exchange (the threshold total is a plain count off
-    the scan, broadcast as a single row — never a window over the
-    user-grain frame, never a second item-grain aggregate); the <= k
-    census rows join back as a BROADCAST (null-safe keys); both event
-    scans read only user_id.  The census fold itself (scan ->
-    mapInPandas, no exchange) is pinned in tests/test_analytics_ops."""
-    p = plan(build("heavy_hitters_census", spark))
-    assert p.count("hashpartitioning") == 1, p
-    assert "BroadcastNestedLoopJoin Cross" in p or "Cross BuildRight" in p, p
-    assert "BroadcastHashJoin" in p, p
-    # only pruned event scans — the exact leg reads user_id alone and
-    # the count leg reads NO columns (struct<>); the full-schema set
-    # comparison (not a prefix lookahead) so a widened scan whose
-    # ReadSchema merely STARTS with user_id still fails (r15 review
-    # finding)
-    import re
-
-    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", p)
-    assert schemas and set(schemas) <= {"struct<>", "struct<user_id:bigint>"}, p
-
-
-def test_stratified_weighted_sample_plans_window_group_limit(spark):
-    """The r15 L9b promotion's plan contract: the per-stratum rank
-    filter plans as WindowGroupLimit (each task pre-prunes to its
-    local top-k per stratum BEFORE the exchange, so at most k*P rows
-    per stratum are shuffled — never the stratum's population), and no
-    GLOBAL sort of the document stream appears."""
-    import re
-
-    p = plan(build("stratified_weighted_sample", spark), mode="simple")
-    assert "WindowGroupLimit" in p, p
     assert not re.search(r"Sort \[[^\]]*\], true", p), p

@@ -84,8 +84,7 @@ def test_rotated_out_array_functions_still_matches_oracle(spark, duck):
 
 def test_rotated_out_term_frequency_top_still_matches_oracle(spark, duck):
     """term_frequency_top gave its slot to join_interval_overlap in
-    round 7 (L5 stays declared via corpus_preprocess — tf_idf_top and
-    text_metrics themselves rotated out in r12/r15); full
+    round 7 (L5 stays declared via tf_idf_top / text_metrics); full
     oracle coverage continues here."""
     from parquet_to_postgres_spark.queries.llm_q import (
         TERM_FREQUENCY_TOP_ORACLE,
@@ -146,8 +145,8 @@ def test_rotated_out_textsim_pairs_still_matches_oracle(spark, duck):
 def test_rotated_out_training_data_prep_still_matches_oracle(spark, duck):
     """training_data_prep gave its slot to span_dedup in round 7 (its
     L1/L5/L6 axes stay declared via corpus_preprocess /
-    near_dedup_corpus — the other witnesses of that era rotated out in
-    r12/r15); full oracle coverage continues here."""
+    near_dedup_corpus / text_metrics / tf_idf_top / stratified_sample);
+    full oracle coverage continues here."""
     from parquet_to_postgres_spark.queries.llm_q import (
         TRAINING_DATA_PREP_ORACLE,
         training_data_prep,
@@ -260,47 +259,9 @@ def test_rotated_out_cosine_threshold_join_still_matches_oracle(spark, duck):
     )
 
 
-def test_rotated_out_text_metrics_still_matches_oracle(spark, duck):
-    """text_metrics rotated out in round 15 (slot given to
-    heavy_hitters_census); L5/L6 stay declared via corpus_preprocess,
-    F1 via scalar_functions; the JVM-only plan pin moved to a direct
-    import in test_plans.test_no_python_in_jvm_hot_paths."""
-    from parquet_to_postgres_spark.queries.llm_q import (
-        TEXT_METRICS_ORACLE,
-        text_metrics,
-    )
-
-    assert_matches_oracle(
-        text_metrics(spark, SF_SMOKE),
-        duck,
-        TEXT_METRICS_ORACLE,
-        "text_metrics",
-    )
-
-
-def test_rotated_out_approx_sketches_still_matches_oracle(spark, duck):
-    """approx_sketches rotated out in round 15 (slot given to
-    kmv_audience_overlap — the same sketch-bound-boolean grain plus a
-    persisted-store lifecycle and set-intersection); A3 stays declared
-    via sketch_cube_slice + kmv_audience_overlap, A7 via
-    profile_drift_report + sketch_cube_slice."""
-    from parquet_to_postgres_spark.queries.aggregates_q import (
-        APPROX_SKETCHES_ORACLE,
-        approx_sketches,
-    )
-
-    assert_matches_oracle(
-        approx_sketches(spark, SF_SMOKE),
-        duck,
-        APPROX_SKETCHES_ORACLE,
-        "approx_sketches",
-    )
-
-
 def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
     """exact_stats rotated out in round 12; A7 stays declared via
-    profile_drift_report and sketch_cube_slice (approx_sketches itself
-    rotated out in r15)."""
+    approx_sketches and profile_drift_report."""
     from parquet_to_postgres_spark.queries.aggregates_q import (
         EXACT_STATS_ORACLE,
         exact_stats,
@@ -313,7 +274,7 @@ def test_rotated_out_exact_stats_still_matches_oracle(spark, duck):
 
 def test_rotated_out_tf_idf_top_still_matches_oracle(spark, duck):
     """tf_idf_top rotated out in round 12; L5 stays declared via
-    corpus_preprocess (text_metrics itself rotated out in r15)."""
+    text_metrics and corpus_preprocess."""
     from parquet_to_postgres_spark.queries.pipeline_q import (
         TF_IDF_TOP_ORACLE,
         tf_idf_top,
@@ -326,8 +287,7 @@ def test_rotated_out_tf_idf_top_still_matches_oracle(spark, duck):
 
 def test_rotated_out_stratified_sample_still_matches_oracle(spark, duck):
     """stratified_sample gave its slot to the A-ES weighted_sample in
-    round 12; L6 stays declared via corpus_preprocess (text_metrics
-    itself rotated out in r15)."""
+    round 12; L6 stays declared via text_metrics and corpus_preprocess."""
     from parquet_to_postgres_spark.queries.llm_q import (
         STRATIFIED_SAMPLE_ORACLE,
         stratified_sample,
@@ -338,24 +298,4 @@ def test_rotated_out_stratified_sample_still_matches_oracle(spark, duck):
         duck,
         STRATIFIED_SAMPLE_ORACLE,
         "stratified_sample",
-    )
-
-
-def test_rotated_out_retention_cohorts_still_matches_oracle(spark, duck):
-    """retention_cohorts rotated out in round 15 (slot given to
-    stratified_weighted_sample, closing L9b's declared-cover gap); the
-    analytics family stays declared via funnel_counts +
-    attribution_report, the operator keeps its cell-for-cell twins in
-    tests/test_funnel.py, and the scale probe measures it via a
-    direct-import builder."""
-    from parquet_to_postgres_spark.queries.analytics_q import (
-        RETENTION_ORACLE,
-        retention_cohorts_q,
-    )
-
-    assert_matches_oracle(
-        retention_cohorts_q(spark, SF_SMOKE),
-        duck,
-        RETENTION_ORACLE,
-        "retention_cohorts",
     )

@@ -308,16 +308,6 @@ def main() -> int:
         "salted_user_totals", SimpleNamespace(builder=salted_user_totals)
     )
 
-    # r15: retention_cohorts rotated off the declared gate (slot given
-    # to stratified_weighted_sample) but stays the probe's user-grain
-    # retention heavy; resolve it directly so the BASELINE.md series
-    # keeps its subject.
-    from parquet_to_postgres_spark.queries.analytics_q import retention_cohorts_q
-
-    specs.setdefault(
-        "retention_cohorts", SimpleNamespace(builder=retention_cohorts_q)
-    )
-
     # r13: attribution + sketch rollup are library operators (pytest
     # oracles, not declared queries) — probe them through direct
     # builders at the same fixture surface.
