@@ -29,7 +29,7 @@ and then always as Arrow-batched pandas UDFs.
 
 Designed for 100 TB scale: AQE on, broadcast joins for dimensions,
 partial aggregation everywhere, two-stage top-k for similarity search,
-salting recipes for skew, ``repartitionByRange`` ahead of JDBC writes.
+salting recipes for skew, key-hash ``repartition`` ahead of JDBC writes.
 """
 
 __version__ = "0.1.0"

@@ -16,8 +16,9 @@ bounded concurrency.  Differences are deliberate upgrades:
   becomes ``numPartitions`` (connection-level parallelism cap) +
   ``batchsize`` (rows per ``executeBatch``) on Spark's JDBC writer —
   bounded memory per executor instead of the reference's O(file) buffering.
-- ``repartitionByRange`` ahead of the write keeps per-connection batches
-  evenly sized at 100 TB (the principled version of the semaphore).
+- key-hash ``repartition`` ahead of the write keeps per-connection
+  batches evenly sized at 100 TB (the principled version of the
+  semaphore) without range partitioning's extra boundary-sampling pass.
 
 No live Postgres is required for tests: the sink is pluggable and the
 same pipeline writes Parquet.
@@ -117,11 +118,16 @@ class JdbcSink:
         return opts
 
     def prepare(self, df: DataFrame) -> DataFrame:
-        """Nested columns → JSON, then range-partition on the first column
-        so every connection gets an evenly sized, internally sorted slice —
-        bounded batch memory at any scale."""
+        """Nested columns → JSON, then HASH-partition on the first column
+        so partition count == connection cap and batch memory stays
+        bounded at any scale.  (r15: was ``repartitionByRange``, which
+        pays a separate boundary-sampling pass over the input per write
+        — an extra job — while a bulk INSERT into a fresh table gains
+        nothing from range-sorted slices.  Hash on a real key column
+        stays deterministic under task retry — guide §2.5, never
+        round-robin a sink input.)"""
         df = flatten_for_jdbc(df)
-        return df.repartitionByRange(self.num_partitions, df.columns[0])
+        return df.repartition(self.num_partitions, df.columns[0])
 
     def write(self, df: DataFrame) -> None:
         writer = self.prepare(df).write.format("jdbc").mode(self.mode)

@@ -216,6 +216,7 @@ def profile_columns(
     df: DataFrame,
     exact_distinct: bool = False,
     decimal_mean: bool = False,
+    minmax: bool = True,
 ) -> DataFrame:
     """Single-pass column profiler: one row per column with row/null
     counts, distinct count, min/max (as strings), and mean for numeric
@@ -232,7 +233,20 @@ def profile_columns(
     to exact counts and ``decimal_mean=True`` makes double-column means
     order-independent (decimal(18,2) sums — the _util.py determinism
     strategy) — both for gate-checked runs at test scale, not the
-    100 TB default."""
+    100 TB default.
+
+    ``minmax=False`` (r15) emits NULL ``min_value``/``max_value``
+    (schema unchanged) and drops their aggregate expressions entirely.
+    Why a flag: ``min(string)``/``max(string)`` put variable-width
+    values in the aggregation buffer, which disqualifies the fast
+    ``HashAggregate`` — the whole profile falls back to SortAggregate
+    and SORTS every (expanded) input row per phase (guide §7.2; visible
+    in plans/r15/profile_drift_report_before.txt).  A consumer that
+    never reads min/max (e.g. :func:`~.quality.profile_drift`, which
+    diffs null-ratio/distinct/mean only) cannot get them pruned out by
+    Catalyst either — the ``stack()`` unpivot references every slot, so
+    the dead aggregates survive column pruning.  Opting out restores
+    the one-pass HashAggregate plan."""
     num_types = ("int", "bigint", "smallint", "tinyint", "double", "float")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     # slot aliases are INDEX-based (nn_0, ad_0, ...): a profiler gets
@@ -254,11 +268,13 @@ def profile_columns(
             if exact_distinct
             else F.approx_count_distinct(name, rsd=0.02)
         )
+        mn = F.min(name) if minmax else F.lit(None)
+        mx = F.max(name) if minmax else F.lit(None)
         aggs += [
             F.count(name).alias(f"nn_{i}"),
             distinct.alias(f"ad_{i}"),
-            F.min(name).cast("string").alias(f"mn_{i}"),
-            F.max(name).cast("string").alias(f"mx_{i}"),
+            mn.cast("string").alias(f"mn_{i}"),
+            mx.cast("string").alias(f"mx_{i}"),
             mean.cast("double").alias(f"av_{i}"),
         ]
     wide = df.agg(*aggs)

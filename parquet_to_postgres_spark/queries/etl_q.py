@@ -86,19 +86,78 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers/headers)."""
     t = Catalog(spark, sf_dir)
     csv_path = _scratch("e4/orders_csv")
-    t.orders.select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    ).write.mode("overwrite").option("header", "true").csv(csv_path)
+    json_path = _scratch("e4/customer_json")
+    orc_path = _scratch("e4/part_orc")
+
+    # The four source writes are INDEPENDENT jobs on disjoint scratch
+    # dirs, so the three JVM-native ones (csv/json/orc) run concurrently
+    # from driver threads (guide §2.6 — the scheduler happily overlaps
+    # jobs; sequential writes just serialize their per-job fixed costs)
+    # while the main thread runs the Avro leg: the `avro_ocf` PYTHON
+    # data source resolves through a lookup that misses the session's
+    # Python registry from a worker thread (measured r15:
+    # DATA_SOURCE_NOT_FOUND), so that leg keeps the main thread.  Each
+    # leg's bytes and read-back rows are untouched — only the job
+    # overlap changes.  Measured r15: 2.55 s → ~1.6 s (min of 3).
+    from pyspark import InheritableThread
+
+    errors: list[BaseException] = []
+
+    def guard(fn):
+        def run() -> None:
+            try:
+                fn()
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                errors.append(exc)
+
+        return run
+
+    def w_csv() -> None:
+        t.orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ).write.mode("overwrite").option("header", "true").csv(csv_path)
+
+    def w_json() -> None:
+        t.customer.select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).write.mode("overwrite").json(json_path)
+
+    def w_orc() -> None:
+        t.part.select("p_partkey", "p_brand", "p_retailprice").write.mode(
+            "overwrite"
+        ).orc(orc_path)
+
+    from ..avro import AvroOCFDataSource
+
+    spark.dataSource.register(AvroOCFDataSource)
+    avro_path = _scratch("e4/supplier_avro")
+    threads = [InheritableThread(target=guard(f)) for f in (w_csv, w_json, w_orc)]
+    for th in threads:
+        th.start()
+    # Avro leg on the main thread, overlapping the three above.  The
+    # balance crosses the wire as a REAL decimal(12,2) (r12): the
+    # bytes-backed decimal codec is then on the hash gate — any
+    # unscaled-int/scale corruption breaks the oracle match (the agg
+    # sums the decimal exactly and only casts double at the end, the
+    # same value the oracle derives from the original parquet).
+    t.supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
+    ).write.format("avro_ocf").mode("overwrite").option(
+        "codec", "snappy"
+    ).save(avro_path)
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+
     csv_back = read_source(
         spark,
         csv_path,
         fmt="csv",
         schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
     )
-    json_path = _scratch("e4/customer_json")
-    t.customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").write.mode(
-        "overwrite"
-    ).json(json_path)
     json_back = read_source(
         spark,
         json_path,
@@ -122,10 +181,6 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
     ).select(F.lit("json").alias("src"), "grp", "n_rows", "total")
 
-    orc_path = _scratch("e4/part_orc")
-    t.part.select("p_partkey", "p_brand", "p_retailprice").write.mode(
-        "overwrite"
-    ).orc(orc_path)
     orc_back = read_source(spark, orc_path, fmt="orc")
     orc_agg = orc_back.groupBy(F.col("p_brand").alias("grp")).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -138,23 +193,9 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r12, VERDICT r11 item 4): DS writer with the pure-Python SNAPPY
     # codec -> DS reader — so the driver's hash gate covers the
     # registered `avro_ocf` format, not just the write_avro/read_source
-    # helpers (those stay pinned in tests/test_avro.py)
-    from ..avro import AvroOCFDataSource
-
-    spark.dataSource.register(AvroOCFDataSource)
-    avro_path = _scratch("e4/supplier_avro")
-    # the balance crosses the wire as a REAL decimal(12,2) (r12): the
-    # bytes-backed decimal codec is then on the hash gate — any
-    # unscaled-int/scale corruption breaks the oracle match (the agg
-    # sums the decimal exactly and only casts double at the end, the
-    # same value the oracle derives from the original parquet)
-    t.supplier.select(
-        "s_suppkey",
-        "s_nationkey",
-        F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
-    ).write.format("avro_ocf").mode("overwrite").option(
-        "codec", "snappy"
-    ).save(avro_path)
+    # helpers (those stay pinned in tests/test_avro.py).  The write
+    # itself ran above, on the main thread, overlapped with the three
+    # JVM-native writes.
     avro_back = spark.read.format("avro_ocf").load(avro_path)
     avro_agg = avro_back.groupBy(
         F.col("s_nationkey").cast("string").alias("grp")
@@ -276,12 +317,16 @@ def etl_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t.orders.select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     ).withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    # batchsize 10000 (r15, was 2000): fewer executeBatch round-trips
+    # per connection for the same rows — measured 1.88 s → 1.79 s per
+    # 150k-row write (min of 3; first write in a session 2.98 → 1.87 s).
+    # The knob stays exercised, just at a bulk-load-appropriate value.
     sink = JdbcSink(
         url=derby_url("etlrt"),
         table="orders_rt",
         mode="overwrite",
         num_partitions=4,
-        batchsize=2000,
+        batchsize=10000,
         options={"driver": DERBY_DRIVER},
     )
     sink.write(src)

@@ -98,7 +98,11 @@ def corpus_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered aggregate — no windows over the full corpus, and the final
     dedup count is a key-partitioned window at md5 grain."""
     t = Catalog(spark, sf_dir)
-    scrubbed = t.documents.select(
+    # spread() (r15): the PII regex battery runs in the scan projection
+    # of a single-file fixture — one task, one core, for the most
+    # regex-heavy stage of the pipeline.  Measured 1.27 s → 0.89 s (min
+    # of 3); no-ops on any multi-file production table.
+    scrubbed = spread(t.documents).select(
         "doc_id", "lang", "source", X.scrub_pii("text").alias("text")
     )
     cleaned = X.remove_boilerplate_lines(
@@ -474,7 +478,12 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = X.quality_features("text")
     feats[0] = feats[0].cast("long")  # n_chars_calc: match DuckDB BIGINT
     feats[1] = F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
-    return t.documents.select(
+    # spread() (r15): the whole feature pass is interpreted higher-order
+    # functions over a single-file scan — ONE input partition, one core
+    # (the r12 fuzzy/AQE-fan-out lesson; guide §2.5 input skew).
+    # Measured 2.14 s → 0.77 s (min of 3); no-ops on any multi-file
+    # production table.
+    return spread(t.documents).select(
         "doc_id",
         "lang",
         feats[1],
@@ -820,8 +829,12 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole pipeline runs once — the former join re-derived the
     # dedup subtree AND re-scanned/re-shuffled the full text corpus a
     # second time (r12: ~5s -> ~1.5s warm at sf0.1)
-    docs = t.documents.select(
-        "doc_id", "text", F.col("text").alias("__orig")
+    # spread() (r15): both posexplode passes (gram occurrences, token
+    # rebuild) and their partial aggregates otherwise run on the single
+    # scan task of the one-file fixture.  Measured 3.67 s → 2.98 s (min
+    # of 3); no-ops on any multi-file production table.
+    docs = spread(
+        t.documents.select("doc_id", "text", F.col("text").alias("__orig"))
     )
     out = D.dedup_repeated_spans(docs, n=_SPAN_DEDUP_N)
     return (

@@ -22,6 +22,7 @@ a real cluster; only the source/sink bindings are test-local.
 from __future__ import annotations
 
 import itertools
+import threading
 
 import numpy as np
 import pandas as pd
@@ -53,6 +54,14 @@ _SINK_IDS = itertools.count()
 # never routes rows through the driver.  5M rows of the widest harness
 # schema is well under a gigabyte.
 MAX_MEMORY_SINK_ROWS = 5_000_000
+
+# run_stream_to_df's refcounted harness-conf guard (see its body): the
+# harness conf keys are session-global, so overlapped harness runs
+# share ONE save/set/restore cycle instead of racing on it.
+_HARNESS_LOCK = threading.Lock()
+_HARNESS_DEPTH = 0
+_HARNESS_PREV: dict[str, str] = {}
+_HARNESS_ROCKSDB = False
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,13 +110,42 @@ def run_stream_to_df(
     (bench) or the same test before any release, which is why the
     fast in-memory copy is the right default here."""
     spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    if rocksdb:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
+    # Harness conf is SESSION-global, so concurrent harness runs (the
+    # r15 stream_windowed_aggs overlap — guide §2.6) must not each
+    # save/restore it independently: two overlapped saves race and the
+    # last exiter can "restore" the other run's 8, leaking
+    # shuffle.partitions=8 into the rest of the session.  A refcounted
+    # guard sets the regime once (first entrant saves the true previous
+    # values) and restores once (last exiter) — concurrent runs share
+    # the same 8-partition regime, which is exactly what they want.  A
+    # rocksdb run flips a second global (the state-store provider), so
+    # it must hold the regime EXCLUSIVELY: overlapping it with a
+    # non-rocksdb run would silently run that stream on RocksDB too.
+    global _HARNESS_DEPTH, _HARNESS_PREV, _HARNESS_ROCKSDB
+    with _HARNESS_LOCK:
+        if _HARNESS_DEPTH > 0 and (rocksdb or _HARNESS_ROCKSDB):
+            raise RuntimeError(
+                "run_stream_to_df: a rocksdb=True harness run cannot "
+                "overlap another harness run — the state-store provider "
+                "is session-global. Run it alone."
+            )
+        _HARNESS_DEPTH += 1
+        if _HARNESS_DEPTH == 1:
+            _HARNESS_PREV = {
+                "spark.sql.shuffle.partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
+                "spark.sql.streaming.stateStore.providerClass": spark.conf.get(
+                    "spark.sql.streaming.stateStore.providerClass"
+                ),
+            }
+            _HARNESS_ROCKSDB = rocksdb
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            if rocksdb:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    ROCKSDB_PROVIDER,
+                )
     try:
         name = f"stream_sink_{next(_SINK_IDS)}"
         q = (
@@ -119,10 +157,13 @@ def run_stream_to_df(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", prev_provider
-        )
+        with _HARNESS_LOCK:
+            _HARNESS_DEPTH -= 1
+            if _HARNESS_DEPTH == 0:
+                for k, v in _HARNESS_PREV.items():
+                    spark.conf.set(k, v)
+                _HARNESS_PREV = {}
+                _HARNESS_ROCKSDB = False
     # Copy the sink's rows out via localCheckpoint and DROP the memory
     # table: every sink pins its full result set in driver memory for
     # the session lifetime otherwise, and the fresh name per call makes

@@ -583,6 +583,43 @@ def test_profile_columns_handles_exotic_column_names(spark):
     assert prof["price-usd"]["mean"] == 2.5
 
 
+def test_profile_columns_minmax_optout(spark):
+    """r15 optimization: ``minmax=False`` must keep the schema and every
+    non-minmax metric bit-identical while emitting NULL min/max — and
+    must restore the HashAggregate plan (string-typed min/max buffers
+    are what force the profiler into SortAggregate; the stack() unpivot
+    blocks Catalyst from pruning them when a consumer drops the
+    columns)."""
+    from parquet_to_postgres_spark.operators import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y"), (2, 7.0, None)],
+        "id long, price double, label string",
+    )
+    full = profile_columns(df, exact_distinct=True, decimal_mean=True)
+    slim = profile_columns(
+        df, exact_distinct=True, decimal_mean=True, minmax=False
+    )
+    assert full.schema == slim.schema
+    keep = ["column", "n_rows", "n_non_null", "n_null", "approx_distinct", "mean"]
+    fr = {r["column"]: r for r in full.collect()}
+    sr = {r["column"]: r for r in slim.collect()}
+    assert set(fr) == set(sr) == {"id", "price", "label"}
+    for c in fr:
+        assert [fr[c][k] for k in keep] == [sr[c][k] for k in keep]
+        assert sr[c]["min_value"] is None and sr[c]["max_value"] is None
+        assert fr[c]["min_value"] is not None
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        slim.explain(mode="formatted")
+    slim_plan = buf.getvalue()
+    assert "SortAggregate" not in slim_plan
+    assert "HashAggregate" in slim_plan
+
+
 def test_validate_expectations_split_and_report(spark):
     """The gate splits rows exactly, annotates quarantined rows with
     every violated rule, fails CLOSED on NULLs in guarded columns, and

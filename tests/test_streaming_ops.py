@@ -237,6 +237,48 @@ def test_checkpoint_restart_processes_nothing_twice(spark):
         assert spark.read.parquet(f"{d}/out").count() == n1
 
 
+def test_run_stream_to_df_concurrent_conf_restore(spark):
+    """r15 optimization: stream_windowed_aggs overlaps two harness runs
+    from driver threads, so the session-global harness conf
+    (shuffle.partitions=8) must be saved/set/restored through the
+    refcounted guard — the naive per-call save/restore races and can
+    leave the session at 8 after the LAST exiter restores the other
+    run's snapshot.  Two concurrent runs must produce the same rows as
+    sequential runs and leave the conf exactly as found."""
+    from pyspark import InheritableThread
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, object] = {}
+
+    def run(name: str) -> None:
+        stream = ops.events_stream(spark, SF_SMOKE).select(
+            "event_id", "user_id"
+        )
+        results[name] = ops.run_stream_to_df(
+            stream.groupBy("user_id").count(), "complete"
+        )
+
+    threads = [
+        InheritableThread(target=run, args=(n,)) for n in ("a", "b")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    seq = ops.run_stream_to_df(
+        ops.events_stream(spark, SF_SMOKE)
+        .select("event_id", "user_id")
+        .groupBy("user_id")
+        .count(),
+        "complete",
+    )
+    want = sorted(map(tuple, seq.collect()))
+    assert sorted(map(tuple, results["a"].collect())) == want
+    assert sorted(map(tuple, results["b"].collect())) == want
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
 def test_run_stream_to_df_row_cap_guard(spark, monkeypatch):
     """run_stream_to_df collects the memory sink to the driver — safe
     only because the harness is bounded.  The cap makes a large-stream
