@@ -561,10 +561,20 @@ def connected_components(
     )
     edge_ids = _persistent_rdd_ids(sc) - before
     before |= edge_ids
+    # Fused identity-init + first propagation round (r15): the naive
+    # init (every node labeled with itself) always spends the loop's
+    # first round computing min(node, min neighbor id) — one join, one
+    # aggregate, one checkpoint, one count that can never converge on a
+    # non-empty graph.  The same frame falls out of ONE groupBy over
+    # the symmetrized edges (each node appears as dst of every
+    # neighbor), so start there: label sequence from this point on is
+    # identical to the naive rounds 1.., one fewer join+checkpoint+
+    # count cycle per call, and dup-cluster graphs (cliques — every
+    # LSH+verify pair present) now converge in a single loop round.
     labels = stable_checkpoint(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("component"))
     )
     prev_ids = _persistent_rdd_ids(sc) - before
     for _ in range(max_iterations):

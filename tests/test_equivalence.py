@@ -359,6 +359,32 @@ def test_connected_components_bounds_checkpoint_storage(spark):
     assert after - before <= 1
 
 
+def test_connected_components_fused_init_edge_cases(spark):
+    """r15 optimization: label init is fused with the first propagation
+    round (one groupBy over the symmetrized edges replaces the
+    identity-label checkpoint plus the loop's guaranteed-unconverged
+    first cycle).  The fusion must keep the degenerate shapes exact:
+    empty pair set (empty labels, correct schema), a single edge and a
+    triangle clique (both converge with min-id components), and a
+    self-loop-free duplicate pair list."""
+    from parquet_to_postgres_spark.llm.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty)
+    assert [f.name for f in out.schema.fields] == ["node", "component"]
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(one).collect()}
+    assert got == {3: 3, 7: 3}
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 2)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(tri).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_near_dedup_corpus_keeps_one_per_cluster(spark):
     """Planted near-dups collapse to their min-id representative;
     unrelated docs survive."""
