@@ -3508,9 +3508,28 @@ def ivfpq_index_topk(
     :func:`ann_topk_ivfpq` row-for-row given the same models (pinned
     in tests/test_ann_index.py).  The exact re-rank joins the bounded
     candidate set back to the live corpus for full-precision cosine."""
+    from pyspark import InheritableThread
+
+    # The codebooks footer-read + shape agg and the centroids-side
+    # probe below are INDEPENDENT driver jobs (disjoint store files,
+    # disjoint outputs), so the shape leg runs from a driver thread and
+    # overlaps the probe leg (guide §2.6 — sequential calls just
+    # serialize per-job fixed costs).  Results are unaffected: both
+    # legs compute exactly what the sequential order did, and a thread
+    # failure is re-raised here, not swallowed.
+    shape_leg: dict = {}
+
+    def _read_codebooks() -> None:
+        try:
+            cb = spark.read.parquet(f"{path}/codebooks")
+            shape_leg["codebooks"] = cb
+            shape_leg["shape"] = _pq_codebook_shape(cb)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            shape_leg["error"] = exc
+
+    _cb_thread = InheritableThread(target=_read_codebooks)
+    _cb_thread.start()
     centroids = spark.read.parquet(f"{path}/centroids")
-    codebooks = spark.read.parquet(f"{path}/codebooks")
-    m, codes, dim = _pq_codebook_shape(codebooks)
     # corpus_unit: repeat callers (the streaming writer) hand in the
     # already-normalized (cid, cvec) re-rank side — the pq_index_topk
     # contract, including the caller-drops-zero-norms note there.
@@ -3528,6 +3547,11 @@ def ivfpq_index_topk(
         q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
     )
     cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    _cb_thread.join()
+    if "error" in shape_leg:
+        raise shape_leg["error"]
+    codebooks = shape_leg["codebooks"]
+    m, codes, dim = shape_leg["shape"]
     encoded = (
         spark.read.parquet(f"{path}/codes")
         # the isin runs on the RAW partition column so it pushes down
