@@ -179,18 +179,25 @@ def run_stream_to_df(
     # oversized result that FIT in driver memory errors loudly instead
     # of silently growing with each misuse (see MAX_MEMORY_SINK_ROWS
     # for what the cap can and cannot protect against).
+    # Checkpoint FIRST, then count the checkpointed blocks (r15): the
+    # previous order (count the sink, then checkpoint it) scanned the
+    # sink twice — two jobs per harness run where one suffices.  The
+    # cap still errors loudly on an oversized result that fit in driver
+    # memory; it is checked against the checkpointed copy (whose blocks
+    # live in executor storage, so the extra copy cannot OOM the
+    # driver), and the blocks are released before raising.
     sink = spark.table(name)
-    n = sink.count()
+    out = sink.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    n = out.count()  # reads cached checkpoint blocks — no second scan
     if n > MAX_MEMORY_SINK_ROWS:
-        spark.catalog.dropTempView(name)
+        out.unpersist(False)
         raise RuntimeError(
             f"run_stream_to_df: memory sink exceeded {MAX_MEMORY_SINK_ROWS} "
             "rows — this helper is a bounded TEST harness whose result "
             "passes through driver memory. Route large streams through "
             "run_stream_to_sink (foreachBatch into a real sink) instead."
         )
-    out = sink.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
     return out
 
 
