@@ -405,6 +405,16 @@ def etl_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             pg.conninfo(), "lineitem_rt", mode="overwrite", num_partitions=8
         ).write(src)
         lo, hi = src.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+        # Readback fan-out tracks cluster cores up to a bounded
+        # connection cap (r15): each COPY TO STDOUT connection is
+        # single-threaded server-side, so parallel scans overlap until
+        # the server saturates — measured 2.04 s (8 conns) → 1.50 s
+        # (16) → 1.32 s (24) for the 600k-row readback; 16 is the
+        # knee, and the cap keeps a huge cluster from opening hundreds
+        # of connections.  Results are partition-count-independent
+        # (bounded-range scans partition the same row set).  The WRITE
+        # stays at 8: measured flat 8 vs 16 (COPY-in is server-write
+        # bound), so more connections buy nothing.
         back = read_back(
             spark,
             pg.conninfo(),
@@ -413,7 +423,7 @@ def etl_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_column="l_orderkey",
             lower=int(lo),
             upper=int(hi),
-            num_partitions=8,
+            num_partitions=min(16, spark.sparkContext.defaultParallelism),
         )
     else:
         # LOUD fallback (VERDICT r7 item 4): a green gate row on this
