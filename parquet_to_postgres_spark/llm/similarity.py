@@ -3508,50 +3508,48 @@ def ivfpq_index_topk(
     :func:`ann_topk_ivfpq` row-for-row given the same models (pinned
     in tests/test_ann_index.py).  The exact re-rank joins the bounded
     candidate set back to the live corpus for full-precision cosine."""
-    from pyspark import InheritableThread
+    from ..concurrency import overlap
 
     # The codebooks footer-read + shape agg and the centroids-side
     # probe below are INDEPENDENT driver jobs (disjoint store files,
     # disjoint outputs), so the shape leg runs from a driver thread and
     # overlaps the probe leg (guide §2.6 — sequential calls just
     # serialize per-job fixed costs).  Results are unaffected: both
-    # legs compute exactly what the sequential order did, and a thread
-    # failure is re-raised here, not swallowed.
-    shape_leg: dict = {}
+    # legs compute exactly what the sequential order did; the shared
+    # helper guarantees the thread is joined even when the probe leg
+    # raises, and re-raises any shape-leg failure.
+    def _shape_leg():
+        cb = spark.read.parquet(f"{path}/codebooks")
+        return cb, _pq_codebook_shape(cb)
 
-    def _read_codebooks() -> None:
-        try:
-            cb = spark.read.parquet(f"{path}/codebooks")
-            shape_leg["codebooks"] = cb
-            shape_leg["shape"] = _pq_codebook_shape(cb)
-        except BaseException as exc:  # noqa: BLE001 — re-raised below
-            shape_leg["error"] = exc
-
-    _cb_thread = InheritableThread(target=_read_codebooks)
-    _cb_thread.start()
-    centroids = spark.read.parquet(f"{path}/centroids")
-    # corpus_unit: repeat callers (the streaming writer) hand in the
-    # already-normalized (cid, cvec) re-rank side — the pq_index_topk
-    # contract, including the caller-drops-zero-norms note there.
-    c_unit = (
-        corpus_unit
-        if corpus_unit is not None
-        else corpus.where(_nonzero_vec(vec_col)).select(
-            F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+    def _probe_leg():
+        centroids = spark.read.parquet(f"{path}/centroids")
+        # corpus_unit: repeat callers (the streaming writer) hand in
+        # the already-normalized (cid, cvec) re-rank side — the
+        # pq_index_topk contract, including the caller-drops-zero-norms
+        # note there.
+        c_unit = (
+            corpus_unit
+            if corpus_unit is not None
+            else corpus.where(_nonzero_vec(vec_col)).select(
+                F.col(id_col).alias("cid"), _unit(vec_col).alias("cvec")
+            )
         )
+        q_unit = queries.where(_nonzero_vec(vec_col)).select(
+            F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
+        )
+        probed = _nearest_cells_l2(
+            q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
+        )
+        cells = [
+            r["cell"] for r in probed.select("cell").distinct().collect()
+        ]
+        return centroids, c_unit, q_unit, probed, cells
+
+    (centroids, c_unit, q_unit, probed, cells), ((codebooks, shape),) = (
+        overlap([_shape_leg], _probe_leg)
     )
-    q_unit = queries.where(_nonzero_vec(vec_col)).select(
-        F.col(id_col).alias("query_id"), _unit(vec_col).alias("qvec")
-    )
-    probed = _nearest_cells_l2(
-        q_unit, centroids.select("cell", "centroid"), n_probes, "qvec"
-    )
-    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
-    _cb_thread.join()
-    if "error" in shape_leg:
-        raise shape_leg["error"]
-    codebooks = shape_leg["codebooks"]
-    m, codes, dim = shape_leg["shape"]
+    m, codes, dim = shape
     encoded = (
         spark.read.parquet(f"{path}/codes")
         # the isin runs on the RAW partition column so it pushes down

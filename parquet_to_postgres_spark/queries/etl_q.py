@@ -99,18 +99,7 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DATA_SOURCE_NOT_FOUND), so that leg keeps the main thread.  Each
     # leg's bytes and read-back rows are untouched — only the job
     # overlap changes.  Measured r15: 2.55 s → ~1.6 s (min of 3).
-    from pyspark import InheritableThread
-
-    errors: list[BaseException] = []
-
-    def guard(fn):
-        def run() -> None:
-            try:
-                fn()
-            except BaseException as exc:  # noqa: BLE001 — re-raised below
-                errors.append(exc)
-
-        return run
+    from ..concurrency import overlap
 
     def w_csv() -> None:
         t.orders.select(
@@ -131,26 +120,23 @@ def multi_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(AvroOCFDataSource)
     avro_path = _scratch("e4/supplier_avro")
-    threads = [InheritableThread(target=guard(f)) for f in (w_csv, w_json, w_orc)]
-    for th in threads:
-        th.start()
+
     # Avro leg on the main thread, overlapping the three above.  The
     # balance crosses the wire as a REAL decimal(12,2) (r12): the
     # bytes-backed decimal codec is then on the hash gate — any
     # unscaled-int/scale corruption breaks the oracle match (the agg
     # sums the decimal exactly and only casts double at the end, the
     # same value the oracle derives from the original parquet).
-    t.supplier.select(
-        "s_suppkey",
-        "s_nationkey",
-        F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
-    ).write.format("avro_ocf").mode("overwrite").option(
-        "codec", "snappy"
-    ).save(avro_path)
-    for th in threads:
-        th.join()
-    if errors:
-        raise errors[0]
+    def w_avro() -> None:
+        t.supplier.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
+        ).write.format("avro_ocf").mode("overwrite").option(
+            "codec", "snappy"
+        ).save(avro_path)
+
+    overlap([w_csv, w_json, w_orc], w_avro)
 
     csv_back = read_source(
         spark,

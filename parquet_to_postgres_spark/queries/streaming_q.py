@@ -59,44 +59,33 @@ def stream_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed harness cost (state-store setup, sink bootstrap, scheduling)
     that the overlap absorbs, and neither stream's rows depend on the
     other, so results are per-stream identical to the sequential runs.
-    InheritableThread propagates the session's JVM thread-locals; a
-    thread failure is re-raised here, not swallowed.  Measured r15:
-    2.27 s sequential → 1.38 s concurrent (min of 3, idle box)."""
-    from pyspark import InheritableThread
+    The overlap runs through :func:`..concurrency.overlap`
+    (InheritableThread propagates the session's JVM thread-locals;
+    threads are always joined; a failure is re-raised, not swallowed).
+    Measured r15: 2.27 s sequential → 1.38 s concurrent (min of 3,
+    idle box)."""
+    from ..concurrency import overlap
 
-    results: dict[str, DataFrame] = {}
-    errors: dict[str, BaseException] = {}
-
-    def run(name: str, mk, mode: str) -> None:
-        try:
-            results[name] = ST.run_stream_to_df(
-                mk(ST.events_stream(spark, sf_dir)), mode
-            )
-        except BaseException as exc:  # noqa: BLE001 — re-raised below
-            errors[name] = exc
-
-    threads = [
-        InheritableThread(
-            target=run, args=("tumbling", ST.tumbling_window_counts, "complete")
-        ),
-        InheritableThread(
-            target=run, args=("sliding", ST.sliding_window_counts, "complete")
-        ),
-    ]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    if errors:
-        raise next(iter(errors.values()))
-    tumbling = results["tumbling"].select(
+    _, (tumbling_df, sliding_df) = overlap(
+        [
+            lambda: ST.run_stream_to_df(
+                ST.tumbling_window_counts(ST.events_stream(spark, sf_dir)),
+                "complete",
+            ),
+            lambda: ST.run_stream_to_df(
+                ST.sliding_window_counts(ST.events_stream(spark, sf_dir)),
+                "complete",
+            ),
+        ]
+    )
+    tumbling = tumbling_df.select(
         F.lit("tumbling").alias("facet"),
         "win_start",
         "event_type",
         "n_events",
         "total_value",
     )
-    sliding = results["sliding"].select(
+    sliding = sliding_df.select(
         F.lit("sliding").alias("facet"),
         "win_start",
         F.lit(None).cast("string").alias("event_type"),

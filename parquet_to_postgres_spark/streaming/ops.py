@@ -56,12 +56,14 @@ _SINK_IDS = itertools.count()
 MAX_MEMORY_SINK_ROWS = 5_000_000
 
 # run_stream_to_df's refcounted harness-conf guard (see its body): the
-# harness conf keys are session-global, so overlapped harness runs
-# share ONE save/set/restore cycle instead of racing on it.
+# harness conf keys are session-scoped (each SparkSession owns its
+# SQLConf), so the guard state is keyed BY SESSION — a process-wide
+# refcount would let two different sessions share one save/restore
+# cycle and cross-restore each other's conf (r15 review finding).
+# Entries are removed at depth 0, so the dict never outlives its
+# sessions.
 _HARNESS_LOCK = threading.Lock()
-_HARNESS_DEPTH = 0
-_HARNESS_PREV: dict[str, str] = {}
-_HARNESS_ROCKSDB = False
+_HARNESS_STATE: "dict[SparkSession, dict]" = {}
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,42 +112,52 @@ def run_stream_to_df(
     (bench) or the same test before any release, which is why the
     fast in-memory copy is the right default here."""
     spark = result.sparkSession
-    # Harness conf is SESSION-global, so concurrent harness runs (the
-    # r15 stream_windowed_aggs overlap — guide §2.6) must not each
-    # save/restore it independently: two overlapped saves race and the
-    # last exiter can "restore" the other run's 8, leaking
-    # shuffle.partitions=8 into the rest of the session.  A refcounted
-    # guard sets the regime once (first entrant saves the true previous
-    # values) and restores once (last exiter) — concurrent runs share
-    # the same 8-partition regime, which is exactly what they want.  A
-    # rocksdb run flips a second global (the state-store provider), so
-    # it must hold the regime EXCLUSIVELY: overlapping it with a
-    # non-rocksdb run would silently run that stream on RocksDB too.
-    global _HARNESS_DEPTH, _HARNESS_PREV, _HARNESS_ROCKSDB
+    # Harness conf is SESSION-scoped, so concurrent harness runs on the
+    # SAME session (the r15 stream_windowed_aggs overlap — guide §2.6)
+    # must not each save/restore it independently: two overlapped saves
+    # race and the last exiter can "restore" the other run's 8, leaking
+    # shuffle.partitions=8 into the rest of the session.  A PER-SESSION
+    # refcounted guard sets the regime once (first entrant saves the
+    # true previous values) and restores once (last exiter) — concurrent
+    # same-session runs share the 8-partition regime, which is exactly
+    # what they want, while runs on a DIFFERENT session get their own
+    # independent cycle (a process-wide refcount would cross-restore
+    # sessions — r15 review finding).  A rocksdb run flips a second
+    # conf key (the state-store provider), so it must hold its
+    # session's regime EXCLUSIVELY: overlapping it with a non-rocksdb
+    # run would silently run that stream on RocksDB too.
     with _HARNESS_LOCK:
-        if _HARNESS_DEPTH > 0 and (rocksdb or _HARNESS_ROCKSDB):
+        st = _HARNESS_STATE.get(spark)
+        if st is not None and (rocksdb or st["rocksdb"]):
             raise RuntimeError(
                 "run_stream_to_df: a rocksdb=True harness run cannot "
-                "overlap another harness run — the state-store provider "
-                "is session-global. Run it alone."
+                "overlap another harness run on the same session — the "
+                "state-store provider is session-scoped. Run it alone."
             )
-        _HARNESS_DEPTH += 1
-        if _HARNESS_DEPTH == 1:
-            _HARNESS_PREV = {
-                "spark.sql.shuffle.partitions": spark.conf.get(
-                    "spark.sql.shuffle.partitions"
-                ),
-                "spark.sql.streaming.stateStore.providerClass": spark.conf.get(
-                    "spark.sql.streaming.stateStore.providerClass"
-                ),
+        if st is None:
+            st = {
+                "depth": 1,
+                "rocksdb": rocksdb,
+                "prev": {
+                    "spark.sql.shuffle.partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    ),
+                    "spark.sql.streaming.stateStore.providerClass": (
+                        spark.conf.get(
+                            "spark.sql.streaming.stateStore.providerClass"
+                        )
+                    ),
+                },
             }
-            _HARNESS_ROCKSDB = rocksdb
+            _HARNESS_STATE[spark] = st
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             if rocksdb:
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass",
                     ROCKSDB_PROVIDER,
                 )
+        else:
+            st["depth"] += 1
     try:
         name = f"stream_sink_{next(_SINK_IDS)}"
         q = (
@@ -158,12 +170,12 @@ def run_stream_to_df(
         q.awaitTermination()
     finally:
         with _HARNESS_LOCK:
-            _HARNESS_DEPTH -= 1
-            if _HARNESS_DEPTH == 0:
-                for k, v in _HARNESS_PREV.items():
+            st = _HARNESS_STATE[spark]
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                for k, v in st["prev"].items():
                     spark.conf.set(k, v)
-                _HARNESS_PREV = {}
-                _HARNESS_ROCKSDB = False
+                del _HARNESS_STATE[spark]
     # Copy the sink's rows out via localCheckpoint and DROP the memory
     # table: every sink pins its full result set in driver memory for
     # the session lifetime otherwise, and the fresh name per call makes
@@ -183,15 +195,23 @@ def run_stream_to_df(
     # previous order (count the sink, then checkpoint it) scanned the
     # sink twice — two jobs per harness run where one suffices.  The
     # cap still errors loudly on an oversized result that fit in driver
-    # memory; it is checked against the checkpointed copy (whose blocks
-    # live in executor storage, so the extra copy cannot OOM the
-    # driver), and the blocks are released before raising.
+    # memory; the checkpointed copy does transiently coexist with the
+    # sink's rows until the guard fires (block storage is the driver
+    # JVM in local mode), the price of the saved scan.  On the over-cap
+    # path the blocks are released through the RDD registry —
+    # DataFrame.unpersist would be a no-op here because localCheckpoint
+    # persists at the RDD layer, outside the CacheManager (r15 review
+    # finding).
+    from ..checkpoint import persistent_rdd_ids, release_rdds
+
+    sc = spark.sparkContext
+    before_ids = persistent_rdd_ids(sc)
     sink = spark.table(name)
     out = sink.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     n = out.count()  # reads cached checkpoint blocks — no second scan
     if n > MAX_MEMORY_SINK_ROWS:
-        out.unpersist(False)
+        release_rdds(sc, persistent_rdd_ids(sc) - before_ids)
         raise RuntimeError(
             f"run_stream_to_df: memory sink exceeded {MAX_MEMORY_SINK_ROWS} "
             "rows — this helper is a bounded TEST harness whose result "

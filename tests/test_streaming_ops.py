@@ -279,6 +279,44 @@ def test_run_stream_to_df_concurrent_conf_restore(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_run_stream_to_df_guard_is_per_session(spark):
+    """r15 review finding: the harness-conf guard state must be keyed
+    by SESSION.  Two sessions (same SparkContext, independent SQLConf)
+    running overlapped harness streams must each get the 8-partition
+    regime and each be restored to their OWN previous conf — a
+    process-wide refcount would skip setting the second session's
+    regime and cross-restore the first session's values onto it."""
+    from pyspark import InheritableThread
+
+    other = spark.newSession()
+    other.conf.set("spark.sql.shuffle.partitions", "23")
+    prev_main = spark.conf.get("spark.sql.shuffle.partitions")
+    assert prev_main != "23"
+    results: dict[str, object] = {}
+
+    def run(name: str, session) -> None:
+        stream = ops.events_stream(session, SF_SMOKE).select(
+            "event_id", "user_id"
+        )
+        results[name] = ops.run_stream_to_df(
+            stream.groupBy("user_id").count(), "complete"
+        )
+
+    threads = [
+        InheritableThread(target=run, args=("main", spark)),
+        InheritableThread(target=run, args=("other", other)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_main
+    assert other.conf.get("spark.sql.shuffle.partitions") == "23"
+    want = sorted(map(tuple, results["main"].collect()))
+    assert sorted(map(tuple, results["other"].collect())) == want
+    assert len(want) > 0
+
+
 def test_run_stream_to_df_row_cap_guard(spark, monkeypatch):
     """run_stream_to_df collects the memory sink to the driver — safe
     only because the harness is bounded.  The cap makes a large-stream
