@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..checkpoint import persistent_rdd_ids, release_rdds, stable_checkpoint
+from ..concurrency import overlap
 from ..tables import spread
 
 
@@ -1072,8 +1073,21 @@ def ann_topk_all_methods(
     if checkpoint:
         sc = corpus.sparkSession.sparkContext
         before = persistent_rdd_ids(sc)
-        cprep = stable_checkpoint(cprep)
-        qprep = stable_checkpoint(qprep)
+        # r15 (guide §2.6): the two prep materializations are
+        # independent jobs over disjoint inputs, and the IVF dimension
+        # probe reads ONE row of the raw corpus — the same vector
+        # column _ann_prep aliases through untouched, so
+        # _first_dim(corpus) == _first_dim(cprep) by construction.
+        # Overlapping the three on driver threads removes two
+        # sequential job walls from every cold call; each leg is the
+        # identical job it was sequentially, so results are unchanged.
+        cprep, (qprep, ivf_dim) = overlap(
+            [
+                lambda q=qprep: stable_checkpoint(q),
+                lambda: _first_dim(corpus, vec_col),
+            ],
+            main=lambda c=cprep: stable_checkpoint(c),
+        )
         if handle_out is not None:
             # Pass a list to receive an AnnPrepHandle whose release()
             # frees the two pinned prep block sets — required hygiene in
@@ -1082,8 +1096,12 @@ def ann_topk_all_methods(
             handle_out.append(
                 AnnPrepHandle(sc, persistent_rdd_ids(sc) - before)
             )
-    elif handle_out is not None:
-        handle_out.append(AnnPrepHandle(corpus.sparkSession.sparkContext, set()))
+    else:
+        ivf_dim = _first_dim(corpus, vec_col)
+        if handle_out is not None:
+            handle_out.append(
+                AnnPrepHandle(corpus.sparkSession.sparkContext, set())
+            )
     masks = F.array(
         *[F.lit(m) for m in lsh_probe_masks(n_bits, n_probes_lsh)]
     )
@@ -1128,7 +1146,8 @@ def ann_topk_all_methods(
     cents = _centroid_arrays(
         cprep.select(F.col(by), F.col("vec").alias("embedding")), by
     ).select(F.col(by).alias("cell"), "centroid")
-    ivf_dim = _first_dim(cprep, "vec")  # probe ONCE for both assigns
+    # ivf_dim was probed above (ONCE for both assigns), overlapped with
+    # the prep checkpoints on the checkpoint path.
 
     def assign(prep: DataFrame, id_alias: str, vec_alias: str, probes: int):
         pre = prep.select(

@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..concurrency import overlap
 from ..etl import JdbcSink, ParquetSink, etl, read_source, schema_to_pg_ddl
 from ..tables import Catalog
 from . import register
@@ -315,13 +316,21 @@ def etl_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         batchsize=10000,
         options={"driver": DERBY_DRIVER},
     )
-    sink.write(src)
     # Partitioned read-back: 4 bounded-range scans in parallel, the
     # read-side analogue of the sink's connection cap.  The bounds are
-    # one tiny min/max aggregate (two scalars to the driver).
-    lo, hi = t.orders.agg(
-        F.min("o_orderkey"), F.max("o_orderkey")
-    ).collect()[0]
+    # one tiny min/max aggregate (two scalars to the driver) over the
+    # ORIGINAL parquet — independent of the Derby write, so it runs on
+    # a driver thread WHILE the write streams (guide §2.6; r15): the
+    # readback needs both, but nothing orders the bounds after the
+    # write.
+    _, ((lo, hi),) = overlap(
+        [
+            lambda: t.orders.agg(
+                F.min("o_orderkey"), F.max("o_orderkey")
+            ).collect()[0]
+        ],
+        main=lambda: sink.write(src),
+    )
     back = read_jdbc(
         spark,
         derby_url("etlrt"),
@@ -387,10 +396,23 @@ def etl_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg = shared_postgres()
     if pg is not None:
         PG_ROUNDTRIP_SINK = "postgres-copy"
-        PostgresCopySink(
-            pg.conninfo(), "lineitem_rt", mode="overwrite", num_partitions=8
-        ).write(src)
-        lo, hi = src.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+        # The readback bounds are a min/max over the ORIGINAL parquet
+        # projection — independent of the COPY write, so the tiny
+        # bounds job runs on a driver thread WHILE the 8 COPY
+        # connections stream (guide §2.6; r15).
+        _, ((lo, hi),) = overlap(
+            [
+                lambda: src.agg(
+                    F.min("l_orderkey"), F.max("l_orderkey")
+                ).collect()[0]
+            ],
+            main=lambda: PostgresCopySink(
+                pg.conninfo(),
+                "lineitem_rt",
+                mode="overwrite",
+                num_partitions=8,
+            ).write(src),
+        )
         # Readback fan-out tracks cluster cores up to a bounded
         # connection cap (r15): each COPY TO STDOUT connection is
         # single-threaded server-side, so parallel scans overlap until

@@ -365,8 +365,17 @@ def _user_totals_fn(key, pdfs, state: GroupState):
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """T6: applyInPandasWithState — running per-user event count and
-    value total (in exact cents)."""
-    return stream.groupBy("user_id").applyInPandasWithState(
+    value total (in exact cents).
+
+    The kernel reads only ``user_id`` (the key) and ``value`` — project
+    to exactly those BEFORE the stateful operator (guide §4/§2.3):
+    ``applyInPandasWithState`` ships every child column through the
+    state shuffle and the Arrow boundary (the function is opaque to
+    Catalyst, so nothing downstream can prune it), and the events
+    stream carries four unused columns including the fat ``props``
+    JSON string.  Totals are unchanged — the kernel never touched the
+    dropped columns."""
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         _user_totals_fn,
         outputStructType=_T6_OUTPUT,
         stateStructType=_STATE_SCHEMA,
@@ -463,7 +472,9 @@ def stateful_user_totals_tws(stream: DataFrame) -> DataFrame:
     :data:`ROCKSDB_PROVIDER` before starting the query (the test
     harness :func:`run_stream_to_df` does this automatically via
     ``rocksdb=True``)."""
-    return stream.groupBy("user_id").transformWithStateInPandas(
+    # Same §4 projection as the applyInPandasWithState twin: the
+    # processor reads only the key and ``value``.
+    return stream.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_UserTotalsProcessor(),
         outputStructType=_T6_OUTPUT,
         outputMode="update",

@@ -68,3 +68,31 @@ def test_overlap_joins_before_raising_background_error():
     with pytest.raises(RuntimeError, match="first"):
         overlap([bg_fail, bg_slow])
     assert "slow-done" in order  # the healthy thread ran to completion
+
+
+def test_ann_prep_overlap_matches_sequential(spark, monkeypatch):
+    """r15: ann_topk_all_methods overlaps its two prep checkpoints and
+    the IVF dimension probe on driver threads (guide §2.6).  The legs
+    are independent jobs, so the overlapped result must be row-identical
+    to the sequential ordering it replaced — pinned here by monkey-
+    patching the module's overlap symbol with a sequential twin."""
+    import parquet_to_postgres_spark.llm.similarity as S
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.where("vec_id >= 5")
+    queries = emb.where("vec_id < 5")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    got = canon(S.ann_topk_all_methods(corpus, queries, k=5))
+
+    def sequential(background, main=lambda: None):
+        r = main()
+        return r, [fn() for fn in background]
+
+    monkeypatch.setattr(S, "overlap", sequential)
+    want = canon(S.ann_topk_all_methods(corpus, queries, k=5))
+    assert got == want

@@ -877,3 +877,25 @@ def test_cosine_two_stage_topk_plan_shape(spark):
     import re
 
     assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_cube_orders_expands_preaggregated_grain(spark):
+    """r15 (guide §2.3): the CUBE's Expand multiplies its INPUT rows by
+    the number of grouping sets, so cube_orders pre-aggregates to
+    (status, priority, custkey) grain — the finest grain any cell
+    needs, count-distinct key included — and Expand quadruples the
+    grain rows, not the raw order rows.  Pin: a grain HashAggregate
+    sits BELOW the Expand (parents print before children in simple
+    mode), keyed on exactly the two cube columns plus the distinct
+    key."""
+    import re
+
+    p = plan(build("cube_orders", spark), mode="simple")
+    i_expand = p.index("Expand")
+    m = re.search(
+        r"HashAggregate\(keys=\[o_orderstatus#\d+, o_orderpriority#\d+, "
+        r"o_custkey#\d+L?\]",
+        p,
+    )
+    assert m, p
+    assert m.start() > i_expand, "grain pre-aggregate must feed the Expand"

@@ -332,3 +332,28 @@ def test_run_stream_to_df_row_cap_guard(spark, monkeypatch):
         for t in spark.catalog.listTables()
         if t.name.startswith("stream_sink_")
     ]
+
+
+def test_stateful_user_totals_prunes_arrow_boundary(spark):
+    """r15 (guide §4): applyInPandasWithState ships every child column
+    through the state shuffle and the Arrow boundary (the kernel is
+    opaque to Catalyst — nothing downstream can prune it), so
+    stateful_user_totals must project to exactly the two columns the
+    kernel reads BEFORE the stateful operator.  Pin: the stateful node
+    names only (user_id, value), and its direct child is that
+    two-column Project — not the six-column events stream."""
+    import re
+
+    st = ops.stateful_user_totals(ops.events_stream(spark, SF_SMOKE))
+    lines = st._jdf.queryExecution().analyzed().toString().splitlines()
+    head = lines[0]
+    assert "FlatMapGroupsInPandasWithState" in head, head
+    for fat in ("props", "event_type", "event_id", r"(?<![a-z_])ts#"):
+        assert not re.search(fat, head), (
+            f"unpruned column reaches the kernel: {head}"
+        )
+    assert re.search(r"Project \[user_id#\d+L?, value#\d+\]", lines[1]), lines[1]
+    # the TWS twin carries the same projection (shared §4 contract)
+    tws = ops.stateful_user_totals_tws(ops.events_stream(spark, SF_SMOKE))
+    tws_plan = tws._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"Project \[user_id#\d+L?, value#\d+\]", tws_plan), tws_plan
