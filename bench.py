@@ -14,6 +14,10 @@ Env:
     BENCH_COMPOSITE     "1" adds the 9-stage curate_corpus composite
                         (wall + per-stage funnel) to the JSON (default
                         off so the 50-query budget is unchanged)
+    BENCH_HARDEN        "0" disables the r16 measurement hardening
+                        (session warm pass + min-of-N top-up repeats
+                        for sub-1.5 s queries) and replays the exact
+                        r15-and-earlier methodology (default on)
 
 Each query is forced to full materialization with a ``noop`` sink write —
 every partition is computed and serialized, nothing is collected to the
@@ -29,6 +33,27 @@ robust to one load spike while still paying cold codegen in run 1 (JVM
 JIT warmth does carry into run 2; that is documented in BASELINE.md's
 protocol and applies identically to every query).  BENCH_REPEAT=3+
 switches to the median, matching BASELINE.md's idle-box methodology.
+
+Measurement hardening (round 16, VERDICT r15 item 1 — additions-only,
+declared in BASELINE.md):
+  1. A session WARM PASS runs before the first timed query: all table
+     footers + file bytes (page cache), one synthetic shuffle+broadcast
+     aggregate (whole-stage codegen, exchange and broadcast machinery),
+     and one tiny mapInPandas with a numpy import (Python worker spawn
+     + pandas/numpy import + the Arrow wire — the `multimodal` 9-s
+     cold-page-cache signature, and the JIT warmup the alphabetically
+     first slot used to absorb).  Nothing the warm pass computes is
+     reused by any timed query.
+  2. Sub-1.5 s queries are TOPPED UP to at least 4 timed samples and
+     report the MIN — one ambient spike can no longer double a
+     sub-second row.  Queries >= 1.5 s keep the pre-r16 policy
+     unchanged.  The pre-r16 aggregate over the first BENCH_REPEAT
+     samples is still emitted as "queries_base" so the old numbers
+     remain visible next to the hardened ones.
+BENCH_HARDEN=0 disables both and replays the r15 methodology exactly.
+Timed-region semantics are unchanged: every sample computes the full
+query from the parquet inputs with caches/checkpoints released between
+samples.
 
 The E2E ETL measurement is the reference's ONLY instrumented number
 (main.rs:51,100 — parquet → Postgres wall-clock): lineitem.parquet is
@@ -55,6 +80,60 @@ from parquet_to_postgres_spark.session import get_spark  # noqa: E402
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# r16 hardening knobs (VERDICT r15 item 1): queries faster than
+# FAST_QUERY_SEC get topped up to MIN_FAST_SAMPLES timed samples with
+# the MIN reported; everything else keeps the pre-r16 policy.
+FAST_QUERY_SEC = 1.5
+MIN_FAST_SAMPLES = 4
+
+
+def warm_session(spark, sf_dir: str) -> None:
+    """Untimed session warm pass (r16, VERDICT r15 item 1).
+
+    Pays one-time session costs BEFORE the first timed slot so they stop
+    polluting whichever query runs first (ann_topk absorbed JVM/codegen
+    warmup for 15 rounds) or first touches the Python boundary
+    (multimodal_real_decode read ~9 s cold vs 0.6 s warm after a VM
+    restore — Python worker spawn + numpy/pandas imports off a cold
+    page cache).  Three legs, none of whose RESULTS any timed query can
+    reuse (caches are not involved; this is machinery warmth only):
+
+    - every table's parquet footer + file bytes (page cache; the old
+      warm pass read only lineitem),
+    - one synthetic shuffle + broadcast-join aggregate over
+      ``spark.range`` (whole-stage codegen compiler, exchange and
+      broadcast machinery),
+    - one tiny ``mapInPandas`` whose body imports numpy (Python worker
+      pool + pandas/numpy/Arrow imports; workers are reused afterwards).
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_to_postgres_spark import TABLES
+
+    for t in TABLES:
+        try:
+            materialize(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        except Exception:  # noqa: BLE001 — warmth only, never fail bench
+            pass
+    small = spark.range(0, 100).select(F.col("id").alias("k"))
+    materialize(
+        spark.range(0, 200_000)
+        .select(F.col("id"), (F.col("id") % 100).alias("k"))
+        .join(F.broadcast(small), "k")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+    )
+
+    def _py_warm(batches):
+        import numpy as np  # noqa: F401 — imported for worker warmth
+        import pandas as pd  # noqa: F401
+
+        for pdf in batches:
+            yield pdf
+
+    materialize(spark.range(0, 1_000).mapInPandas(_py_warm, "id long"))
 
 
 def run_e2e_etl(spark, sf_dir: str) -> dict:
@@ -203,6 +282,9 @@ def main() -> int:
 
     # Warm the JVM + parquet footers once so query 1 doesn't pay startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    harden = os.environ.get("BENCH_HARDEN", "1") != "0"
+    if harden:
+        warm_session(spark, sf_dir)
 
     from parquet_to_postgres_spark.checkpoint import (
         persistent_rdd_ids,
@@ -211,12 +293,13 @@ def main() -> int:
 
     sc = spark.sparkContext
     per_query: dict[str, float] = {}
+    per_query_base: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         samples = []
         pinned_before = persistent_rdd_ids(sc)
         try:
-            for _ in range(repeat):
+            def one_sample():
                 t0 = time.perf_counter()
                 materialize(specs[name].builder(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
@@ -226,6 +309,20 @@ def main() -> int:
                 # the same cold-data cost, only JIT warmth carries over
                 spark.catalog.clearCache()
                 release_rdds(sc, persistent_rdd_ids(sc) - pinned_before)
+
+            for _ in range(repeat):
+                one_sample()
+            # pre-r16 aggregate over the base samples, kept visible
+            base = round(
+                min(samples) if repeat <= 2 else statistics.median(samples),
+                3,
+            )
+            # r16 hardening: top up sub-1.5 s queries to >= 4 samples
+            # and report the min — one ambient spike can no longer
+            # double a sub-second row (VERDICT r15 item 1).
+            if harden and min(samples) < FAST_QUERY_SEC:
+                while len(samples) < MIN_FAST_SAMPLES:
+                    one_sample()
         except Exception as exc:  # noqa: BLE001 — one broken query must
             # not zero out the whole benchmark (round-4 lesson: a fixture
             # schema drift aborted bench entirely and the round recorded
@@ -236,9 +333,11 @@ def main() -> int:
             # belt-and-braces for the exception path
             spark.catalog.clearCache()
             release_rdds(sc, persistent_rdd_ids(sc) - pinned_before)
-        per_query[name] = round(
-            min(samples) if repeat <= 2 else statistics.median(samples), 3
-        )
+        per_query_base[name] = base
+        if harden and len(samples) > repeat:
+            per_query[name] = round(min(samples), 3)
+        else:
+            per_query[name] = base
 
     total = round(sum(per_query.values()), 3)
     result = {
@@ -248,6 +347,16 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
     }
+    if harden:
+        # the pre-r16-policy numbers (first BENCH_REPEAT samples only),
+        # kept per the "fix a measurement bug → keep the old numbers
+        # too" contract clause
+        result["queries_base"] = per_query_base
+        result["harden"] = {
+            "warm_pass": True,
+            "fast_query_sec": FAST_QUERY_SEC,
+            "min_fast_samples": MIN_FAST_SAMPLES,
+        }
     if os.environ.get("BENCH_E2E", "1") != "0":
         result["e2e_etl"] = run_e2e_etl(spark, sf_dir)
     # Which engine etl_pg_roundtrip actually exercised THIS run (a green

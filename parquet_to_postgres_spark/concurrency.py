@@ -59,12 +59,24 @@ def overlap(
         th.start()
     try:
         out = main()
-    finally:
+    except BaseException as main_exc:
         # join unconditionally: a main-thread failure must not leave
         # background Spark jobs running against paths the caller may
         # retry on (r15 review finding)
         for th in threads:
             th.join()
+        # a background leg may hold the ROOT cause (e.g. the shared
+        # resource it was preparing failed first and main failed as a
+        # consequence) — chain the first background error as the main
+        # error's __cause__-style context so no failure is invisible
+        # (r15 ADVICE item)
+        for exc in errors:
+            if exc is not None and main_exc.__context__ is None:
+                main_exc.__context__ = exc
+                break
+        raise
+    for th in threads:
+        th.join()
     for exc in errors:
         if exc is not None:
             raise exc

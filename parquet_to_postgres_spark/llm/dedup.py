@@ -168,6 +168,125 @@ def minhash_profiles(
     )
 
 
+def minhash_profiles_arrow(
+    df: DataFrame,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = 5,
+) -> DataFrame:
+    """:func:`minhash_profiles`, computed ZERO-SHUFFLE in an Arrow/numpy
+    kernel — bit-identical values (same md5 60-bit unit ids, same affine
+    family, same int64 arithmetic; pinned by
+    tests/test_equivalence.py::test_minhash_profiles_arrow_equivalence).
+
+    Guide §4.2: the aggregate path explodes every distinct shingle into
+    a row, evaluates md5 + 128 affine mins per row in codegen, and
+    shuffles the per-doc partials; per-row expression evaluation of 128
+    aggregate updates is exactly the "bulk data manipulation" case where
+    handing whole batches to vectorized native code wins.  Here each
+    task shingles its docs in Python (with a per-task gram→id memo —
+    corpus shingle vocabularies repeat heavily), computes all
+    ``num_hashes`` mins per doc as one numpy broadcast
+    ``(A·v + B) mod P`` (chunked so a pathological multi-MB doc is
+    bounded at ~64 Mi of matrix instead of 128×|grams|), and emits ONE
+    row per doc — no explode, no exchange, the profile leaves the scan
+    stage finished.
+
+    At 100 TB the shape is strictly better than the aggregate path (the
+    per-doc aggregate shuffle disappears; the kernel is embarrassingly
+    parallel over scan splits).  The arithmetic bound is the module
+    header's: A_j·(v mod P) ≤ 9.2e18 < int64 max, so numpy int64 never
+    wraps.  Docs shorter than the shingle width emit no row, exactly
+    like the aggregate path's empty groupBy."""
+    import numpy as np
+
+    a_arr = [hash_params(j)[0] for j in range(num_hashes)]
+    b_arr = [hash_params(j)[1] for j in range(num_hashes)]
+    n = shingle_n
+    p = MINHASH_P
+    word_units = n is None
+    schema = (
+        f"{id_col} long, tokset array<long>, "
+        + ", ".join(f"mh{j} long" for j in range(num_hashes))
+        + ", sz long"
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        A = np.asarray(a_arr, dtype=np.int64)[:, None]
+        B = np.asarray(b_arr, dtype=np.int64)[:, None]
+        memo: dict[str, int] = {}
+
+        def unit(g: str) -> int:
+            r = memo.get(g)
+            if r is None:
+                r = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                if len(memo) > (1 << 21):  # bound per-task memo memory
+                    memo.clear()
+                memo[g] = r
+            return r
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids: list[int] = []
+            toksets: list[np.ndarray] = []
+            sigs: list[np.ndarray] = []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                if word_units:
+                    grams = set(txt.split(" "))
+                else:
+                    if len(txt) < n:
+                        continue
+                    grams = {txt[i : i + n] for i in range(len(txt) - n + 1)}
+                tids = np.unique(
+                    np.fromiter(
+                        (unit(g) for g in grams),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
+                )
+                v = tids % p
+                acc = np.full(num_hashes, np.iinfo(np.int64).max, np.int64)
+                for s in range(0, v.size, 1 << 16):  # bound the matrix
+                    chunk = v[s : s + (1 << 16)][None, :]
+                    np.minimum(
+                        acc, ((A * chunk + B) % p).min(axis=1), out=acc
+                    )
+                out_ids.append(did)
+                toksets.append(tids)
+                sigs.append(acc)
+            if not out_ids:
+                continue
+            lens = np.array([t.size for t in toksets], dtype=np.int32)
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            tok_col = pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(np.concatenate(toksets), pa.int64()),
+            )
+            sig = np.stack(sigs, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.int64()),
+                    tok_col,
+                    *[pa.array(sig[j], pa.int64()) for j in range(num_hashes)],
+                    pa.array(lens.astype(np.int64), pa.int64()),
+                ],
+                names=[id_col, "tokset"]
+                + [f"mh{j}" for j in range(num_hashes)]
+                + ["sz"],
+            )
+
+    return spread(df).select(id_col, text_col).mapInArrow(kernel, schema)
+
+
 def minhash_band_pairs(
     signatures: DataFrame,
     num_hashes: int = 128,

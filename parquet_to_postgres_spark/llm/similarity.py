@@ -1081,13 +1081,21 @@ def ann_topk_all_methods(
         # Overlapping the three on driver threads removes two
         # sequential job walls from every cold call; each leg is the
         # identical job it was sequentially, so results are unchanged.
-        cprep, (qprep, ivf_dim) = overlap(
-            [
-                lambda q=qprep: stable_checkpoint(q),
-                lambda: _first_dim(corpus, vec_col),
-            ],
-            main=lambda c=cprep: stable_checkpoint(c),
-        )
+        try:
+            cprep, (qprep, ivf_dim) = overlap(
+                [
+                    lambda q=qprep: stable_checkpoint(q),
+                    lambda: _first_dim(corpus, vec_col),
+                ],
+                main=lambda c=cprep: stable_checkpoint(c),
+            )
+        except BaseException:
+            # a leg that raises after another leg checkpointed would
+            # otherwise leak that leg's pinned prep blocks until session
+            # end (r15 ADVICE item): release everything this call pinned
+            # before propagating.
+            release_rdds(sc, persistent_rdd_ids(sc) - before)
+            raise
         if handle_out is not None:
             # Pass a list to receive an AnnPrepHandle whose release()
             # frees the two pinned prep block sets — required hygiene in

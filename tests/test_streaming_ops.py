@@ -345,14 +345,17 @@ def test_stateful_user_totals_prunes_arrow_boundary(spark):
     import re
 
     st = ops.stateful_user_totals(ops.events_stream(spark, SF_SMOKE))
-    lines = st._jdf.queryExecution().analyzed().toString().splitlines()
-    head = lines[0]
+    plan = st._jdf.queryExecution().analyzed().toString()
+    head = plan.splitlines()[0]
     assert "FlatMapGroupsInPandasWithState" in head, head
     for fat in ("props", "event_type", "event_id", r"(?<![a-z_])ts#"):
         assert not re.search(fat, head), (
             f"unpruned column reaches the kernel: {head}"
         )
-    assert re.search(r"Project \[user_id#\d+L?, value#\d+\]", lines[1]), lines[1]
+    # search the WHOLE plan for the two-column Project rather than
+    # pinning it to a specific pretty-printed line (r15 ADVICE item —
+    # indentation markers / extra nodes vary across Spark versions)
+    assert re.search(r"Project \[user_id#\d+L?, value#\d+\]", plan), plan
     # the TWS twin carries the same projection (shared §4 contract)
     tws = ops.stateful_user_totals_tws(ops.events_stream(spark, SF_SMOKE))
     tws_plan = tws._jdf.queryExecution().analyzed().toString()
