@@ -206,10 +206,20 @@ def minhash_profiles_arrow(
     n = shingle_n
     p = MINHASH_P
     word_units = n is None
-    schema = (
-        f"{id_col} long, tokset array<long>, "
-        + ", ".join(f"mh{j} long" for j in range(num_hashes))
-        + ", sz long"
+    # explicit StructType so the tokset element type matches the
+    # aggregate path's collect_set exactly (containsNull=False)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("tokset", T.ArrayType(T.LongType(), False)),
+            *[
+                T.StructField(f"mh{j}", T.LongType())
+                for j in range(num_hashes)
+            ],
+            T.StructField("sz", T.LongType()),
+        ]
     )
 
     def kernel(batches):
@@ -743,8 +753,10 @@ def near_dedup_corpus(
     in no near-dup pair pass through without joining the component
     computation at all (left-anti style via a left join on the kept /
     dropped mapping, which is tiny relative to the corpus)."""
+    # r16: the Arrow/numpy profile kernel (bit-identical values, zero
+    # shuffle — guide §4.2; interleaved A/B 4.28 → 0.80 s).
     profiles = stable_checkpoint(
-        minhash_profiles(df, num_hashes, text_col, id_col, shingle_n)
+        minhash_profiles_arrow(df, num_hashes, text_col, id_col, shingle_n)
     )
     pairs = minhash_band_pairs(profiles, num_hashes, rows_per_band, id_col)
     dup_pairs = profile_jaccard(profiles, pairs).where(

@@ -213,7 +213,14 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir (local blocks die with an executor).
     from ..checkpoint import stable_checkpoint
 
-    profiles = stable_checkpoint(D.minhash_profiles(t.documents, shingle_n=5))
+    # r16: profiles come from the Arrow/numpy kernel — bit-identical
+    # values (pinned by test_minhash_profiles_arrow_equivalence), zero
+    # shuffle: the per-doc aggregate exchange disappears and the
+    # signature job finishes in the scan stage (guide §4.2; interleaved
+    # A/B 4.28 → 0.80 s, plans/r16/probes_batch1.log).
+    profiles = stable_checkpoint(
+        D.minhash_profiles_arrow(t.documents, shingle_n=5)
+    )
     pairs = D.minhash_band_pairs(profiles)
     return D.profile_jaccard(profiles, pairs).where(F.col("jaccard") >= 0.8)
 

@@ -152,6 +152,49 @@ def test_minhash_signature_is_set_function(spark):
     assert list(out.loc[1]["tokset"]) == list(out.loc[2]["tokset"])
 
 
+def test_minhash_profiles_arrow_equivalence(spark):
+    """The zero-shuffle Arrow/numpy profile kernel must be BIT-identical
+    to the aggregate path — same md5 60-bit unit ids, same affine mins,
+    same sorted token-id set — on the real fixture (the declared-query
+    config: char-5-gram shingles) and in word-token mode, including the
+    edge cases: doc shorter than the shingle width (emits NO row, like
+    the empty groupBy), empty text, NULL text, repeated tokens, runs of
+    spaces (empty word tokens)."""
+    from parquet_to_postgres_spark.llm.dedup import (
+        minhash_profiles,
+        minhash_profiles_arrow,
+    )
+    from parquet_to_postgres_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    agg = minhash_profiles(docs, shingle_n=5)
+    arw = minhash_profiles_arrow(docs, shingle_n=5)
+    # same column names and types (nullability flags differ — mapInArrow
+    # outputs are nullable; the gate compares names + values, and no
+    # declared output type changes)
+    assert [(f.name, f.dataType) for f in agg.schema.fields] == [
+        (f.name, f.dataType) for f in arw.schema.fields
+    ]
+    assert canon(agg.toPandas()) == canon(arw.toPandas())
+
+    edge = spark.createDataFrame(
+        [
+            (1, "abc"),  # shorter than shingle width 5 -> no row
+            (2, ""),  # empty text -> no row in shingle mode
+            (3, None),  # NULL text -> no row
+            (4, "abcdefgh abcdefgh"),  # repeated shingles collapse
+            (5, "alpha  beta   beta"),  # runs of spaces -> empty tokens
+        ],
+        "doc_id long, text string",
+    )
+    for shingle_n in (5, None):
+        a = minhash_profiles(edge, num_hashes=16, shingle_n=shingle_n)
+        b = minhash_profiles_arrow(edge, num_hashes=16, shingle_n=shingle_n)
+        assert canon(a.toPandas()) == canon(b.toPandas()), (
+            f"shingle_n={shingle_n}"
+        )
+
+
 def _random_docs(spark, n, seed=23):
     """Docs over a small word pool, with planted near-duplicates."""
     rng = random.Random(seed)

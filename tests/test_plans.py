@@ -146,6 +146,23 @@ def test_minhash_profiles_single_logical_shuffle(spark):
     assert "Join" not in p and "Window" not in p
 
 
+def test_minhash_profiles_arrow_zero_shuffle(spark):
+    # r16 kernel pin: the Arrow profile path (now feeding
+    # minhash_near_dup and near_dedup_corpus) must finish in the scan
+    # stage — exactly ONE Exchange (the opt-in compute spread), no
+    # aggregate exchange, and the Python boundary is MapInArrow
+    # (batched), never BatchEvalPython (row-at-a-time).
+    from parquet_to_postgres_spark.llm import dedup as D
+    from parquet_to_postgres_spark.tables import Catalog
+
+    t = Catalog(spark, SF_SMOKE)
+    p = plan(D.minhash_profiles_arrow(t.documents, shingle_n=5), mode="simple")
+    assert p.count("Exchange") == 1
+    assert "MapInArrow" in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p and "Window" not in p and "Aggregate" not in p
+
+
 def test_simhash_pairs_blocked_not_allpairs(spark):
     # Candidate generation must be the (band, key) equi-join, never a
     # cartesian / broadcast-nested-loop all-pairs comparison.

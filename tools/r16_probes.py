@@ -123,18 +123,34 @@ def probe_minhash_arrow(spark):
 
 
 def probe_minhash_query(spark):
-    """Full minhash_near_dup and near_dedup_corpus with current vs arrow
-    profiles (patch seam)."""
+    """Full minhash_near_dup and near_dedup_corpus: aggregate profiles
+    (pre-r16) vs the Arrow kernel now wired in, via the patch seam."""
     import parquet_to_postgres_spark.llm.dedup as D
+    import parquet_to_postgres_spark.queries.llm_q as LQ
     from parquet_to_postgres_spark.queries import load_all
 
     specs = load_all()
+    real = D.minhash_profiles_arrow
+
+    def run_agg(builder):
+        D.minhash_profiles_arrow = D.minhash_profiles
+        LQ.D.minhash_profiles_arrow = D.minhash_profiles
+        try:
+            noop(builder(spark, SF_DIR))
+        finally:
+            D.minhash_profiles_arrow = real
+            LQ.D.minhash_profiles_arrow = real
+
     for q in ("minhash_near_dup", "near_dedup_corpus"):
         b = specs[q].builder
         interleaved(
             spark,
-            {f"{q} (current)": lambda b=b: noop(b(spark, SF_DIR))},
-            repeat=3,
+            {
+                f"{q} aggregate profiles (pre-r16)": lambda b=b: run_agg(b),
+                f"{q} arrow profiles (current)": lambda b=b: noop(
+                    b(spark, SF_DIR)
+                ),
+            },
         )
 
 
@@ -307,6 +323,40 @@ def probe_pg_readback_fanout(spark):
 # ------------------------------------------------------------- misc -----
 
 
+def probe_ann_overlap(spark):
+    """VERDICT item 3: ann_topk prep overlap vs the sequential ordering,
+    interleaved on the full declared query.  The sequential side replays
+    the exact pre-r15 ordering through the overlap seam (the same
+    monkeypatch tests/test_ann_recall.py's row-identity pin uses)."""
+    import parquet_to_postgres_spark.llm.similarity as S
+    from parquet_to_postgres_spark.queries import load_all
+
+    specs = load_all()
+    b = specs["ann_topk"].builder
+    real_overlap = S.overlap
+
+    def sequential_overlap(thunks, main):
+        out_main = main()
+        return out_main, tuple(t() for t in thunks)
+
+    def run_seq():
+        S.overlap = sequential_overlap
+        try:
+            noop(b(spark, SF_DIR))
+        finally:
+            S.overlap = real_overlap
+
+    interleaved(
+        spark,
+        {
+            "ann_topk sequential prep (pre-r15)": run_seq,
+            "ann_topk overlapped prep (current)": lambda: noop(
+                b(spark, SF_DIR)
+            ),
+        },
+    )
+
+
 def probe_star_revenue(spark):
     """VERDICT item 7: is the driver's 2.49 s join_star_revenue reading
     real or ambient?  min-of-N on the current code."""
@@ -328,6 +378,7 @@ PROBES = {
     "jdbc_grain_agg": probe_jdbc_grain_agg,
     "pg_grain_agg": probe_pg_grain_agg,
     "pg_readback_fanout": probe_pg_readback_fanout,
+    "ann_overlap": probe_ann_overlap,
     "star_revenue": probe_star_revenue,
 }
 
