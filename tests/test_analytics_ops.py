@@ -34,6 +34,10 @@ from parquet_to_postgres_spark.operators import (
 
 from .conftest import SF_SMOKE
 
+# r16 (VERDICT r15 item 6): sketch/attribution/rollup op battery —
+# excluded from the default (< 15 min) run; `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 T0 = datetime(2024, 1, 1)
 
 

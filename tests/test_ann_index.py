@@ -20,6 +20,10 @@ from parquet_to_postgres_spark.tables import load_table
 
 from .conftest import SF_SMOKE
 
+# r16 (VERDICT r15 item 6): IVF-PQ index build/probe store battery —
+# excluded from the default (< 15 min) run; `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 N_BITS = 4
 N_PROBES = 5
 

@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 from parquet_to_postgres_spark.llm import similarity as S
 from parquet_to_postgres_spark.tables import load_table
 
+# r16 (VERDICT r15 item 6): statistical recall sweeps over seeded vector corpora —
+# excluded from the default (< 15 min) run; `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 SF_RECALL = "/root/testdata/sf0.01"
 K = 10
 

@@ -22,6 +22,10 @@ from parquet_to_postgres_spark.etl import read_source
 
 from .conftest import SF_SMOKE
 
+# r16 (VERDICT r15 item 6): avro codec/resolution matrix —
+# excluded from the default (< 15 min) run; `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 
 def _multiset(df):
     return sorted(map(tuple, df.collect()))

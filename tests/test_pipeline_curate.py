@@ -11,6 +11,12 @@ from parquet_to_postgres_spark.tables import load_table
 
 from .conftest import SF_SMOKE
 
+import pytest
+
+# r16 (VERDICT r15 item 6): full 9-stage curation funnel, minutes per pass —
+# excluded from the default (< 15 min) run; `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 
 def _docs(spark):
     return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")

@@ -13,6 +13,12 @@ import hashlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# r16 (VERDICT r15 item 6): hypothesis property tests (many examples x spark jobs) —
+# excluded from the default (< 15 min) run; `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 # printable ASCII minus the delimiters the operators treat specially
 TEXT = st.text(
     alphabet=st.characters(min_codepoint=33, max_codepoint=126),
